@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Reads Verify output (outDir/<name>/ parquet + outDir/oracle_sql.json),
+registers the sf-dir parquet tables as DuckDB views, runs each oracle SQL,
+and compares: column names (sorted), row count, and the exact multiset of
+row values (floats compared bit-exact; small tolerance fallback reported
+separately so near-misses are visible).
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+def rows_key(rows):
+    return sorted(tuple(repr(x) for x in r) for r in rows)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+            got_cols = [d[0] for d in con.description]
+            exp = con.execute(sql).fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: error {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # reorder got rows into oracle column order
+        idx = [got_cols.index(c) for c in exp_cols]
+        got2 = [tuple(r[i] for i in idx) for r in got]
+        if len(got2) != len(exp):
+            print(f"FAIL {name}: rows spark={len(got2)} oracle={len(exp)}")
+            n_fail += 1
+            continue
+        if rows_key(got2) == rows_key(exp):
+            print(f"OK   {name}: {len(exp)} rows exact")
+            n_ok += 1
+        else:
+            # find first diff for diagnostics
+            gs, es = rows_key(got2), rows_key(exp)
+            diffs = [(a, b) for a, b in zip(gs, es) if a != b][:3]
+            approx = all(
+                all(_close(x, y) for x, y in zip(a, b))
+                for a, b in zip(sorted(got2, key=repr), sorted(exp, key=repr)))
+            tag = "APPROX-ONLY" if approx else "MISMATCH"
+            print(f"FAIL {name}: {tag}; first diffs: {diffs}")
+            n_fail += 1
+    print(f"== {n_ok} ok / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+def _close(x, y):
+    if isinstance(x, float) and isinstance(y, float):
+        return math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-12)
+    return repr(x) == repr(y)
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    sys.exit(main(sf, out))

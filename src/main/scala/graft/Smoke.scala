@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev smoke runner: drives SparkEntry.entry (the driver's t1 smoke) and,
+  * with args, any named query — printing the formatted physical plan so the
+  * scale-shape of each operator can be inspected (`.explain("formatted")`).
+  *
+  * Usage: graft.Smoke [queryName sfDir] (no args → entry on sf0.001)
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = args match {
+      case Array(name, sfDir) => SparkEntry.queries(name)(spark, sfDir)
+      case _                  => SparkEntry.entry(spark)
+    }
+    df.explain("formatted")
+    println("ROWS=" + df.count())
+    df.show(10, 48)
+    spark.stop()
+  }
+}

@@ -1,13 +1,234 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.Tables
+import graft.functions.VectorFunctions
+import graft.operators.Knn
+import graft.oracle.OracleGen
+import graft.oracle.OracleGen.QueryVec
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with matching DuckDB oracle SQL in `oracleSql`.
+  *
+  * Oracle bit-exactness rules used throughout (see OracleGen):
+  *  - never aggregate raw doubles (association order differs across
+  *    engines/partitions): cast to DECIMAL first, aggregate exactly, cast
+  *    the final result to DOUBLE;
+  *  - per-row double arithmetic is fine when both sides evaluate the same
+  *    left-associated expression tree;
+  *  - every query output has a deterministic total order on unique keys.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val dec12: DecimalType = DecimalType(12, 2)
+  private val dec4: DecimalType = DecimalType(4, 2)
+
+  /** DECIMAL-exact discounted price: l_extendedprice * (1 - l_discount). */
+  private def discPrice = {
+    val price = col("l_extendedprice").cast(dec12)
+    val disc  = col("l_discount").cast(dec4)
+    price * (lit(1).cast(dec4) - disc)
+  }
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  /** Flagship (reference E3 retrieval, `rag.py:65-90`): KNN over the vector
+    * table + broadcast join back to document metadata. Driver smoke-checks
+    * rows > 0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val topk = Knn.knn(Tables.embeddings(spark, dir), col("embedding"), col("vec_id"),
+      QueryVec.values, 5, Knn.L2)
+    val docs = Tables.documents(spark, dir)
+    topk.join(broadcast(docs), topk("vec_id") === docs("doc_id"), "inner")
+      .select(col("vec_id"), col("distance"), col("text"), col("lang"), col("source"))
+      .orderBy(col("distance"), col("vec_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Flagship vector surface (SURVEY.md §2.5 T2, §2.7 F6) ----
+
+    "knn_l2" -> ((s, dir) => {
+      Knn.knn(Tables.embeddings(s, dir), col("embedding"), col("vec_id"),
+          QueryVec.values, 10, Knn.L2)
+        .select(col("vec_id"), col("label"), col("distance"))
+    }),
+
+    "knn_cosine" -> ((s, dir) => {
+      Knn.knn(Tables.embeddings(s, dir), col("embedding"), col("vec_id"),
+          QueryVec.values, 10, Knn.Cosine)
+        .select(col("vec_id"), col("label"), col("score"))
+    }),
+
+    "knn_dot" -> ((s, dir) => {
+      Knn.knn(Tables.embeddings(s, dir), col("embedding"), col("vec_id"),
+          QueryVec.values, 10, Knn.Dot)
+        .select(col("vec_id"), col("label"), col("score"))
+    }),
+
+    "knn_per_label" -> ((s, dir) => {
+      Knn.knnPerGroup(Tables.embeddings(s, dir), col("label"), col("embedding"),
+          col("vec_id"), QueryVec.values, 3)
+        .select(col("vec_id"), col("label"), col("distance"), col("rn"))
+        .orderBy(col("label"), col("rn"))
+    }),
+
+    // ---- Relational surface (north-star beyond the reference; SURVEY.md §2.4/2.8) ----
+
+    "q1_pricing" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec12)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec12)).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_revenue_nation" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(o, o("o_custkey") === c("c_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(discPrice).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // T1 recency top-k (reference `email_fetching.py:30-34`): newest N, newest
+    // first — TakeOrderedAndProject, the distributed-safe shape.
+    // events.ts is read as BIGINT nanos (nanosAsLong) — exposed as epoch
+    // micros (ts_us) so the compare is pure int64 at the precision DuckDB
+    // retains for nanosecond parquet timestamps.
+    "q_topk_events" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .orderBy(col("ts_us").desc, col("event_id").asc)
+        .limit(100)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"), col("value"))
+    }),
+
+    "q_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      Tables.part(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rn"))
+        .orderBy(col("p_brand"), col("rn"))
+    }),
+
+    // ---- Dedup (north-star; SURVEY.md §2.6) ----
+
+    "dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Text analysis (north-star) ----
+
+    "text_stats" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val nTok = when(length(trim(col("text"))) === 0, lit(0))
+        .otherwise(size(toks)).cast("long")
+      val stops = size(filter(toks,
+        w => w.isin("the", "a", "of", "and", "to", "in"))).cast("long")
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(nTok).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(stops).as("sum_stop"))
+        .withColumn("avg_tokens", col("sum_tokens").cast("double") / col("n_docs"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val l2 = OracleGen.l2ToQuery("embedding")
+    val cos = OracleGen.cosineToQuery("embedding")
+    val dotQ = OracleGen.dotToQuery("embedding")
+    Map(
+      "knn_l2" ->
+        s"SELECT vec_id, label, $l2 AS distance FROM embeddings ORDER BY distance ASC, vec_id ASC LIMIT 10",
+
+      "knn_cosine" ->
+        s"SELECT vec_id, label, $cos AS score FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10",
+
+      "knn_dot" ->
+        s"SELECT vec_id, label, $dotQ AS score FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10",
+
+      "knn_per_label" ->
+        s"""SELECT vec_id, label, distance, rn FROM (
+           |  SELECT vec_id, label, distance,
+           |         CAST(row_number() OVER (PARTITION BY label ORDER BY distance ASC, vec_id ASC) AS BIGINT) AS rn
+           |  FROM (SELECT vec_id, label, $l2 AS distance FROM embeddings)
+           |) WHERE rn <= 3 ORDER BY label, rn""".stripMargin,
+
+      "q1_pricing" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           |  CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc_price,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q_revenue_nation" ->
+        s"""SELECT n_name,
+           |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+           |  count(*) AS n_items
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN orders ON o_custkey = c_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |GROUP BY n_name
+           |ORDER BY n_name""".stripMargin,
+
+      "q_topk_events" ->
+        """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+          |FROM events ORDER BY ts_us DESC, event_id ASC LIMIT 100""".stripMargin,
+
+      "q_window_topk" ->
+        """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+          |  SELECT p_brand, p_partkey, p_retailprice,
+          |         CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rn
+          |  FROM part
+          |) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+      "dedup_exact" ->
+        """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+          |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+      "text_stats" ->
+        """SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+          |           ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+          |           w -> w IN ('the','a','of','and','to','in')))) AS BIGINT) AS sum_stop,
+          |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+          |           ELSE len(string_split_regex(trim(text), '\s+')) END) AS DOUBLE) / count(*) AS avg_tokens
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    )
+  }
 }
