@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.tables.Tables
-import graft.functions.VectorFunctions
-import graft.operators.Knn
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Knn, Rag}
 import graft.oracle.OracleGen
 import graft.oracle.OracleGen.QueryVec
+import graft.sources.Mime
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with matching DuckDB oracle SQL in `oracleSql`.
@@ -34,6 +35,11 @@ object SparkEntry {
   }
   private val discPriceSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  /** Fixed RAG query string for the E2E pipeline queries — product intent
+    * (hits product words, no advice words) so the retrieval path runs.
+    */
+  private val RagQuery = "customer order for table part data"
 
   /** Flagship (reference E3 retrieval, `rag.py:65-90`): KNN over the vector
     * table + broadcast join back to document metadata. Driver smoke-checks
@@ -141,6 +147,68 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- RAG / ingestion surface (reference E1-E3) ----
+
+    // F7 embedding stage (rag.py:49): corpus → deterministic hash embedding.
+    "q_embed_docs" -> ((s, dir) => {
+      Rag.embedCorpus(Tables.documents(s, dir), col("text"))
+        .select(col("doc_id"), col("embedding"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // E3 retrieval (rag.py:65-90): embed query + corpus, exact KNN, join
+    // back to metadata (the join the reference denormalizes away).
+    "q_rag_topk" -> ((s, dir) => {
+      val corpus = Rag.embedCorpus(Tables.documents(s, dir), col("text"))
+      val topk = Rag.retrieve(corpus, col("doc_id"), RagQuery, 5)
+        .select(col("doc_id").as("k_doc_id"), col("distance"))
+      val docs = Tables.documents(s, dir)
+      topk.join(broadcast(docs), topk("k_doc_id") === docs("doc_id"))
+        .select(col("doc_id"), col("distance"), col("lang"), col("source"))
+        .orderBy(col("distance"), col("doc_id"))
+    }),
+
+    // E3 full pipeline (rag.py:169-196): intent route → retrieve → ordered
+    // context assembly (A2, rag.py:189).
+    "q_rag_context" -> ((s, dir) => {
+      val corpus = Rag.embedCorpus(Tables.documents(s, dir), col("text"))
+      Rag.ragQuery(corpus, col("doc_id"), col("text"), RagQuery, 5)
+    }),
+
+    // M1 intent classifier distribution over the corpus.
+    "q_intent_dist" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(TextFunctions.classifyIntent(col("text")).as("intent"))
+        .groupBy(col("intent"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("intent"))
+    }),
+
+    // F1 doc templating (rag.py:48) over the part table (products stand-in).
+    "q_product_content" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          TextFunctions.productContent(
+            col("p_name"), col("p_type"), col("p_brand"), col("p_retailprice"),
+            concat(lit("img-"), col("p_partkey").cast("string")),
+            concat(lit("size "), col("p_size").cast("string"))).as("content"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // E1 email ingest (email_fetching.py:41-51): MIME built in-query from
+    // documents, parsed, text/plain-filtered, re-aggregated. The oracle is
+    // the algebraic expectation (round-trip property).
+    "q_mime_roundtrip" -> ((s, dir) => {
+      val raw = concat(
+        lit("Content-Type: multipart/mixed; boundary=\"b42\"\n\n--b42\nContent-Type: text/plain\n\n"),
+        col("text"),
+        lit("\n--b42\nContent-Type: text/html\n\n<b>ignore</b>\n--b42\nContent-Type: text/plain\n\ntail part\n--b42--\n"))
+      val msgs = Tables.documents(s, dir).select(col("doc_id"), raw.as("raw"))
+      Mime.ingest(msgs, col("doc_id"), col("raw"))
+        .select(col("id").as("doc_id"), col("document"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text analysis (north-star) ----
 
     "text_stats" -> ((s, dir) => {
@@ -214,6 +282,57 @@ object SparkEntry {
           |         CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rn
           |  FROM part
           |) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+      "q_embed_docs" ->
+        s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)}
+           |SELECT id AS doc_id, emb AS embedding FROM d_emb ORDER BY doc_id""".stripMargin,
+
+      "q_rag_topk" ->
+        s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},
+           |${OracleGen.embedCte("q", s"(SELECT '$RagQuery' AS text)", "0", "text", 64)},
+           |topk AS (
+           |  SELECT d.id AS doc_id, ${OracleGen.l2DoubleCols("d.emb", "q.emb")} AS distance
+           |  FROM d_emb d, q_emb q
+           |  ORDER BY distance ASC, doc_id ASC LIMIT 5)
+           |SELECT topk.doc_id, topk.distance, documents.lang, documents.source
+           |FROM topk JOIN documents ON topk.doc_id = documents.doc_id
+           |ORDER BY topk.distance, topk.doc_id""".stripMargin,
+
+      "q_rag_context" ->
+        s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},
+           |${OracleGen.embedCte("q", s"(SELECT '$RagQuery' AS text)", "0", "text", 64)},
+           |topk AS (
+           |  SELECT d.id AS doc_id, ${OracleGen.l2DoubleCols("d.emb", "q.emb")} AS distance
+           |  FROM d_emb d, q_emb q
+           |  ORDER BY distance ASC, doc_id ASC LIMIT 5)
+           |SELECT '$RagQuery' AS query, 'product_search' AS intent,
+           |       string_agg(t.text, chr(10) || chr(10) ORDER BY topk.distance, topk.doc_id) AS context
+           |FROM topk JOIN documents t ON topk.doc_id = t.doc_id""".stripMargin,
+
+      "q_intent_dist" -> {
+        val prod = Seq("order", "customer", "part", "value")
+          .map(w => s"lower(text) LIKE '%$w%'").mkString("(", " OR ", ")")
+        val adv = Seq("slow", "fast", "query")
+          .map(w => s"lower(text) LIKE '%$w%'").mkString("(", " OR ", ")")
+        s"""SELECT intent, count(*) AS n_docs FROM (
+           |  SELECT CASE WHEN $prod AND $adv THEN 'mixed'
+           |              WHEN $adv THEN 'niche_advice'
+           |              ELSE 'product_search' END AS intent
+           |  FROM documents)
+           |GROUP BY intent ORDER BY intent""".stripMargin
+      },
+
+      "q_product_content" ->
+        """SELECT p_partkey,
+          |  p_name || ', category: ' || p_type || ', color: ' || p_brand ||
+          |  ', price: ' || CAST(p_retailprice AS VARCHAR) || '$' ||
+          |  ', image: img-' || CAST(p_partkey AS VARCHAR) ||
+          |  ', description: size ' || CAST(p_size AS VARCHAR) AS content
+          |FROM part ORDER BY p_partkey""".stripMargin,
+
+      "q_mime_roundtrip" ->
+        """SELECT doc_id, text || chr(10) || 'tail part' AS document
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "dedup_exact" ->
         """SELECT min(doc_id) AS doc_id, count(*) AS n_dups

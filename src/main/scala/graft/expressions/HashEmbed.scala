@@ -1,0 +1,96 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic, model-free text embedding as a native Catalyst expression.
+  *
+  * Stand-in for the reference's `SentenceTransformer.encode` stage
+  * (reference `rag.py:27,49,72-73`): same pipeline position (text → fixed-dim
+  * float vector, applied per row and per query), but reproducible so the
+  * DuckDB oracle can recompute it (SURVEY.md §7 hard part (b)). A real model
+  * would slot in behind the same column-function interface via batched
+  * `mapPartitions`.
+  *
+  * Algorithm (signed feature hashing, "hashing trick"):
+  *   tokens  = lower(trim(text)) split on \s+, empties dropped
+  *   bucket  = int(md5(token)[hex chars 4..6]) % dim
+  *   sign    = +1 if hex char 7 of md5(token) is even, else -1
+  *   counts[bucket] += sign                    (exact integer math)
+  *   embedding = counts / sqrt(Σ counts²)      (zero vector if norm is 0)
+  *
+  * All intermediate state is integral, so results are bit-identical across
+  * engines; only the final division/sqrt are floating-point, and those are
+  * exactly-rounded IEEE ops on identical inputs.
+  *
+  * Scale: O(tokens) per row, no shuffle — a narrow projection that
+  * distributes perfectly. CodegenFallback keeps it inside the codegen'd
+  * stage boundary (interpreted eval per row; promote to doGenCode if bench
+  * demands).
+  */
+case class HashEmbed(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hash_embed expects STRING input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    new GenericArrayData(HashEmbed.embed(text, dim))
+  }
+
+  override def prettyName: String = "hash_embed"
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+    copy(child = newChild)
+}
+
+object HashEmbed {
+
+  /** md5 hex of a token — the shared randomness source for bucket & sign. */
+  private def md5hex(token: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(token.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** (bucket, sign) for one token; hex positions match the SQL oracle
+    * (`substr(md5(t), 4..7, 1)`, 1-based).
+    */
+  def bucketSign(token: String, dim: Int): (Int, Int) = {
+    val hex = md5hex(token)
+    def hv(i: Int): Int = Character.digit(hex.charAt(i), 16)
+    val b = (hv(3) * 256 + hv(4) * 16 + hv(5)) % dim
+    val s = if (hv(6) % 2 == 0) 1 else -1
+    (b, s)
+  }
+
+  def tokens(text: String): Array[String] =
+    text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+
+  /** Pure-Scala embedding — used by the expression and for driver-side query
+    * vectors (reference `rag.py:72-73` embeds the query the same way as rows).
+    */
+  def embed(text: String, dim: Int): Array[Double] = {
+    val counts = new Array[Long](dim)
+    tokens(text).foreach { t =>
+      val (b, s) = bucketSign(t, dim)
+      counts(b) += s
+    }
+    var norm2 = 0L
+    var i = 0
+    while (i < dim) { norm2 += counts(i) * counts(i); i += 1 }
+    if (norm2 == 0L) new Array[Double](dim)
+    else {
+      val n = math.sqrt(norm2.toDouble)
+      counts.map(c => c.toDouble / n)
+    }
+  }
+}

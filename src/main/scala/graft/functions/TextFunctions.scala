@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.HashEmbed
+
+/** Text-pipeline column functions: embedding, templating, tokenization,
+  * intent rules — the reference's text stages re-expressed as codegen-friendly
+  * Spark columns (no Python UDFs, no driver loops).
+  */
+object TextFunctions {
+
+  /** Deterministic hash embedding (see HashEmbed). Default dim matches the
+    * driver testdata's 64-dim vectors; the reference uses 384 (`rag.py:35`).
+    */
+  def hashEmbed(text: Column, dim: Int = 64): Column =
+    GraftBridge.column(HashEmbed(GraftBridge.expression(text), dim))
+
+  /** Canonical embed-text template — byte-compatible shape with the
+    * reference's f-string (`rag.py:48`):
+    * "{name}, category: {category}, color: {color}, price: {price}$,
+    *  image: {img_url}, description: {description}".
+    */
+  def productContent(name: Column, category: Column, color: Column,
+                     price: Column, imgUrl: Column, description: Column): Column =
+    concat(
+      name, lit(", category: "), category,
+      lit(", color: "), color,
+      lit(", price: "), price.cast("string"), lit("$"),
+      lit(", image: "), imgUrl,
+      lit(", description: "), description)
+
+  /** Whitespace tokens of lowercased text, empties dropped — the shared
+    * tokenization of HashEmbed and the text-analysis ops.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Rule-based 3-class intent router — M1 semantics (reference
+    * `rag.py:93-123`): product_search / niche_advice / mixed, with
+    * product_search as the fallback class (`rag.py:121-123`).
+    */
+  def classifyIntent(text: Column,
+                     productWords: Seq[String] = Seq("order", "customer", "part", "value"),
+                     adviceWords: Seq[String] = Seq("slow", "fast", "query")): Column = {
+    val t = lower(text)
+    def hasAny(ws: Seq[String]): Column =
+      ws.map(w => t.contains(w)).reduce(_ || _)
+    val isProduct = hasAny(productWords)
+    val isAdvice = hasAny(adviceWords)
+    when(isProduct && isAdvice, lit("mixed"))
+      .when(isAdvice, lit("niche_advice"))
+      .otherwise(lit("product_search")) // fallback class, rag.py:121-123
+  }
+}

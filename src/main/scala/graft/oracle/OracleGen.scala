@@ -64,4 +64,47 @@ object OracleGen {
   /** Cosine similarity between two FLOAT[] columns. */
   def cosineCols(a: String, b: String, dim: Int = QueryVec.dim): String =
     s"(${dotCols(a, b, dim)}) / (sqrt(${normSq(a, dim)}) * sqrt(${normSq(b, dim)}))"
+
+  /** L2 distance between two DOUBLE[] columns (no cast — already double). */
+  def l2DoubleCols(a: String, b: String, dim: Int = QueryVec.dim): String =
+    "sqrt(" + chain(dim, k => s"($a[$k] - $b[$k]) * ($a[$k] - $b[$k])") + ")"
+
+  // ---- hash-embedding oracle (mirrors graft.expressions.HashEmbed) ----
+
+  private def hv(t: String, pos: Int): String =
+    s"(strpos('0123456789abcdef', substr(md5($t), $pos, 1)) - 1)"
+
+  /** bucket(token) — md5 hex chars 4..6 as int, mod dim (HashEmbed.bucketSign). */
+  def bucketSql(t: String, dim: Int): String =
+    s"((${hv(t, 4)} * 256 + ${hv(t, 5)} * 16 + ${hv(t, 6)}) % $dim)"
+
+  /** sign(token) — +1 if md5 hex char 7 is even (HashEmbed.bucketSign). */
+  def signSql(t: String): String =
+    s"(CASE WHEN ${hv(t, 7)} % 2 = 0 THEN 1 ELSE -1 END)"
+
+  /** CTE chain computing `(id, emb DOUBLE[])` for `textExpr` rows of `srcSql`
+    * — exact SQL mirror of HashEmbed.embed: integer bucket counts, exact
+    * integer norm², single exactly-rounded division per element.
+    * Yields CTE definitions (caller embeds in WITH); final relation `{a}_emb`.
+    */
+  def embedCte(a: String, srcSql: String, idExpr: String, textExpr: String,
+               dim: Int): String = {
+    val toks = s"list_filter(string_split_regex(lower(trim($textExpr)), '\\s+'), t -> t <> '')"
+    val bs = s"list_transform($toks, t -> {'b': ${bucketSql("t", dim)}, 's': ${signSql("t")}})"
+    s"""${a}_tok AS (SELECT $idExpr AS id, $bs AS bs FROM $srcSql),
+       |${a}_n AS (
+       |  SELECT id, comps,
+       |         CAST(list_sum(list_transform(comps, x -> x*x)) AS BIGINT) AS norm2
+       |  FROM (SELECT id,
+       |          list_transform(range(0, $dim), j ->
+       |            CAST(coalesce(list_sum(list_transform(bs,
+       |              p -> CASE WHEN p.b = j THEN p.s ELSE 0 END)), 0) AS BIGINT)) AS comps
+       |        FROM ${a}_tok)),
+       |${a}_emb AS (
+       |  SELECT id,
+       |         CASE WHEN norm2 = 0 THEN list_transform(comps, x -> 0.0)
+       |              ELSE list_transform(comps, x -> CAST(x AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE)))
+       |         END AS emb
+       |  FROM ${a}_n)""".stripMargin
+  }
 }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's package-private Column↔Expression conversion (Spark 4
+  * moved `Column` to a ColumnNode representation; `classic.ExpressionUtils`
+  * is `private[sql]`). Lives in `org.apache.spark.sql` solely to re-export
+  * that capability to graft's custom expressions.
+  */
+object GraftBridge {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
