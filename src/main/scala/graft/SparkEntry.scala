@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Knn, Rag}
+import graft.operators.{Ann, Dedup, Knn, Rag}
 import graft.oracle.OracleGen
 import graft.oracle.OracleGen.QueryVec
 import graft.sources.Mime
@@ -40,6 +40,23 @@ object SparkEntry {
     * (hits product words, no advice words) so the retrieval path runs.
     */
   private val RagQuery = "customer order for table part data"
+
+  /** Near-dup corpus for the dedup queries: documents plus a shifted-id,
+    * slightly-extended copy of every 10th doc — constructed identically on
+    * both engines so candidate-pair recall is oracle-checkable.
+    */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id").as("id"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("id"),
+          concat(col("text"), lit(" zz extra token")).as("text")))
+  }
+  private val nearDupCorpusSql =
+    """SELECT doc_id AS id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS id, text || ' zz extra token' AS text
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   /** Flagship (reference E3 retrieval, `rag.py:65-90`): KNN over the vector
     * table + broadcast join back to document metadata. Driver smoke-checks
@@ -138,6 +155,50 @@ object SparkEntry {
     }),
 
     // ---- Dedup (north-star; SURVEY.md §2.6) ----
+
+    // MinHash+LSH banding: candidate near-dup pairs with estimated Jaccard.
+    // Planted near-dups (id, id+100000) must surface; LSH bucket-join only —
+    // no O(n²) comparison.
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(nearDupCorpus(s, dir), col("id"), col("text"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // SimHash fingerprints: planted near-dup pairs with Hamming distance —
+    // near-dups land within a few bits.
+    "dedup_simhash" -> ((s, dir) => {
+      val fp = nearDupCorpus(s, dir)
+        .select(col("id"), TextFunctions.simhash(col("text")).as("simhash"))
+      val a = fp.select(col("id").as("a_id"), col("simhash").as("a_fp"))
+      val b = fp.select(col("id").as("b_id"), col("simhash").as("b_fp"))
+      a.join(b, col("b_id") === col("a_id") + 100000)
+        .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp"),
+          bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"))
+        .orderBy(col("a_id"))
+    }),
+
+    // Exact n-gram Jaccard over the planted candidate pairs.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val pairs = corpus.filter(col("id") < 100000 && col("id") % 10 === 0)
+        .select(col("id").as("a_id"), (col("id") + 100000).as("b_id"))
+      Dedup.ngramJaccard(corpus, col("id"), col("text"), pairs)
+        .orderBy(col("a_id"))
+    }),
+
+    // Embedding-cosine near-dup: top-20 most similar pairs (brute force at
+    // this scale; LSH bucket prefilter is the 100 TB path — see ann_lsh).
+    "neardup_cosine" -> ((s, dir) => {
+      Ann.topCosinePairs(Tables.embeddings(s, dir), col("vec_id"), col("embedding"), 20)
+    }),
+
+    // ANN: random-hyperplane LSH bucket probe + exact re-rank (scale path
+    // for knn_l2 — scans ~1/2^H of the table).
+    "ann_lsh" -> ((s, dir) => {
+      Ann.annLsh(Tables.embeddings(s, dir), col("embedding"), col("vec_id"),
+          QueryVec.values, 5, numPlanes = 4)
+        .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
+    }),
 
     "dedup_exact" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -282,6 +343,64 @@ object SparkEntry {
           |         CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rn
           |  FROM part
           |) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+      "dedup_minhash" ->
+        s"""WITH corpus AS ($nearDupCorpusSql),
+           |tok AS (SELECT id, ${OracleGen.toksSql("text")} AS tk FROM corpus),
+           |shingled AS (SELECT id, ${OracleGen.shinglesOfToks("tk")} AS sh FROM tok),
+           |sg AS (SELECT id, ${OracleGen.minhashSigOfShingles("sh", 8)} AS sig FROM shingled),
+           |bands AS (
+           |  SELECT id, sig, j AS band_idx, sig[2*j+1] || sig[2*j+2] AS band
+           |  FROM sg, (SELECT unnest(range(0, 4)) AS j)),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.id < b.id)
+           |SELECT p.a_id, p.b_id,
+           |       CAST(${OracleGen.sigMatchCount("sa.sig", "sb.sig", 8)} AS DOUBLE) / 8 AS est_jaccard
+           |FROM pairs p
+           |JOIN sg sa ON sa.id = p.a_id
+           |JOIN sg sb ON sb.id = p.b_id
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "dedup_simhash" ->
+        s"""WITH corpus AS ($nearDupCorpusSql),
+           |tok AS (SELECT id, list_transform(${OracleGen.toksSql("text")},
+           |                 t -> ${OracleGen.tokenHash32Sql("t")}) AS th FROM corpus),
+           |fp AS (SELECT id, ${OracleGen.simhashOfTokenHashes("th")} AS simhash FROM tok)
+           |SELECT a.id AS a_id, b.id AS b_id, a.simhash AS a_fp, b.simhash AS b_fp,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM fp a JOIN fp b ON b.id = a.id + 100000
+           |ORDER BY a_id""".stripMargin,
+
+      "dedup_ngram_jaccard" ->
+        s"""WITH corpus AS ($nearDupCorpusSql),
+           |tok AS (SELECT id, ${OracleGen.toksSql("text")} AS tk FROM corpus),
+           |sh2 AS (SELECT id, list_distinct(${OracleGen.shinglesOfToks("tk")}) AS sh FROM tok),
+           |pairs AS (SELECT id AS a_id, id + 100000 AS b_id FROM corpus
+           |          WHERE id < 100000 AND id % 10 = 0)
+           |SELECT p.a_id, p.b_id,
+           |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+           |         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+           |FROM pairs p
+           |JOIN sh2 sa ON sa.id = p.a_id
+           |JOIN sh2 sb ON sb.id = p.b_id
+           |ORDER BY a_id""".stripMargin,
+
+      "neardup_cosine" ->
+        s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |       ${OracleGen.cosineCols("a.embedding", "b.embedding")} AS cos_sim
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |ORDER BY cos_sim DESC, a_id ASC, b_id ASC LIMIT 20""".stripMargin,
+
+      "ann_lsh" ->
+        s"""SELECT vec_id, label, bucket, distance FROM (
+           |  SELECT vec_id, label,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |         ${OracleGen.l2ToQuery("embedding")} AS distance
+           |  FROM embeddings)
+           |WHERE bucket = ${OracleGen.lshBucketOfQuery(4)}
+           |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin,
 
       "q_embed_docs" ->
         s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)}

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.HashEmbed
+import graft.expressions.{HashEmbed, SimHash}
 
 /** Text-pipeline column functions: embedding, templating, tokenization,
   * intent rules — the reference's text stages re-expressed as codegen-friendly
@@ -38,6 +38,10 @@ object TextFunctions {
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** 32-bit SimHash fingerprint (see graft.expressions.SimHash). */
+  def simhash(text: Column): Column =
+    GraftBridge.column(SimHash(GraftBridge.expression(text)))
 
   /** Rule-based 3-class intent router — M1 semantics (reference
     * `rag.py:93-123`): product_search / niche_advice / mixed, with

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate nearest-neighbour search over embedding columns.
+  *
+  * Baseline: exact brute force (Knn). Scale path: random-hyperplane LSH —
+  * assign each vector a bucket from the sign bits of H fixed hyperplane
+  * projections; a query probes only its own bucket, then exact re-ranks.
+  * Search cost drops from O(n) to O(n / 2^H) per query at a recall cost;
+  * multi-probe (flip low-margin bits) recovers recall without rescanning.
+  *
+  * The hyperplanes are formula-deterministic (no RNG) so bucket assignment
+  * is reproducible and oracle-checkable:
+  *   plane(j)(i) = ((i*7 + j*13) % 19) / 19.0 - 0.5
+  *
+  * At 100 TB: bucket assignment is a narrow projection; storing the table
+  * bucketed/partitioned by `bucket` makes every query a partition-pruned
+  * scan of ~1/2^H of the data — the IVF-style layout.
+  */
+object Ann {
+
+  def planeValue(j: Int, i: Int): Double = ((i * 7 + j * 13) % 19) / 19.0 - 0.5
+
+  def plane(j: Int, dim: Int): Seq[Double] = (0 until dim).map(i => planeValue(j, i))
+
+  /** Sign-bit LSH bucket of a vector column under H hyperplanes. */
+  def bucketOf(vec: Column, numPlanes: Int, dim: Int): Column =
+    (0 until numPlanes).map { j =>
+      when(dot(vec, typedlit(plane(j, dim))) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Driver-side bucket of a query vector — same fold order as the SQL
+    * oracle's left-associated chain.
+    */
+  def bucketOfQuery(q: Seq[Double], numPlanes: Int): Int = {
+    (0 until numPlanes).map { j =>
+      var s = 0.0
+      var i = 0
+      while (i < q.length) { s += q(i) * planeValue(j, i); i += 1 }
+      if (s > 0) 1 << j else 0
+    }.sum
+  }
+
+  /** LSH-accelerated top-k: probe the query's bucket, exact re-rank inside. */
+  def annLsh(df: DataFrame, vecCol: Column, idCol: Column, query: Seq[Double],
+             k: Int, numPlanes: Int = 4): DataFrame = {
+    val dim = query.length
+    val qBucket = bucketOfQuery(query, numPlanes)
+    df.withColumn("bucket", bucketOf(vecCol, numPlanes, dim))
+      .filter(col("bucket") === lit(qBucket))
+      .withColumn("distance", l2(vecCol, typedlit(query)))
+      .orderBy(col("distance").asc, idCol.asc)
+      .limit(k)
+  }
+
+  /** Exact top similar pairs by cosine — brute force for modest n (the
+    * oracle-checkable baseline). At scale, prefilter candidates with
+    * bucketOf equality so only same-bucket pairs are compared.
+    */
+  def topCosinePairs(df: DataFrame, idCol: Column, vecCol: Column, k: Int): DataFrame = {
+    val a = df.select(idCol.as("a_id"), vecCol.as("a_vec"))
+    val b = df.select(idCol.as("b_id"), vecCol.as("b_vec"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("a_vec"), col("b_vec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a_id").asc, col("b_id").asc)
+      .limit(k)
+  }
+}

@@ -82,6 +82,70 @@ object OracleGen {
   def signSql(t: String): String =
     s"(CASE WHEN ${hv(t, 7)} % 2 = 0 THEN 1 ELSE -1 END)"
 
+  /** Tokens of lowercased text, empties dropped (TextFunctions.tokens). */
+  def toksSql(textExpr: String): String =
+    s"list_filter(string_split_regex(lower(trim($textExpr)), '\\s+'), t -> t <> '')"
+
+  /** Shingles as a plain expression given a `tk` token-list column in scope
+    * (Dedup.shingles).
+    */
+  def shinglesOfToks(tkCol: String, n: Int = 3): String = {
+    val gram = (1 to n).map(j => s"$tkCol[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($tkCol) >= $n
+       | THEN list_transform(range(0, len($tkCol) - ${n - 1}), i -> $gram)
+       | ELSE [array_to_string($tkCol, ' ')] END""".stripMargin
+  }
+
+  /** MinHash signature list over a shingle-list column (Dedup.minhashSignature). */
+  def minhashSigOfShingles(shCol: String, numHashes: Int): String =
+    (0 until numHashes).map { h =>
+      s"list_min(list_transform($shCol, s -> md5('$h|' || s)))"
+    }.mkString("[", ", ", "]")
+
+  /** Count of agreeing signature components (Dedup.minhashPairs match count). */
+  def sigMatchCount(a: String, b: String, numHashes: Int): String =
+    (1 to numHashes).map(i => s"(CASE WHEN $a[$i] = $b[$i] THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** uint32 token hash (first 8 hex chars of md5) — SimHash.tokenHash. */
+  def tokenHash32Sql(t: String): String = {
+    val factors = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
+    factors.zipWithIndex.map { case (f, i) =>
+      s"(strpos('0123456789abcdef', substr(md5($t), ${i + 1}, 1)) - 1) * $f"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** SimHash fingerprint over a token-hash list column `th` (SimHash.fingerprint). */
+  def simhashOfTokenHashes(thCol: String, bits: Int = 32): String =
+    (0 until bits).map { k =>
+      s"""(CASE WHEN coalesce(list_sum(list_transform($thCol,
+         |  h -> CASE WHEN ((h >> $k) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |  THEN ${1L << k} ELSE 0 END)""".stripMargin
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** Dot of a FLOAT[] column with LSH hyperplane j (Ann.planeValue formula). */
+  def dotPlane(vecCol: String, j: Int, dim: Int): String =
+    chain(dim, k => {
+      val m = (((k - 1) * 7 + j * 13) % 19)
+      s"${elem(vecCol, k)} * ($m/19.0 - 0.5)"
+    })
+
+  /** LSH bucket of a FLOAT[] column (Ann.bucketOf). */
+  def lshBucket(vecCol: String, numPlanes: Int, dim: Int): String =
+    (0 until numPlanes).map { j =>
+      s"(CASE WHEN ${dotPlane(vecCol, j, dim)} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** LSH bucket of the QueryVec itself — all-literal arithmetic. */
+  def lshBucketOfQuery(numPlanes: Int, dim: Int = QueryVec.dim): String =
+    (0 until numPlanes).map { j =>
+      val c = chain(dim, k => {
+        val m = (((k - 1) * 7 + j * 13) % 19)
+        s"${QueryVec.sqlTerm(k)} * ($m/19.0 - 0.5)"
+      })
+      s"(CASE WHEN $c > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** CTE chain computing `(id, emb DOUBLE[])` for `textExpr` rows of `srcSql`
     * — exact SQL mirror of HashEmbed.embed: integer bucket counts, exact
     * integer norm², single exactly-rounded division per element.

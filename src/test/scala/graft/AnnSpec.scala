@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Knn}
+import graft.oracle.OracleGen.QueryVec
+import graft.tables.Tables
+
+class AnnSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+
+  test("lsh buckets are within [0, 2^H)") {
+    val buckets = emb.select(Ann.bucketOf(col("embedding"), 4, 64).as("b"))
+      .agg(min(col("b")), max(col("b"))).head()
+    assert(buckets.getInt(0) >= 0 && buckets.getInt(1) < 16)
+  }
+
+  test("annLsh results are a subset of brute-force knn over the same bucket") {
+    val ann = Ann.annLsh(emb, col("embedding"), col("vec_id"), QueryVec.values, 5)
+      .collect()
+    assert(ann.nonEmpty)
+    val dists = ann.map(_.getAs[Double]("distance"))
+    assert(dists.sameElements(dists.sorted))
+    // every ANN hit exists in the exact knn result over a larger k
+    val exact = Knn.knn(emb, col("embedding"), col("vec_id"), QueryVec.values, 500)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("distance")).toMap
+    ann.foreach { r =>
+      assert(exact(r.getAs[Long]("vec_id")) == r.getAs[Double]("distance"))
+    }
+  }
+
+  test("query bucket matches column bucket computed on the query vector") {
+    import spark.implicits._
+    val qb = Ann.bucketOfQuery(QueryVec.values, 4)
+    val colB = Seq(1).toDF("x")
+      .select(Ann.bucketOf(typedlit(QueryVec.values), 4, 64)).head().getInt(0)
+    assert(qb == colB)
+  }
+
+  test("topCosinePairs is symmetric-free (a<b) and descending") {
+    val pairs = Ann.topCosinePairs(emb.limit(50), col("vec_id"), col("embedding"), 10)
+      .collect()
+    assert(pairs.length == 10)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    val sims = pairs.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.SimHash
+import graft.operators.Dedup
+import graft.tables.Tables
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  private lazy val corpus = {
+    val d = docs
+    d.select(col("doc_id").as("id"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("id"),
+          concat(col("text"), lit(" zz extra token")).as("text")))
+  }
+
+  test("exact dedup keeps min id and counts duplicates") {
+    import spark.implicits._
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "t")
+    val out = Dedup.exact(df, $"id", $"t").orderBy($"keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH recalls planted near-dups with high estimated jaccard") {
+    val pairs = Dedup.minhashPairs(corpus, col("id"), col("text")).collect()
+    val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)
+    // every 10th doc was planted: 50 planted pairs at sf0.001
+    assert(planted.length == 50)
+    // appended tokens only disturb tail shingles — estimates stay high
+    assert(planted.map(_.getDouble(2)).forall(_ >= 0.5))
+  }
+
+  test("ngram jaccard of planted pairs is high, of unrelated docs is low") {
+    import spark.implicits._
+    val pairs = corpus.filter(col("id") < 100000 && col("id") % 10 === 0)
+      .select(col("id").as("a_id"), (col("id") + 100000).as("b_id"))
+    val jac = Dedup.ngramJaccard(corpus, col("id"), col("text"), pairs).collect()
+    assert(jac.length == 50)
+    assert(jac.map(_.getDouble(2)).forall(j => j > 0.7 && j <= 1.0))
+
+    val unrelated = Seq((0L, 1L)).toDF("a_id", "b_id")
+    val j2 = Dedup.ngramJaccard(corpus, col("id"), col("text"), unrelated).head().getDouble(2)
+    assert(j2 < 0.3)
+  }
+
+  test("simhash: near-dups within small hamming distance, self distance 0") {
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    val fp1 = SimHash.fingerprint(t)
+    val fp2 = SimHash.fingerprint(t + " extra")
+    assert(SimHash.hamming(fp1, fp1) == 0)
+    assert(SimHash.hamming(fp1, fp2) <= 8)
+    // unrelated texts differ in many bits (probabilistic but stable: fixed inputs)
+    val fp3 = SimHash.fingerprint("completely different words entirely unrelated content here")
+    assert(SimHash.hamming(fp1, fp3) > 5)
+  }
+
+  test("shingles: sliding 3-grams with whole-text fallback") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b").toDF("t")
+    val out = df.select(Dedup.shingles($"t")).collect()
+    assert(out(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](0) == Seq("a b"))
+  }
+}
