@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.tables.Tables
-import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Ann, Dedup, Knn, Rag}
+import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
+import graft.operators.{Ann, Dedup, Knn, Multimodal, Rag}
 import graft.oracle.OracleGen
 import graft.oracle.OracleGen.QueryVec
 import graft.sources.Mime
@@ -272,6 +272,120 @@ object SparkEntry {
 
     // ---- Text analysis (north-star) ----
 
+    // Language-ID heuristic vs the labeled lang column (confusion counts).
+    "q_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // Quality-score histogram (deciles of the [0,1] score).
+    "q_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(floor(TextAnalysis.qualityScore(col("text")) * 10).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    // BPE-ish sub-word token counting, aggregated per source.
+    "q_token_bpe" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.bpeTokenCount(col("text"))).as("sum_bpe"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // Rolling-hash document fingerprints.
+    "q_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint32(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // JSON property extraction (events.props) + aggregation.
+    "q_events_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Tumbling 1-hour window aggregation (batch twin of the streaming path).
+    "q_window_hourly" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("hour_bucket", expr("ts div 3600000000000"))
+        .groupBy(col("hour_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec12)).cast("double").as("sum_value"))
+        .orderBy(col("hour_bucket"))
+    }),
+
+    // As-of join: latest order at-or-before each event, per user (composed
+    // from join + window — preference (a) of the custom-operator ladder).
+    "q_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .filter(col("event_id") % 100 === 0)
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          // parquet millis → TIMESTAMP_NTZ; cast to LTZ (UTC session) for unix_micros
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_us").desc, col("o_orderkey").asc)
+      ev.join(ord, col("user_id") === col("o_custkey") && col("o_us") <= col("ts_us"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("o_orderkey"), col("o_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Set ops: heavy-error users EXCEPT heavy-purchase users (thresholded so
+    // the result is non-trivial — every user has every event type).
+    "q_set_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def heavy(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 14).select(col("user_id"))
+      heavy("error").except(heavy("purchase")).orderBy(col("user_id"))
+    }),
+
+    // Multimodal plumbing: text bytes as opaque BINARY payloads, typed
+    // batch decode (STUB codec, real Dataset/mapPartitions shape).
+    "q_multimodal_stub" -> ((s, dir) => {
+      import s.implicits._
+      val kind = when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), kind.as("kind"),
+          encode(col("text"), "UTF-8").as("bytes"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decode(media).toDF()
+        .select(col("id").as("doc_id"), col("kind"), col("byte_len"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Frame sampling for video payloads (every 2nd frame index).
+    "q_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("id"), lit("video").as("kind"),
+          encode(col("text"), "UTF-8").as("bytes"))
+        .as[Multimodal.MediaRow]
+      Multimodal.sampleFrames(Multimodal.decode(media))
+        .select(col("id"), explode(col("frame_idx")).as("frame"))
+        .orderBy(col("id"), col("frame"))
+    }),
+
     "text_stats" -> ((s, dir) => {
       val toks = split(trim(col("text")), "\\s+")
       val nTok = when(length(trim(col("text"))) === 0, lit(0))
@@ -456,6 +570,97 @@ object SparkEntry {
       "dedup_exact" ->
         """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
           |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+      "q_lang_id" -> {
+        val tk = OracleGen.toksSql("text")
+        def hits(ws: Seq[String]) =
+          s"len(list_filter(tk, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+        val hs = TextAnalysis.langWords.map { case (l, ws) => l -> hits(ws) }
+        val cases = hs.zipWithIndex.map { case ((l, h), i) =>
+          val later = hs.drop(i + 1).map(_._2)
+          val ge = (Seq(s"$h > 0") ++ later.map(o => s"$h >= $o")).mkString(" AND ")
+          s"WHEN $ge THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT lang, predicted, count(*) AS n FROM (
+           |  SELECT lang, CASE $cases ELSE 'und' END AS predicted
+           |  FROM (SELECT lang, $tk AS tk FROM documents))
+           |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+      },
+
+      "q_quality" -> {
+        val stop = "len(list_filter(tk, t -> t IN ('the','a','of','and','to','in')))"
+        s"""SELECT bucket, count(*) AS n FROM (
+           |  SELECT CAST(floor((
+           |    (least(CAST(len(tk) AS DOUBLE), 60.0) / 60.0) * 0.7 +
+           |    (CASE WHEN len(tk) > 0
+           |          THEN CAST($stop AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+           |          ELSE 0.0 END) * 0.3) * 10) AS BIGINT) AS bucket
+           |  FROM (SELECT ${OracleGen.toksSql("text")} AS tk FROM documents))
+           |GROUP BY bucket ORDER BY bucket""".stripMargin
+      },
+
+      "q_token_bpe" ->
+        """SELECT source,
+          |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe,
+          |  count(*) AS n_docs
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "q_fingerprint" -> {
+        val nested = (1 to 32).foldLeft("CAST(0 AS BIGINT)") { (h, i) =>
+          s"(($h * 31 + ascii(substr(p, $i, 1))) % 1000000007)"
+        }
+        s"""SELECT doc_id, CAST($nested AS BIGINT) AS fp FROM (
+           |  SELECT doc_id, rpad(regexp_replace(text, '[^ -~]', '', 'g'), 32, ' ') AS p
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      "q_events_json" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q_window_hourly" ->
+        """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin,
+
+      "q_asof_join" ->
+        """SELECT event_id, ts_us, user_id, o_orderkey, o_us FROM (
+          |  SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
+          |         o.o_orderkey, epoch_us(o.o_orderdate) AS o_us,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |           ORDER BY epoch_us(o.o_orderdate) DESC, o.o_orderkey ASC) AS rn
+          |  FROM events e JOIN orders o
+          |    ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+          |  WHERE e.event_id % 100 = 0)
+          |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+      "q_set_ops" ->
+        """SELECT user_id FROM events WHERE event_type = 'error'
+          |GROUP BY user_id HAVING count(*) >= 14
+          |EXCEPT
+          |SELECT user_id FROM events WHERE event_type = 'purchase'
+          |GROUP BY user_id HAVING count(*) >= 14
+          |ORDER BY user_id""".stripMargin,
+
+      "q_multimodal_stub" ->
+        """SELECT doc_id, kind, byte_len,
+          |  16 + byte_len % 64 AS width,
+          |  16 + (byte_len // 64) % 64 AS height,
+          |  CASE WHEN kind = 'video' THEN 1 + byte_len % 7 ELSE CAST(1 AS BIGINT) END AS n_frames
+          |FROM (
+          |  SELECT doc_id,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_frame_sample" ->
+        """SELECT doc_id AS id, unnest(range(0, 1 + byte_len % 7, 2)) AS frame
+          |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+          |      FROM documents WHERE doc_id % 3 = 2)
+          |ORDER BY id, frame""".stripMargin,
 
       "text_stats" ->
         """SELECT lang, count(*) AS n_docs,

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.TextFunctions
+
+/** Structured Streaming surface — the incremental twin of the batch
+  * pipelines. The reference's email fetch is a one-shot batch pull of the
+  * last N messages (`email_fetching.py:30-34`); here the same stages run
+  * continuously: readStream → parse/embed (stateless, narrow) →
+  * watermarked windowed aggregation / keyed state → writeStream.
+  *
+  * Scale: stateless stages scale like batch; stateful aggs shuffle on the
+  * group key and bound state via watermark eviction — the knobs that matter
+  * at 100 TB/day are watermark delay (state size) and shuffle partitions.
+  */
+object Streaming {
+
+  /** Tumbling-window counts + sums with late-data handling. `tsCol` must be
+    * a TIMESTAMP column; rows later than `watermarkDelay` are dropped,
+    * which bounds state.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String = "1 hour",
+                     watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("sum_value"))
+
+  /** Streaming ingest-and-embed: stateless narrow pipeline — the streaming
+    * form of Rag.embedCorpus (works identically on readStream inputs).
+    */
+  def embedStream(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int = 64): DataFrame =
+    docs.select(col(idCol), col(textCol),
+      TextFunctions.hashEmbed(col(textCol), dim).as("embedding"))
+
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * aggregate emitted on every update (Update mode). State never expires
+    * here (ProcessingTimeTimeout would bound it in production).
+    */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { e => n += 1; s += e.value }
+          val next = UserStats(userId, n, s)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("windowed counts with watermark close windows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val sdf = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streaming.windowedCounts(sdf, "ts", "event_type",
+      windowLen = "1 hour", watermarkDelay = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1, 10), "view", 1.0), (ts(1, 20), "view", 2.0), (ts(1, 30), "click", 5.0))
+      q.processAllAvailable()
+      // watermark still inside hour 1 — nothing emitted yet
+      assert(spark.table("win_out").count() == 0)
+      // an event far past hour 1 advances the watermark and closes it
+      input.addData((ts(4, 0), "view", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select($"window_start", $"event_type", $"n", $"sum_value")
+        .orderBy($"event_type").collect()
+      assert(rows.map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ==
+        Seq(("click", 1L, 5.0), ("view", 2L, 3.0)))
+      // a late event behind the watermark is dropped, not re-emitted
+      input.addData((ts(1, 40), "view", 100.0))
+      q.processAllAvailable()
+      assert(spark.table("win_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user stats across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streaming.UserEvent]
+    val out = Streaming.runningUserStats(input.toDS())
+    val q = out.writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      input.addData(Streaming.UserEvent(1, "view", 2.0), Streaming.UserEvent(1, "click", 3.0))
+      q.processAllAvailable()
+      input.addData(Streaming.UserEvent(1, "buy", 5.0), Streaming.UserEvent(2, "view", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("state_out").groupBy($"user_id")
+        .agg(max($"n_events").as("n"), max($"sum_value").as("s"))
+        .orderBy($"user_id").collect()
+      assert(last.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq((1L, 3L, 10.0), (2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("embedStream runs the embed stage on a stream (stateless narrow)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("id", "text")
+    val q = Streaming.embedStream(sdf, "id", "text", dim = 16)
+      .writeStream.format("memory").queryName("emb_out").outputMode("append").start()
+    try {
+      input.addData((1L, "hello world"), (2L, ""))
+      q.processAllAvailable()
+      val rows = spark.table("emb_out").orderBy($"id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getSeq[Double](2) ==
+        graft.expressions.HashEmbed.embed("hello world", 16).toSeq)
+      assert(rows(1).getSeq[Double](2).forall(_ == 0.0))
+    } finally q.stop()
+  }
+}
