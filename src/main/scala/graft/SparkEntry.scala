@@ -462,7 +462,8 @@ object SparkEntry {
         s"""WITH corpus AS ($nearDupCorpusSql),
            |tok AS (SELECT id, ${OracleGen.toksSql("text")} AS tk FROM corpus),
            |shingled AS (SELECT id, ${OracleGen.shinglesOfToks("tk")} AS sh FROM tok),
-           |sg AS (SELECT id, ${OracleGen.minhashSigOfShingles("sh", 8)} AS sig FROM shingled),
+           |hashed AS (SELECT id, list_transform(sh, s -> md5(s)) AS hs FROM shingled),
+           |sg AS (SELECT id, ${OracleGen.minhashSigOfHashes("hs", 8)} AS sig FROM hashed),
            |bands AS (
            |  SELECT id, sig, j AS band_idx, sig[2*j+1] || sig[2*j+2] AS band
            |  FROM sg, (SELECT unnest(range(0, 4)) AS j)),

@@ -1,55 +1,68 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
-/** Vector distance / similarity column functions over `ARRAY<FLOAT>` columns.
+import graft.expressions.{CosineSimExpr, DotProductExpr, L2DistanceExpr}
+
+/** Vector distance / similarity column functions over `ARRAY<FLOAT>` /
+  * `ARRAY<DOUBLE>` columns.
   *
   * Spark-native analogue of pgvector's distance operators used by the
   * reference: `<->` L2 (reference `rag.py:78`), plus the `<=>` cosine and
   * `<#>` inner-product analogues the reference's stack supports.
   *
-  * Built from codegen'd built-ins (`zip_with` + `aggregate`), so the whole
-  * computation stays inside whole-stage codegen — no UDF serialization, no
-  * Python boundary. Summation is a strict left-to-right fold (`aggregate`
-  * folds elements in array order, and `0.0 + t1 == t1` exactly in IEEE 754),
-  * which makes results bit-reproducible and oracle-checkable against a SQL
-  * engine evaluating the same left-associated sum chain.
+  * Primary forms are fused codegen Catalyst expressions (tight primitive
+  * loop inside whole-stage codegen — see graft.expressions); the
+  * `*Composed` twins are the built-in `zip_with`+`aggregate` formulations
+  * kept for cross-checking. Both accumulate left-to-right in double, so
+  * results are bit-identical to each other and to the SQL oracle's
+  * left-associated sum chains.
   *
-  * Scale note: these are narrow per-row expressions — no shuffle, perfectly
+  * Scale note: narrow per-row expressions — no shuffle, perfectly
   * distributed; at 100 TB the cost is a single scan.
   */
 object VectorFunctions {
 
-  private def d(c: Column): Column = c.cast("double")
-
-  /** Sum of `f(a_i, b_i)` over zipped elements, left-to-right. */
-  private def zipSum(a: Column, b: Column, f: (Column, Column) => Column): Column =
-    aggregate(zip_with(a, b, (x, y) => f(d(x), d(y))), lit(0.0), (acc, v) => acc + v)
-
-  /** Squared L2 distance. */
-  def l2Sq(a: Column, b: Column): Column =
-    zipSum(a, b, (x, y) => (x - y) * (x - y))
+  private def bridge2(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+                          org.apache.spark.sql.catalyst.expressions.Expression) =>
+                          org.apache.spark.sql.catalyst.expressions.Expression)
+                     (a: Column, b: Column): Column =
+    GraftBridge.column(f(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Euclidean (L2) distance — pgvector `<->` (reference `rag.py:78`). */
-  def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
+  def l2(a: Column, b: Column): Column = bridge2(L2DistanceExpr)(a, b)
 
   /** Inner product — pgvector `<#>` analogue (negated there; plain dot here). */
-  def dot(a: Column, b: Column): Column =
-    zipSum(a, b, (x, y) => x * y)
+  def dot(a: Column, b: Column): Column = bridge2(DotProductExpr)(a, b)
+
+  /** Cosine similarity — pgvector `<=>` is `1 - cosine`; we expose similarity. */
+  def cosine(a: Column, b: Column): Column = bridge2(CosineSimExpr)(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity — pgvector `<=>` is `1 - cosine`; we expose similarity. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
-
   /** Cosine distance (pgvector `<=>` semantics). */
-  def cosineDistance(a: Column, b: Column): Column =
-    lit(1.0) - cosine(a, b)
+  def cosineDistance(a: Column, b: Column): Column = lit(1.0) - cosine(a, b)
 
-  /** L2-normalize a vector to unit length (float elements preserved as double). */
+  // ---- composed (built-in HOF) twins, for cross-checks and reference ----
+
+  private def d(c: Column): Column = c.cast("double")
+
+  private def zipSum(a: Column, b: Column, f: (Column, Column) => Column): Column =
+    aggregate(zip_with(a, b, (x, y) => f(d(x), d(y))), lit(0.0), (acc, v) => acc + v)
+
+  def l2SqComposed(a: Column, b: Column): Column =
+    zipSum(a, b, (x, y) => (x - y) * (x - y))
+
+  def l2Composed(a: Column, b: Column): Column = sqrt(l2SqComposed(a, b))
+
+  def dotComposed(a: Column, b: Column): Column = zipSum(a, b, (x, y) => x * y)
+
+  def cosineComposed(a: Column, b: Column): Column =
+    dotComposed(a, b) / (sqrt(dotComposed(a, a)) * sqrt(dotComposed(b, b)))
+
+  /** L2-normalize a vector to unit length (elements widened to double). */
   def normalize(a: Column): Column = {
     val n = norm(a)
     transform(a, x => d(x) / n)

@@ -62,10 +62,14 @@ object Ann {
     * bucketOf equality so only same-bucket pairs are compared.
     */
   def topCosinePairs(df: DataFrame, idCol: Column, vecCol: Column, k: Int): DataFrame = {
-    val a = df.select(idCol.as("a_id"), vecCol.as("a_vec"))
-    val b = df.select(idCol.as("b_id"), vecCol.as("b_vec"))
+    // precompute each side's norm once (narrow projection) so the O(n²)
+    // pair loop only pays one fused dot product per pair; cos = dot/(na·nb)
+    // evaluates identically to the single-expression cosine.
+    val a = df.select(idCol.as("a_id"), vecCol.as("a_vec"), norm(vecCol).as("a_norm"))
+    val b = df.select(idCol.as("b_id"), vecCol.as("b_vec"), norm(vecCol).as("b_norm"))
     a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), cosine(col("a_vec"), col("b_vec")).as("cos_sim"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a_id").asc, col("b_id").asc)
       .limit(k)
   }

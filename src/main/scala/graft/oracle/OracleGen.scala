@@ -96,10 +96,17 @@ object OracleGen {
        | ELSE [array_to_string($tkCol, ' ')] END""".stripMargin
   }
 
-  /** MinHash signature list over a shingle-list column (Dedup.minhashSignature). */
-  def minhashSigOfShingles(shCol: String, numHashes: Int): String =
-    (0 until numHashes).map { h =>
-      s"list_min(list_transform($shCol, s -> md5('$h|' || s)))"
+  /** 4·i-char hex rotation (Dedup.rotHex). */
+  def rotHexSql(h: String, i: Int): String =
+    if (i == 0) h
+    else s"(substr($h, ${4 * i + 1}, ${32 - 4 * i}) || substr($h, 1, ${4 * i}))"
+
+  /** MinHash signature over a per-shingle md5 list column
+    * (Dedup.minhashSignatureFromHashes).
+    */
+  def minhashSigOfHashes(hsCol: String, numHashes: Int): String =
+    (0 until numHashes).map { i =>
+      s"list_min(list_transform($hsCol, h -> ${rotHexSql("h", i)}))"
     }.mkString("[", ", ", "]")
 
   /** Count of agreeing signature components (Dedup.minhashPairs match count). */

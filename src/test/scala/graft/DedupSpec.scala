@@ -28,8 +28,9 @@ class DedupSpec extends SparkSpec {
   test("minhash LSH recalls planted near-dups with high estimated jaccard") {
     val pairs = Dedup.minhashPairs(corpus, col("id"), col("text")).collect()
     val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)
-    // every 10th doc was planted: 50 planted pairs at sf0.001
-    assert(planted.length == 50)
+    // 50 planted pairs; LSH recall is probabilistic — at J≈0.8 with 4 bands
+    // of 2 rows, P(miss) = (1-J²)⁴ ≈ 2% per pair, so allow a couple misses
+    assert(planted.length >= 47)
     // appended tokens only disturb tail shingles — estimates stay high
     assert(planted.map(_.getDouble(2)).forall(_ >= 0.5))
   }
