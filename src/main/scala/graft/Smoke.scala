@@ -7,6 +7,8 @@ import org.apache.spark.sql.SparkSession
   * scale-shape of each operator can be inspected (`.explain("formatted")`).
   *
   * Usage: graft.Smoke [queryName sfDir] (no args → entry on sf0.001)
+  *        graft.Smoke sql "<statement>" [sfDir]  — runs SQL with graft
+  *        functions registered and testdata tables as temp views
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
@@ -19,6 +21,14 @@ object Smoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = args match {
+      case Array("sql", stmt, rest @ _*) =>
+        val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+        GraftFunctions.registerAll(spark)
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings").foreach { t =>
+          spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+        }
+        spark.sql(stmt)
       case Array(name, sfDir) => SparkEntry.queries(name)(spark, sfDir)
       case _                  => SparkEntry.entry(spark)
     }

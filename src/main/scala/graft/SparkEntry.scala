@@ -154,6 +154,66 @@ object SparkEntry {
         .orderBy(col("p_brand"), col("rn"))
     }),
 
+    // Rollup with subtotals + grand total (grouping-sets surface).
+    "q_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(dec12)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Left-semi join: customers that placed at least one 1995 order.
+    "q_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1996-01-01"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Left-anti join: customers with no orders at all, counted per nation.
+    "q_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Running (cumulative) order total per sampled customer — frame-based
+    // window aggregation; DECIMAL accumulation keeps it exact.
+    "q_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") % 100 === 0)
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast(dec12)).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // lag(): inter-event gap per user (micros, exact integers).
+    "q_event_gaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("sum_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- Dedup (north-star; SURVEY.md §2.6) ----
 
     // MinHash+LSH banding: candidate near-dup pairs with estimated Jaccard.
@@ -457,6 +517,46 @@ object SparkEntry {
           |         CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rn
           |  FROM part
           |) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+      "q_rollup" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+      "q_semi_join" ->
+        """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey
+          |                AND o_orderdate >= TIMESTAMP '1995-01-01'
+          |                AND o_orderdate < TIMESTAMP '1996-01-01')
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      "q_anti_join" ->
+        """SELECT c_nationkey, count(*) AS n_customers FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+      "q_running_total" ->
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+          |FROM orders WHERE o_custkey % 100 = 0
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+      "q_event_gaps" ->
+        """SELECT user_id, count(*) AS n_gaps,
+          |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+          |  max(gap_us) AS max_gap_us
+          |FROM (
+          |  SELECT user_id,
+          |         epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+          |           PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS gap_us
+          |  FROM events)
+          |WHERE gap_us IS NOT NULL
+          |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "dedup_minhash" ->
         s"""WITH corpus AS ($nearDupCorpusSql),

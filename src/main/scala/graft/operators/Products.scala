@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Mime
+import graft.tables.Tables
+
+/** The reference's ingestion pipelines as end-to-end builders.
+  *
+  * E2 (products): CSV → 7-col projection → canonical content template →
+  * embed → product_embeddings store (reference `products_import.py` +
+  * `rag.py:22-62`). Unlike the reference — which `fetchall()`s every row to
+  * the client and embeds row-at-a-time (`rag.py:41,46-50`) — this is a
+  * single narrow Spark pipeline: no driver materialization, no shuffle,
+  * embarrassingly parallel, writable straight to a partitioned store.
+  *
+  * E1 (emails): raw messages → MIME parse/filter/re-agg → embed →
+  * email_texts store (reference `email_fetching.py`), with the store's
+  * implicit embedding (`email_fetching.py:54-57`) made explicit.
+  */
+object Products {
+
+  /** products → (product_id, content, embedding): the D2 table builder. */
+  def buildProductEmbeddings(products: DataFrame, dim: Int = 64): DataFrame =
+    products.select(
+        col("id").as("product_id"),
+        TextFunctions.productContent(
+          col("name"), col("category"), col("color"),
+          col("price"), col("img_url"), col("description")).as("content"))
+      .withColumn("embedding", TextFunctions.hashEmbed(col("content"), dim))
+
+  /** CSV path → product_embeddings parquet sink (S5 analogue). */
+  def importAndEmbed(spark: SparkSession, csvPath: String, outPath: String,
+                     dim: Int = 64): Unit =
+    buildProductEmbeddings(Tables.productsCsv(spark, csvPath), dim)
+      .write.mode("append").parquet(outPath)
+
+  /** raw messages (id, raw) → email_texts (id, document, embedding): D3. */
+  def buildEmailTexts(messages: DataFrame, dim: Int = 64): DataFrame =
+    Mime.ingest(messages, col("id"), col("raw"))
+      .withColumn("embedding", TextFunctions.hashEmbed(col("document"), dim))
+}
