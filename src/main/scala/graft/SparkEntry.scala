@@ -154,6 +154,37 @@ object SparkEntry {
         .orderBy(col("p_brand"), col("rn"))
     }),
 
+    // Exact interpolated percentiles (both engines: linear interpolation on
+    // the sorted exact values — bit-identical, no sketch).
+    "q_percentiles" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Exact distinct counts.
+    "q_distinct" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // HLL sketch surface (approx_count_distinct). No SQL oracle — sketch
+    // internals are engine-specific; the driver records a rows-only check,
+    // and the spec asserts the estimate against the exact count.
+    "q_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Rollup with subtotals + grand total (grouping-sets surface).
     "q_rollup" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -407,6 +438,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Custom-operator as-of join (graft.plans.AsOfJoinExec): left-outer,
+    // one merge pass per partition — same semantics as the compositional
+    // q_asof_join but with no match fan-out.
+    "q_asof_custom" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_id") % 100 === 0)
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+      graft.plans.AsOf.join(ev, "user_id", "ts_us", ord, "o_custkey", "o_us", "o_orderkey")
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("o_orderkey"), col("o_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // Set ops: heavy-error users EXCEPT heavy-purchase users (thresholded so
     // the result is non-trivial — every user has every event type).
     "q_set_ops" -> ((s, dir) => {
@@ -517,6 +563,16 @@ object SparkEntry {
           |         CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rn
           |  FROM part
           |) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+      "q_percentiles" ->
+        """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med,
+          |  quantile_cont(o_totalprice, 0.9) AS p90, count(*) AS n
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+      "q_distinct" ->
+        """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
+          |  count(*) AS n_orders
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
       "q_rollup" ->
         """SELECT l_returnflag, l_linestatus,
@@ -733,6 +789,18 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY e.event_id
           |           ORDER BY epoch_us(o.o_orderdate) DESC, o.o_orderkey ASC) AS rn
           |  FROM events e JOIN orders o
+          |    ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+          |  WHERE e.event_id % 100 = 0)
+          |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+      "q_asof_custom" ->
+        """SELECT event_id, ts_us, user_id, o_orderkey, o_us FROM (
+          |  SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
+          |         o.o_orderkey, epoch_us(o.o_orderdate) AS o_us,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |           ORDER BY epoch_us(o.o_orderdate) DESC NULLS LAST,
+          |                    o.o_orderkey ASC NULLS LAST) AS rn
+          |  FROM events e LEFT JOIN orders o
           |    ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
           |  WHERE e.event_id % 100 = 0)
           |WHERE rn = 1 ORDER BY event_id""".stripMargin,
