@@ -21,6 +21,14 @@ object Smoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = args match {
+      case Array("skew") =>
+        // salted-join demo on synthetic hot-key data
+        import spark.implicits._
+        val large = ((1 to 100000).map(i => (1L, i.toLong)) ++
+          (1 to 1000).map(i => (i.toLong % 7 + 2, i.toLong))).toDF("k", "v")
+        val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "name")
+        graft.operators.Skew.saltedJoin(large, small, "k", factor = 8)
+          .groupBy($"name").count().orderBy($"name")
       case Array("sql", stmt, rest @ _*) =>
         val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
         GraftFunctions.registerAll(spark)

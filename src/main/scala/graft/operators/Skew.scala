@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for joins whose key distribution is heavy-tailed
+  * (the 100 TB failure mode AQE's skew-join can't always catch, e.g. when
+  * the skewed side feeds a non-shuffle join or the hot key is known).
+  *
+  * Salted join: the large (skewed) side gets a random salt in [0, f); the
+  * small side is replicated f times with every salt value. The join key
+  * becomes (key, salt), spreading each hot key over f partitions. Classic
+  * replicate-and-salt — exact same join result, f× replication of the
+  * small side only.
+  */
+object Skew {
+
+  /** Equi-join `large ⋈ small` on `key`, salted `factor` ways.
+    * `large` may have arbitrary skew on `key`; `small` is replicated.
+    * Output columns: large.* ++ small.* (minus small's key copy).
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 factor: Int = 8): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    // deterministic salt: spread by row content (key xor a cheap hash of a
+    // per-row id would do); rand() is fine for spreading but we keep it
+    // reproducible via xxhash64 over all large-side columns
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(factor)).cast("int"))
+    val replicated = small
+      .withColumn("__salt", explode(lit((0 until factor).toArray)))
+    salted.join(replicated,
+        salted(key) === replicated(key) && salted("__salt") === replicated("__salt"))
+      .drop(replicated(key))
+      .drop(salted("__salt"))
+      .drop(replicated("__salt"))
+  }
+}

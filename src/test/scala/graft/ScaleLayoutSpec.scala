@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Skew}
+import graft.oracle.OracleGen.QueryVec
+import graft.tables.Tables
+
+/** Scale-layout behaviors: bucketed co-located joins, IVF-style
+  * partition-pruned ANN reads, and salted skew joins — the physical-layout
+  * side of the 100 TB design, asserted on the actual plans.
+  */
+class ScaleLayoutSpec extends SparkSpec {
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val wh = Files.createTempDirectory("graft_bucketed").toFile.getAbsolutePath
+    val o = Tables.orders(spark, sf0001)
+    val c = Tables.customer(spark, sf0001)
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+
+    val j = spark.table("orders_b")
+      .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).count()
+    // with autoBroadcast disabled the join must be SMJ with NO shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.substring(0, plan.indexOf("HashAggregate"))
+        .contains("Exchange hashpartitioning(o_custkey"))
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("IVF-style layout: partition by LSH bucket, query prunes partitions") {
+    val out = Files.createTempDirectory("graft_ivf").toFile.getAbsolutePath
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("bucket", Ann.bucketOf(col("embedding"), 4, 64))
+    emb.write.mode("overwrite").partitionBy("bucket").parquet(s"$out/emb_ivf")
+
+    val qb = Ann.bucketOfQuery(QueryVec.values, 4)
+    val probe = spark.read.parquet(s"$out/emb_ivf").filter(col("bucket") === qb)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains(s"bucket"))
+
+    // pruned read returns exactly the same top-k as the in-memory ANN path
+    import graft.functions.VectorFunctions
+    val pruned = probe
+      .withColumn("distance", VectorFunctions.l2(col("embedding"), typedlit(QueryVec.values)))
+      .orderBy(col("distance"), col("vec_id")).limit(5)
+      .collect().map(r => r.getAs[Long]("vec_id")).toSeq
+    val direct = Ann.annLsh(Tables.embeddings(spark, sf0001), col("embedding"),
+        col("vec_id"), QueryVec.values, 5)
+      .collect().map(r => r.getAs[Long]("vec_id")).toSeq
+    assert(pruned == direct)
+  }
+
+  test("salted join equals plain join result under synthetic skew") {
+    import spark.implicits._
+    // 10k rows all hitting one hot key + a tail
+    val large = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 7 + 2, i.toLong))).toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "name")
+    val plain = large.join(small, "k").groupBy("name").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = Skew.saltedJoin(large, small, "k", factor = 8)
+      .groupBy("name").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == plain)
+    assert(plain("hot") == 10000L)
+  }
+}

@@ -61,6 +61,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: new files are picked up incrementally (E1 shape)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
+    Seq((1L, "first message body")).toDF("id", "text")
+      .write.mode("append").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streaming.embedStream(stream, "id", "text", dim = 8)
+      .writeStream.format("memory").queryName("file_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_out").count() == 1)
+      // a new file arrives → only the increment is processed
+      Seq((2L, "second message body")).toDF("id", "text")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val rows = spark.table("file_out").orderBy($"id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(rows(1).getSeq[Double](2) ==
+        graft.expressions.HashEmbed.embed("second message body", 8).toSeq)
+    } finally q.stop()
+  }
+
   test("embedStream runs the embed stage on a stream (stateless narrow)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
