@@ -327,6 +327,18 @@ object SparkEntry {
       Rag.ragQuery(corpus, col("doc_id"), col("text"), RagQuery, 5)
     }),
 
+    // M2 response shaping (rag.py:136-141 strict-JSON contract) over the
+    // retrieval result.
+    "q_response_shape" -> ((s, dir) => {
+      val corpus = Rag.embedCorpus(Tables.documents(s, dir), col("text"))
+      Rag.retrieve(corpus, col("doc_id"), RagQuery, 5)
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(to_json(struct(
+          concat(lit("Found "), size(col("ids")).cast("string"), lit(" documents")).as("response"),
+          transform(col("ids"), x => x.cast("string")).as("products"),
+          lit("Want more?").as("follow-up_question"))).as("json"))
+    }),
+
     // M1 intent classifier distribution over the corpus.
     "q_intent_dist" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -698,6 +710,20 @@ object SparkEntry {
            |SELECT '$RagQuery' AS query, 'product_search' AS intent,
            |       string_agg(t.text, chr(10) || chr(10) ORDER BY topk.distance, topk.doc_id) AS context
            |FROM topk JOIN documents t ON topk.doc_id = t.doc_id""".stripMargin,
+
+      "q_response_shape" ->
+        s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},
+           |${OracleGen.embedCte("q", s"(SELECT '$RagQuery' AS text)", "0", "text", 64)},
+           |topk AS (
+           |  SELECT d.id AS doc_id, ${OracleGen.l2DoubleCols("d.emb", "q.emb")} AS distance
+           |  FROM d_emb d, q_emb q
+           |  ORDER BY distance ASC, doc_id ASC LIMIT 5),
+           |ids AS (SELECT list_sort(list(doc_id)) AS ids FROM topk)
+           |SELECT '{"response":"Found ' || CAST(len(ids) AS VARCHAR) ||
+           |       ' documents","products":["' ||
+           |       array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), '","') ||
+           |       '"],"follow-up_question":"Want more?"}' AS json
+           |FROM ids""".stripMargin,
 
       "q_intent_dist" -> {
         val prod = Seq("order", "customer", "part", "value")
