@@ -20,6 +20,10 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.get("GRAFT_AUTOLSH").contains("1")) {
+      graft.plans.LshKnnRule.install(spark)
+      spark.conf.set("spark.graft.ann.autoLsh", "true")
+    }
     val df = args match {
       case Array("skew") =>
         // salted-join demo on synthetic hot-key data
