@@ -40,6 +40,23 @@ object Streaming {
     docs.select(col(idCol), col(textCol),
       TextFunctions.hashEmbed(col(textCol), dim).as("embedding"))
 
+  /** Watermarked stream-stream interval join: match right rows within
+    * [left.ts, left.ts + `within`]. Both sides watermarked so the join
+    * state is bounded and evictable — the streaming twin of the as-of
+    * family.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   within: String = "1 hour",
+                   watermarkDelay: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + org.apache.spark.sql.functions.expr(s"INTERVAL $within"))
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -35,6 +35,17 @@ class ProductsSpec extends SparkSpec {
     assert(e0 == graft.expressions.HashEmbed.embed(c0, 64).toSeq)
   }
 
+  test("importAndEmbed: CSV -> embed -> parquet sink round-trips (S2/S5)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pe").toFile.getAbsolutePath
+    Products.importAndEmbed(spark, csvPath, s"$out/product_embeddings")
+    val back = spark.read.parquet(s"$out/product_embeddings")
+    assert(back.schema.fieldNames.toSeq == Seq("product_id", "content", "embedding"))
+    assert(back.count() == 5)
+    // append semantics (S5 is an append sink)
+    Products.importAndEmbed(spark, csvPath, s"$out/product_embeddings")
+    assert(spark.read.parquet(s"$out/product_embeddings").count() == 10)
+  }
+
   test("buildEmailTexts: E1 chain produces (id, document, embedding)") {
     import spark.implicits._
     val raw = "Content-Type: text/plain\n\nan email body with words"

@@ -41,6 +41,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches rows within the window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().toDF("uid", "click_ts"),
+      buys.toDF().toDF("uid", "buy_ts"),
+      "uid", "click_ts", "buy_ts", within = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(1, 0)), (2L, ts(1, 0)))
+      buys.addData((1L, ts(1, 30)), (2L, ts(3, 0))) // 2's buy outside window
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user stats across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
