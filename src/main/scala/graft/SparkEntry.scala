@@ -292,10 +292,8 @@ object SparkEntry {
     }),
 
     "dedup_exact" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
-        .select(col("doc_id"), col("n_dups"))
+      Dedup.exact(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("keep_id").as("doc_id"), col("n_dups"))
         .orderBy(col("doc_id"))
     }),
 
@@ -726,9 +724,9 @@ object SparkEntry {
            |FROM ids""".stripMargin,
 
       "q_intent_dist" -> {
-        val prod = Seq("order", "customer", "part", "value")
+        val prod = TextFunctions.ProductWords
           .map(w => s"lower(text) LIKE '%$w%'").mkString("(", " OR ", ")")
-        val adv = Seq("slow", "fast", "query")
+        val adv = TextFunctions.AdviceWords
           .map(w => s"lower(text) LIKE '%$w%'").mkString("(", " OR ", ")")
         s"""SELECT intent, count(*) AS n_docs FROM (
            |  SELECT CASE WHEN $prod AND $adv THEN 'mixed'

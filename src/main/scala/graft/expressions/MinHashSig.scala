@@ -44,10 +44,19 @@ object MinHashSig {
     else Array(toks.mkString(" "))
   }
 
-  def rotHex(h: String, i: Int): String =
-    if (i == 0) h else h.substring(4 * i) + h.substring(0, 4 * i)
+  /** Rotation shift for slot i: (4·i + i/8) mod 32 — 32 distinct shifts,
+    * identical to the original 4·i for i ≤ 7 (oracle stability).
+    */
+  def shift(i: Int): Int = (4 * i + i / 8) % 32
+
+  def rotHex(h: String, i: Int): String = {
+    val s = shift(i)
+    if (s == 0) h else h.substring(s) + h.substring(0, s)
+  }
 
   def signature(text: String, numHashes: Int, shingleN: Int): Array[String] = {
+    require(numHashes >= 1 && numHashes <= 32,
+      s"numHashes must be in [1, 32] (32 distinct hex rotations of one md5), got $numHashes")
     val hs = shingles(text, shingleN).map(md5hex)
     Array.tabulate(numHashes) { i =>
       var min: String = null

@@ -101,6 +101,56 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   }
 }
 
+/** Single-pass L2 normalization: v / ‖v‖ (zero vector stays zero). The
+  * composed `transform(a, x => x / norm(a))` form re-evaluates the O(d)
+  * norm inside the per-element lambda — O(d²) per row; this is O(d).
+  */
+case class NormalizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"normalize expects ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val vals = new Array[Double](n)
+    var i = 0
+    var norm2 = 0.0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = et match {
+        case FloatType => a.getFloat(i).toDouble
+        case _ => a.getDouble(i)
+      }
+      vals(i) = x
+      norm2 += x * x
+      i += 1
+    }
+    if (norm2 == 0.0) new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+    else {
+      val norm = math.sqrt(norm2)
+      i = 0
+      while (i < n) { vals(i) = vals(i) / norm; i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+    }
+  }
+
+  override def prettyName: String = "l2_normalize"
+  override protected def withNewChildInternal(newChild: Expression): NormalizeExpr =
+    copy(child = newChild)
+}
+
 /** Σ (x-y)² then sqrt — L2 distance (pgvector `<->`). */
 case class L2DistanceExpr(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "l2_distance"

@@ -43,13 +43,20 @@ object TextFunctions {
   def simhash(text: Column): Column =
     GraftBridge.column(SimHash(GraftBridge.expression(text)))
 
+  /** Single source of truth for the intent-routing word lists — shared by
+    * the column classifier, the driver-side Rag.intentOf, and the oracle
+    * SQL builder (SparkEntry) so they can never desynchronize.
+    */
+  val ProductWords: Seq[String] = Seq("order", "customer", "part", "value")
+  val AdviceWords: Seq[String] = Seq("slow", "fast", "query")
+
   /** Rule-based 3-class intent router — M1 semantics (reference
     * `rag.py:93-123`): product_search / niche_advice / mixed, with
     * product_search as the fallback class (`rag.py:121-123`).
     */
   def classifyIntent(text: Column,
-                     productWords: Seq[String] = Seq("order", "customer", "part", "value"),
-                     adviceWords: Seq[String] = Seq("slow", "fast", "query")): Column = {
+                     productWords: Seq[String] = ProductWords,
+                     adviceWords: Seq[String] = AdviceWords): Column = {
     val t = lower(text)
     def hasAny(ws: Seq[String]): Column =
       ws.map(w => t.contains(w)).reduce(_ || _)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{CosineSimExpr, DotProductExpr, L2DistanceExpr}
+import graft.expressions.{CosineSimExpr, DotProductExpr, L2DistanceExpr, NormalizeExpr}
 
 /** Vector distance / similarity column functions over `ARRAY<FLOAT>` /
   * `ARRAY<DOUBLE>` columns.
@@ -62,11 +62,12 @@ object VectorFunctions {
   def cosineComposed(a: Column, b: Column): Column =
     dotComposed(a, b) / (sqrt(dotComposed(a, a)) * sqrt(dotComposed(b, b)))
 
-  /** L2-normalize a vector to unit length (elements widened to double). */
-  def normalize(a: Column): Column = {
-    val n = norm(a)
-    transform(a, x => d(x) / n)
-  }
+  /** L2-normalize a vector to unit length (elements widened to double;
+    * zero vector stays zero). Single-pass expression — the composed
+    * `transform(a, _ / norm(a))` form is O(d²) per row.
+    */
+  def normalize(a: Column): Column =
+    GraftBridge.column(NormalizeExpr(GraftBridge.expression(a)))
 
   /** Dimension guard: Spark has no fixed-length vector type (SURVEY.md §1.4
     * hard part (a)) — enforce via predicate, e.g. `df.filter(dimIs(col, 384))`.

@@ -32,12 +32,15 @@ object Dedup {
       .otherwise(array(concat_ws(" ", t)))
   }
 
-  /** Hex-rotation of an md5 hex digest by 4·i chars — a cheap deterministic
-    * "permutation" family: one md5 per shingle serves all signature slots.
+  /** Hex-rotation of an md5 hex digest — a cheap deterministic
+    * "permutation" family: one md5 per shingle serves all signature slots
+    * (shift formula shared with MinHashSig.shift; ≤ 32 distinct slots).
     */
-  def rotHex(h: Column, i: Int): Column =
-    if (i == 0) h
-    else concat(substring(h, 4 * i + 1, 32 - 4 * i), substring(h, 1, 4 * i))
+  def rotHex(h: Column, i: Int): Column = {
+    val s = graft.expressions.MinHashSig.shift(i)
+    if (s == 0) h
+    else concat(substring(h, s + 1, 32 - s), substring(h, 1, s))
+  }
 
   /** MinHash signature from a per-shingle md5 list: slot i is the
     * lexicographic min of the 4·i-rotated digests. String min is an order
@@ -59,10 +62,14 @@ object Dedup {
   /** LSH band keys from a signature: rowsPerBand consecutive minhashes
     * concatenated. Docs sharing any band key are candidate near-dups.
     */
-  def bands(sig: Column, numHashes: Int, rowsPerBand: Int = 2): Column =
+  def bands(sig: Column, numHashes: Int, rowsPerBand: Int = 2): Column = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand) — " +
+        "trailing signature slots would silently drop out of banding")
     array((0 until numHashes / rowsPerBand).map { b =>
       concat((0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
     }: _*)
+  }
 
   /** MinHash+LSH candidate pairs with estimated Jaccard.
     * Input: (idCol, textCol). Output: a_id < b_id, est_jaccard ∈ [0,1].

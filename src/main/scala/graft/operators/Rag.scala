@@ -66,8 +66,8 @@ object Rag {
     * column-level TextFunctions.classifyIntent.
     */
   def intentOf(queryText: String,
-               productWords: Seq[String] = Seq("order", "customer", "part", "value"),
-               adviceWords: Seq[String] = Seq("slow", "fast", "query")): String = {
+               productWords: Seq[String] = TextFunctions.ProductWords,
+               adviceWords: Seq[String] = TextFunctions.AdviceWords): String = {
     val t = queryText.toLowerCase(java.util.Locale.ROOT)
     val p = productWords.exists(t.contains)
     val a = adviceWords.exists(t.contains)

@@ -22,11 +22,13 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  factor: Int = 8): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    // deterministic salt: spread by row content (key xor a cheap hash of a
-    // per-row id would do); rand() is fine for spreading but we keep it
-    // reproducible via xxhash64 over all large-side columns
+    // salt must spread IDENTICAL duplicate rows too (duplicate records are a
+    // common cause of the very skew this targets), so hash row content plus
+    // a per-row id; monotonically_increasing_id keeps it deterministic for a
+    // given partitioning
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(factor)).cast("int"))
+      pmod(xxhash64(large.columns.map(col).toIndexedSeq :+ monotonically_increasing_id(): _*),
+        lit(factor)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(lit((0 until factor).toArray)))
     salted.join(replicated,

@@ -96,10 +96,12 @@ object OracleGen {
        | ELSE [array_to_string($tkCol, ' ')] END""".stripMargin
   }
 
-  /** 4·i-char hex rotation (Dedup.rotHex). */
-  def rotHexSql(h: String, i: Int): String =
-    if (i == 0) h
-    else s"(substr($h, ${4 * i + 1}, ${32 - 4 * i}) || substr($h, 1, ${4 * i}))"
+  /** Hex rotation for signature slot i (MinHashSig.shift formula). */
+  def rotHexSql(h: String, i: Int): String = {
+    val s = graft.expressions.MinHashSig.shift(i)
+    if (s == 0) h
+    else s"(substr($h, ${s + 1}, ${32 - s}) || substr($h, 1, $s))"
+  }
 
   /** MinHash signature over a per-shingle md5 list column
     * (Dedup.minhashSignatureFromHashes).

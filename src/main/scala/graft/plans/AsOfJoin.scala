@@ -89,20 +89,35 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var matchRow: InternalRow = null
 
       lIter.map { lRow =>
-        val k = lk.eval(lRow).asInstanceOf[Long]
-        val t = lt.eval(lRow).asInstanceOf[Long]
-        if (hasMatch && matchKey != k) { hasMatch = false; matchRow = null }
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rk.eval(head).asInstanceOf[Long]
-          if (hk < k) { rBuf.next() } // keys before ours: discard
-          else if (hk == k && rt.eval(head).asInstanceOf[Long] <= t) {
-            matchRow = rBuf.next().copy(); matchKey = k; hasMatch = true
-          } else advancing = false
+        val kv = lk.eval(lRow)
+        val tv = lt.eval(lRow)
+        if (kv == null || tv == null) {
+          // SQL comparison semantics: NULL key/time never matches
+          joined(lRow, nullRight)
+        } else {
+          val k = kv.asInstanceOf[Long]
+          val t = tv.asInstanceOf[Long]
+          if (hasMatch && matchKey != k) { hasMatch = false; matchRow = null }
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val hkv = rk.eval(head)
+            if (hkv == null) { rBuf.next() } // NULL right key never matches
+            else {
+              val hk = hkv.asInstanceOf[Long]
+              if (hk < k) { rBuf.next() } // keys before ours: discard
+              else if (hk == k) {
+                val htv = rt.eval(head)
+                if (htv == null) { rBuf.next() } // NULL right time never matches
+                else if (htv.asInstanceOf[Long] <= t) {
+                  matchRow = rBuf.next().copy(); matchKey = k; hasMatch = true
+                } else advancing = false
+              } else advancing = false
+            }
+          }
+          if (hasMatch && matchKey == k) joined(lRow, matchRow)
+          else joined(lRow, nullRight)
         }
-        if (hasMatch && matchKey == k) joined(lRow, matchRow)
-        else joined(lRow, nullRight)
       }
     }
   }
@@ -122,10 +137,14 @@ object AsOf {
         spark.experimental.extraStrategies :+ AsOfStrategy
     val lp = GraftBridge.logicalPlan(left)
     val rp = GraftBridge.logicalPlan(right)
-    def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
+    def attr(p: LogicalPlan, name: String): Attribute = {
+      val a = p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
+      require(a.dataType == org.apache.spark.sql.types.LongType,
+        s"as-of join v1 requires BIGINT key/time columns; $name is ${a.dataType.catalogString}")
+      a
+    }
     GraftBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKey), attr(lp, leftTime),
       attr(rp, rightKey), attr(rp, rightTime), attr(rp, rightTie)))

@@ -43,7 +43,7 @@ case class LshKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case a @ Alias(L2DistanceExpr(vec, Literal(q, ArrayType(DoubleType, _))), _)
               if a.exprId == sortKey.exprId => (vec, q)
         } match {
-          case Some((vec, q)) =>
+          case Some((vec, q)) if !alreadyRewritten(child) =>
             val qVals = q.asInstanceOf[ArrayData].toDoubleArray().toSeq
             val planes = numPlanes
             val qBucket = Ann.bucketOfQuery(qVals, planes)
@@ -60,9 +60,20 @@ case class LshKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
               Filter(EqualTo(bucketOfVec, Literal(qBucket)), child))
             l.withNewChildren(Seq(l.children.head.withNewChildren(Seq(
               s.copy(child = filtered)))))
-          case None => l
+          case _ => l
         }
     }
+  }
+
+  /** Idempotency guard: extraOptimizations run in a fixed-point batch, so
+    * without this the rule would stack an identical Filter on every
+    * iteration (up to maxIterations). Our injected filter is recognizable
+    * by the DotProductExpr bucket chain.
+    */
+  private def alreadyRewritten(child: LogicalPlan): Boolean = child match {
+    case Filter(cond, _) =>
+      cond.exists(_.isInstanceOf[graft.expressions.DotProductExpr])
+    case _ => false
   }
 }
 

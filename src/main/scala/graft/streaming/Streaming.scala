@@ -24,11 +24,12 @@ object Streaming {
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
                      windowLen: String = "1 hour",
-                     watermarkDelay: String = "2 hours"): DataFrame =
+                     watermarkDelay: String = "2 hours",
+                     valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
 

@@ -25,6 +25,30 @@ class AsOfSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, -1L), (2L, 100L), (3L, 101L), (4L, 200L), (5L, -1L)))
   }
 
+  test("NULL keys/times never match (SQL comparison semantics)") {
+    import spark.implicits._
+    val quotes = Seq((Some(1L), Some(10L), 100L), (Some(1L), Option.empty[Long], 101L))
+      .toDF("q_key", "q_time", "qid")
+    val trades = Seq((Some(1L), Some(15L), 1L), (Option.empty[Long], Some(15L), 2L),
+      (Some(1L), Option.empty[Long], 3L))
+      .toDF("t_key", "t_time", "tid")
+    val out = AsOf.join(trades, "t_key", "t_time", quotes, "q_key", "q_time", "qid")
+      .select($"tid", $"qid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(1L) == 100L) // real match; null-time quote 101 ignored
+    assert(out(2L) == -1L)  // null trade key → no match
+    assert(out(3L) == -1L)  // null trade time → no match
+  }
+
+  test("non-BIGINT key is rejected with a clear error") {
+    import spark.implicits._
+    val l = Seq(("a", 1L)).toDF("k", "t")
+    val r = Seq((1L, 1L, 1L)).toDF("k2", "t2", "tie")
+    val e = intercept[IllegalArgumentException](
+      AsOf.join(l, "k", "t", r, "k2", "t2", "tie"))
+    assert(e.getMessage.contains("BIGINT"))
+  }
+
   test("physical plan uses AsOfJoinExec (custom strategy engaged)") {
     import spark.implicits._
     val l = Seq((1L, 1L)).toDF("k", "t")

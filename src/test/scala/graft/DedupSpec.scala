@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
     assert(SimHash.hamming(fp1, fp3) > 5)
   }
 
+  test("minhash signature supports up to 32 distinct slots; >32 rejected") {
+    val sig = graft.expressions.MinHashSig.signature("a b c d e f g h i j", 32, 3)
+    assert(sig.length == 32)
+    assert(sig.distinct.length > 8) // rotations beyond slot 8 are distinct
+    val shifts = (0 until 32).map(graft.expressions.MinHashSig.shift)
+    assert(shifts.distinct.length == 32)
+    assert(shifts.take(8) == Seq(0, 4, 8, 12, 16, 20, 24, 28)) // slots 0-7 unchanged
+    intercept[IllegalArgumentException](
+      graft.expressions.MinHashSig.signature("x", 33, 3))
+  }
+
+  test("bands rejects non-divisible numHashes/rowsPerBand") {
+    intercept[IllegalArgumentException](Dedup.bands(col("sig"), 8, 3))
+  }
+
   test("shingles: sliding 3-grams with whole-text fallback") {
     import spark.implicits._
     val df = Seq("a b c d", "a b").toDF("t")
