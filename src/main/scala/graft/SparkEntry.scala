@@ -337,6 +337,16 @@ object SparkEntry {
           lit("Want more?").as("follow-up_question"))).as("json"))
     }),
 
+    // Document chunking (overlapping token windows) — the RAG pre-embedding
+    // stage for long documents; UDTF/explode shape.
+    "q_chunk" -> ((s, dir) => {
+      graft.operators.Chunker.chunk(
+          Tables.documents(s, dir).filter(col("doc_id") % 20 === 0),
+          col("doc_id"), col("text"), chunkSize = 20, stride = 10)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk"), col("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // M1 intent classifier distribution over the corpus.
     "q_intent_dist" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -722,6 +732,25 @@ object SparkEntry {
            |       array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), '","') ||
            |       '"],"follow-up_question":"Want more?"}' AS json
            |FROM ids""".stripMargin,
+
+      "q_chunk" ->
+        s"""WITH src AS (
+           |  SELECT doc_id, ${OracleGen.toksSql("text")} AS tk
+           |  FROM documents WHERE doc_id % 20 = 0),
+           |c AS (
+           |  SELECT doc_id, tk,
+           |         CASE WHEN len(tk) > 0
+           |              THEN CAST(floor(CAST(len(tk) - 1 AS DOUBLE) / 10) AS BIGINT) + 1
+           |              ELSE 0 END AS nc
+           |  FROM src)
+           |SELECT doc_id, u.chunk_idx AS chunk_idx, u.chunk AS chunk,
+           |       CAST(len(list_filter(string_split_regex(lower(trim(u.chunk)), '\\s+'),
+           |            t -> t <> '')) AS BIGINT) AS chunk_tokens
+           |FROM (
+           |  SELECT doc_id, unnest(list_transform(range(0, nc), i ->
+           |    {'chunk_idx': i, 'chunk': array_to_string(tk[i*10+1 : i*10+20], ' ')})) AS u
+           |  FROM c)
+           |ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "q_intent_dist" -> {
         val prod = TextFunctions.ProductWords
