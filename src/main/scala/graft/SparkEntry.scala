@@ -347,6 +347,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Chunked RAG retrieval: chunk long docs → embed each chunk → KNN over
+    // chunks — the standard long-document retrieval pipeline, end-to-end.
+    "q_chunk_rag" -> ((s, dir) => {
+      val chunks = graft.operators.Chunker.chunk(
+          Tables.documents(s, dir).filter(col("doc_id") % 20 === 0),
+          col("doc_id"), col("text"), chunkSize = 20, stride = 10)
+        .withColumn("chunk_id", col("id") * 1000 + col("chunk_idx"))
+      val corpus = Rag.embedCorpus(chunks, col("chunk"))
+      Rag.retrieve(corpus, col("chunk_id"), RagQuery, 5)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_id"), col("distance"))
+        .orderBy(col("distance"), col("chunk_id"))
+    }),
+
     // M1 intent classifier distribution over the corpus.
     "q_intent_dist" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -751,6 +764,31 @@ object SparkEntry {
            |    {'chunk_idx': i, 'chunk': array_to_string(tk[i*10+1 : i*10+20], ' ')})) AS u
            |  FROM c)
            |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "q_chunk_rag" -> {
+        val chunkRel =
+          s"""(SELECT doc_id, u.chunk_idx AS chunk_idx,
+             |        doc_id * 1000 + u.chunk_idx AS chunk_id, u.chunk AS chunk
+             | FROM (
+             |   SELECT doc_id, unnest(list_transform(range(0, nc), i ->
+             |     {'chunk_idx': i, 'chunk': array_to_string(tk[i*10+1 : i*10+20], ' ')})) AS u
+             |   FROM (
+             |     SELECT doc_id, tk,
+             |            CASE WHEN len(tk) > 0
+             |                 THEN CAST(floor(CAST(len(tk) - 1 AS DOUBLE) / 10) AS BIGINT) + 1
+             |                 ELSE 0 END AS nc
+             |     FROM (SELECT doc_id, ${OracleGen.toksSql("text")} AS tk
+             |           FROM documents WHERE doc_id % 20 = 0))))""".stripMargin
+        s"""WITH ${OracleGen.embedCte("c", chunkRel, "chunk_id", "chunk", 64)},
+           |${OracleGen.embedCte("q", s"(SELECT '$RagQuery' AS text)", "0", "text", 64)},
+           |topk AS (
+           |  SELECT c.id AS chunk_id, ${OracleGen.l2DoubleCols("c.emb", "q.emb")} AS distance
+           |  FROM c_emb c, q_emb q
+           |  ORDER BY distance ASC, chunk_id ASC LIMIT 5)
+           |SELECT chunk_id // 1000 AS doc_id, chunk_id % 1000 AS chunk_idx,
+           |       chunk_id, distance
+           |FROM topk ORDER BY distance, chunk_id""".stripMargin
+      },
 
       "q_intent_dist" -> {
         val prod = TextFunctions.ProductWords
