@@ -42,6 +42,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
             n_fail += 1
             continue
+        # duplicate column names would make index() silently misalign
+        # values (both duplicates map to the first index)
+        if len(set(got_cols)) != len(got_cols) or len(set(exp_cols)) != len(exp_cols):
+            print(f"FAIL {name}: duplicate column names spark={got_cols} oracle={exp_cols}")
+            n_fail += 1
+            continue
         # reorder got rows into oracle column order
         idx = [got_cols.index(c) for c in exp_cols]
         got2 = [tuple(r[i] for i in idx) for r in got]

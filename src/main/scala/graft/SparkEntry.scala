@@ -300,10 +300,14 @@ object SparkEntry {
     // ---- RAG / ingestion surface (reference E1-E3) ----
 
     // F7 embedding stage (rag.py:49): corpus → deterministic hash embedding.
+    // Exploded to one scalar row per (doc, dimension) — the driver's compare
+    // sorts rows in pandas, and raw array columns are unhashable there; this
+    // shape still checks every embedding element exactly.
     "q_embed_docs" -> ((s, dir) => {
       Rag.embedCorpus(Tables.documents(s, dir), col("text"))
-        .select(col("doc_id"), col("embedding"))
-        .orderBy(col("doc_id"))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("val"))
+        .orderBy(col("doc_id"), col("pos"))
     }),
 
     // E3 retrieval (rag.py:65-90): embed query + corpus, exact KNN, join
@@ -708,7 +712,8 @@ object SparkEntry {
 
       "q_embed_docs" ->
         s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)}
-           |SELECT id AS doc_id, emb AS embedding FROM d_emb ORDER BY doc_id""".stripMargin,
+           |SELECT id AS doc_id, i AS pos, emb[CAST(i AS INTEGER)] AS val
+           |FROM d_emb, range(1, 65) t(i) ORDER BY doc_id, pos""".stripMargin,
 
       "q_rag_topk" ->
         s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},

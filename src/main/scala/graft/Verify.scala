@@ -12,19 +12,30 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader;
-      // read as BIGINT nanos (queries expose it as ts_ns, oracle: epoch_ns).
+      // read as BIGINT nanos; queries expose micros (ts_us via ts div 1000,
+      // oracle side: epoch_us — DuckDB truncates nanos to micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Queries are independent — run them on concurrent threads (Spark
+    // schedules concurrent jobs fine); the serial dump measured ~3 min at
+    // sf0.01, parallel ~4x faster. Each writes to its own directory.
+    val nThreads = sys.env.getOrElse("GRAFT_VERIFY_THREADS", "6").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    futures.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -20,6 +20,17 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // SQL-registered (graft.GraftFunctions), so reject non-STRING args at
+  // analysis time instead of a ClassCastException at execution time.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects STRING, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val sig = MinHashSig.signature(
       input.asInstanceOf[UTF8String].toString, numHashes, shingleN)

@@ -22,6 +22,17 @@ case class SimHash(child: Expression) extends UnaryExpression with CodegenFallba
 
   override def dataType: DataType = LongType
 
+  // SQL-registered (graft.GraftFunctions), so reject non-STRING args at
+  // analysis time instead of a ClassCastException at execution time.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash expects STRING, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     SimHash.fingerprint(input.asInstanceOf[UTF8String].toString)
 

@@ -111,6 +111,11 @@ case class NormalizeExpr(child: Expression)
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // nullSafeEval returns null for arrays containing null elements, even
+  // when the child column itself is non-nullable — so this node is always
+  // nullable regardless of the child.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, EqualTo, Expression, GreaterThan, If, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Ascending, Attribute, EqualTo, Expression, GreaterThan, If, Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -37,7 +37,9 @@ case class LshKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!enabled) return plan
     plan.transform {
       case l @ GlobalLimit(_, LocalLimit(_,
-          s @ Sort(SortOrder(sortKey: Attribute, _, _, _) +: _, true,
+          // only nearest-k (ascending distance) matches the LSH locality
+          // premise — a farthest-k (descending) query must stay exact
+          s @ Sort(SortOrder(sortKey: Attribute, Ascending, _, _) +: _, true,
             p @ Project(projectList, child), _))) =>
         projectList.collectFirst {
           case a @ Alias(L2DistanceExpr(vec, Literal(q, ArrayType(DoubleType, _))), _)
