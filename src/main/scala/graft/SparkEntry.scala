@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
-import graft.operators.{Ann, Dedup, Knn, Multimodal, Rag}
+import graft.operators.{Ann, Dedup, Knn, Multimodal, Rag, TrainData}
 import graft.oracle.OracleGen
 import graft.oracle.OracleGen.QueryVec
 import graft.sources.Mime
@@ -544,6 +544,76 @@ object SparkEntry {
           sum(stops).as("sum_stop"))
         .withColumn("avg_tokens", col("sum_tokens").cast("double") / col("n_docs"))
         .orderBy(col("lang"))
+    }),
+
+    // ---- Training-data pipeline (round 3) ----
+
+    // Vocabulary build: token + document frequency, most-frequent first.
+    // Map-side partial counts absorb the Zipf head before the shuffle.
+    "q_vocab" -> ((s, dir) => {
+      TrainData.vocab(Tables.documents(s, dir), col("doc_id"), col("text"),
+          minTf = 2L, topN = 100)
+        .orderBy(col("tf").desc, col("tok").asc)
+    }),
+
+    // Deterministic 80/10/10 train/val/test split by multiplicative hash of
+    // the id — stable under corpus growth, no RNG, no shuffle to assign.
+    "q_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(TrainData.hashSplit(col("doc_id")).as("split"),
+          col("doc_id"), col("n_chars"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    }),
+
+    // Sessionization: per-user sessions under a 30-minute gap timeout —
+    // lag + running-sum windows, then a two-level aggregate, one shuffle.
+    "q_sessionize" -> ((s, dir) => {
+      TrainData.sessionize(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+          col("user_id"), col("ts_us"), col("event_id"), gapUs = 1800000000L)
+        .withColumnRenamed("user", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // CUBE over return-flag × line-status: all four grouping sets in one
+    // pass (partial aggregation handles each set map-side).
+    "q_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Pivot line-status values into columns (conditional aggregation under
+    // the hood — single shuffle on the group key).
+    "q_pivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Range (band) join: orders priced into tier bands via a non-equi join
+    // against a tiny broadcast dimension — BroadcastNestedLoop, no shuffle
+    // of the fact side.
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val tiers = Seq(
+        ("bronze", 0L, 50000L), ("silver", 50000L, 150000L),
+        ("gold", 150000L, 300000L), ("platinum", 300000L, 1000000000L))
+        .toDF("tier", "lo", "hi")
+      Tables.orders(s, dir)
+        .join(broadcast(tiers),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+        .orderBy(col("tier"))
     })
   )
 
@@ -936,7 +1006,69 @@ object SparkEntry {
           |           w -> w IN ('the','a','of','and','to','in')))) AS BIGINT) AS sum_stop,
           |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
           |           ELSE len(string_split_regex(trim(text), '\s+')) END) AS DOUBLE) / count(*) AS avg_tokens
-          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_vocab" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(${OracleGen.toksSql("text")}) AS tok FROM documents)
+           |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+           |FROM tok GROUP BY tok HAVING count(*) >= 2
+           |ORDER BY tf DESC, tok ASC LIMIT 100""".stripMargin,
+
+      "q_split" ->
+        """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM (SELECT doc_id, n_chars,
+          |        doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 AS b
+          |      FROM documents)
+          |GROUP BY 1 ORDER BY split""".stripMargin,
+
+      "q_sessionize" ->
+        """WITH flagged AS (
+          |  SELECT user_id, event_id, ts_us,
+          |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+          |  FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          |          lag(epoch_us(ts), 1) OVER (
+          |            PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+          |        FROM events)),
+          |sessions AS (
+          |  SELECT user_id,
+          |    CAST(sum(new_session) OVER (
+          |      PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          |  FROM flagged),
+          |per_session AS (
+          |  SELECT user_id, session_id, count(*) AS n
+          |  FROM sessions GROUP BY user_id, session_id)
+          |SELECT user_id, max(session_id) AS n_sessions,
+          |  CAST(sum(n) AS BIGINT) AS n_events, max(n) AS max_session_events
+          |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_cube" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+      "q_pivot" ->
+        """SELECT l_returnflag,
+          |  CAST(sum(CASE WHEN l_linestatus = 'F'
+          |           THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+          |  CAST(sum(CASE WHEN l_linestatus = 'O'
+          |           THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS O
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "q_range_join" ->
+        """SELECT tier, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+          |FROM orders
+          |JOIN (VALUES ('bronze', 0, 50000), ('silver', 50000, 150000),
+          |             ('gold', 150000, 300000), ('platinum', 300000, 1000000000))
+          |  t(tier, lo, hi)
+          |  ON o_totalprice >= lo AND o_totalprice < hi
+          |GROUP BY tier ORDER BY tier""".stripMargin
     )
   }
 }

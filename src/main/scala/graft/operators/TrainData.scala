@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Training-data pipeline operators over document/event corpora: vocabulary
+  * builds, deterministic dataset splits, sessionization. The reference's
+  * pipeline stops at embed-and-store (`rag.py:46-59`); these are the
+  * standard preprocessing stages a large-scale corpus pipeline adds.
+  *
+  * Scale notes (100 TB):
+  *  - vocab: explode → partial map-side count → shuffle by token. The
+  *    token key space is Zipf-skewed but partial aggregation absorbs the
+  *    head before the shuffle; no row ever carries more than (token, n).
+  *  - hashSplit: narrow projection, no shuffle — split assignment is a
+  *    pure function of the id, so it is stable under re-partitioning,
+  *    re-runs, and incremental appends (the property that matters for
+  *    train/test hygiene).
+  *  - sessionize: one shuffle by user, then two window passes and a
+  *    two-level aggregate inside the same partitioning.
+  */
+object TrainData {
+
+  /** Term + document frequency table, most-frequent first.
+    *
+    * @param minTf drop tokens with global count below this (noise floor)
+    */
+  def vocab(df: DataFrame, idCol: Column, textCol: Column,
+            minTf: Long = 1L, topN: Int = 100): DataFrame =
+    df.select(idCol.as("id"), explode(TextFunctions.tokens(textCol)).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("id")).as("df"))
+      .filter(col("tf") >= minTf)
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(topN)
+
+  /** Knuth multiplicative-hash bucket in [0, 100) of a non-negative id —
+    * deterministic, engine-independent integer math (no RNG, no seed).
+    */
+  def hashBucket(idCol: Column): Column =
+    idCol * lit(2654435761L) % lit(4294967296L) % lit(100)
+
+  /** Stable train/val/test assignment: 80/10/10 by hash bucket of the id.
+    * A sample's split never changes when the corpus grows — the invariant
+    * that keeps held-out data held out across pipeline re-runs.
+    */
+  def hashSplit(idCol: Column): Column = {
+    val b = hashBucket(idCol)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  /** Per-user session stats with a gap timeout: a new session starts when
+    * the gap to the previous event exceeds `gapUs`. Emits one row per user:
+    * (user, n_sessions, n_events, max_session_events).
+    */
+  def sessionize(df: DataFrame, userCol: Column, tsUsCol: Column,
+                 tieCol: Column, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsUsCol.asc, tieCol.asc)
+    val prev = lag(tsUsCol, 1).over(w)
+    // two projections: the running sum windows over the materialized flag
+    // (nesting a window inside a window expression is not allowed)
+    val sessioned = df
+      .withColumn("new_session",
+        when(prev.isNull || tsUsCol - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessioned
+      .groupBy(userCol.as("user"), col("session_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user"))
+      .agg(max(col("session_id")).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"))
+  }
+}
