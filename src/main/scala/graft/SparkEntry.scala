@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
-import graft.operators.{Ann, Dedup, Knn, Multimodal, Rag, TrainData}
+import graft.operators.{Ann, Dedup, Knn, Multimodal, Quantize, Rag, TrainData}
 import graft.oracle.OracleGen
 import graft.oracle.OracleGen.QueryVec
 import graft.sources.Mime
@@ -598,6 +598,39 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Per-label centroids: posexplode distributes the vector reduction over
+    // (label, dimension) keys — the shape that scales to billions of
+    // vectors (no single task ever folds a whole label's vectors).
+    // Elements fixed-point-truncated at 1e-12 (floor of an exactly-rounded
+    // product is engine-independent; DECIMAL casts round differently across
+    // engines at the last digit), integer sums exact.
+    "q_centroid" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("val").cast("double") * lit(1000000000000.0)).cast("long")).as("sum_fp"))
+        .withColumn("sum_val", col("sum_fp").cast("double") / lit(1000000000000.0))
+        .withColumn("centroid", col("sum_val") / col("n"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    // IVF ANN: nearest-centroid cell assignment, query probes its 2 nearest
+    // cells only, exact re-rank inside (Ann.annIvf).
+    "ann_ivf" -> ((s, dir) => {
+      Ann.annIvf(Tables.embeddings(s, dir), col("embedding"), col("vec_id"),
+          QueryVec.values, k = 10, nlist = 8, nprobe = 2)
+        .select(col("vec_id"), col("label"), col("cell"), col("distance"))
+    }),
+
+    // Int8-quantized KNN: integer dot products over 4x-smaller codes,
+    // dequantized score ranking (Quantize.knnQuantized).
+    "knn_quantized" -> ((s, dir) => {
+      Quantize.knnQuantized(Tables.embeddings(s, dir), col("embedding"),
+          col("vec_id"), QueryVec.values, k = 10)
+        .select(col("vec_id"), col("label"), col("qdot"), col("score"))
+    }),
+
     // Range (band) join: orders priced into tier bands via a non-equi join
     // against a tiny broadcast dimension — BroadcastNestedLoop, no shuffle
     // of the fact side.
@@ -1068,7 +1101,57 @@ object SparkEntry {
           |             ('gold', 150000, 300000), ('platinum', 300000, 1000000000))
           |  t(tier, lo, hi)
           |  ON o_totalprice >= lo AND o_totalprice < hi
-          |GROUP BY tier ORDER BY tier""".stripMargin
+          |GROUP BY tier ORDER BY tier""".stripMargin,
+
+      "q_centroid" ->
+        """SELECT label, pos, n, sum_fp,
+          |  CAST(sum_fp AS DOUBLE) / 1000000000000.0 AS sum_val,
+          |  CAST(sum_fp AS DOUBLE) / 1000000000000.0 / n AS centroid
+          |FROM (
+          |  SELECT label, i AS pos, count(*) AS n,
+          |    CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+          |        * 1000000000000.0) AS BIGINT)) AS BIGINT) AS sum_fp
+          |  FROM embeddings, range(1, 65) t(i)
+          |  GROUP BY label, i)
+          |ORDER BY label, pos""".stripMargin,
+
+      "ann_ivf" -> {
+        val nlist = 8
+        val probes = Ann.ivfProbes(QueryVec.values, nlist, 2)
+        val dCols = (0 until nlist)
+          .map(j => s"    ${OracleGen.l2ToCentroid("embedding", j, 64)} AS d$j")
+          .mkString(",\n")
+        val caseArms = (0 until nlist - 1)
+          .map(j => s"WHEN d$j = mind THEN $j").mkString(" ")
+        s"""WITH dists AS (
+           |  SELECT vec_id, label, embedding,
+           |$dCols
+           |  FROM embeddings),
+           |cells AS (
+           |  SELECT vec_id, label, embedding,
+           |    CASE $caseArms ELSE ${nlist - 1} END AS cell
+           |  FROM (SELECT *, least(${(0 until nlist).map("d" + _).mkString(", ")}) AS mind
+           |        FROM dists))
+           |SELECT vec_id, label, cell, ${OracleGen.l2ToQuery("embedding")} AS distance
+           |FROM cells WHERE cell IN (${probes.mkString(", ")})
+           |ORDER BY distance ASC, vec_id ASC LIMIT 10""".stripMargin
+      },
+
+      "knn_quantized" -> {
+        val (codes, _) = Quantize.quantizeQuery(QueryVec.values)
+        val qdotChain = (1 to 64).map(k => s"codes[$k] * (${codes(k - 1)})").mkString(" + ")
+        s"""WITH qv AS (
+           |  SELECT vec_id, label, maxabs,
+           |    list_transform(embedding, x -> CAST(CASE WHEN maxabs = 0 THEN 0
+           |      ELSE round(CAST(x AS DOUBLE) * 127.0 / maxabs) END AS BIGINT)) AS codes
+           |  FROM (SELECT vec_id, label, embedding,
+           |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+           |        FROM embeddings))
+           |SELECT vec_id, label, qdot,
+           |  (CAST(qdot AS DOUBLE) * (maxabs / 127.0)) * (0.5 / 127.0) AS score
+           |FROM (SELECT vec_id, label, maxabs, $qdotChain AS qdot FROM qv)
+           |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+      }
     )
   }
 }

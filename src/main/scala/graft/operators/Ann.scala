@@ -57,6 +57,64 @@ object Ann {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) layout ----
+  //
+  // Coarse-quantize every vector to its nearest centroid ("cell"); a query
+  // scans only its nprobe nearest cells, then exact re-ranks. Unlike the
+  // sign-bit LSH above, cells adapt their shape to centroid geometry and
+  // recall is tuned by nprobe without re-assigning the corpus. Centroids
+  // are formula-deterministic (no trained k-means, no RNG) so assignment
+  // is reproducible and oracle-checkable:
+  //   centroid(j)(i) = ((i*11 + j*23) % 17) / 17.0 - 0.5
+  // At 100 TB: `cell` is a narrow projection; partitioning the stored
+  // table by cell makes a query a partition-pruned scan of nprobe/nlist
+  // of the data, and the same layout serves every query vector.
+
+  def centroidValue(j: Int, i: Int): Double = ((i * 11 + j * 23) % 17) / 17.0 - 0.5
+
+  def centroid(j: Int, dim: Int): Seq[Double] = (0 until dim).map(i => centroidValue(j, i))
+
+  /** Nearest-centroid cell of a vector column: least distance, first-wins
+    * tie-break (d_j == min matches the smallest j first).
+    */
+  def cellOf(vec: Column, nlist: Int, dim: Int): Column = {
+    val ds = (0 until nlist).map(j => l2(vec, typedlit(centroid(j, dim))))
+    val m = least(ds: _*)
+    ds.tail.zipWithIndex
+      .foldLeft(when(ds.head === m, lit(0))) { case (acc, (d, j)) =>
+        acc.when(d === m, lit(j + 1))
+      }
+      .otherwise(lit(nlist - 1))
+  }
+
+  /** Driver-side probe list: the query's nprobe nearest centroids (same
+    * left-associated arithmetic as the column/SQL sides; the resulting
+    * integers are inlined identically into both engines).
+    */
+  def ivfProbes(q: Seq[Double], nlist: Int, nprobe: Int): Seq[Int] = {
+    val ds = (0 until nlist).map { j =>
+      var acc = 0.0
+      var i = 0
+      while (i < q.length) {
+        val t = q(i) - centroidValue(j, i); acc += t * t; i += 1
+      }
+      math.sqrt(acc)
+    }
+    (0 until nlist).sortBy(j => (ds(j), j)).take(nprobe)
+  }
+
+  /** IVF top-k: scan the query's nprobe nearest cells, exact re-rank. */
+  def annIvf(df: DataFrame, vecCol: Column, idCol: Column, query: Seq[Double],
+             k: Int, nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    val dim = query.length
+    val probes = ivfProbes(query, nlist, nprobe)
+    df.withColumn("cell", cellOf(vecCol, nlist, dim))
+      .filter(col("cell").isin(probes: _*))
+      .withColumn("distance", l2(vecCol, typedlit(query)))
+      .orderBy(col("distance").asc, idCol.asc)
+      .limit(k)
+  }
+
   /** Exact top similar pairs by cosine — brute force for modest n (the
     * oracle-checkable baseline). At scale, prefilter candidates with
     * bucketOf equality so only same-bucket pairs are compared.

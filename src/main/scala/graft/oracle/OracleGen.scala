@@ -145,6 +145,16 @@ object OracleGen {
       s"(CASE WHEN ${dotPlane(vecCol, j, dim)} > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** L2 distance from a FLOAT[] column to IVF centroid j (Ann.centroidValue
+    * formula: c_j(i) = ((i*11 + j*23) % 17)/17.0 - 0.5, i 0-based).
+    */
+  def l2ToCentroid(vecCol: String, j: Int, dim: Int): String =
+    "sqrt(" + chain(dim, k => {
+      val m = ((k - 1) * 11 + j * 23) % 17
+      val e = elem(vecCol, k)
+      s"($e - ($m/17.0 - 0.5)) * ($e - ($m/17.0 - 0.5))"
+    }) + ")"
+
   /** LSH bucket of the QueryVec itself — all-literal arithmetic. */
   def lshBucketOfQuery(numPlanes: Int, dim: Int = QueryVec.dim): String =
     (0 until numPlanes).map { j =>

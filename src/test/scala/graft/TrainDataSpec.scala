@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainData
+import graft.tables.Tables
+
+class TrainDataSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  test("vocab counts match a hand-computed corpus") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "a dog ran")
+    ).toDF("id", "text")
+    val v = TrainData.vocab(df, col("id"), col("text"), minTf = 1L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    // tf desc, token asc
+    assert(v.take(4) == List(("cat", 2L, 2L), ("ran", 2L, 2L), ("the", 2L, 2L), ("a", 1L, 1L)))
+    assert(v.contains(("dog", 1L, 1L)) && v.contains(("sat", 1L, 1L)))
+  }
+
+  test("vocab tf >= df always (a doc contributes at least one tf per df)") {
+    val v = TrainData.vocab(docs, col("doc_id"), col("text"), minTf = 1L, topN = 1000)
+      .collect()
+    assert(v.nonEmpty)
+    v.foreach(r => assert(r.getLong(1) >= r.getLong(2)))
+  }
+
+  test("hashSplit is deterministic, total, and roughly 80/10/10") {
+    val n = docs.count()
+    val parts = docs.select(TrainData.hashSplit(col("doc_id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts.values.sum == n)
+    // deterministic under re-partitioning
+    val parts2 = docs.repartition(7).select(TrainData.hashSplit(col("doc_id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts == parts2)
+    // bucket fractions: multiplicative hash over sequential ids is roughly
+    // uniform; train must dominate
+    assert(parts("train") > parts.getOrElse("val", 0L))
+    assert(parts("train") > parts.getOrElse("test", 0L))
+  }
+
+  test("a sample's split never changes when the corpus grows") {
+    import spark.implicits._
+    val small = (0L until 100L).toDF("id")
+    val big = (0L until 1000L).toDF("id")
+    val a = small.select(col("id"), TrainData.hashSplit(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = big.select(col("id"), TrainData.hashSplit(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.foreach { case (id, s) => assert(b(id) == s) }
+  }
+
+  test("sessionize splits on gaps over the timeout only") {
+    import spark.implicits._
+    // user 1: events at 0s, 10s, 2000s (gap > 30min at micros scale? use us)
+    val gap = 1800000000L // 30 min in us
+    val df = Seq(
+      (1L, 1L, 0L), (1L, 2L, 1000000L), (1L, 3L, gap + 2000000L),
+      (2L, 4L, 0L)
+    ).toDF("user_id", "event_id", "ts_us")
+    val out = TrainData.sessionize(df, col("user_id"), col("ts_us"),
+        col("event_id"), gap)
+      .orderBy(col("user"))
+      .collect()
+    // user 1: two sessions (first has 2 events), user 2: one session
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 3L && out(0).getLong(3) == 2L)
+    assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 1L && out(1).getLong(3) == 1L)
+  }
+}
