@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,12 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly-rounded IEEE ops on identical inputs.
   *
   * Scale: O(tokens) per row, no shuffle — a narrow projection that
-  * distributes perfectly. CodegenFallback keeps it inside the codegen'd
-  * stage boundary (interpreted eval per row; promote to doGenCode if bench
-  * demands).
+  * distributes perfectly. Native doGenCode (a direct static call) keeps the
+  * surrounding operators in one whole-stage-codegen span with no
+  * per-row InternalRow boxing.
   */
 case class HashEmbed(child: Expression, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -43,10 +43,12 @@ case class HashEmbed(child: Expression, dim: Int)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"hash_embed expects STRING input, got ${child.dataType.catalogString}")
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    new GenericArrayData(HashEmbed.embed(text, dim))
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashEmbed.evalUTF8(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.HashEmbed$$.MODULE$$.evalUTF8($c, $dim);")
 
   override def prettyName: String = "hash_embed"
   override protected def withNewChildInternal(newChild: Expression): HashEmbed =
@@ -54,6 +56,10 @@ case class HashEmbed(child: Expression, dim: Int)
 }
 
 object HashEmbed {
+
+  /** Entry point shared by interpreted eval and generated code. */
+  def evalUTF8(s: UTF8String, dim: Int): GenericArrayData =
+    new GenericArrayData(embed(s.toString, dim))
 
   /** md5 hex of a token — the shared randomness source for bucket & sign. */
   private def md5hex(token: String): String = {

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * this evaluates in ~0.1 ms/row.
   */
 case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -31,11 +31,13 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
           s"minhash_sig expects STRING, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val sig = MinHashSig.signature(
-      input.asInstanceOf[UTF8String].toString, numHashes, shingleN)
-    new GenericArrayData(sig.map(UTF8String.fromString))
-  }
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.evalUTF8(input.asInstanceOf[UTF8String], numHashes, shingleN)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MinHashSig$$.MODULE$$.evalUTF8($c, $numHashes, $shingleN);")
 
   override def prettyName: String = "minhash_sig"
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -43,6 +45,11 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
 }
 
 object MinHashSig {
+
+  /** Entry point shared by interpreted eval and generated code. */
+  def evalUTF8(s: UTF8String, numHashes: Int, shingleN: Int): GenericArrayData =
+    new GenericArrayData(
+      signature(s.toString, numHashes, shingleN).map(UTF8String.fromString))
 
   private def md5hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

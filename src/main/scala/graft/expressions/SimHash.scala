@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * O(tokens) per row, narrow, no shuffle.
   */
-case class SimHash(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -35,6 +35,11 @@ case class SimHash(child: Expression) extends UnaryExpression with CodegenFallba
 
   override def nullSafeEval(input: Any): Any =
     SimHash.fingerprint(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.SimHash$$.MODULE$$.fingerprint($c.toString());")
 
   override def prettyName: String = "simhash"
   override protected def withNewChildInternal(newChild: Expression): SimHash =

@@ -106,8 +106,7 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   * norm inside the per-element lambda — O(d²) per row; this is O(d).
   */
 case class NormalizeExpr(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -125,35 +124,45 @@ case class NormalizeExpr(child: Expression)
           s"normalize expects ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeExpr.eval(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      // eval returns null on null elements — propagate into isNull
+      s"""${ev.value} = graft.expressions.NormalizeExpr$$.MODULE$$.eval($c, $isFloat);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override def prettyName: String = "l2_normalize"
+  override protected def withNewChildInternal(newChild: Expression): NormalizeExpr =
+    copy(child = newChild)
+}
+
+object NormalizeExpr {
+
+  /** Shared by interpreted eval and generated code; null on null elements. */
+  def eval(a: ArrayData, isFloat: Boolean): ArrayData = {
     val n = a.numElements()
-    val et = child.dataType.asInstanceOf[ArrayType].elementType
     val vals = new Array[Double](n)
     var i = 0
     var norm2 = 0.0
     while (i < n) {
       if (a.isNullAt(i)) return null
-      val x = et match {
-        case FloatType => a.getFloat(i).toDouble
-        case _ => a.getDouble(i)
-      }
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       vals(i) = x
       norm2 += x * x
       i += 1
     }
-    if (norm2 == 0.0) new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
-    else {
+    if (norm2 != 0.0) {
       val norm = math.sqrt(norm2)
       i = 0
       while (i < n) { vals(i) = vals(i) / norm; i += 1 }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
     }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
   }
-
-  override def prettyName: String = "l2_normalize"
-  override protected def withNewChildInternal(newChild: Expression): NormalizeExpr =
-    copy(child = newChild)
 }
 
 /** Σ (x-y)² then sqrt — L2 distance (pgvector `<->`). */

@@ -78,17 +78,18 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: Column, textCol: Column,
                    numHashes: Int = 8, rowsPerBand: Int = 2,
                    shingleN: Int = 3): DataFrame = {
-    // Shuffle barrier after the signature projection: without it, Catalyst's
-    // projection collapse inlines the signature expression into every one of
-    // the 8 band references on BOTH join sides (measured 100x+ blowup); the
-    // Exchange pins `sig` as an attribute and the self-join's identical
-    // subtrees resolve to one ReusedExchange. (persist() would also work,
-    // but columnar cache encoding of string arrays measured ~20 ms/row here
-    // — the row shuffle is far cheaper, and at cluster scale you'd land the
-    // signatures in a table anyway.)
+    // Materialize the signature projection once (eager localCheckpoint —
+    // row-level RDD storage, NOT the columnar cache whose string-array
+    // encoding measured ~20 ms/row here). Two problems solved at once:
+    // Catalyst's projection collapse cannot inline the signature expression
+    // into the 8 band references (measured 100x+ blowup), and the LSH
+    // self-join's two sides read the same materialized partitions instead
+    // of recomputing every signature twice (ReusedExchange does not dedupe
+    // the identical subtrees under AQE). At cluster scale you'd land the
+    // signatures in a table; this is the single-query equivalent.
     val sigs = df.select(idCol.as("id"),
         minhashSignature(textCol, numHashes, shingleN).as("sig"))
-      .repartition(col("id"))
+      .localCheckpoint()
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(bands(col("sig"), numHashes, rowsPerBand)).as(Seq("band_idx", "band")))
     val a = banded.select(col("id").as("a_id"), col("sig").as("a_sig"),
