@@ -30,6 +30,9 @@ object GraftFunctions {
       if (es.length > 1) intLit(es(1), "hash_embed dim") else 64)),
     "simhash" -> (es => SimHash(es(0))),
     "l2_normalize" -> (es => NormalizeExpr(es(0))),
+    "vector_sum_fp" -> (es => VectorSumFp(es(0),
+      if (es.length > 1) intLit(es(1), "vector_sum_fp dim") else 64)
+      .toAggregateExpression()),
     "minhash_sig" -> (es => MinHashSig(es(0),
       if (es.length > 1) intLit(es(1), "minhash_sig numHashes") else 8,
       if (es.length > 2) intLit(es(2), "minhash_sig shingleN") else 3))

@@ -615,6 +615,38 @@ object SparkEntry {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // Same centroids via the custom UDAF (TypedImperativeAggregate):
+    // update() folds rows map-side into a fixed-point long[dim] buffer,
+    // merge() combines partition buffers — the shuffle carries one buffer
+    // per (label × partition), never rows. Must equal q_centroid exactly.
+    "q_centroid_udaf" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          VectorFunctions.vectorSumFp(col("embedding"), 64).as("sums"))
+        .select(col("label"), col("n"), posexplode(col("sums")).as(Seq("pos", "sum_fp")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("pos"), col("n"),
+          col("sum_fp"),
+          (col("sum_fp").cast("double") / lit(1000000000000.0) / col("n")).as("centroid"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    // Skew-salted join: lineitem×orders with the large side salted 8 ways
+    // (hot keys spread over 8 partitions; small side replicated). Result
+    // must equal the plain join — the oracle is the unsalted SQL.
+    "q_salted_join" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val dim = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(big, dim.withColumnRenamed("o_orderkey", "l_orderkey"),
+          "l_orderkey", factor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // IVF ANN: nearest-centroid cell assignment, query probes its 2 nearest
     // cells only, exact re-rank inside (Ann.annIvf).
     "ann_ivf" -> ((s, dir) => {
@@ -1114,6 +1146,23 @@ object SparkEntry {
           |  FROM embeddings, range(1, 65) t(i)
           |  GROUP BY label, i)
           |ORDER BY label, pos""".stripMargin,
+
+      "q_centroid_udaf" ->
+        """SELECT label, pos, n, sum_fp,
+          |  CAST(sum_fp AS DOUBLE) / 1000000000000.0 / n AS centroid
+          |FROM (
+          |  SELECT label, i AS pos, count(*) AS n,
+          |    CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+          |        * 1000000000000.0) AS BIGINT)) AS BIGINT) AS sum_fp
+          |  FROM embeddings, range(1, 65) t(i)
+          |  GROUP BY label, i)
+          |ORDER BY label, pos""".stripMargin,
+
+      "q_salted_join" ->
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
       "ann_ivf" -> {
         val nlist = 8

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{CosineSimExpr, DotProductExpr, L2DistanceExpr, NormalizeExpr}
+import graft.expressions.{CosineSimExpr, DotProductExpr, L2DistanceExpr, NormalizeExpr, VectorSumFp}
 
 /** Vector distance / similarity column functions over `ARRAY<FLOAT>` /
   * `ARRAY<DOUBLE>` columns.
@@ -73,4 +73,11 @@ object VectorFunctions {
     * hard part (a)) — enforce via predicate, e.g. `df.filter(dimIs(col, 384))`.
     */
   def dimIs(a: Column, dim: Int): Column = size(a) === lit(dim)
+
+  /** Element-wise vector sum aggregate in 1e-12 fixed point — the custom
+    * UDAF (TypedImperativeAggregate) surface; order/partitioning-exact.
+    */
+  def vectorSumFp(a: Column, dim: Int): Column =
+    GraftBridge.column(
+      VectorSumFp(GraftBridge.expression(a), dim).toAggregateExpression())
 }
