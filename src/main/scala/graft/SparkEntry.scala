@@ -578,6 +578,29 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // TF-IDF: top-3 terms per document. Rational idf (n_docs/df — a single
+    // exactly-rounded division) instead of ln() whose rounding is not
+    // IEEE-pinned across engines. tf and df aggregate over the full corpus;
+    // the output is restricted to the first 10 docs.
+    "q_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok").asc)
+      tf.join(dfreq, "tok").crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("dfreq").cast("double")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3 && col("doc_id") < 10)
+        .select(col("doc_id"), col("rn"), col("tok"), col("tf"), col("dfreq"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
     // CUBE over return-flag × line-status: all four grouping sets in one
     // pass (partial aggregation handles each set map-side).
     "q_cube" -> ((s, dir) => {
@@ -1109,6 +1132,26 @@ object SparkEntry {
           |SELECT user_id, max(session_id) AS n_sessions,
           |  CAST(sum(n) AS BIGINT) AS n_events, max(n) AS max_session_events
           |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_tfidf" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(${OracleGen.toksSql("text")}) AS tok FROM documents),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+           |dfreq AS (
+           |  SELECT tok, count(*) AS dfreq
+           |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.dfreq,
+           |    CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.dfreq AS DOUBLE)) AS tfidf
+           |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n)
+           |SELECT doc_id, rn, tok, tf, dfreq, tfidf FROM (
+           |  SELECT doc_id, tok, tf, dfreq, tfidf,
+           |    CAST(row_number() OVER (
+           |      PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rn
+           |  FROM scored)
+           |WHERE rn <= 3 AND doc_id < 10
+           |ORDER BY doc_id, rn""".stripMargin,
 
       "q_cube" ->
         """SELECT l_returnflag, l_linestatus,
