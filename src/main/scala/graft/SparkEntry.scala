@@ -177,11 +177,19 @@ object SparkEntry {
     // HLL sketch surface (approx_count_distinct). No SQL oracle — sketch
     // internals are engine-specific; the driver records a rows-only check,
     // and the spec asserts the estimate against the exact count.
+    // HLL sketch vs exact: the output exposes the exact count plus a
+    // within-5% tolerance flag on the HLL estimate, so the sketch path is
+    // exercised AND the result is oracle-checkable (oracle asserts the
+    // exact count and `within_tol = true`).
     "q_approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("within_tol"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -702,6 +710,169 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
         .orderBy(col("tier"))
+    }),
+
+    // Analytic-function zoo over orders per customer: ranking, offsets,
+    // distribution functions, and unbounded frames — one window shuffle
+    // on (o_custkey), all functions share it.
+    "q_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_us").asc, col("o_orderkey").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .withColumn("o_us", unix_micros(col("o_orderdate")))
+        .filter(col("o_custkey") < 20)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("rn"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("tile4"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          first(col("o_orderkey")).over(wFull).as("first_key"),
+          last(col("o_orderkey")).over(wFull).as("last_key"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // GROUPING SETS with grouping() disambiguation (completes the
+    // rollup/cube/grouping-sets trio) — via the SQL surface.
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    }),
+
+    // TPC-H Q3 shape (shipping priority): selective dimension filter
+    // broadcast into a 3-way join, grouped top-10 by revenue. At scale the
+    // customer side broadcasts and lineitem never shuffles before the agg.
+    "q3_shipping" -> ((s, dir) => {
+      val cutoff = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate")).as("o_us"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), discPrice.as("rev_part"))
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_us"), col("o_orderpriority"))
+        .agg(sum(col("rev_part")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Exact second moments from integer fixed-point sums: mean, sample
+    // variance/stddev, and corr(quantity, discount) computed from
+    // long-typed power sums (bit-exact across engines; raw-double stddev
+    // partial-merge order is not). Long capacity bounds this at ~sf1 —
+    // beyond that the sums need DECIMAL(38,0).
+    "q_stats_moments" -> ((s, dir) => {
+      val qfp = round(col("l_quantity") * lit(100)).cast("long")
+      val dfp = round(col("l_discount") * lit(100)).cast("long")
+      val n = col("n")
+      def varFp(s2: Column, s1: Column, scale: Double): Column =
+        (n * s2 - s1 * s1).cast("double") / (n * (n - 1)).cast("double") / scale
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), qfp.as("q"), dfp.as("d"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("sq"), sum(col("d")).as("sd"),
+          sum(col("q") * col("q")).as("sqq"),
+          sum(col("d") * col("d")).as("sdd"),
+          sum(col("q") * col("d")).as("sqd"))
+        .select(col("l_returnflag"), n,
+          (col("sq").cast("double") / n / 100.0).as("mean_qty"),
+          varFp(col("sqq"), col("sq"), 10000.0).as("var_qty"),
+          sqrt(varFp(col("sqq"), col("sq"), 10000.0)).as("std_qty"),
+          ((n * col("sqd") - col("sq") * col("sd")).cast("double") /
+            (sqrt((n * col("sqq") - col("sq") * col("sq")).cast("double")) *
+             sqrt((n * col("sdd") - col("sd") * col("sd")).cast("double"))))
+            .as("corr_qty_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Hive-style partitioned layout round-trip: write orders partitioned
+    // by year, read back filtered on the partition column — the filter
+    // prunes directories (PartitionFilters in the scan), never touching
+    // non-1998 files. The layout pattern that makes 100 TB scans cheap.
+    "q_partition_prune" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_part_orders"
+      Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_year") === 1998)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Full-outer join with unmatched sides on both ends (customers with no
+    // orders / order keys outside the customer slice), classified and
+    // counted.
+    "q_full_outer" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 1000)
+        .select(col("c_custkey"))
+      val ords = Tables.orders(s, dir)
+        .filter(col("o_custkey") >= 500)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey").isNotNull.as("has_cust"),
+          col("o_custkey").isNotNull.as("has_ord"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .groupBy(col("has_cust"), col("has_ord"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("n_orders")).as("sum_orders"))
+        .orderBy(col("has_cust"), col("has_ord"))
+    }),
+
+    // ---- Structured Streaming, verified end-to-end (SURVEY.md §2.9) ----
+
+    // Streaming twin of q_window_hourly: file-source readStream →
+    // watermarked tumbling-window agg → run to completion. The oracle is
+    // the BATCH semantics — incremental execution must converge to it.
+    "q_stream_hourly" -> ((s, dir) => {
+      val src = s.readStream.schema(Tables.events(s, dir).schema)
+        .parquet(s"$dir/events.parquet")
+      val agg = src
+        .select(timestamp_micros(expr("ts div 1000")).as("ts_t"), col("value"))
+        .withWatermark("ts_t", "2 hours")
+        .groupBy(window(col("ts_t"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec12)).cast("double").as("sum_value"))
+      graft.streaming.Streaming.runToCompletion(agg, "graft_stream_hourly")
+        .select(expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
+          col("n"), col("sum_value"))
+        .orderBy(col("hour_bucket"))
+    }),
+
+    // Streaming session windows (session_window, 30-min gap): one row per
+    // (user, session), session end = last event + gap. Batch-oracled like
+    // q_stream_hourly.
+    "q_stream_sessions" -> ((s, dir) => {
+      val src = s.readStream.schema(Tables.events(s, dir).schema)
+        .parquet(s"$dir/events.parquet")
+      val sess = graft.streaming.Streaming.sessionCounts(
+        src.select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts_t")),
+        "ts_t", "user_id", gap = "30 minutes")
+      graft.streaming.Streaming.runToCompletion(sess, "graft_stream_sessions")
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
     })
   )
 

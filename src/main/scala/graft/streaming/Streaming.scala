@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.functions.TextFunctions
 
@@ -32,6 +32,36 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
+
+  /** Gap-based session windows over a stream: one row per (key, session),
+    * where a session extends `gap` past its last event. In production this
+    * runs append-mode with the watermark evicting closed sessions; the
+    * complete-mode variant here is for run-to-completion verification.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String = "30 minutes",
+                    watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Drain a streaming DataFrame to completion over its (bounded) source:
+    * Trigger.AvailableNow processes everything currently available, the
+    * memory sink in Complete mode holds the final state, and the result
+    * comes back as a batch DataFrame. Verification harness only — a real
+    * deployment writes append-mode to a durable sink and the memory sink's
+    * driver-side materialization would be the anti-pattern.
+    */
+  def runToCompletion(stream: DataFrame, name: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.table(name)
+  }
 
   /** Streaming ingest-and-embed: stateless narrow pipeline — the streaming
     * form of Rag.embedCorpus (works identically on readStream inputs).
