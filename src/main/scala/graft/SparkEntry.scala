@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -721,7 +721,7 @@ object SparkEntry {
         .orderBy(col("o_us").asc, col("o_orderkey").asc)
       val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.orders(s, dir)
-        .withColumn("o_us", unix_micros(col("o_orderdate")))
+        .withColumn("o_us", unix_micros(col("o_orderdate").cast("timestamp")))
         .filter(col("o_custkey") < 20)
         .select(col("o_custkey"), col("o_orderkey"),
           row_number().over(w).cast("long").as("rn"),
@@ -760,7 +760,7 @@ object SparkEntry {
       val ord = Tables.orders(s, dir)
         .filter(col("o_orderdate") < cutoff)
         .select(col("o_orderkey"), col("o_custkey"),
-          unix_micros(col("o_orderdate")).as("o_us"), col("o_orderpriority"))
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"), col("o_orderpriority"))
       val li = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") > cutoff)
         .select(col("l_orderkey"), discPrice.as("rev_part"))
@@ -845,7 +845,7 @@ object SparkEntry {
     // the BATCH semantics — incremental execution must converge to it.
     "q_stream_hourly" -> ((s, dir) => {
       val src = s.readStream.schema(Tables.events(s, dir).schema)
-        .parquet(s"$dir/events.parquet")
+        .parquet(graft.streaming.Streaming.stageFileToDir(s"$dir/events.parquet"))
       val agg = src
         .select(timestamp_micros(expr("ts div 1000")).as("ts_t"), col("value"))
         .withWatermark("ts_t", "2 hours")
@@ -863,7 +863,7 @@ object SparkEntry {
     // q_stream_hourly.
     "q_stream_sessions" -> ((s, dir) => {
       val src = s.readStream.schema(Tables.events(s, dir).schema)
-        .parquet(s"$dir/events.parquet")
+        .parquet(graft.streaming.Streaming.stageFileToDir(s"$dir/events.parquet"))
       val sess = graft.streaming.Streaming.sessionCounts(
         src.select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts_t")),
         "ts_t", "user_id", gap = "30 minutes")

@@ -46,6 +46,24 @@ object Streaming {
       .groupBy(col(keyCol), session_window(col(tsCol), gap))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Stage a single parquet file into its own directory so the file stream
+    * source can use it (the source's basePath must be a directory; the
+    * driver's testdata tables are single files). Idempotent per source
+    * path; production streams read landing *directories*, so this shim
+    * only exists for the file-per-table test layout.
+    */
+  def stageFileToDir(file: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(file)
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_src_" + Integer.toHexString(file.hashCode))
+    Files.createDirectories(dir)
+    val dst = dir.resolve(src.getFileName)
+    if (!Files.exists(dst))
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
   /** Drain a streaming DataFrame to completion over its (bounded) source:
     * Trigger.AvailableNow processes everything currently available, the
     * memory sink in Complete mode holds the final state, and the result
