@@ -64,12 +64,35 @@ object Streaming {
     dir.toString
   }
 
+  /** Drain a streaming DataFrame to completion through a DISTRIBUTED sink:
+    * Trigger.AvailableNow processes everything currently available, and
+    * each micro-batch's foreachBatch writes the full Complete-mode state to
+    * parquet from the executors (overwrite — the final batch leaves the
+    * converged result). Nothing is ever materialized on the driver, so the
+    * same drain shape holds at cluster scale; a production deployment would
+    * write append-mode with watermark eviction instead of Complete-mode
+    * state, but the sink path is identical.
+    */
+  def drainToParquet(stream: DataFrame, name: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => batch.write.mode("overwrite").parquet(out)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.read.parquet(out)
+  }
+
   /** Drain a streaming DataFrame to completion over its (bounded) source:
     * Trigger.AvailableNow processes everything currently available, the
     * memory sink in Complete mode holds the final state, and the result
     * comes back as a batch DataFrame. Verification harness only — a real
     * deployment writes append-mode to a durable sink and the memory sink's
-    * driver-side materialization would be the anti-pattern.
+    * driver-side materialization would be the anti-pattern (the declared
+    * driver queries use drainToParquet above instead).
     */
   def runToCompletion(stream: DataFrame, name: String): DataFrame = {
     val q = stream.writeStream
