@@ -285,16 +285,37 @@ object SparkEntry {
         .orderBy(col("a_id"))
     }),
 
-    // Embedding-cosine near-dup: top-20 most similar pairs (brute force at
-    // this scale; LSH bucket prefilter is the 100 TB path — see ann_lsh).
+    // Embedding-cosine near-dup, scale-safe: only same-LSH-bucket pairs
+    // are compared (equi-join on bucket — no cartesian product in the
+    // plan; asserted in ScaleLayoutSpec), top-20 by cosine. The oracle
+    // replicates the bucket prefilter exactly.
     "neardup_cosine" -> ((s, dir) => {
-      Ann.topCosinePairs(Tables.embeddings(s, dir), col("vec_id"), col("embedding"), 20)
+      Ann.topCosinePairsBucketed(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), 20)
+    }),
+
+    // Generic SimHash near-dup mining: candidate pairs found BY
+    // fingerprint banding (4×8-bit segments, join on segment equality,
+    // Hamming ≤ 3 filter) — recovers the planted near-dups with no
+    // planted-id knowledge.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(nearDupCorpus(s, dir), col("id"), col("text"))
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // ANN: random-hyperplane LSH bucket probe + exact re-rank (scale path
     // for knn_l2 — scans ~1/2^H of the table).
     "ann_lsh" -> ((s, dir) => {
       Ann.annLsh(Tables.embeddings(s, dir), col("embedding"), col("vec_id"),
+          QueryVec.values, 5, numPlanes = 4)
+        .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
+    }),
+
+    // Multi-probe LSH: probe the query bucket plus its single-bit flips
+    // (5 of 16 buckets) — the recall lever over ann_lsh at the same
+    // partition-pruned layout.
+    "ann_lsh_multi" -> ((s, dir) => {
+      Ann.annLshMulti(Tables.embeddings(s, dir), col("embedding"), col("vec_id"),
           QueryVec.values, 5, numPlanes = 4)
         .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
     }),
@@ -379,6 +400,22 @@ object SparkEntry {
         .groupBy(col("intent"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("intent"))
+    }),
+
+    // E2 product pipeline end-to-end (reference products_import.py:18-20 +
+    // rag.py:40-59): stage a products CSV (S2 sink), scan it back with the
+    // fixed 7-column schema (S1), template (F1), hash-embed (F7), and emit
+    // one row per product with a fixed-point checksum of the full
+    // embedding (floor(x·1e12) summed as long — checks all 64 elements
+    // exactly in one value).
+    "q_products_pipeline" -> ((s, dir) => {
+      val csvPath = graft.operators.Products.stageProductsCsv(s, dir)
+      graft.operators.Products.buildProductEmbeddings(Tables.productsCsv(s, csvPath))
+        .select(col("product_id"), col("content"),
+          aggregate(transform(col("embedding"),
+              x => floor(x * lit(1000000000000.0)).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("emb_fp"))
+        .orderBy(col("product_id"))
     }),
 
     // F1 doc templating (rag.py:48) over the part table (products stand-in).
@@ -1036,10 +1073,46 @@ object SparkEntry {
            |ORDER BY a_id""".stripMargin,
 
       "neardup_cosine" ->
-        s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        s"""WITH sides AS (
+           |  SELECT vec_id, embedding,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket
+           |  FROM embeddings)
+           |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            |       ${OracleGen.cosineCols("a.embedding", "b.embedding")} AS cos_sim
-           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |FROM sides a JOIN sides b
+           |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |ORDER BY cos_sim DESC, a_id ASC, b_id ASC LIMIT 20""".stripMargin,
+
+      "dedup_simhash_pairs" ->
+        s"""WITH corpus AS ($nearDupCorpusSql),
+           |tok AS (SELECT id, list_transform(${OracleGen.toksSql("text")},
+           |                 t -> ${OracleGen.tokenHash32Sql("t")}) AS th FROM corpus),
+           |fps AS (SELECT id, ${OracleGen.simhashOfTokenHashes("th")} AS fp FROM tok),
+           |bands AS (
+           |  SELECT id, fp, j AS band_idx, (fp >> (j * 8)) & 255 AS band
+           |  FROM fps, (SELECT unnest(range(0, 4)) AS j)),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.id < b.id)
+           |SELECT p.a_id, p.b_id,
+           |       CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+           |FROM pairs p
+           |JOIN fps fa ON fa.id = p.a_id
+           |JOIN fps fb ON fb.id = p.b_id
+           |WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "ann_lsh_multi" -> {
+        val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+        s"""SELECT vec_id, label, bucket, distance FROM (
+           |  SELECT vec_id, label,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |         ${OracleGen.l2ToQuery("embedding")} AS distance
+           |  FROM embeddings)
+           |WHERE bucket IN ($probes)
+           |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
+      },
 
       "ann_lsh" ->
         s"""SELECT vec_id, label, bucket, distance FROM (
@@ -1072,10 +1145,30 @@ object SparkEntry {
            |topk AS (
            |  SELECT d.id AS doc_id, ${OracleGen.l2DoubleCols("d.emb", "q.emb")} AS distance
            |  FROM d_emb d, q_emb q
-           |  ORDER BY distance ASC, doc_id ASC LIMIT 5)
-           |SELECT '$RagQuery' AS query, 'product_search' AS intent,
-           |       string_agg(t.text, chr(10) || chr(10) ORDER BY topk.distance, topk.doc_id) AS context
-           |FROM topk JOIN documents t ON topk.doc_id = t.doc_id""".stripMargin,
+           |  ORDER BY distance ASC, doc_id ASC LIMIT 5),
+           |ctx AS (
+           |  SELECT string_agg(t.text, chr(10) || chr(10)
+           |           ORDER BY topk.distance, topk.doc_id) AS context
+           |  FROM topk JOIN documents t ON topk.doc_id = t.doc_id)
+           |SELECT '$RagQuery' AS query, 'product_search' AS intent, context,
+           |       'Context:' || chr(10) || context || chr(10) || chr(10) ||
+           |       'Question: ' || '$RagQuery' AS prompt
+           |FROM ctx""".stripMargin,
+
+      "q_products_pipeline" ->
+        s"""WITH src AS (
+           |  SELECT p_partkey AS id,
+           |    p_name || ', category: ' || p_type || ', color: ' || p_brand ||
+           |    ', price: ' || CAST(p_retailprice AS VARCHAR) || '$$' ||
+           |    ', image: img-' || CAST(p_partkey AS VARCHAR) ||
+           |    ', description: size ' || CAST(p_size AS VARCHAR) AS content
+           |  FROM part),
+           |${OracleGen.embedCte("p", "src", "id", "content", 64)}
+           |SELECT s.id AS product_id, s.content AS content,
+           |  CAST(list_sum(list_transform(e.emb,
+           |    x -> CAST(floor(x * 1000000000000.0) AS BIGINT))) AS BIGINT) AS emb_fp
+           |FROM src s JOIN p_emb e ON e.id = s.id
+           |ORDER BY product_id""".stripMargin,
 
       "q_response_shape" ->
         s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},

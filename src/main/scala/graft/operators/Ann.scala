@@ -57,6 +57,31 @@ object Ann {
       .limit(k)
   }
 
+  /** Multi-probe LSH probe set: the query's own bucket plus every
+    * single-bit flip of it — neighbours that fall just across one
+    * hyperplane land in a flipped bucket, so probing H+1 buckets
+    * recovers most of the recall lost to bucket boundaries while still
+    * scanning only (H+1)/2^H of the table.
+    */
+  def probesOf(q: Seq[Double], numPlanes: Int): Seq[Int] = {
+    val qb = bucketOfQuery(q, numPlanes)
+    qb +: (0 until numPlanes).map(j => qb ^ (1 << j))
+  }
+
+  /** Multi-probe LSH top-k: scan the query bucket + its single-bit
+    * flips, exact re-rank inside (the recall lever over annLsh).
+    */
+  def annLshMulti(df: DataFrame, vecCol: Column, idCol: Column, query: Seq[Double],
+                  k: Int, numPlanes: Int = 4): DataFrame = {
+    val dim = query.length
+    val probes = probesOf(query, numPlanes)
+    df.withColumn("bucket", bucketOf(vecCol, numPlanes, dim))
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("distance", l2(vecCol, typedlit(query)))
+      .orderBy(col("distance").asc, idCol.asc)
+      .limit(k)
+  }
+
   // ---- IVF (inverted-file) layout ----
   //
   // Coarse-quantize every vector to its nearest centroid ("cell"); a query
@@ -115,9 +140,32 @@ object Ann {
       .limit(k)
   }
 
+  /** Scale-safe top similar pairs by cosine: only pairs sharing an LSH
+    * bucket are compared — bucket equality is an equi-join key, so the
+    * plan is a hash/sort-merge join on `bucket`, never a cartesian
+    * product. Near-identical vectors agree on every hyperplane sign bit
+    * w.h.p., so the top pairs survive the prefilter; at 100 TB the
+    * bucket column becomes the partition key and each bucket's pair
+    * loop stays local to its partition (pair count n²/2^H instead of n²).
+    */
+  def topCosinePairsBucketed(df: DataFrame, idCol: Column, vecCol: Column,
+                             k: Int, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val sides = df.select(idCol.as("id"), vecCol.as("vec"),
+      norm(vecCol).as("nrm"), bucketOf(vecCol, numPlanes, dim).as("bucket"))
+    val a = sides.select(col("id").as("a_id"), col("vec").as("a_vec"),
+      col("nrm").as("a_norm"), col("bucket"))
+    val b = sides.select(col("id").as("b_id"), col("vec").as("b_vec"),
+      col("nrm").as("b_norm"), col("bucket").as("b_bucket"))
+    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a_id").asc, col("b_id").asc)
+      .limit(k)
+  }
+
   /** Exact top similar pairs by cosine — brute force for modest n (the
-    * oracle-checkable baseline). At scale, prefilter candidates with
-    * bucketOf equality so only same-bucket pairs are compared.
+    * oracle-checkable baseline and the recall reference for the bucketed
+    * variant above; never the declared path at scale).
     */
   def topCosinePairs(df: DataFrame, idCol: Column, vecCol: Column, k: Int): DataFrame = {
     // precompute each side's norm once (narrow projection) so the O(n²)

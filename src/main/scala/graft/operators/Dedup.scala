@@ -106,6 +106,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Generic SimHash near-dup miner: band the 32-bit fingerprint into
+    * `numBands` equal bit segments; pairs agreeing on ANY segment are
+    * candidates (pigeonhole: hamming ≤ numBands-1 guarantees a shared
+    * band, so no pair inside `maxHamming` ≤ numBands-1 is ever missed),
+    * then exact Hamming filter. One shuffle on the band key, one
+    * distinct — candidates are found BY fingerprint, never by an
+    * O(n²) comparison or planted-id knowledge.
+    */
+  def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
+                   numBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val bits = graft.expressions.SimHash.Bits
+    require(bits % numBands == 0,
+      s"numBands ($numBands) must divide $bits — ragged bands would drop trailing bits")
+    val w = bits / numBands
+    val mask = (1L << w) - 1
+    // materialized once for the same reason as minhashPairs: the self-join's
+    // two sides must read the fingerprints, not recompute them per band
+    val fps = df.select(idCol.as("id"), TextFunctions.simhash(textCol).as("fp"))
+      .localCheckpoint()
+    val banded = fps.select(col("id"), col("fp"),
+      posexplode(array((0 until numBands).map(j =>
+        shiftright(col("fp"), j * w).bitwiseAND(lit(mask))): _*)).as(Seq("band_idx", "band")))
+    val a = banded.select(col("id").as("a_id"), col("fp").as("a_fp"),
+      col("band_idx"), col("band"))
+    val b = banded.select(col("id").as("b_id"), col("fp").as("b_fp"),
+      col("band_idx").as("b_band_idx"), col("band").as("b_band"))
+    a.join(b, col("band_idx") === col("b_band_idx") && col("band") === col("b_band")
+        && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard for explicit candidate pairs.
     * `pairs`: (a_id, b_id). Computes |A∩B| / |A∪B| over distinct shingles.
     * Use LSH candidates (minhashPairs) upstream at scale — never all pairs.

@@ -37,6 +37,31 @@ object Products {
     buildProductEmbeddings(Tables.productsCsv(spark, csvPath), dim)
       .write.mode("append").parquet(outPath)
 
+  /** Stage a products CSV (S2 sink shape — header + the reference's 7
+    * columns) derived deterministically from the part table, once per
+    * sf dir (guarded by the writer's _SUCCESS marker). Column mapping
+    * matches q_product_content so the oracle can reconstruct the rows
+    * from the part parquet without reading the CSV.
+    */
+  def stageProductsCsv(spark: SparkSession, sfDir: String): String = {
+    val out = sys.props("java.io.tmpdir") + "/graft_products_csv_" +
+      Integer.toHexString(sfDir.hashCode)
+    this.synchronized {
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Tables.part(spark, sfDir).select(
+            col("p_partkey").as("id"),
+            col("p_name").as("name"),
+            col("p_retailprice").as("price"),
+            concat(lit("img-"), col("p_partkey").cast("string")).as("img_url"),
+            col("p_brand").as("color"),
+            col("p_type").as("category"),
+            concat(lit("size "), col("p_size").cast("string")).as("description"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+      }
+    }
+    out
+  }
+
   /** raw messages (id, raw) → email_texts (id, document, embedding): D3. */
   def buildEmailTexts(messages: DataFrame, dim: Int = 64): DataFrame =
     Mime.ingest(messages, col("id"), col("raw"))

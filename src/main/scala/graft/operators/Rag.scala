@@ -45,9 +45,18 @@ object Rag {
           x => x.getField("doc")),
         "\n\n").as("context"))
 
+  /** M2 prompt-template stage (reference `rag.py:149`): compose the RAG
+    * generation prompt "Context:\n{context}\n\nQuestion: {query}" from
+    * the assembled context — the last engine-side stage before the
+    * out-of-scope LLM call.
+    */
+  def promptOf(contextCol: Column, queryText: String): Column =
+    concat(lit("Context:\n"), contextCol, lit("\n\nQuestion: "), lit(queryText))
+
   /** Full conditional pipeline (E3): intent on the query string decides
     * whether to retrieve (product_search / mixed) or emit the canned
-    * advisory context (reference `rag.py:187-191`).
+    * advisory context (reference `rag.py:187-191`); the output carries
+    * the composed M2 generation prompt (`rag.py:149`).
     */
   def ragQuery(corpus: DataFrame, idCol: Column, docCol: Column,
                queryText: String, k: Int, dim: Int = 64): DataFrame = {
@@ -59,7 +68,8 @@ object Rag {
       } else {
         corpus.sparkSession.sql("SELECT 'General niche advice requested.' AS context")
       }
-    base.select(lit(queryText).as("query"), lit(intent).as("intent"), col("context"))
+    base.select(lit(queryText).as("query"), lit(intent).as("intent"), col("context"),
+      promptOf(col("context"), queryText).as("prompt"))
   }
 
   /** Driver-side intent of a single query string — same rules as the

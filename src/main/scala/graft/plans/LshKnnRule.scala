@@ -40,29 +40,43 @@ case class LshKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // only nearest-k (ascending distance) matches the LSH locality
           // premise — a farthest-k (descending) query must stay exact
           s @ Sort(SortOrder(sortKey: Attribute, Ascending, _, _) +: _, true,
-            p @ Project(projectList, child), _))) =>
-        projectList.collectFirst {
-          case a @ Alias(L2DistanceExpr(vec, Literal(q, ArrayType(DoubleType, _))), _)
-              if a.exprId == sortKey.exprId => (vec, q)
-        } match {
-          case Some((vec, q)) if !alreadyRewritten(child) =>
-            val qVals = q.asInstanceOf[ArrayData].toDoubleArray().toSeq
-            val planes = numPlanes
-            val qBucket = Ann.bucketOfQuery(qVals, planes)
-            // bucket predicate as a raw (already-resolved) Catalyst tree —
-            // the optimizer runs post-analysis, so Column-API nodes
-            // (unresolved functions) must not be injected here
-            val bucketOfVec: Expression = (0 until planes).map { j =>
-              val plane = Literal.create(Ann.plane(j, qVals.length).toArray,
-                ArrayType(DoubleType, containsNull = false))
-              If(GreaterThan(graft.expressions.DotProductExpr(vec, plane), Literal(0.0)),
-                Literal(1 << j), Literal(0)): Expression
-            }.reduce((a, b) => Add(a, b))
-            val filtered = Project(projectList,
-              Filter(EqualTo(bucketOfVec, Literal(qBucket)), child))
-            l.withNewChildren(Seq(l.children.head.withNewChildren(Seq(
-              s.copy(child = filtered)))))
-          case _ => l
+            sortChild, _))) =>
+        // tolerate an intervening Filter (e.g. a post-projection predicate
+        // on the distance or a metadata column) between Sort and Project
+        val (interFilter, projOpt) = sortChild match {
+          case p: Project => (None, Some(p))
+          case f @ Filter(_, p: Project) => (Some(f), Some(p))
+          case _ => (None, None)
+        }
+        projOpt match {
+          case Some(p @ Project(projectList, child)) =>
+            projectList.collectFirst {
+              case a @ Alias(L2DistanceExpr(vec, Literal(q, ArrayType(DoubleType, _))), _)
+                  if a.exprId == sortKey.exprId => (vec, q)
+            } match {
+              case Some((vec, q)) if !alreadyRewritten(child) =>
+                val qVals = q.asInstanceOf[ArrayData].toDoubleArray().toSeq
+                val planes = numPlanes
+                val qBucket = Ann.bucketOfQuery(qVals, planes)
+                // bucket predicate as a raw (already-resolved) Catalyst tree —
+                // the optimizer runs post-analysis, so Column-API nodes
+                // (unresolved functions) must not be injected here
+                val bucketOfVec: Expression = (0 until planes).map { j =>
+                  val plane = Literal.create(Ann.plane(j, qVals.length).toArray,
+                    ArrayType(DoubleType, containsNull = false))
+                  If(GreaterThan(graft.expressions.DotProductExpr(vec, plane), Literal(0.0)),
+                    Literal(1 << j), Literal(0)): Expression
+                }.reduce((a, b) => Add(a, b))
+                val rewrittenProj = Project(projectList,
+                  Filter(EqualTo(bucketOfVec, Literal(qBucket)), child))
+                val newSortChild: LogicalPlan = interFilter
+                  .map(f => f.copy(child = rewrittenProj): LogicalPlan)
+                  .getOrElse(rewrittenProj)
+                l.withNewChildren(Seq(l.children.head.withNewChildren(Seq(
+                  s.copy(child = newSortChild)))))
+              case _ => l
+            }
+          case None => l
         }
     }
   }

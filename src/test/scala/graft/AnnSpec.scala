@@ -38,6 +38,36 @@ class AnnSpec extends SparkSpec {
     assert(qb == colB)
   }
 
+  test("multi-probe LSH: recall@5 >= 0.8 vs exact, never below single-probe") {
+    val exact = Knn.knn(emb, col("embedding"), col("vec_id"), QueryVec.values, 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val single = Ann.annLsh(emb, col("embedding"), col("vec_id"), QueryVec.values, 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val multi = Ann.annLshMulti(emb, col("embedding"), col("vec_id"), QueryVec.values, 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recallMulti = (multi & exact).size.toDouble / exact.size
+    val recallSingle = (single & exact).size.toDouble / exact.size
+    assert(recallMulti >= 0.8, s"multi-probe recall@5 = $recallMulti")
+    assert(recallMulti >= recallSingle)
+    // probe set = own bucket + H distinct single-bit flips
+    val probes = Ann.probesOf(QueryVec.values, 4)
+    assert(probes.distinct.size == 5)
+    assert(probes.tail.forall(p =>
+      java.lang.Integer.bitCount(p ^ probes.head) == 1))
+  }
+
+  test("bucketed cosine pairs: plan has no cartesian product, result within bucket") {
+    val pairs = Ann.topCosinePairsBucketed(emb, col("vec_id"), col("embedding"), 10)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "bucketed pair mining must not cross-join")
+    assert(!plan.contains("BroadcastNestedLoop"), "bucket equality must be an equi-join key")
+    val rows = pairs.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
   test("topCosinePairs is symmetric-free (a<b) and descending") {
     val pairs = Ann.topCosinePairs(emb.limit(50), col("vec_id"), col("embedding"), 10)
       .collect()

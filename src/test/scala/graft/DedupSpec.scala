@@ -48,6 +48,24 @@ class DedupSpec extends SparkSpec {
     assert(j2 < 0.3)
   }
 
+  test("simhashPairs mines every planted pair within hamming<=3 (pigeonhole)") {
+    // expected recoveries computed from fingerprints directly: a pair at
+    // hamming <= 3 cannot avoid all 4 bands, so banding must surface it
+    val fps = corpus.select(col("id"),
+        graft.functions.TextFunctions.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = fps.keys.filter(_ >= 100000).map(b => (b - 100000, b))
+      .filter { case (a, b) => SimHash.hamming(fps(a), fps(b)) <= 3 }
+      .toSet
+    assert(expected.nonEmpty, "corpus must contain planted pairs within hamming 3")
+    val mined = Dedup.simhashPairs(corpus, col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(mined),
+      s"missed planted pairs: ${(expected -- mined).take(5)}")
+    // and nothing mined exceeds the hamming threshold
+    assert(mined.forall { case (a, b) => SimHash.hamming(fps(a), fps(b)) <= 3 })
+  }
+
   test("simhash: near-dups within small hamming distance, self distance 0") {
     val t = "the quick brown fox jumps over the lazy dog again and again today"
     val fp1 = SimHash.fingerprint(t)
