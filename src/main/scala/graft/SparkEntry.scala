@@ -331,12 +331,13 @@ object SparkEntry {
     // F7 embedding stage (rag.py:49): corpus → deterministic hash embedding.
     // Exploded to one scalar row per (doc, dimension) — the driver's compare
     // sorts rows in pandas, and raw array columns are unhashable there; this
-    // shape still checks every embedding element exactly.
+    // shape still checks every embedding element exactly. No orderBy: the
+    // compare is order-insensitive, and a global sort's range-partitioner
+    // sampling pass would execute the whole embed a second time.
     "q_embed_docs" -> ((s, dir) => {
       Rag.embedCorpus(Tables.documents(s, dir), col("text"))
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("val"))
-        .orderBy(col("doc_id"), col("pos"))
     }),
 
     // E3 retrieval (rag.py:65-90): embed query + corpus, exact KNN, join
@@ -921,6 +922,30 @@ object SparkEntry {
           unix_micros(col("session_window.end")).as("end_us"),
           col("n_events"))
         .orderBy(col("user_id"), col("start_us"))
+    }),
+
+    // Watermarked stream-stream interval join (append mode — join rows
+    // are final on emission): errors within 1 hour after a purchase by
+    // the same user. Both sides watermarked so join state is bounded and
+    // evictable; drained through the append parquet sink. The oracle is
+    // the equivalent batch interval join.
+    "q_stream_join" -> ((s, dir) => {
+      val schema = Tables.events(s, dir).schema
+      val staged = graft.streaming.Streaming.stageFileToDir(s"$dir/events.parquet")
+      def src = s.readStream.schema(schema).parquet(staged)
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+          timestamp_micros(expr("ts div 1000")).as("p_ts"))
+      val errors = src.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("e_event"),
+          timestamp_micros(expr("ts div 1000")).as("e_ts"))
+      val joined = graft.streaming.Streaming.intervalJoinKeys(
+          purchases, errors, "p_user", "e_user", "p_ts", "e_ts",
+          within = "1 hour", watermarkDelay = "2 hours")
+        .select(col("p_user").as("user_id"), col("p_event"), col("e_event"),
+          unix_micros(col("p_ts")).as("p_us"), unix_micros(col("e_ts")).as("e_us"))
+      graft.streaming.Streaming.drainAppendToParquet(joined,
+        "join_" + Integer.toHexString(dir.hashCode))
     })
   )
 
@@ -1629,7 +1654,17 @@ object SparkEntry {
           |  FROM flagged)
           |SELECT user_id, min(ts_us) AS start_us,
           |  max(ts_us) + 1800000000 AS end_us, count(*) AS n_events
-          |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+          |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+      "q_stream_join" ->
+        """SELECT p.user_id AS user_id, p.event_id AS p_event,
+          |  e.event_id AS e_event,
+          |  epoch_us(p.ts) AS p_us, epoch_us(e.ts) AS e_us
+          |FROM events p JOIN events e
+          |  ON e.user_id = p.user_id
+          | AND p.event_type = 'purchase' AND e.event_type = 'error'
+          | AND epoch_us(e.ts) >= epoch_us(p.ts)
+          | AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000""".stripMargin
     )
   }
 }

@@ -86,6 +86,31 @@ object Streaming {
     stream.sparkSession.read.parquet(out)
   }
 
+  /** Append-mode drain for streams whose sink rows are final on emission
+    * (stream-stream inner joins, watermark-finalized windows): each
+    * micro-batch's new rows append to the parquet sink from the
+    * executors; the output directory is recreated per run so re-execution
+    * is idempotent. This is exactly the production append-sink shape.
+    */
+  def drainAppendToParquet(stream: DataFrame, name: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
+    val p = Paths.get(out)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => batch.write.mode("append").parquet(out)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.read.parquet(out)
+  }
+
   /** Drain a streaming DataFrame to completion over its (bounded) source:
     * Trigger.AvailableNow processes everything currently available, the
     * memory sink in Complete mode holds the final state, and the result
@@ -120,11 +145,22 @@ object Streaming {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    within: String = "1 hour",
-                   watermarkDelay: String = "2 hours"): DataFrame = {
+                   watermarkDelay: String = "2 hours"): DataFrame =
+    intervalJoinKeys(left, right, key, key, leftTs, rightTs, within, watermarkDelay)
+
+  /** intervalJoin with distinct key column names per side (avoids the
+    * ambiguous duplicate-name output of the same-key form when the two
+    * sides derive from the same source).
+    */
+  def intervalJoinKeys(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTs: String, rightTs: String,
+                       within: String = "1 hour",
+                       watermarkDelay: String = "2 hours"): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
     l.join(r,
-      l(key) === r(key) &&
+      l(leftKey) === r(rightKey) &&
         r(rightTs) >= l(leftTs) &&
         r(rightTs) <= l(leftTs) + org.apache.spark.sql.functions.expr(s"INTERVAL $within"))
   }
