@@ -890,7 +890,8 @@ object SparkEntry {
     // sink (foreachBatch from the executors — no driver materialization).
     // The oracle is the BATCH semantics — incremental execution must
     // converge to it.
-    "q_stream_hourly" -> ((s, dir) => {
+    "q_stream_hourly" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
       val src = s.readStream.schema(Tables.events(s, dir).schema)
         .parquet(graft.streaming.Streaming.stageFileToDir(s"$dir/events.parquet"))
       val agg = src
@@ -909,7 +910,8 @@ object SparkEntry {
     // Streaming session windows (session_window, 30-min gap): one row per
     // (user, session), session end = last event + gap. Batch-oracled like
     // q_stream_hourly (the oracle is lag-based sessionization SQL).
-    "q_stream_sessions" -> ((s, dir) => {
+    "q_stream_sessions" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
       val src = s.readStream.schema(Tables.events(s, dir).schema)
         .parquet(graft.streaming.Streaming.stageFileToDir(s"$dir/events.parquet"))
       val sess = graft.streaming.Streaming.sessionCounts(
@@ -929,7 +931,8 @@ object SparkEntry {
     // the same user. Both sides watermarked so join state is bounded and
     // evictable; drained through the append parquet sink. The oracle is
     // the equivalent batch interval join.
-    "q_stream_join" -> ((s, dir) => {
+    "q_stream_join" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
       val schema = Tables.events(s, dir).schema
       val staged = graft.streaming.Streaming.stageFileToDir(s"$dir/events.parquet")
       def src = s.readStream.schema(schema).parquet(staged)

@@ -15,6 +15,13 @@ object Verify {
       // read as BIGINT nanos; queries expose micros (ts_us via ts div 1000,
       // oracle side: epoch_us — DuckDB truncates nanos to micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate turns explode(hash_embed(text)) into a
+      // triple evaluation of the embed (size>0 + isnotnull + the generator
+      // itself, measured 3x on q_embed_docs) once pushdown substitutes the
+      // alias; for this engine's explode-over-computed-array shapes the
+      // inferred filter is pure recomputation, so the rule is excluded.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -46,6 +46,21 @@ object Streaming {
       .groupBy(col(keyCol), session_window(col(tsCol), gap))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Isolated session clone (own SQLConf, shared SparkContext) with
+    * streaming-sized shuffle parallelism. Stateful operators keep one
+    * state store per shuffle partition per stateful side (a stream-stream
+    * join keeps four), each paying fixed checkpoint/commit overhead per
+    * micro-batch — so partition count should track STATE volume, not the
+    * batch-side CPU count. Cloning instead of mutating the caller's conf
+    * keeps concurrent batch queries on the same session unaffected.
+    */
+  def streamSession(s: org.apache.spark.sql.SparkSession,
+                    partitions: Int = 8): org.apache.spark.sql.SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s2
+  }
+
   /** Stage a single parquet file into its own directory so the file stream
     * source can use it (the source's basePath must be a directory; the
     * driver's testdata tables are single files). Idempotent per source
