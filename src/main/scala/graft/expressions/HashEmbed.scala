@@ -61,34 +61,51 @@ object HashEmbed {
   def evalUTF8(s: UTF8String, dim: Int): GenericArrayData =
     new GenericArrayData(embed(s.toString, dim))
 
-  /** md5 hex of a token — the shared randomness source for bucket & sign. */
-  private def md5hex(token: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(token.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  /** Per-thread digest — `MessageDigest.getInstance` per token was the
+    * hot-loop cost (provider lookup + allocation per call).
+    */
+  private[expressions] val threadMd5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def md5(token: String): Array[Byte] = {
+    val md = threadMd5.get()
+    md.reset()
+    md.digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** (bucket, sign) for one token; hex positions match the SQL oracle
-    * (`substr(md5(t), 4..7, 1)`, 1-based).
+  /** (bucket, sign) for one token. Hex positions match the SQL oracle
+    * (`substr(md5(t), 4..7, 1)`, 1-based) — hex char 2i is the high
+    * nibble of digest byte i, 2i+1 the low nibble, so chars 3..6 are
+    * read straight off digest bytes 1..3 with no hex string built.
     */
   def bucketSign(token: String, dim: Int): (Int, Int) = {
-    val hex = md5hex(token)
-    def hv(i: Int): Int = Character.digit(hex.charAt(i), 16)
-    val b = (hv(3) * 256 + hv(4) * 16 + hv(5)) % dim
-    val s = if (hv(6) % 2 == 0) 1 else -1
+    val d = md5(token)
+    val b = ((d(1) & 0xf) * 256 + ((d(2) >> 4) & 0xf) * 16 + (d(2) & 0xf)) % dim
+    val s = if ((((d(3) >> 4) & 0xf) & 1) == 0) 1 else -1
     (b, s)
   }
 
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   def tokens(text: String): Array[String] =
-    text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    Whitespace.split(text.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty)
 
   /** Pure-Scala embedding — used by the expression and for driver-side query
     * vectors (reference `rag.py:72-73` embeds the query the same way as rows).
     */
   def embed(text: String, dim: Int): Array[Double] = {
     val counts = new Array[Long](dim)
-    tokens(text).foreach { t =>
-      val (b, s) = bucketSign(t, dim)
-      counts(b) += s
+    val ts = tokens(text)
+    var j = 0
+    while (j < ts.length) {
+      val d = md5(ts(j))
+      val b = ((d(1) & 0xf) * 256 + ((d(2) >> 4) & 0xf) * 16 + (d(2) & 0xf)) % dim
+      counts(b) += (if ((((d(3) >> 4) & 0xf) & 1) == 0) 1 else -1)
+      j += 1
     }
     var norm2 = 0L
     var i = 0

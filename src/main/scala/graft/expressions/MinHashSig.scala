@@ -51,9 +51,20 @@ object MinHashSig {
     new GenericArrayData(
       signature(s.toString, numHashes, shingleN).map(UTF8String.fromString))
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
   private def md5hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val md = HashEmbed.threadMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   def shingles(text: String, n: Int): Array[String] = {
@@ -72,16 +83,30 @@ object MinHashSig {
     if (s == 0) h else h.substring(s) + h.substring(0, s)
   }
 
+  /** Compare rotation-by-s of `h` against `min` without materializing the
+    * rotated string — the rotated candidate is only allocated when it
+    * becomes the new minimum.
+    */
+  private def cmpRot(h: String, s: Int, min: String): Int = {
+    var k = 0
+    while (k < 32) {
+      val c = h.charAt((s + k) % 32) - min.charAt(k)
+      if (c != 0) return c
+      k += 1
+    }
+    0
+  }
+
   def signature(text: String, numHashes: Int, shingleN: Int): Array[String] = {
     require(numHashes >= 1 && numHashes <= 32,
       s"numHashes must be in [1, 32] (32 distinct hex rotations of one md5), got $numHashes")
     val hs = shingles(text, shingleN).map(md5hex)
     Array.tabulate(numHashes) { i =>
+      val s = shift(i)
       var min: String = null
       var j = 0
       while (j < hs.length) {
-        val r = rotHex(hs(j), i)
-        if (min == null || r.compareTo(min) < 0) min = r
+        if (min == null || cmpRot(hs(j), s, min) < 0) min = rotHex(hs(j), i)
         j += 1
       }
       min

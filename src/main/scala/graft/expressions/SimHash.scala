@@ -51,8 +51,9 @@ object SimHash {
 
   /** uint32 from the first 8 hex chars of md5(token). */
   def tokenHash(token: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(token.getBytes("UTF-8"))
+    val md = HashEmbed.threadMd5.get()
+    md.reset()
+    val d = md.digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
