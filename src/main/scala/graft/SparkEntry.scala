@@ -174,13 +174,11 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // HLL sketch surface (approx_count_distinct). No SQL oracle — sketch
-    // internals are engine-specific; the driver records a rows-only check,
-    // and the spec asserts the estimate against the exact count.
     // HLL sketch vs exact: the output exposes the exact count plus a
-    // within-5% tolerance flag on the HLL estimate, so the sketch path is
-    // exercised AND the result is oracle-checkable (oracle asserts the
-    // exact count and `within_tol = true`).
+    // within-5% tolerance flag on the HLL estimate (sketch internals are
+    // engine-specific, the tolerance contract is not), so the sketch path
+    // is exercised AND the result is oracle-checkable — the oracle asserts
+    // the exact count and `within_tol = true`.
     "q_approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
@@ -949,6 +947,37 @@ object SparkEntry {
           unix_micros(col("p_ts")).as("p_us"), unix_micros(col("e_ts")).as("e_us"))
       graft.streaming.Streaming.drainAppendToParquet(joined,
         "join_" + Integer.toHexString(dir.hashCode))
+    }),
+
+    // Streaming exact dedup — the core training-data op, incremental:
+    // dropDuplicates keeps one state entry per content hash and append
+    // mode emits each distinct content exactly once (first arrival). The
+    // emitted SET is order-independent, so the batch DISTINCT oracles it.
+    "q_stream_dedup" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val src = s.readStream.schema(Tables.documents(s, dir).schema)
+        .parquet(graft.streaming.Streaming.stageFileToDir(s"$dir/documents.parquet"))
+      val distinctHashes = src.select(md5(col("text")).as("text_md5"))
+        .dropDuplicates("text_md5")
+      graft.streaming.Streaming.drainAppendToParquet(distinctHashes,
+        "dedup_" + Integer.toHexString(dir.hashCode))
+    }),
+
+    // Custom keyed state (flatMapGroupsWithState) over the event stream:
+    // running per-user count + exact integer cents sum, emitted in Update
+    // mode. Over the bounded source (one batch) each user's converged
+    // state appears exactly once — the batch GROUP BY oracles it.
+    "q_stream_user_stats" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      import s.implicits._
+      val src = s.readStream.schema(Tables.events(s, dir).schema)
+        .parquet(graft.streaming.Streaming.stageFileToDir(s"$dir/events.parquet"))
+      val ev = src.select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[graft.streaming.Streaming.UserEventC]
+      val stats = graft.streaming.Streaming.runningUserStatsExact(ev).toDF()
+      graft.streaming.Streaming.drainUpdateToParquet(stats,
+        "userstats_" + Integer.toHexString(dir.hashCode))
     })
   )
 
@@ -1667,7 +1696,15 @@ object SparkEntry {
           |  ON e.user_id = p.user_id
           | AND p.event_type = 'purchase' AND e.event_type = 'error'
           | AND epoch_us(e.ts) >= epoch_us(p.ts)
-          | AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000""".stripMargin
+          | AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000""".stripMargin,
+
+      "q_stream_dedup" ->
+        "SELECT DISTINCT md5(text) AS text_md5 FROM documents",
+
+      "q_stream_user_stats" ->
+        """SELECT user_id, count(*) AS n_events,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM events GROUP BY user_id""".stripMargin
     )
   }
 }

@@ -102,12 +102,24 @@ object Streaming {
   }
 
   /** Append-mode drain for streams whose sink rows are final on emission
-    * (stream-stream inner joins, watermark-finalized windows): each
-    * micro-batch's new rows append to the parquet sink from the
-    * executors; the output directory is recreated per run so re-execution
-    * is idempotent. This is exactly the production append-sink shape.
+    * (stream-stream inner joins, watermark-finalized windows, streaming
+    * dedup): each micro-batch's new rows append to the parquet sink from
+    * the executors; the output directory is recreated per run so
+    * re-execution is idempotent. This is exactly the production
+    * append-sink shape.
     */
-  def drainAppendToParquet(stream: DataFrame, name: String): DataFrame = {
+  def drainAppendToParquet(stream: DataFrame, name: String): DataFrame =
+    drainAccumulating(stream, name, OutputMode.Append())
+
+  /** Update-mode drain (flatMapGroupsWithState and other update-emitting
+    * operators): each batch's updated rows append; over a bounded source
+    * processed in one batch, each key's final state appears exactly once.
+    */
+  def drainUpdateToParquet(stream: DataFrame, name: String): DataFrame =
+    drainAccumulating(stream, name, OutputMode.Update())
+
+  private def drainAccumulating(stream: DataFrame, name: String,
+                                mode: OutputMode): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
     val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
@@ -118,7 +130,7 @@ object Streaming {
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => batch.write.mode("append").parquet(out)
     val q = stream.writeStream
-      .outputMode(OutputMode.Append())
+      .outputMode(mode)
       .foreachBatch(writeBatch)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -182,6 +194,30 @@ object Streaming {
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+  case class UserEventC(user_id: Long, cents: Long)
+  case class UserStatsC(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Exact-arithmetic running per-user stats via flatMapGroupsWithState:
+    * integer cents keep the fold commutative (the group iterator's order
+    * is not defined), so the converged state is oracle-checkable.
+    */
+  def runningUserStatsExact(events: Dataset[UserEventC]): Dataset[UserStatsC] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStatsC, UserStatsC](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEventC], state: GroupState[UserStatsC]) =>
+          val prev = state.getOption.getOrElse(UserStatsC(userId, 0L, 0L))
+          var n = prev.n_events
+          var s = prev.sum_cents
+          rows.foreach { e => n += 1; s += e.cents }
+          val next = UserStatsC(userId, n, s)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * aggregate emitted on every update (Update mode). State never expires
