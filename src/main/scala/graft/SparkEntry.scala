@@ -612,6 +612,19 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // Deterministic stratified sampling: 20% of 'en' docs, 50% of every
+    // other class, by multiplicative hash of the id — no RNG, a narrow
+    // filter the scan absorbs; membership is append-stable. Aggregates
+    // pin the exact sampled id-set per class.
+    "q_sample_stratified" -> ((s, dir) => {
+      TrainData.stratifiedSample(Tables.documents(s, dir), col("lang"),
+          col("doc_id"), Map("en" -> 20), defaultPct = 50)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"), sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("lang"))
+    }),
+
     // Sessionization: per-user sessions under a 30-minute gap timeout —
     // lag + running-sum windows, then a two-level aggregate, one shuffle.
     "q_sessionize" -> ((s, dir) => {
@@ -1704,7 +1717,16 @@ object SparkEntry {
       "q_stream_user_stats" ->
         """SELECT user_id, count(*) AS n_events,
           |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-          |FROM events GROUP BY user_id""".stripMargin
+          |FROM events GROUP BY user_id""".stripMargin,
+
+      "q_sample_stratified" ->
+        """SELECT lang, count(*) AS n, min(doc_id) AS min_id,
+          |  max(doc_id) AS max_id, CAST(sum(doc_id) AS BIGINT) AS sum_id
+          |FROM (SELECT lang, doc_id,
+          |        doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 AS b
+          |      FROM documents)
+          |WHERE b < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+          |GROUP BY lang ORDER BY lang""".stripMargin
     )
   }
 }

@@ -52,6 +52,21 @@ object TrainData {
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
 
+  /** Deterministic stratified sampling: keep `pct(class)` percent of rows
+    * per class by hash bucket of the id — no RNG, no shuffle, and a row's
+    * membership is stable under corpus growth and re-partitioning (the
+    * same invariant as hashSplit). Classes absent from `pct` keep
+    * `defaultPct`. At 100 TB this is a narrow filter the scan absorbs.
+    */
+  def stratifiedSample(df: DataFrame, classCol: Column, idCol: Column,
+                       pct: Map[String, Int], defaultPct: Int): DataFrame = {
+    val b = hashBucket(idCol)
+    val rate = pct.foldLeft(lit(defaultPct)) { case (acc, (cls, p)) =>
+      when(classCol === cls, lit(p)).otherwise(acc)
+    }
+    df.filter(b < rate)
+  }
+
   /** Per-user session stats with a gap timeout: a new session starts when
     * the gap to the previous event exceeds `gapUs`. Emits one row per user:
     * (user, n_sessions, n_events, max_session_events).

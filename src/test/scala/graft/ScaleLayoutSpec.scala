@@ -60,6 +60,18 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(pruned == direct)
   }
 
+  test("selective filter + projection reach the parquet scan") {
+    val df = Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select("l_orderkey", "l_extendedprice")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"filter not pushed to scan:\n$scan")
+    // column pruning: the scan reads only the 3 needed columns
+    assert(scan.contains("ReadSchema") && !scan.contains("l_comment"),
+      "scan must not read unprojected columns")
+  }
+
   test("salted join equals plain join result under synthetic skew") {
     import spark.implicits._
     // 10k rows all hitting one hot key + a tail

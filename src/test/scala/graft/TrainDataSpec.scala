@@ -54,6 +54,33 @@ class TrainDataSpec extends SparkSpec {
     a.foreach { case (id, s) => assert(b(id) == s) }
   }
 
+  test("stratifiedSample: per-class rates, deterministic, append-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val sampled = TrainData.stratifiedSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> 20), defaultPct = 50)
+    val ids1 = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    // rate per class is near target (hash buckets are uniform-ish)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, total) =>
+      val target = if (lang == "en") 0.20 else 0.50
+      val got = byLang.getOrElse(lang, 0L).toDouble / total
+      // binomial std-dev at n=total; 4 sigma keeps tiny sf0.001 classes
+      // (tens of rows) honest without flaking
+      val tol = 4 * math.sqrt(target * (1 - target) / total)
+      assert(math.abs(got - target) < tol, s"$lang: sampled $got vs target $target (n=$total)")
+    }
+    // membership is stable when the corpus doubles (append stability)
+    val bigger = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 1000000))
+    val ids2 = TrainData.stratifiedSample(bigger, col("lang"), col("doc_id"),
+        Map("en" -> 20), defaultPct = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2.filter(_ < 1000000) == ids1)
+  }
+
   test("sessionize splits on gaps over the timeout only") {
     import spark.implicits._
     // user 1: events at 0s, 10s, 2000s (gap > 30min at micros scale? use us)
