@@ -285,7 +285,7 @@ object SparkEntry {
 
     // Embedding-cosine near-dup, scale-safe: only same-LSH-bucket pairs
     // are compared (equi-join on bucket — no cartesian product in the
-    // plan; asserted in ScaleLayoutSpec), top-20 by cosine. The oracle
+    // plan; asserted in AnnSpec), top-20 by cosine. The oracle
     // replicates the bucket prefilter exactly.
     "neardup_cosine" -> ((s, dir) => {
       Ann.topCosinePairsBucketed(Tables.embeddings(s, dir), col("vec_id"),

@@ -10,9 +10,12 @@ class QueriesSmokeSpec extends SparkSpec {
   // legitimately empty at tiny scale: set difference / anti-join results
   private val mayBeEmpty = Set("q_set_ops", "q_anti_join")
 
-  test("oracleSql keys are a subset of queries keys") {
+  test("queries and oracleSql cover each other exactly (every op is proven)") {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracles without queries: $extra")
+    val unproven = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unproven.isEmpty,
+      s"queries without a DuckDB oracle (add one — 'runs' is not 'proven'): $unproven")
   }
 
   test("every query runs on sf0.001") {
