@@ -191,6 +191,22 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Approximate-quantile sketch vs exact (same tolerance-flag contract
+    // as q_approx_distinct): the output exposes the exact interpolated
+    // median plus a within-5% flag on the percentile_approx estimate, so
+    // the sketch path is exercised and the result stays oracle-checkable.
+    "q_approx_quantiles" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile_approx(o_totalprice, 0.5, 1000)").as("approx_med"),
+          expr("percentile(o_totalprice, 0.5)").as("med"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("med"), col("n"),
+          (abs(col("approx_med") - col("med")) <= abs(col("med")) * lit(0.05))
+            .as("within_tol"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Rollup with subtotals + grand total (grouping-sets surface).
     "q_rollup" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1726,7 +1742,12 @@ object SparkEntry {
           |        doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 AS b
           |      FROM documents)
           |WHERE b < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
-          |GROUP BY lang ORDER BY lang""".stripMargin
+          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_approx_quantiles" ->
+        """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med,
+          |  count(*) AS n, TRUE AS within_tol
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     )
   }
 }

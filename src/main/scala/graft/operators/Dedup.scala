@@ -85,11 +85,36 @@ object Dedup {
     // into the 8 band references (measured 100x+ blowup), and the LSH
     // self-join's two sides read the same materialized partitions instead
     // of recomputing every signature twice (ReusedExchange does not dedupe
-    // the identical subtrees under AQE). At cluster scale you'd land the
-    // signatures in a table; this is the single-query equivalent.
+    // the identical subtrees under AQE). At cluster scale use
+    // minhashPairsStaged, which lands the signatures in a table instead.
     val sigs = df.select(idCol.as("id"),
         minhashSignature(textCol, numHashes, shingleN).as("sig"))
       .localCheckpoint()
+    pairsFromSignatures(sigs, numHashes, rowsPerBand)
+  }
+
+  /** Cluster-scale variant of minhashPairs: the signature projection is
+    * written to a parquet stage and read back, instead of pinned as
+    * executor blocks by localCheckpoint — lineage-free, spillable,
+    * recoverable, and reusable across queries/jobs (signatures are
+    * append-stable per document, so incremental corpora only embed new
+    * rows). Same banding join, identical output.
+    */
+  def minhashPairsStaged(df: DataFrame, idCol: Column, textCol: Column,
+                         stagePath: String, numHashes: Int = 8,
+                         rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+    df.select(idCol.as("id"),
+        minhashSignature(textCol, numHashes, shingleN).as("sig"))
+      .write.mode("overwrite").parquet(stagePath)
+    val sigs = df.sparkSession.read.parquet(stagePath)
+    pairsFromSignatures(sigs, numHashes, rowsPerBand)
+  }
+
+  /** Banding join over a materialized (id, sig) relation — shared by the
+    * localCheckpoint and staged-table variants.
+    */
+  private def pairsFromSignatures(sigs: DataFrame, numHashes: Int,
+                                  rowsPerBand: Int): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(bands(col("sig"), numHashes, rowsPerBand)).as(Seq("band_idx", "band")))
     val a = banded.select(col("id").as("a_id"), col("sig").as("a_sig"),

@@ -48,6 +48,19 @@ class DedupSpec extends SparkSpec {
     assert(j2 < 0.3)
   }
 
+  test("staged-table minhash pairs equal the localCheckpoint variant") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_sigs")
+      .resolve("sigs").toString
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val direct = Dedup.minhashPairs(corpus, col("id"), col("text"))
+      .collect().map(key).toSet
+    val staged = Dedup.minhashPairsStaged(corpus, col("id"), col("text"), stage)
+      .collect().map(key).toSet
+    assert(staged == direct)
+    assert(staged.nonEmpty)
+  }
+
   test("simhashPairs mines every planted pair within hamming<=3 (pigeonhole)") {
     // expected recoveries computed from fingerprints directly: a pair at
     // hamming <= 3 cannot avoid all 4 bands, so banding must surface it
