@@ -560,6 +560,41 @@ object SparkEntry {
       heavy("error").except(heavy("purchase")).orderBy(col("user_id"))
     }),
 
+    // Set ops, intersect side: users heavy in BOTH error and purchase
+    // events (completes the §2.6 trio with q_set_ops' EXCEPT and
+    // dedup_exact's DISTINCT).
+    "q_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def heavy(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 14).select(col("user_id"))
+      heavy("error").intersect(heavy("purchase")).orderBy(col("user_id"))
+    }),
+
+    // Unpivot (melt): wide metric columns to (metric, value) rows, then
+    // a per-metric aggregate — the inverse of q_pivot.
+    "q_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec12)).cast("double").as("sum_value"))
+        .orderBy(col("metric"))
+    }),
+
+    // Calendar decomposition (date functions surface): orders per
+    // year x quarter with exact DECIMAL revenue.
+    "q_date_parts" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec12)).cast("double").as("sum_price"))
+        .orderBy(col("yr"), col("qtr"))
+    }),
+
     // Multimodal plumbing: text bytes as opaque BINARY payloads, typed
     // batch decode (STUB codec, real Dataset/mapPartitions shape).
     "q_multimodal_stub" -> ((s, dir) => {
@@ -1747,7 +1782,31 @@ object SparkEntry {
       "q_approx_quantiles" ->
         """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med,
           |  count(*) AS n, TRUE AS within_tol
-          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+      "q_intersect" ->
+        """SELECT user_id FROM events WHERE event_type = 'error'
+          |GROUP BY user_id HAVING count(*) >= 14
+          |INTERSECT
+          |SELECT user_id FROM events WHERE event_type = 'purchase'
+          |GROUP BY user_id HAVING count(*) >= 14
+          |ORDER BY user_id""".stripMargin,
+
+      "q_unpivot" ->
+        """SELECT metric, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+          |FROM (
+          |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+          |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+          |GROUP BY metric ORDER BY metric""".stripMargin,
+
+      "q_date_parts" ->
+        """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+          |  CAST(date_part('quarter', o_orderdate) AS BIGINT) AS qtr,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+          |FROM orders GROUP BY yr, qtr ORDER BY yr, qtr""".stripMargin
     )
   }
 }

@@ -7,8 +7,9 @@ package graft
   */
 class QueriesSmokeSpec extends SparkSpec {
 
-  // legitimately empty at tiny scale: set difference / anti-join results
-  private val mayBeEmpty = Set("q_set_ops", "q_anti_join")
+  // legitimately empty at tiny scale: set difference / intersection /
+  // anti-join results
+  private val mayBeEmpty = Set("q_set_ops", "q_anti_join", "q_intersect")
 
   test("queries and oracleSql cover each other exactly (every op is proven)") {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
