@@ -695,8 +695,10 @@ object SparkEntry {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
-        .groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+      // document frequency IS the per-token row count of tf (one row per
+      // (doc, tok)) — no second explode or distinct pass over the corpus,
+      // and the identical tf exchange is reused for both branches
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("tok").asc)
