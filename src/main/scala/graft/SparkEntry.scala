@@ -334,6 +334,24 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
     }),
 
+    // Persisted vector store (S7 at scale): vectors written partitioned
+    // by LSH bucket (one-time setup per sf dir), multi-probe query reads
+    // ONLY the probed bucket directories — partition pruning makes the
+    // probe a 5/16 scan, exact re-rank inside. Same result as the
+    // in-memory ann_lsh_multi; here the layout itself is the index.
+    "q_vector_store" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") + "/graft_vector_store_" +
+        Integer.toHexString(dir.hashCode)
+      this.synchronized {
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          graft.operators.VectorStore.write(Tables.embeddings(s, dir),
+            col("embedding"), path)
+      }
+      graft.operators.VectorStore.queryL2(s, path, "embedding", "vec_id",
+          QueryVec.values, 5)
+        .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), col("doc_id"), col("text"))
         .select(col("keep_id").as("doc_id"), col("n_dups"))
@@ -1227,6 +1245,17 @@ object SparkEntry {
            |ORDER BY a_id, b_id""".stripMargin,
 
       "ann_lsh_multi" -> {
+        val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+        s"""SELECT vec_id, label, bucket, distance FROM (
+           |  SELECT vec_id, label,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |         ${OracleGen.l2ToQuery("embedding")} AS distance
+           |  FROM embeddings)
+           |WHERE bucket IN ($probes)
+           |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
+      },
+
+      "q_vector_store" -> {
         val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
         s"""SELECT vec_id, label, bucket, distance FROM (
            |  SELECT vec_id, label,

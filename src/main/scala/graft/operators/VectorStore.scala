@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Persisted vector store with an LSH-partitioned layout — the engine's
+  * answer to the reference's vector stores (pgvector table `rag.py:30-37`,
+  * Chroma collection `email_fetching.py:21-27`), shaped for 100 TB:
+  *
+  *  - `write` lands vectors partitioned by their sign-bit LSH bucket
+  *    (Ann.bucketOf), so the store directory layout IS the index — no
+  *    server process, no in-memory graph, nothing to rebuild on restart.
+  *  - `query` reads only the probed buckets: Spark's partition pruning
+  *    turns the probe into a scan of (probes/2^H) of the data, then an
+  *    exact re-rank inside (TakeOrderedAndProject — per-partition heaps).
+  *  - multi-probe (query bucket + single-bit flips) is the recall lever,
+  *    same tradeoff as Ann.annLshMulti but against the persisted layout.
+  *
+  * The bucket column rides along in the data, so exact brute-force over
+  * the whole store (scan all partitions) remains available for recall
+  * audits — the same store serves both paths.
+  */
+object VectorStore {
+
+  /** Write (idCol, vecCol, carry...) partitioned by LSH bucket. Keeps all
+    * input columns plus `bucket`.
+    */
+  def write(df: DataFrame, vecCol: Column, path: String,
+            numPlanes: Int = 4, dim: Int = 64): Unit =
+    df.withColumn("bucket", Ann.bucketOf(vecCol, numPlanes, dim))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Partition-pruned L2 top-k against a written store. `multiProbe`
+    * trades scan fraction for recall; the scanned fraction is
+    * |probes| / 2^numPlanes either way.
+    */
+  def queryL2(spark: SparkSession, path: String, vecName: String, idName: String,
+              query: Seq[Double], k: Int, numPlanes: Int = 4,
+              multiProbe: Boolean = true): DataFrame = {
+    val probes =
+      if (multiProbe) Ann.probesOf(query, numPlanes)
+      else Seq(Ann.bucketOfQuery(query, numPlanes))
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("distance", l2(col(vecName), typedlit(query)))
+      .orderBy(col("distance").asc, col(idName).asc)
+      .limit(k)
+  }
+}

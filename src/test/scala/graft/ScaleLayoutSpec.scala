@@ -60,6 +60,20 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(pruned == direct)
   }
 
+  test("VectorStore: bucket-partitioned write, pruned multi-probe query") {
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs").toFile.getAbsolutePath + "/store"
+    VectorStore.write(Tables.embeddings(spark, sf0001), col("embedding"), out)
+    val q = VectorStore.queryL2(spark, out, "embedding", "vec_id", QueryVec.values, 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "probe must prune bucket partitions")
+    val ids = q.collect().map(_.getAs[Long]("vec_id")).toSeq
+    val direct = Ann.annLshMulti(Tables.embeddings(spark, sf0001), col("embedding"),
+        col("vec_id"), QueryVec.values, 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ids == direct, "persisted probe must equal the in-memory multi-probe")
+  }
+
   test("selective filter + projection reach the parquet scan") {
     val df = Tables.lineitem(spark, sf0001)
       .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
