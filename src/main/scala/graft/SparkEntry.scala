@@ -1033,6 +1033,24 @@ object SparkEntry {
         "join_" + Integer.toHexString(dir.hashCode))
     }),
 
+    // Streaming ingest-and-embed (the reference's E1 pipeline as a
+    // stream): file-source documents → hash-embed (stateless narrow
+    // stage, identical code to the batch path) → append drain. One row
+    // per doc with the fixed-point embedding checksum; oracle is the
+    // batch embed.
+    "q_stream_embed" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val src = s.readStream.schema(Tables.documents(s, dir).schema)
+        .parquet(graft.streaming.Streaming.stageFileToDir(s"$dir/documents.parquet"))
+      val emb = graft.streaming.Streaming.embedStream(src, "doc_id", "text")
+        .select(col("doc_id"),
+          aggregate(transform(col("embedding"),
+              x => floor(x * lit(1000000000000.0)).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("emb_fp"))
+      graft.streaming.Streaming.drainAppendToParquet(emb,
+        "embed_" + Integer.toHexString(dir.hashCode))
+    }),
+
     // Streaming exact dedup — the core training-data op, incremental:
     // dropDuplicates keeps one state entry per content hash and append
     // mode emits each distinct content exactly once (first arrival). The
@@ -1795,6 +1813,13 @@ object SparkEntry {
 
       "q_stream_dedup" ->
         "SELECT DISTINCT md5(text) AS text_md5 FROM documents",
+
+      "q_stream_embed" ->
+        s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)}
+           |SELECT id AS doc_id,
+           |  CAST(list_sum(list_transform(emb,
+           |    x -> CAST(floor(x * 1000000000000.0) AS BIGINT))) AS BIGINT) AS emb_fp
+           |FROM d_emb""".stripMargin,
 
       "q_stream_user_stats" ->
         """SELECT user_id, count(*) AS n_events,
