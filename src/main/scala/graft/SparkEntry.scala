@@ -451,6 +451,35 @@ object SparkEntry {
         .orderBy(col("product_id"))
     }),
 
+    // Quantized persisted vector store — both 100 TB levers at once: int8
+    // codes (4x bandwidth, integer dot) in an LSH-bucket-partitioned
+    // layout (multi-probe reads 5/16 of the store). One-time setup per sf
+    // dir; the measured query is the pruned integer-dot top-k.
+    "q_vector_store_quantized" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") + "/graft_vector_store_q8_" +
+        Integer.toHexString(dir.hashCode)
+      this.synchronized {
+        if (!new java.io.File(path, "_SUCCESS").exists()) {
+          Tables.embeddings(s, dir)
+            .withColumn("maxabs", Quantize.maxAbs(col("embedding")))
+            .select(col("vec_id"), col("label"), col("maxabs"),
+              Quantize.int8(col("embedding"), col("maxabs")).as("codes"),
+              Ann.bucketOf(col("embedding"), 4, 64).as("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(path)
+        }
+      }
+      val (codes, qMaxAbs) = Quantize.quantizeQuery(QueryVec.values)
+      val probes = Ann.probesOf(QueryVec.values, 4)
+      s.read.parquet(path)
+        .filter(col("bucket").isin(probes: _*))
+        .withColumn("qdot", Quantize.qdot(col("codes"), codes))
+        .withColumn("score",
+          col("qdot").cast("double") * (col("maxabs") / lit(127.0)) * (lit(qMaxAbs) / lit(127.0)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("bucket"), col("qdot"), col("score"))
+    }),
+
     // F1 doc templating (rag.py:48) over the part table (products stand-in).
     "q_product_content" -> ((s, dir) => {
       Tables.part(s, dir)
@@ -1672,6 +1701,25 @@ object SparkEntry {
            |SELECT vec_id, label, cell, ${OracleGen.l2ToQuery("embedding")} AS distance
            |FROM cells WHERE cell IN (${probes.mkString(", ")})
            |ORDER BY distance ASC, vec_id ASC LIMIT 10""".stripMargin
+      },
+
+      "q_vector_store_quantized" -> {
+        val (codes, qMaxAbs) = Quantize.quantizeQuery(QueryVec.values)
+        val qdotChain = (1 to 64).map(k => s"codes[$k] * (${codes(k - 1)})").mkString(" + ")
+        val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+        s"""WITH qv AS (
+           |  SELECT vec_id, label, maxabs,
+           |    list_transform(embedding, x -> CAST(CASE WHEN maxabs = 0 THEN 0
+           |      ELSE round(CAST(x AS DOUBLE) * 127.0 / maxabs) END AS BIGINT)) AS codes,
+           |    ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket
+           |  FROM (SELECT vec_id, label, embedding,
+           |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+           |        FROM embeddings))
+           |SELECT vec_id, label, bucket, qdot,
+           |  (CAST(qdot AS DOUBLE) * (maxabs / 127.0)) * ($qMaxAbs / 127.0) AS score
+           |FROM (SELECT vec_id, label, bucket, maxabs, $qdotChain AS qdot FROM qv)
+           |WHERE bucket IN ($probes)
+           |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
       },
 
       "knn_quantized" -> {
