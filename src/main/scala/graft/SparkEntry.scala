@@ -27,6 +27,15 @@ object SparkEntry {
   private val dec12: DecimalType = DecimalType(12, 2)
   private val dec4: DecimalType = DecimalType(4, 2)
 
+  /** Staged-setup directory for one-time per-sf-dir layouts (partitioned
+    * tables, vector stores). The version tag participates in the path so
+    * a change to any layout's derivation logic can never silently reuse a
+    * stale cache from a previous build — bump it when a layout changes.
+    */
+  private def stagedPath(tag: String, dir: String): String =
+    sys.props("java.io.tmpdir") + s"/graft_${tag}_v1_" +
+      Integer.toHexString(dir.hashCode)
+
   /** DECIMAL-exact discounted price: l_extendedprice * (1 - l_discount). */
   private def discPrice = {
     val price = col("l_extendedprice").cast(dec12)
@@ -340,8 +349,7 @@ object SparkEntry {
     // probe a 5/16 scan, exact re-rank inside. Same result as the
     // in-memory ann_lsh_multi; here the layout itself is the index.
     "q_vector_store" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") + "/graft_vector_store_" +
-        Integer.toHexString(dir.hashCode)
+      val path = stagedPath("vector_store", dir)
       this.synchronized {
         if (!new java.io.File(path, "_SUCCESS").exists())
           graft.operators.VectorStore.write(Tables.embeddings(s, dir),
@@ -456,8 +464,7 @@ object SparkEntry {
     // layout (multi-probe reads 5/16 of the store). One-time setup per sf
     // dir; the measured query is the pruned integer-dot top-k.
     "q_vector_store_quantized" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") + "/graft_vector_store_q8_" +
-        Integer.toHexString(dir.hashCode)
+      val path = stagedPath("vector_store_q8", dir)
       this.synchronized {
         if (!new java.io.File(path, "_SUCCESS").exists()) {
           Tables.embeddings(s, dir)
@@ -958,8 +965,7 @@ object SparkEntry {
     // non-1998 files. The layout pattern that makes 100 TB scans cheap;
     // with the setup split out, the measured query IS the pruned read.
     "q_partition_prune" -> ((s, dir) => {
-      val out = sys.props("java.io.tmpdir") + "/graft_part_orders_" +
-        Integer.toHexString(dir.hashCode)
+      val out = stagedPath("part_orders", dir)
       this.synchronized {
         if (!new java.io.File(out, "_SUCCESS").exists()) {
           Tables.orders(s, dir)

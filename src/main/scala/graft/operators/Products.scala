@@ -44,7 +44,9 @@ object Products {
     * from the part parquet without reading the CSV.
     */
   def stageProductsCsv(spark: SparkSession, sfDir: String): String = {
-    val out = sys.props("java.io.tmpdir") + "/graft_products_csv_" +
+    // _v1: bump when the column derivation changes — the tag keys the
+    // one-time cache so stale layouts can't survive a logic change
+    val out = sys.props("java.io.tmpdir") + "/graft_products_csv_v1_" +
       Integer.toHexString(sfDir.hashCode)
     this.synchronized {
       if (!new java.io.File(out, "_SUCCESS").exists()) {
