@@ -730,6 +730,21 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Decontamination: test-split documents sharing >= 5 distinct word
+    // shingles with any train-split document (the train/test leakage
+    // check every LLM data pipeline needs). Shingle-key equi-join, no
+    // O(n²); split assignment is the same hashSplit as q_split.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("split", TrainData.hashSplit(col("doc_id")))
+      val train = docs.filter(col("split") === "train")
+      val test = docs.filter(col("split") === "test")
+      Dedup.crossOverlap(train, test, col("doc_id"), col("text"), minShared = 5)
+        .groupBy(col("test_id"))
+        .agg(count(lit(1)).as("n_train_matches"), max(col("n_shared")).as("max_shared"))
+        .orderBy(col("test_id"))
+    }),
+
     // Sessionization: per-user sessions under a 30-minute gap timeout —
     // lag + running-sum windows, then a two-level aggregate, one shuffle.
     "q_sessionize" -> ((s, dir) => {
@@ -1879,6 +1894,25 @@ object SparkEntry {
         """SELECT user_id, count(*) AS n_events,
           |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM events GROUP BY user_id""".stripMargin,
+
+      "q_decontaminate" ->
+        s"""WITH split AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, text,
+           |          doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 AS b
+           |        FROM documents)),
+           |tok AS (SELECT doc_id, split, ${OracleGen.toksSql("text")} AS tk FROM split),
+           |sh AS (SELECT doc_id, split,
+           |         unnest(list_distinct(${OracleGen.shinglesOfToks("tk")})) AS sh
+           |       FROM tok),
+           |pairs AS (
+           |  SELECT t.doc_id AS test_id, tr.doc_id AS train_id, count(*) AS n_shared
+           |  FROM sh t JOIN sh tr ON t.sh = tr.sh
+           |  WHERE t.split = 'test' AND tr.split = 'train'
+           |  GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT test_id, count(*) AS n_train_matches, max(n_shared) AS max_shared
+           |FROM pairs GROUP BY test_id ORDER BY test_id""".stripMargin,
 
       "q_sample_stratified" ->
         """SELECT lang, count(*) AS n, min(doc_id) AS min_id,

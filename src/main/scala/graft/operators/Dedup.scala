@@ -165,6 +165,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Train/test contamination report (decontamination): for every test
+    * doc, the train docs it shares at least `minShared` distinct word
+    * shingles with. The join key is the shingle itself (explode +
+    * equi-join + count) — one shuffle on shingle, no O(n²); at 100 TB
+    * the Zipf head of common shingles is the skew risk, so production
+    * runs drop shingles above a document-frequency cap first (the same
+    * stop-shingle idea as vocab's minTf, inverted).
+    */
+  def crossOverlap(train: DataFrame, test: DataFrame, idCol: Column,
+                   textCol: Column, shingleN: Int = 3,
+                   minShared: Int = 2): DataFrame = {
+    def sh(df: DataFrame, side: String) =
+      df.select(idCol.as(side + "_id"),
+        explode(array_distinct(shingles(textCol, shingleN))).as("sh"))
+    sh(test, "test").join(sh(train, "train"), "sh")
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard for explicit candidate pairs.
     * `pairs`: (a_id, b_id). Computes |A∩B| / |A∪B| over distinct shingles.
     * Use LSH candidates (minhashPairs) upstream at scale — never all pairs.
