@@ -532,6 +532,26 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Intra-document repetition ratio (fraction of duplicate 3-gram
+    // shingles — the C4/Gopher-style repetition quality rule), bucketed
+    // into deciles over the corpus plus planted self-repeated variants
+    // (text doubled → ratio ≈ 0.5) so the filter separates classes.
+    // Narrow per-row arithmetic, exactly-rounded.
+    "q_repetition" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.select(col("text"))
+        .unionAll(d.filter(col("doc_id") % 10 === 0)
+          .select(concat(col("text"), lit(" "), col("text")).as("text")))
+      val sh = Dedup.shingles(col("text"), 3)
+      val ratio = lit(1.0) -
+        size(array_distinct(sh)).cast("double") / size(sh).cast("double")
+      corpus
+        .select(floor(ratio * 10).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
     // BPE-ish sub-word token counting, aggregated per source.
     "q_token_bpe" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1504,6 +1524,18 @@ object SparkEntry {
            |  FROM (SELECT ${OracleGen.toksSql("text")} AS tk FROM documents))
            |GROUP BY bucket ORDER BY bucket""".stripMargin
       },
+
+      "q_repetition" ->
+        s"""SELECT bucket, count(*) AS n FROM (
+           |  SELECT CAST(floor((1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+           |    / CAST(len(sh) AS DOUBLE)) * 10) AS BIGINT) AS bucket
+           |  FROM (SELECT ${OracleGen.shinglesOfToks("tk")} AS sh
+           |        FROM (SELECT ${OracleGen.toksSql("text")} AS tk FROM (
+           |          SELECT text FROM documents
+           |          UNION ALL
+           |          SELECT text || ' ' || text AS text FROM documents
+           |          WHERE doc_id % 10 = 0))))
+           |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
       "q_token_bpe" ->
         """SELECT source,
