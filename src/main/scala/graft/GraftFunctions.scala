@@ -35,7 +35,12 @@ object GraftFunctions {
       .toAggregateExpression()),
     "minhash_sig" -> (es => MinHashSig(es(0),
       if (es.length > 1) intLit(es(1), "minhash_sig numHashes") else 8,
-      if (es.length > 2) intLit(es(2), "minhash_sig shingleN") else 3))
+      if (es.length > 2) intLit(es(2), "minhash_sig shingleN") else 3)),
+    "shingles" -> (es => Shingles(es(0),
+      if (es.length > 1) intLit(es(1), "shingles n") else 3,
+      distinct = false)),
+    "repetition_ratio" -> (es => RepetitionRatio(es(0),
+      if (es.length > 1) intLit(es(1), "repetition_ratio n") else 3))
   )
 
   def registerAll(spark: SparkSession): Unit =

@@ -542,11 +542,8 @@ object SparkEntry {
       val corpus = d.select(col("text"))
         .unionAll(d.filter(col("doc_id") % 10 === 0)
           .select(concat(col("text"), lit(" "), col("text")).as("text")))
-      val sh = Dedup.shingles(col("text"), 3)
-      val ratio = lit(1.0) -
-        size(array_distinct(sh)).cast("double") / size(sh).cast("double")
       corpus
-        .select(floor(ratio * 10).as("bucket"))
+        .select(floor(TextFunctions.repetitionRatio(col("text"), 3) * 10).as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{HashEmbed, SimHash}
+import graft.expressions.{HashEmbed, RepetitionRatio, Shingles, SimHash}
 
 /** Text-pipeline column functions: embedding, templating, tokenization,
   * intent rules — the reference's text stages re-expressed as codegen-friendly
@@ -42,6 +42,17 @@ object TextFunctions {
   /** 32-bit SimHash fingerprint (see graft.expressions.SimHash). */
   def simhash(text: Column): Column =
     GraftBridge.column(SimHash(GraftBridge.expression(text)))
+
+  /** Word n-gram shingles, single native pass (see graft.expressions.Shingles;
+    * same semantics as Dedup.shingles (+ array_distinct when `distinct`),
+    * ~20x faster than the interpreted higher-order-function chain).
+    */
+  def shingles(text: Column, n: Int = 3, distinct: Boolean = false): Column =
+    GraftBridge.column(Shingles(GraftBridge.expression(text), n, distinct))
+
+  /** C4/Gopher-style duplicate-shingle ratio in [0, 1) — one native pass. */
+  def repetitionRatio(text: Column, n: Int = 3): Column =
+    GraftBridge.column(RepetitionRatio(GraftBridge.expression(text), n))
 
   /** Single source of truth for the intent-routing word lists — shared by
     * the column classifier, the driver-side Rag.intentOf, and the oracle

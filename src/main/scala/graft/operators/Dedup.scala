@@ -178,7 +178,7 @@ object Dedup {
                    minShared: Int = 2): DataFrame = {
     def sh(df: DataFrame, side: String) =
       df.select(idCol.as(side + "_id"),
-        explode(array_distinct(shingles(textCol, shingleN))).as("sh"))
+        explode(TextFunctions.shingles(textCol, shingleN, distinct = true)).as("sh"))
     sh(test, "test").join(sh(train, "train"), "sh")
       .groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))

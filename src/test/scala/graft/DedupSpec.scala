@@ -48,6 +48,23 @@ class DedupSpec extends SparkSpec {
     assert(j2 < 0.3)
   }
 
+  test("native shingles expression equals the composed builtin form") {
+    import graft.functions.TextFunctions
+    val rows = docs.limit(50).select(
+        Dedup.shingles(col("text"), 3).as("composed"),
+        TextFunctions.shingles(col("text"), 3).as("native"),
+        array_distinct(Dedup.shingles(col("text"), 3)).as("composed_d"),
+        TextFunctions.shingles(col("text"), 3, distinct = true).as("native_d"),
+        TextFunctions.repetitionRatio(col("text"), 3).as("ratio"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[String](2) == r.getSeq[String](3))
+      val (total, d) = (r.getSeq[String](0).size, r.getSeq[String](2).size)
+      assert(r.getDouble(4) == 1.0 - d.toDouble / total.toDouble)
+    }
+  }
+
   test("staged-table minhash pairs equal the localCheckpoint variant") {
     val stage = java.nio.file.Files.createTempDirectory("graft_sigs")
       .resolve("sigs").toString
