@@ -43,8 +43,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // both raw passes ride along so a machine-wide stall spanning one (or
+    // both) passes is diagnosable from the artifact alone — a genuine code
+    // regression moves both passes, a stall moves one (or inflates both by
+    // the same wall-clock window)
+    val ps = pass1.map { case (n, t1) => s"\"$n\":[$t1,${pass2(n)}]" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

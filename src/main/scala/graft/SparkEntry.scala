@@ -28,13 +28,13 @@ object SparkEntry {
   private val dec4: DecimalType = DecimalType(4, 2)
 
   /** Staged-setup directory for one-time per-sf-dir layouts (partitioned
-    * tables, vector stores). The version tag participates in the path so
-    * a change to any layout's derivation logic can never silently reuse a
-    * stale cache from a previous build — bump it when a layout changes.
+    * tables, vector stores). The tag carries a per-layout version (bump it
+    * when that layout's derivation changes) and the path embeds a content
+    * fingerprint of the source dir, so neither a logic change nor
+    * regenerated testdata can silently reuse a stale cache (see Staging).
     */
   private def stagedPath(tag: String, dir: String): String =
-    sys.props("java.io.tmpdir") + s"/graft_${tag}_v1_" +
-      Integer.toHexString(dir.hashCode)
+    graft.tables.Staging.stagedPath(tag, dir)
 
   /** DECIMAL-exact discounted price: l_extendedprice * (1 - l_discount). */
   private def discPrice = {
@@ -349,7 +349,7 @@ object SparkEntry {
     // probe a 5/16 scan, exact re-rank inside. Same result as the
     // in-memory ann_lsh_multi; here the layout itself is the index.
     "q_vector_store" -> ((s, dir) => {
-      val path = stagedPath("vector_store", dir)
+      val path = stagedPath("vector_store_v1", dir)
       this.synchronized {
         if (!new java.io.File(path, "_SUCCESS").exists())
           graft.operators.VectorStore.write(Tables.embeddings(s, dir),
@@ -464,7 +464,7 @@ object SparkEntry {
     // layout (multi-probe reads 5/16 of the store). One-time setup per sf
     // dir; the measured query is the pruned integer-dot top-k.
     "q_vector_store_quantized" -> ((s, dir) => {
-      val path = stagedPath("vector_store_q8", dir)
+      val path = stagedPath("vector_store_q8_v1", dir)
       this.synchronized {
         if (!new java.io.File(path, "_SUCCESS").exists()) {
           Tables.embeddings(s, dir)
@@ -961,32 +961,22 @@ object SparkEntry {
     }),
 
     // Exact second moments from integer fixed-point sums: mean, sample
-    // variance/stddev, and corr(quantity, discount) computed from
-    // long-typed power sums (bit-exact across engines; raw-double stddev
-    // partial-merge order is not). Long capacity bounds this at ~sf1 —
-    // beyond that the sums need DECIMAL(38,0).
+    // variance/stddev, and corr(quantity, discount) computed from power
+    // sums (bit-exact across engines; raw-double stddev partial-merge
+    // order is not). Sums accumulate as DECIMAL(38,0) so the
+    // sum-of-squares never overflows at corpus scale (see Stats).
     "q_stats_moments" -> ((s, dir) => {
       val qfp = round(col("l_quantity") * lit(100)).cast("long")
       val dfp = round(col("l_discount") * lit(100)).cast("long")
       val n = col("n")
-      def varFp(s2: Column, s1: Column, scale: Double): Column =
-        (n * s2 - s1 * s1).cast("double") / (n * (n - 1)).cast("double") / scale
-      Tables.lineitem(s, dir)
-        .select(col("l_returnflag"), qfp.as("q"), dfp.as("d"))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("q")).as("sq"), sum(col("d")).as("sd"),
-          sum(col("q") * col("q")).as("sqq"),
-          sum(col("d") * col("d")).as("sdd"),
-          sum(col("q") * col("d")).as("sqd"))
-        .select(col("l_returnflag"), n,
+      graft.operators.Stats.powerSums(
+          Tables.lineitem(s, dir), col("l_returnflag"), qfp, dfp)
+        .select(col("k").as("l_returnflag"), n,
           (col("sq").cast("double") / n / 100.0).as("mean_qty"),
-          varFp(col("sqq"), col("sq"), 10000.0).as("var_qty"),
-          sqrt(varFp(col("sqq"), col("sq"), 10000.0)).as("std_qty"),
-          ((n * col("sqd") - col("sq") * col("sd")).cast("double") /
-            (sqrt((n * col("sqq") - col("sq") * col("sq")).cast("double")) *
-             sqrt((n * col("sdd") - col("sd") * col("sd")).cast("double"))))
-            .as("corr_qty_disc"))
+          graft.operators.Stats.sampleVar(n, col("sqq"), col("sq"), 10000.0).as("var_qty"),
+          sqrt(graft.operators.Stats.sampleVar(n, col("sqq"), col("sq"), 10000.0)).as("std_qty"),
+          graft.operators.Stats.corrFromSums(n, col("sq"), col("sd"),
+            col("sqq"), col("sdd"), col("sqd")).as("corr_qty_disc"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -997,7 +987,7 @@ object SparkEntry {
     // non-1998 files. The layout pattern that makes 100 TB scans cheap;
     // with the setup split out, the measured query IS the pruned read.
     "q_partition_prune" -> ((s, dir) => {
-      val out = stagedPath("part_orders", dir)
+      val out = stagedPath("part_orders_v1", dir)
       this.synchronized {
         if (!new java.io.File(out, "_SUCCESS").exists()) {
           Tables.orders(s, dir)

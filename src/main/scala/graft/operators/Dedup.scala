@@ -144,6 +144,10 @@ object Dedup {
     val bits = graft.expressions.SimHash.Bits
     require(bits % numBands == 0,
       s"numBands ($numBands) must divide $bits — ragged bands would drop trailing bits")
+    require(maxHamming < numBands,
+      s"maxHamming ($maxHamming) must be < numBands ($numBands) — the pigeonhole " +
+        "completeness guarantee (some band agrees) only holds up to numBands-1 " +
+        "differing bits; beyond that pairs are silently missed")
     val w = bits / numBands
     val mask = (1L << w) - 1
     // materialized once for the same reason as minhashPairs: the self-join's

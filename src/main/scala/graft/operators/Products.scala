@@ -44,10 +44,10 @@ object Products {
     * from the part parquet without reading the CSV.
     */
   def stageProductsCsv(spark: SparkSession, sfDir: String): String = {
-    // _v1: bump when the column derivation changes — the tag keys the
-    // one-time cache so stale layouts can't survive a logic change
-    val out = sys.props("java.io.tmpdir") + "/graft_products_csv_v1_" +
-      Integer.toHexString(sfDir.hashCode)
+    // _v1: bump when the column derivation changes; the path also embeds a
+    // content fingerprint of the source dir so regenerated testdata can
+    // never serve a stale staged CSV (see Staging)
+    val out = graft.tables.Staging.stagedPath("products_csv_v1", sfDir)
     this.synchronized {
       if (!new java.io.File(out, "_SUCCESS").exists()) {
         Tables.part(spark, sfDir).select(

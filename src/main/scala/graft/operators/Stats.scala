@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact distributed second moments (mean/variance/stddev/correlation)
+  * from integer fixed-point power sums.
+  *
+  * Raw-double variance/corr aggregates are partial-merge-order dependent
+  * (each partition folds doubles in its own order), so results differ
+  * run-to-run and engine-to-engine in the last bits. Instead: quantize
+  * each value to integer fixed-point (e.g. cents), aggregate the power
+  * sums EXACTLY, and derive the moments from the sums — bit-identical on
+  * any partitioning and any engine.
+  *
+  * The sums accumulate as DECIMAL(38,0) (128-bit), not BIGINT: a
+  * sum-of-squares of c-cent values overflows a 64-bit long at roughly
+  * n·c² > 9.2e18 — for 5000-cent quantities that is ~4e11 rows (≈ sf70k
+  * lineitem, i.e. well inside a 100 TB corpus). DECIMAL(38,0) pushes the
+  * bound to 1e38 (~1e30 rows) with per-row products still computed in
+  * cheap long arithmetic (values ≤ ~1e9 cents square inside a long).
+  */
+object Stats {
+
+  private val dec38: DecimalType = DecimalType(38, 0)
+
+  /** Exact power sums of two pre-quantized long columns per group:
+    * n, Σq, Σd, Σq², Σd², Σq·d — the sufficient statistic for all second
+    * moments. One shuffle on the group key; partial aggregation folds
+    * map-side.
+    */
+  def powerSums(df: DataFrame, key: Column, q: Column, d: Column): DataFrame =
+    df.select(key.as("k"), q.as("q"), d.as("d"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast(dec38)).as("sq"),
+        sum(col("d").cast(dec38)).as("sd"),
+        sum((col("q") * col("q")).cast(dec38)).as("sqq"),
+        sum((col("d") * col("d")).cast(dec38)).as("sdd"),
+        sum((col("q") * col("d")).cast(dec38)).as("sqd"))
+
+  /** Sample variance from power sums: (n·Σx² − (Σx)²) / (n(n−1)) / scale²,
+    * the subtraction exact in DECIMAL before the single final double cast.
+    */
+  def sampleVar(n: Column, s2: Column, s1: Column, scaleSq: Double): Column =
+    (n * s2 - s1 * s1).cast("double") / (n * (n - 1)).cast("double") / scaleSq
+
+  /** Pearson correlation from power sums — numerator and both variance
+    * terms exact in DECIMAL, one sqrt/divide at the end.
+    */
+  def corrFromSums(n: Column, sq: Column, sd: Column, sqq: Column,
+                   sdd: Column, sqd: Column): Column =
+    (n * sqd - sq * sd).cast("double") /
+      (sqrt((n * sqq - sq * sq).cast("double")) *
+        sqrt((n * sdd - sd * sd).cast("double")))
+}
