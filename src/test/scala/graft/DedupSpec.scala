@@ -96,6 +96,55 @@ class DedupSpec extends SparkSpec {
     assert(mined.forall { case (a, b) => SimHash.hamming(fps(a), fps(b)) <= 3 })
   }
 
+  test("crossOverlap df-cap drops a corpus-wide stop-shingle and bounds fan-out") {
+    import spark.implicits._
+    // every doc shares the stop-shingle "aa bb cc"; each (i, i+1000) pair
+    // additionally shares a unique 2-shingle run ("u<i> v<i> w<i> x<i>")
+    val stop = "aa bb cc"
+    val train = (0 until 40).map(i => (i.toLong, s"$stop u$i v$i w$i x$i")).toDF("id", "text")
+    val test = (0 until 40).map(i => ((i + 1000).toLong, s"$stop u$i v$i w$i x$i")).toDF("id", "text")
+
+    // uncapped: the stop-shingle joins every test doc to every train doc
+    val uncapped = Dedup.crossOverlap(train, test, col("id"), col("text"), minShared = 1)
+    assert(uncapped.count() == 40L * 40)
+
+    // capped at 10: the stop-shingle (df=80) is excluded; only the unique
+    // runs survive, so each test doc matches exactly its planted twin —
+    // per-shingle join fan-out is bounded by the cap, not corpus size
+    val capped = Dedup.crossOverlap(train, test, col("id"), col("text"),
+      minShared = 1, maxDf = 10)
+    val rows = capped.collect()
+    assert(rows.length == 40)
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1) + 1000))
+    // planted twins share every surviving shingle (the 2 pure-run shingles
+    // plus the 2 run/stop boundary shingles, each unique to the pair) —
+    // the signal the cap must NOT erode
+    assert(rows.forall(_.getLong(2) == 4L))
+  }
+
+  test("minhash/simhash hot-bucket cap drops degenerate buckets, keeps real pairs") {
+    import spark.implicits._
+    // 60 identical boilerplate docs (one degenerate bucket of 60 in every
+    // band) + one genuine near-dup pair with distinct text
+    val boiler = (0 until 60).map(i => (i.toLong, "the same boilerplate text repeated verbatim"))
+    val pair = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+    val df = (boiler ++ pair).toDF("id", "text")
+
+    val uncapped = Dedup.minhashPairs(df, col("id"), col("text"))
+    assert(uncapped.count() >= 60L * 59 / 2) // quadratic in the hot bucket
+
+    val capped = Dedup.minhashPairs(df, col("id"), col("text"), maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((100L, 101L)), "real near-dup pair must survive the cap")
+    assert(!capped.exists { case (a, b) => a < 60 && b < 60 },
+      "degenerate-bucket pairs must be excluded")
+
+    val cappedSim = Dedup.simhashPairs(df, col("id"), col("text"), maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cappedSim.exists { case (a, b) => a < 60 && b < 60 })
+  }
+
   test("simhash: near-dups within small hamming distance, self distance 0") {
     val t = "the quick brown fox jumps over the lazy dog again and again today"
     val fp1 = SimHash.fingerprint(t)
