@@ -528,6 +528,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // E1 email pipeline end-to-end (email_fetching.py:41-57 as ONE
+    // composed pipeline): raw MIME built in-query → parse / text-plain
+    // filter / re-agg (Mime.ingest) → hash-embed (Products.buildEmailTexts,
+    // the store's implicit embedding made explicit) → one row per message
+    // with the fixed-point checksum of all 64 embedding elements.
+    "q_email_pipeline" -> ((s, dir) => {
+      val raw = concat(
+        lit("Content-Type: multipart/mixed; boundary=\"b42\"\n\n--b42\nContent-Type: text/plain\n\n"),
+        col("text"),
+        lit("\n--b42\nContent-Type: text/html\n\n<b>ignore</b>\n--b42\nContent-Type: text/plain\n\ntail part\n--b42--\n"))
+      val msgs = Tables.documents(s, dir).select(col("doc_id").as("id"), raw.as("raw"))
+      graft.operators.Products.buildEmailTexts(msgs)
+        .select(col("id").as("doc_id"), col("document"),
+          aggregate(transform(col("embedding"),
+              x => floor(x * lit(1000000000000.0)).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("emb_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text analysis (north-star) ----
 
     // Language-ID heuristic vs the labeled lang column (confusion counts).
@@ -900,6 +919,40 @@ object SparkEntry {
       Quantize.knnQuantized(Tables.embeddings(s, dir), col("embedding"),
           col("vec_id"), QueryVec.values, k = 10)
         .select(col("vec_id"), col("label"), col("qdot"), col("score"))
+    }),
+
+    // ANN recall as a tracked, oracled metric (tolerance-flag contract of
+    // q_approx_distinct): recall@10 of each approximate method against its
+    // exact baseline — lsh_multi and ivf vs exact L2 top-10, quantized
+    // (dot-ranked) vs exact dot top-10 — with each method's contractual
+    // floor in the output. lsh_multi/quantized carry >= 0.8; ivf with
+    // formula-deterministic (untrained) centroids at nprobe=4/8 trades
+    // half the scan for roughly half the recall, so its floor is 0.4 —
+    // nprobe is the recall lever, k-means training the quality lever.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exactL2 = Knn.knn(emb, col("embedding"), col("vec_id"),
+        QueryVec.values, 10, Knn.L2).select(col("vec_id"))
+      val exactDot = Knn.knn(emb, col("embedding"), col("vec_id"),
+        QueryVec.values, 10, Knn.Dot).select(col("vec_id"))
+      def row(method: String, minRecall: Double, approx: DataFrame,
+              baseline: DataFrame): DataFrame =
+        approx.join(baseline, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(method).as("method"),
+            (col("n_hits").cast("double") / 10).as("recall_at_10"),
+            lit(minRecall).as("min_recall"),
+            (col("n_hits").cast("double") / 10 >= lit(minRecall)).as("recall_ok"))
+      row("ivf_nprobe4", 0.4,
+          Ann.annIvf(emb, col("embedding"), col("vec_id"), QueryVec.values,
+            k = 10, nlist = 8, nprobe = 4).select(col("vec_id")), exactL2)
+        .unionAll(row("lsh_multi", 0.8,
+          Ann.annLshMulti(emb, col("embedding"), col("vec_id"), QueryVec.values,
+            k = 10).select(col("vec_id")), exactL2))
+        .unionAll(row("quantized", 0.8,
+          Quantize.knnQuantized(emb, col("embedding"), col("vec_id"),
+            QueryVec.values, k = 10).select(col("vec_id")), exactDot))
+        .orderBy(col("method"))
     }),
 
     // Range (band) join: orders priced into tier bands via a non-equi join
@@ -1509,6 +1562,83 @@ object SparkEntry {
       "q_mime_roundtrip" ->
         """SELECT doc_id, text || chr(10) || 'tail part' AS document
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_email_pipeline" ->
+        s"""WITH src AS (
+           |  SELECT doc_id AS id, text || chr(10) || 'tail part' AS document
+           |  FROM documents),
+           |${OracleGen.embedCte("m", "src", "id", "document", 64)}
+           |SELECT s.id AS doc_id, s.document AS document,
+           |  CAST(list_sum(list_transform(e.emb,
+           |    x -> CAST(floor(x * 1000000000000.0) AS BIGINT))) AS BIGINT) AS emb_fp
+           |FROM src s JOIN m_emb e ON e.id = s.id
+           |ORDER BY doc_id""".stripMargin,
+
+      "q_ann_recall" -> {
+        val l2 = OracleGen.l2ToQuery("embedding")
+        val dotQ = OracleGen.dotToQuery("embedding")
+        val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+        val nlist = 8
+        val ivfProbes = Ann.ivfProbes(QueryVec.values, nlist, 4).mkString(", ")
+        val dCols = (0 until nlist)
+          .map(j => s"    ${OracleGen.l2ToCentroid("embedding", j, 64)} AS d$j")
+          .mkString(",\n")
+        val caseArms = (0 until nlist - 1)
+          .map(j => s"WHEN d$j = mind THEN $j").mkString(" ")
+        val (codes, qMaxAbs) = Quantize.quantizeQuery(QueryVec.values)
+        val qdotChain = (1 to 64).map(k => s"codes[$k] * (${codes(k - 1)})").mkString(" + ")
+        s"""WITH exact_l2 AS (
+           |  SELECT vec_id FROM embeddings ORDER BY $l2 ASC, vec_id ASC LIMIT 10),
+           |exact_dot AS (
+           |  SELECT vec_id FROM embeddings ORDER BY $dotQ DESC, vec_id ASC LIMIT 10),
+           |lshm AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |           $l2 AS distance
+           |    FROM embeddings)
+           |  WHERE bucket IN ($probes) ORDER BY distance ASC, vec_id ASC LIMIT 10),
+           |dists AS (
+           |  SELECT vec_id, embedding,
+           |$dCols
+           |  FROM embeddings),
+           |cells AS (
+           |  SELECT vec_id, embedding,
+           |    CASE $caseArms ELSE ${nlist - 1} END AS cell
+           |  FROM (SELECT *, least(${(0 until nlist).map("d" + _).mkString(", ")}) AS mind
+           |        FROM dists)),
+           |ivf AS (
+           |  SELECT vec_id FROM cells WHERE cell IN ($ivfProbes)
+           |  ORDER BY $l2 ASC, vec_id ASC LIMIT 10),
+           |qv AS (
+           |  SELECT vec_id, maxabs,
+           |    list_transform(embedding, x -> CAST(CASE WHEN maxabs = 0 THEN 0
+           |      ELSE round(CAST(x AS DOUBLE) * 127.0 / maxabs) END AS BIGINT)) AS codes
+           |  FROM (SELECT vec_id, embedding,
+           |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+           |        FROM embeddings)),
+           |quant AS (
+           |  SELECT vec_id
+           |  FROM (SELECT vec_id, maxabs, $qdotChain AS qdot FROM qv)
+           |  ORDER BY (CAST(qdot AS DOUBLE) * (maxabs / 127.0)) * ($qMaxAbs / 127.0) DESC,
+           |           vec_id ASC LIMIT 10),
+           |r AS (
+           |  SELECT 'ivf_nprobe4' AS method,
+           |    CAST((SELECT count(*) FROM ivf
+           |          WHERE vec_id IN (SELECT vec_id FROM exact_l2)) AS DOUBLE) / 10
+           |      AS recall_at_10,
+           |    CAST(0.4 AS DOUBLE) AS min_recall
+           |  UNION ALL SELECT 'lsh_multi',
+           |    CAST((SELECT count(*) FROM lshm
+           |          WHERE vec_id IN (SELECT vec_id FROM exact_l2)) AS DOUBLE) / 10,
+           |    CAST(0.8 AS DOUBLE)
+           |  UNION ALL SELECT 'quantized',
+           |    CAST((SELECT count(*) FROM quant
+           |          WHERE vec_id IN (SELECT vec_id FROM exact_dot)) AS DOUBLE) / 10,
+           |    CAST(0.8 AS DOUBLE))
+           |SELECT method, recall_at_10, min_recall,
+           |       recall_at_10 >= min_recall AS recall_ok
+           |FROM r ORDER BY method""".stripMargin
+      },
 
       "dedup_exact" ->
         """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
