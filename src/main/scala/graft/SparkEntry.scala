@@ -376,6 +376,31 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
     }),
 
+    // Incremental vector-store maintenance: the store is built by an
+    // initial write of half the vectors, an append of the other half, and
+    // a re-append of an already-present slice (idempotence: dropped by the
+    // id anti-join). The probe over the appended store must equal the
+    // probe over a fresh full write — the oracle is the same full-corpus
+    // SQL as q_vector_store.
+    "q_vector_store_append" -> ((s, dir) => {
+      val path = stagedPath("vector_store_app_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(path, "_GRAFT_APPENDED").exists()) {
+          val emb = Tables.embeddings(s, dir)
+          graft.operators.VectorStore.write(
+            emb.filter(col("vec_id") % 2 === 0), col("embedding"), path)
+          graft.operators.VectorStore.append(
+            emb.filter(col("vec_id") % 2 === 1), col("embedding"), path)
+          graft.operators.VectorStore.append(
+            emb.filter(col("vec_id") % 4 === 0), col("embedding"), path)
+          new java.io.File(path, "_GRAFT_APPENDED").createNewFile()
+        }
+      }
+      graft.operators.VectorStore.queryL2(s, path, "embedding", "vec_id",
+          QueryVec.values, 5)
+        .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), col("doc_id"), col("text"))
         .select(col("keep_id").as("doc_id"), col("n_dups"))
@@ -1414,6 +1439,20 @@ object SparkEntry {
       },
 
       "q_vector_store" -> {
+        val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+        s"""SELECT vec_id, label, bucket, distance FROM (
+           |  SELECT vec_id, label,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |         ${OracleGen.l2ToQuery("embedding")} AS distance
+           |  FROM embeddings)
+           |WHERE bucket IN ($probes)
+           |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
+      },
+
+      // write-half + append-half + idempotent re-append must serve the
+      // same probe result as a fresh full write, so the oracle is the
+      // identical full-corpus probe SQL
+      "q_vector_store_append" -> {
         val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
         s"""SELECT vec_id, label, bucket, distance FROM (
            |  SELECT vec_id, label,

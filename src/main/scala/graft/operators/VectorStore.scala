@@ -32,6 +32,27 @@ object VectorStore {
     df.withColumn("bucket", Ann.bucketOf(vecCol, numPlanes, dim))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Append new vectors into an existing store, idempotent on `idName`:
+    * rows whose id is already present are dropped (anti-join against the
+    * store's id projection — a column-pruned scan that never touches the
+    * vectors), the rest land in their bucket partitions via dynamic
+    * partition append. The reference's store is append-on-add
+    * (`email_fetching.py:54-57`, `rag.py:52-59`); this is that ingest
+    * path against the partitioned layout. The layout invariant (bucket =
+    * partition directory) is preserved, so probes against an appended
+    * store prune exactly like against a fresh write; periodic compaction
+    * (rewrite of a bucket's small files) is an orthogonal maintenance
+    * pass that never changes results.
+    */
+  def append(df: DataFrame, vecCol: Column, path: String,
+             idName: String = "vec_id", numPlanes: Int = 4,
+             dim: Int = 64): Unit = {
+    val existing = df.sparkSession.read.parquet(path).select(col(idName))
+    df.withColumn("bucket", Ann.bucketOf(vecCol, numPlanes, dim))
+      .join(existing, Seq(idName), "left_anti")
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
+
   /** Partition-pruned L2 top-k against a written store. `multiProbe`
     * trades scan fraction for recall; the scanned fraction is
     * |probes| / 2^numPlanes either way.

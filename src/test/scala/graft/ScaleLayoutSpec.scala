@@ -74,6 +74,32 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(ids == direct, "persisted probe must equal the in-memory multi-probe")
   }
 
+  test("VectorStore append: idempotent on vec_id, pruning preserved, equals fresh write") {
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_app").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb.filter(col("vec_id") % 2 === 0), col("embedding"), out)
+    VectorStore.append(emb.filter(col("vec_id") % 2 === 1), col("embedding"), out)
+    val nAfterAppend = spark.read.parquet(out).count()
+    assert(nAfterAppend == emb.count(), "append must land every new vector")
+
+    // re-appending already-present ids is a no-op (id anti-join)
+    VectorStore.append(emb.filter(col("vec_id") % 4 === 0), col("embedding"), out)
+    assert(spark.read.parquet(out).count() == nAfterAppend,
+      "re-append of existing ids must not duplicate rows")
+
+    // probe over the appended store still prunes and equals a fresh full write
+    val q = VectorStore.queryL2(spark, out, "embedding", "vec_id", QueryVec.values, 5)
+    assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "probe over appended store must prune bucket partitions")
+    val fresh = Files.createTempDirectory("graft_vs_fresh").toFile.getAbsolutePath + "/store"
+    VectorStore.write(emb, col("embedding"), fresh)
+    val a = q.collect().map(_.getAs[Long]("vec_id")).toSeq
+    val b = VectorStore.queryL2(spark, fresh, "embedding", "vec_id", QueryVec.values, 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(a == b, "appended store must serve the same probe result as a fresh write")
+  }
+
   test("selective filter + projection reach the parquet scan") {
     val df = Tables.lineitem(spark, sf0001)
       .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
