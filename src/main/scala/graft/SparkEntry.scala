@@ -1130,7 +1130,8 @@ object SparkEntry {
     "q_stream_hourly" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
       val src = s.readStream.schema(Tables.events(s, dir).schema)
-        .parquet(graft.streaming.Streaming.stageFileToDir(s"$dir/events.parquet"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "events", "ts"))
       val agg = src
         .select(timestamp_micros(expr("ts div 1000")).as("ts_t"), col("value"))
         .withWatermark("ts_t", "2 hours")
@@ -1150,7 +1151,8 @@ object SparkEntry {
     "q_stream_sessions" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
       val src = s.readStream.schema(Tables.events(s, dir).schema)
-        .parquet(graft.streaming.Streaming.stageFileToDir(s"$dir/events.parquet"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "events", "ts"))
       val sess = graft.streaming.Streaming.sessionCounts(
         src.select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts_t")),
         "ts_t", "user_id", gap = "30 minutes")
@@ -1171,8 +1173,9 @@ object SparkEntry {
     "q_stream_join" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
       val schema = Tables.events(s, dir).schema
-      val staged = graft.streaming.Streaming.stageFileToDir(s"$dir/events.parquet")
-      def src = s.readStream.schema(schema).parquet(staged)
+      val staged = graft.streaming.Streaming.stageSplitSource(s, dir, "events", "ts")
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
           timestamp_micros(expr("ts div 1000")).as("p_ts"))
@@ -1196,7 +1199,8 @@ object SparkEntry {
     "q_stream_embed" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
       val src = s.readStream.schema(Tables.documents(s, dir).schema)
-        .parquet(graft.streaming.Streaming.stageFileToDir(s"$dir/documents.parquet"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "documents", "doc_id"))
       val emb = graft.streaming.Streaming.embedStream(src, "doc_id", "text")
         .select(col("doc_id"),
           aggregate(transform(col("embedding"),
@@ -1213,7 +1217,8 @@ object SparkEntry {
     "q_stream_dedup" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
       val src = s.readStream.schema(Tables.documents(s, dir).schema)
-        .parquet(graft.streaming.Streaming.stageFileToDir(s"$dir/documents.parquet"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "documents", "doc_id"))
       val distinctHashes = src.select(md5(col("text")).as("text_md5"))
         .dropDuplicates("text_md5")
       graft.streaming.Streaming.drainAppendToParquet(distinctHashes,
@@ -1222,19 +1227,21 @@ object SparkEntry {
 
     // Custom keyed state (flatMapGroupsWithState) over the event stream:
     // running per-user count + exact integer cents sum, emitted in Update
-    // mode. Over the bounded source (one batch) each user's converged
-    // state appears exactly once — the batch GROUP BY oracles it.
+    // mode across >= 3 micro-batches; the drain keeps each user's LATEST
+    // update (max batch id), which after the final batch is the converged
+    // state — the batch GROUP BY oracles it.
     "q_stream_user_stats" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
       import s.implicits._
       val src = s.readStream.schema(Tables.events(s, dir).schema)
-        .parquet(graft.streaming.Streaming.stageFileToDir(s"$dir/events.parquet"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "events", "ts"))
       val ev = src.select(col("user_id"),
           round(col("value") * 100).cast("long").as("cents"))
         .as[graft.streaming.Streaming.UserEventC]
       val stats = graft.streaming.Streaming.runningUserStatsExact(ev).toDF()
       graft.streaming.Streaming.drainUpdateToParquet(stats,
-        "userstats_" + Integer.toHexString(dir.hashCode))
+        "userstats_" + Integer.toHexString(dir.hashCode), Seq("user_id"))
     })
   )
 

@@ -79,6 +79,55 @@ object Streaming {
     dir.toString
   }
 
+  /** Stage a table as `splits` parquet files partitioned into ascending
+    * ranges of `orderCol` (a numeric column — event time for streams,
+    * the id for unordered tables), with strictly increasing modification
+    * times so the file source replays them in range order. With
+    * `maxFilesPerTrigger=1` each file becomes its own micro-batch: the
+    * query exercises cross-batch state merge (windows, sessions, join
+    * buffers, dedup state) instead of collapsing to a single batch,
+    * while the ascending event-time ranges mean no batch ever arrives
+    * behind the watermark — incremental execution must still converge
+    * exactly to the batch oracle. One-time per source fingerprint.
+    */
+  def stageSplitSource(s: org.apache.spark.sql.SparkSession, sfDir: String,
+                       table: String, orderCol: String,
+                       splits: Int = 3): String = {
+    import java.nio.file.{Files, Paths}
+    val out = graft.tables.Staging.stagedPath(s"stream_${table}_${splits}f_v1", sfDir)
+    this.synchronized {
+      if (!Files.exists(Paths.get(out, "_GRAFT_DONE"))) {
+        val outP = Paths.get(out)
+        Files.createDirectories(outP)
+        val df = s.read.parquet(s"$sfDir/$table.parquet")
+        val mm = df.agg(min(col(orderCol)).cast("long"),
+          max(col(orderCol)).cast("long")).head()
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val width = (mx - mn) / splits + 1
+        val base = System.currentTimeMillis()
+        (0 until splits).foreach { i =>
+          val lo = mn + width * i
+          val tmp = Files.createTempDirectory("graft_split").toString
+          df.filter(col(orderCol).cast("long") >= lo &&
+              (if (i == splits - 1) lit(true)
+               else col(orderCol).cast("long") < lo + width))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          import scala.jdk.CollectionConverters._
+          val part = Files.list(Paths.get(tmp)).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written for split $i"))
+          val dst = outP.resolve(f"split-$i%04d.parquet")
+          Files.move(part, dst)
+          // strictly increasing mtimes pin the source's replay order
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        }
+        Files.createFile(Paths.get(out, "_GRAFT_DONE"))
+      }
+    }
+    out
+  }
+
   /** Drain a streaming DataFrame to completion through a DISTRIBUTED sink:
     * Trigger.AvailableNow processes everything currently available, and
     * each micro-batch's foreachBatch writes the full Complete-mode state to
@@ -106,17 +155,31 @@ object Streaming {
     * dedup): each micro-batch's new rows append to the parquet sink from
     * the executors; the output directory is recreated per run so
     * re-execution is idempotent. This is exactly the production
-    * append-sink shape.
+    * append-sink shape. Every row is stamped with its micro-batch id
+    * (dropped from the returned frame) so multi-batch execution is
+    * auditable from the sink alone.
     */
   def drainAppendToParquet(stream: DataFrame, name: String): DataFrame =
-    drainAccumulating(stream, name, OutputMode.Append())
+    drainAccumulating(stream, name, OutputMode.Append()).drop("_batch_id")
 
   /** Update-mode drain (flatMapGroupsWithState and other update-emitting
-    * operators): each batch's updated rows append; over a bounded source
-    * processed in one batch, each key's final state appears exactly once.
+    * operators): each batch appends its updated rows, so a key that
+    * updates in several micro-batches appears once PER BATCH in the raw
+    * sink — the read-back keeps only each key's latest update (max batch
+    * id; Update mode emits at most one row per key per batch, so the
+    * winner is unique). This is the standard consume-an-update-log
+    * shape, correct for any number of micro-batches.
     */
-  def drainUpdateToParquet(stream: DataFrame, name: String): DataFrame =
-    drainAccumulating(stream, name, OutputMode.Update())
+  def drainUpdateToParquet(stream: DataFrame, name: String,
+                           keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = drainAccumulating(stream, name, OutputMode.Update())
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_batch_id").desc)
+    raw.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_batch_id")
+  }
 
   private def drainAccumulating(stream: DataFrame, name: String,
                                 mode: OutputMode): DataFrame = {
@@ -128,7 +191,8 @@ object Streaming {
       Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) => batch.write.mode("append").parquet(out)
+      (batch, bid) => batch.withColumn("_batch_id", lit(bid))
+        .write.mode("append").parquet(out)
     val q = stream.writeStream
       .outputMode(mode)
       .foreachBatch(writeBatch)

@@ -108,6 +108,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("split source + maxFilesPerTrigger drives >=3 micro-batches; update drain converges") {
+    import spark.implicits._
+    // the staged split dir replays 3 ts-ordered files as 3 micro-batches;
+    // the update drain must keep only each user's LAST update
+    val sf = sf0001
+    val srcDir = Streaming.stageSplitSource(spark, sf, "events", "ts", splits = 3)
+    assert(new java.io.File(srcDir).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 3)
+    val src = spark.readStream
+      .schema(graft.tables.Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val ev = src.select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[Streaming.UserEventC]
+    val stats = Streaming.runningUserStatsExact(ev).toDF()
+    val out = Streaming.drainUpdateToParquet(stats, "spec_multibatch", Seq("user_id"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+
+    // the RAW sink (pre-dedup) must show >= 3 distinct micro-batches, and
+    // users spanning batches must appear more than once there
+    val raw = spark.read.parquet(
+      sys.props("java.io.tmpdir") + "/graft_stream_out_spec_multibatch")
+    val nBatches = raw.select("_batch_id").distinct().count()
+    assert(nBatches >= 3, s"expected >=3 micro-batches, got $nBatches")
+    assert(raw.count() > raw.select("user_id").distinct().count(),
+      "some user must update in more than one batch for the merge to be exercised")
+
+    // converged state equals the batch GROUP BY
+    val batch = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out == batch)
+  }
+
   test("embedStream runs the embed stage on a stream (stateless narrow)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
