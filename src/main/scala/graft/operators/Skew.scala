@@ -24,8 +24,11 @@ object Skew {
     require(factor > 0, "salt factor must be positive")
     // salt must spread IDENTICAL duplicate rows too (duplicate records are a
     // common cause of the very skew this targets), so hash row content plus
-    // a per-row id; monotonically_increasing_id keeps it deterministic for a
-    // given partitioning
+    // a per-row id. The id (and thus a row's salt) varies with the input
+    // partitioning — correctness never depends on WHICH salt a row gets
+    // (the small side carries every salt), only that hot keys spread; a
+    // content-only hash would be repartition-stable but would stack
+    // duplicate rows back onto one salt.
     val salted = large.withColumn("__salt",
       pmod(xxhash64(large.columns.map(col).toIndexedSeq :+ monotonically_increasing_id(): _*),
         lit(factor)).cast("int"))

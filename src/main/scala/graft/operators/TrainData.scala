@@ -26,13 +26,23 @@ object TrainData {
 
   /** Term + document frequency table, most-frequent first.
     *
+    * Two-level aggregation for exact df without a distinct-set hot key:
+    * level one groups by (token, doc) — no skew, partial counts absorb
+    * within-doc repeats map-side; level two sums tf and counts rows per
+    * token, where partial aggregation absorbs the Zipf head because the
+    * carried state is two longs, never a set of doc ids (the shape
+    * `count_distinct(id)` cannot give: its partial state for "the" is
+    * every doc id in the corpus).
+    *
     * @param minTf drop tokens with global count below this (noise floor)
     */
   def vocab(df: DataFrame, idCol: Column, textCol: Column,
             minTf: Long = 1L, topN: Int = 100): DataFrame =
     df.select(idCol.as("id"), explode(TextFunctions.tokens(textCol)).as("tok"))
+      .groupBy(col("tok"), col("id"))
+      .agg(count(lit(1)).as("tf_doc"))
       .groupBy(col("tok"))
-      .agg(count(lit(1)).as("tf"), count_distinct(col("id")).as("df"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
       .filter(col("tf") >= minTf)
       .orderBy(col("tf").desc, col("tok").asc)
       .limit(topN)
