@@ -67,6 +67,30 @@ object SparkEntry {
       |SELECT doc_id + 100000 AS id, text || ' zz extra token' AS text
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
+  /** CTE chain (without the WITH keyword) deriving the capped MinHash+LSH
+    * candidate pairs of the near-dup corpus — `sg` (id, sig) and `pairs`
+    * (a_id, b_id) are in scope afterwards. Shared by the dedup_minhash and
+    * dedup_clusters oracles so both check the identical candidate set.
+    */
+  private lazy val minhashPairsCteSql: String =
+    s"""corpus AS ($nearDupCorpusSql),
+       |tok AS (SELECT id, ${OracleGen.toksSql("text")} AS tk FROM corpus),
+       |shingled AS (SELECT id, ${OracleGen.shinglesOfToks("tk")} AS sh FROM tok),
+       |hashed AS (SELECT id, list_transform(sh, s -> md5(s)) AS hs FROM shingled),
+       |sg AS (SELECT id, ${OracleGen.minhashSigOfHashes("hs", 8)} AS sig FROM hashed),
+       |bands0 AS (
+       |  SELECT id, sig, j AS band_idx, sig[2*j+1] || sig[2*j+2] AS band
+       |  FROM sg, (SELECT unnest(range(0, 4)) AS j)),
+       |bands AS (
+       |  SELECT b.* FROM bands0 b
+       |  JOIN (SELECT band_idx, band FROM bands0
+       |        GROUP BY band_idx, band HAVING count(*) <= 50) keep
+       |    USING (band_idx, band)),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.id < b.id)""".stripMargin
+
   /** Flagship (reference E3 retrieval, `rag.py:65-90`): KNN over the vector
     * table + broadcast join back to document metadata. Driver smoke-checks
     * rows > 0 on sf0.001.
@@ -293,6 +317,25 @@ object SparkEntry {
       }
       Dedup.minhashPairsFromStage(s, stage, maxBucket = 50)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Near-dup CLUSTER resolution: LSH candidate pairs → connected
+    // components (hash-min label propagation) → one row per cluster with
+    // its keeper (min id) and size. The step that turns pair mining into
+    // an actual dedup decision; transitive near-dups collapse into one
+    // cluster. Reuses the staged minhash signatures.
+    "dedup_clusters" -> ((s, dir) => {
+      val stage = stagedPath("minhash_sigs_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(stage, "_SUCCESS").exists())
+          Dedup.stageMinhashSignatures(nearDupCorpus(s, dir), col("id"), col("text"), stage)
+      }
+      val pairs = Dedup.minhashPairsFromStage(s, stage, maxBucket = 50)
+        .select(col("a_id"), col("b_id"))
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("comp").as("comp_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .orderBy(col("comp_id"))
     }),
 
     // SimHash fingerprints: planted near-dup pairs with Hamming distance —
@@ -1225,6 +1268,27 @@ object SparkEntry {
         "dedup_" + Integer.toHexString(dir.hashCode))
     }),
 
+    // Streaming ingest INTO the persisted vector store (the reference's
+    // continuous fetch → embed → store-add loop against the partitioned
+    // layout): documents stream in over >= 3 micro-batches, each batch
+    // hash-embeds (stateless narrow) and lands in the bucket-partitioned
+    // store — first batch creates, later batches append idempotently.
+    // The measured probe reads only the probed bucket partitions of the
+    // streamed-in store; the oracle is the batch embed + bucket probe.
+    "q_stream_vector_ingest" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val src = s.readStream.schema(Tables.documents(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "documents", "doc_id"))
+      val vecs = graft.streaming.Streaming.embedStream(src, "doc_id", "text")
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val store = stagedPath("stream_vec_store_v1", dir)
+      graft.streaming.Streaming.drainToVectorStore(vecs, store, "embedding", "vec_id")
+      graft.operators.VectorStore.queryL2(s, store, "embedding", "vec_id",
+          QueryVec.values, 5)
+        .select(col("vec_id"), col("bucket"), col("distance"))
+    }),
+
     // Custom keyed state (flatMapGroupsWithState) over the event stream:
     // running per-user count + exact integer cents sum, emitted in Update
     // mode across >= 3 micro-batches; the drain keeps each user's LATEST
@@ -1350,29 +1414,31 @@ object SparkEntry {
           |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "dedup_minhash" ->
-        s"""WITH corpus AS ($nearDupCorpusSql),
-           |tok AS (SELECT id, ${OracleGen.toksSql("text")} AS tk FROM corpus),
-           |shingled AS (SELECT id, ${OracleGen.shinglesOfToks("tk")} AS sh FROM tok),
-           |hashed AS (SELECT id, list_transform(sh, s -> md5(s)) AS hs FROM shingled),
-           |sg AS (SELECT id, ${OracleGen.minhashSigOfHashes("hs", 8)} AS sig FROM hashed),
-           |bands0 AS (
-           |  SELECT id, sig, j AS band_idx, sig[2*j+1] || sig[2*j+2] AS band
-           |  FROM sg, (SELECT unnest(range(0, 4)) AS j)),
-           |bands AS (
-           |  SELECT b.* FROM bands0 b
-           |  JOIN (SELECT band_idx, band FROM bands0
-           |        GROUP BY band_idx, band HAVING count(*) <= 50) keep
-           |    USING (band_idx, band)),
-           |pairs AS (
-           |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.id < b.id)
+        s"""WITH $minhashPairsCteSql
            |SELECT p.a_id, p.b_id,
            |       CAST(${OracleGen.sigMatchCount("sa.sig", "sb.sig", 8)} AS DOUBLE) / 8 AS est_jaccard
            |FROM pairs p
            |JOIN sg sa ON sa.id = p.a_id
            |JOIN sg sb ON sb.id = p.b_id
            |ORDER BY a_id, b_id""".stripMargin,
+
+      // hash-min label propagation == min reachable id: the oracle derives
+      // each node's component as least(id, min over the transitive
+      // reachability set) via a recursive CTE over the same capped LSH
+      // candidate pairs
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE $minhashPairsCteSql,
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION SELECT b_id, a_id FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, dst AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+           |comp AS (
+           |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+           |SELECT comp AS comp_id, count(*) AS n_members, max(id) AS max_id
+           |FROM comp GROUP BY comp ORDER BY comp_id""".stripMargin,
 
       "dedup_simhash" ->
         s"""WITH corpus AS ($nearDupCorpusSql),
@@ -2119,6 +2185,17 @@ object SparkEntry {
         """SELECT user_id, count(*) AS n_events,
           |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM events GROUP BY user_id""".stripMargin,
+
+      "q_stream_vector_ingest" -> {
+        val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+        s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)}
+           |SELECT vec_id, bucket, distance FROM (
+           |  SELECT id AS vec_id, ${OracleGen.lshBucket("emb", 4, 64)} AS bucket,
+           |         ${OracleGen.l2ToQuery("emb")} AS distance
+           |  FROM d_emb)
+           |WHERE bucket IN ($probes)
+           |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
+      },
 
       "q_decontaminate" ->
         s"""WITH split AS (

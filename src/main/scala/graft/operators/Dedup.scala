@@ -272,6 +272,54 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Connected components over an undirected near-dup pair list
+    * (a_id, b_id) → (id, comp) with comp = the minimum id reachable from
+    * the node. This resolves PAIRS into CLUSTERS — the step between
+    * candidate mining (minhashPairs/simhashPairs) and the actual dedup
+    * decision (keep comp, drop the rest): transitive near-dups
+    * (a~b, b~c) collapse into one cluster even though (a,c) was never a
+    * candidate pair.
+    *
+    * Algorithm: hash-min label propagation — every node repeatedly takes
+    * the min label over itself and its neighbours until fixpoint. Each
+    * round is one equi-join + one aggregation (both shuffle on id);
+    * rounds needed = graph diameter, which for near-dup graphs is tiny
+    * (clusters are cliques/short chains). At 100 TB scale with
+    * adversarial diameters, alternating large-star/small-star converges
+    * in O(log n) rounds with the same join-shape per round. Lineage is
+    * truncated every round (localCheckpoint), so plans stay constant-size
+    * across iterations. Non-convergence within maxIter throws — never
+    * silently wrong.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").cast("long").as("src"),
+      col("b_id").cast("long").as("dst"))
+    val sym = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("comp"))
+      val next = viaNeighbor.unionAll(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the round budget; raise maxIter or use " +
+          "star-contraction for adversarial graphs")
+    labels
+  }
+
   /** Exact n-gram Jaccard for explicit candidate pairs.
     * `pairs`: (a_id, b_id). Computes |A∩B| / |A∪B| over distinct shingles.
     * Use LSH candidates (minhashPairs) upstream at scale — never all pairs.

@@ -202,6 +202,41 @@ object Streaming {
     stream.sparkSession.read.parquet(out)
   }
 
+  /** Drain a stateless stream of (id, vector, ...) rows INTO a
+    * bucket-partitioned vector store: the first micro-batch creates the
+    * store, every later batch appends through VectorStore.append (bucket
+    * layout preserved, idempotent on the id). This is the reference's
+    * continuous ingest (fetch → embed → store-add,
+    * `email_fetching.py:41-57`) against the partitioned layout: the store
+    * stays probe-ready after every batch, and a replayed batch cannot
+    * duplicate vectors. The store directory is recreated per drain call so
+    * re-execution is idempotent end-to-end.
+    */
+  def drainToVectorStore(stream: DataFrame, storePath: String,
+                         vecColName: String, idName: String,
+                         numPlanes: Int = 4, dim: Int = 64): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val p = Paths.get(storePath)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) =>
+        if (!Files.exists(Paths.get(storePath, "_SUCCESS")))
+          graft.operators.VectorStore.write(batch, col(vecColName), storePath,
+            numPlanes, dim)
+        else
+          graft.operators.VectorStore.append(batch, col(vecColName), storePath,
+            idName, numPlanes, dim)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming DataFrame to completion over its (bounded) source:
     * Trigger.AvailableNow processes everything currently available, the
     * memory sink in Complete mode holds the final state, and the result

@@ -145,6 +145,22 @@ class DedupSpec extends SparkSpec {
     assert(!cappedSim.exists { case (a, b) => a < 60 && b < 60 })
   }
 
+  test("connectedComponents resolves transitive chains and isolated pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    // isolated pair 10-11, and a triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+
+    // empty edge list → empty labeling, no iteration blow-up
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
+  }
+
   test("simhash: near-dups within small hamming distance, self distance 0") {
     val t = "the quick brown fox jumps over the lazy dog again and again today"
     val fp1 = SimHash.fingerprint(t)
