@@ -734,6 +734,25 @@ object SparkEntry {
       heavy("error").except(heavy("purchase")).orderBy(col("user_id"))
     }),
 
+    // Multiset (ALL-variant) set ops: per-event user_id bags — EXCEPT ALL
+    // keeps multiplicity differences, INTERSECT ALL keeps the min
+    // multiplicity. Aggregated per user so the result has a stable key.
+    "q_except_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def bag(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+      bag("view").exceptAll(bag("click"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_surplus"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_intersect_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def bag(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+      bag("view").intersectAll(bag("click"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_common"))
+        .orderBy(col("user_id"))
+    }),
+
     // Set ops, intersect side: users heavy in BOTH error and purchase
     // events (completes the §2.6 trio with q_set_ops' EXCEPT and
     // dedup_exact's DISTINCT).
@@ -1852,6 +1871,20 @@ object SparkEntry {
           |SELECT user_id FROM events WHERE event_type = 'purchase'
           |GROUP BY user_id HAVING count(*) >= 14
           |ORDER BY user_id""".stripMargin,
+
+      "q_except_all" ->
+        """SELECT user_id, count(*) AS n_surplus FROM (
+          |  SELECT user_id FROM events WHERE event_type = 'view'
+          |  EXCEPT ALL
+          |  SELECT user_id FROM events WHERE event_type = 'click')
+          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_intersect_all" ->
+        """SELECT user_id, count(*) AS n_common FROM (
+          |  SELECT user_id FROM events WHERE event_type = 'view'
+          |  INTERSECT ALL
+          |  SELECT user_id FROM events WHERE event_type = 'click')
+          |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "q_multimodal_stub" ->
         """SELECT doc_id, kind, byte_len,

@@ -53,6 +53,27 @@ object VectorStore {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  /** Compact a store in place: rewrite every bucket partition into one
+    * file per bucket (repartition on the bucket column routes each
+    * bucket's rows to a single task, partitionBy keeps the directory
+    * layout), staged to a sibling directory then swapped. Results and
+    * partition pruning are invariant — this is the maintenance pass that
+    * keeps probe cost flat as streaming appends accumulate small files;
+    * per-row work is zero (no re-hash, the bucket is already a column).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val tmp = path + "__compacting"
+    spark.read.parquet(path)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val p = Paths.get(path)
+    Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => Files.delete(f))
+    Files.move(Paths.get(tmp), p)
+  }
+
   /** Partition-pruned L2 top-k against a written store. `multiProbe`
     * trades scan fraction for recall; the scanned fraction is
     * |probes| / 2^numPlanes either way.

@@ -100,6 +100,32 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(a == b, "appended store must serve the same probe result as a fresh write")
   }
 
+  test("VectorStore compact: one file per bucket, results and pruning invariant") {
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_cmp").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    // 4 incremental appends -> several small files per bucket
+    VectorStore.write(emb.filter(col("vec_id") % 4 === 0), col("embedding"), out)
+    (1 to 3).foreach { r =>
+      VectorStore.append(emb.filter(col("vec_id") % 4 === r), col("embedding"), out)
+    }
+    def bucketFiles: Map[String, Int] =
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    assert(bucketFiles.values.exists(_ > 1), "appends must produce multiple files")
+    val before = VectorStore.queryL2(spark, out, "embedding", "vec_id", QueryVec.values, 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+
+    VectorStore.compact(spark, out)
+    assert(bucketFiles.values.forall(_ == 1),
+      s"compaction must leave one file per bucket, got $bucketFiles")
+    val q = VectorStore.queryL2(spark, out, "embedding", "vec_id", QueryVec.values, 5)
+    assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(q.collect().map(_.getAs[Long]("vec_id")).toSeq == before)
+    assert(spark.read.parquet(out).count() == emb.count())
+  }
+
   test("selective filter + projection reach the parquet scan") {
     val df = Tables.lineitem(spark, sf0001)
       .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
