@@ -844,6 +844,32 @@ object SparkEntry {
         .orderBy(col("tf").desc, col("tok").asc)
     }),
 
+    // Concat-and-chunk sequence packing: docs hash to 4 shards, each
+    // shard's token stream (id order) is cut into 512-token chunks; a
+    // doc's bin = chunk index of its first token (exclusive running sum).
+    // One shuffle + one window pass, integer-exact.
+    "q_pack_sequences" -> ((s, dir) => {
+      TrainData.packSequences(Tables.documents(s, dir), col("doc_id"),
+          col("text"), seqLen = 512L, shards = 4)
+        .orderBy(col("shard"), col("bin"))
+    }),
+
+    // PII redaction over a corpus with planted emails/phones (every 5th
+    // doc): the scrub every training pipeline runs first. Exact string
+    // compare against the oracle's identical regex chain.
+    "q_pii_redact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val planted = d.withColumn("text2",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567 now")))
+          .otherwise(col("text")))
+      planted
+        .select(col("doc_id"), TextFunctions.redactPii(col("text2")).as("redacted"))
+        .filter(col("doc_id") % 10 < 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic 80/10/10 train/val/test split by multiplicative hash of
     // the id — stable under corpus growth, no RNG, no shuffle to assign.
     "q_split" -> ((s, dir) => {
@@ -2253,6 +2279,36 @@ object SparkEntry {
            |  GROUP BY 1, 2 HAVING count(*) >= 5)
            |SELECT test_id, count(*) AS n_train_matches, max(n_shared) AS max_shared
            |FROM pairs GROUP BY test_id ORDER BY test_id""".stripMargin,
+
+      "q_pack_sequences" ->
+        s"""WITH t AS (
+           |  SELECT doc_id AS id,
+           |    doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 % 4 AS shard,
+           |    CAST(len(${OracleGen.toksSql("text")}) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT shard, id, n_tokens,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM t)
+           |SELECT shard, (cum - n_tokens) // 512 AS bin, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |  min(id) AS min_id, max(id) AS max_id
+           |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+      "q_pii_redact" ->
+        s"""SELECT doc_id,
+           |  regexp_replace(
+           |    regexp_replace(t2, '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+           |    '${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS redacted
+           |FROM (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 5 = 0
+           |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           |              '@example.com or 555-123-4567 now'
+           |         ELSE text END AS t2
+           |  FROM documents)
+           |WHERE doc_id % 10 < 2 ORDER BY doc_id""".stripMargin,
 
       "q_sample_stratified" ->
         """SELECT lang, count(*) AS n, min(doc_id) AS min_id,

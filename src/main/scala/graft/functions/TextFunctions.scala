@@ -39,6 +39,22 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** PII regexes — shared verbatim with the oracle SQL (both Java regex
+    * and RE2 dialects accept them) so redaction is engine-identical.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction — the scrubbing pass a training corpus runs before
+    * anything else sees the text: emails then phone numbers replaced by
+    * typed placeholders (order matters and is mirrored in the oracle).
+    * Narrow per-row regex work; at 100 TB this is scan-bound and
+    * embarrassingly parallel.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** 32-bit SimHash fingerprint (see graft.expressions.SimHash). */
   def simhash(text: Column): Column =
     GraftBridge.column(SimHash(GraftBridge.expression(text)))

@@ -77,6 +77,35 @@ object TrainData {
     df.filter(b < rate)
   }
 
+  /** Concat-and-chunk sequence packing (the GPT-style pretraining data
+    * layout): documents are routed to `shards` deterministic shards
+    * (multiplicative hash of the id), concatenated in id order within
+    * each shard, and the token stream is cut into fixed `seqLen` chunks.
+    * A document's bin is the chunk index of its first token — computed
+    * from the exclusive running token sum, so the whole packing is one
+    * shuffle on the shard key plus one window pass, all integer-exact.
+    *
+    * Scale: shard count is the parallelism lever — each shard's window
+    * sort is a per-partition external sort, so shards are sized to
+    * executor memory, not corpus size. Assignment is hash-stable: an
+    * appended corpus only extends bins at each shard's tail.
+    *
+    * Output: one row per (shard, bin): n_docs, sum_tokens, min/max doc id.
+    */
+  def packSequences(df: DataFrame, idCol: Column, textCol: Column,
+                    seqLen: Long, shards: Int): DataFrame = {
+    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select((hashBucket(idCol) % shards).as("shard"), idCol.as("id"),
+        TextFunctions.tokenCount(textCol).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $seqLen"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+  }
+
   /** Per-user session stats with a gap timeout: a new session starts when
     * the gap to the previous event exceeds `gapUs`. Emits one row per user:
     * (user, n_sessions, n_events, max_session_events).

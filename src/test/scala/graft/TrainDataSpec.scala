@@ -81,6 +81,39 @@ class TrainDataSpec extends SparkSpec {
     assert(ids2.filter(_ < 1000000) == ids1)
   }
 
+  test("packSequences: bins partition each shard's token stream in id order") {
+    import spark.implicits._
+    // one shard (shards=1), 5 docs of 3 tokens each, seqLen 4:
+    // starts at 0,3,6,9,12 -> bins 0,0,1,2,3
+    val docs = (1 to 5).map(i => (i.toLong, "a b c")).toDF("id", "text")
+    val out = TrainData.packSequences(docs, col("id"), col("text"),
+        seqLen = 4L, shards = 1)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 2L, 6L), (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
+
+    // append stability: adding higher ids never changes existing bins
+    val more = (1 to 8).map(i => (i.toLong, "a b c")).toDF("id", "text")
+    val before = TrainData.packSequences(docs, col("id"), col("text"), 4L, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val after = TrainData.packSequences(more, col("id"), col("text"), 4L, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every (shard, bin) present before keeps at least its docs; ids 1-5
+    // keep their bin assignment (only tails extend)
+    assert(before.forall { case (k, n) => after.getOrElse(k, 0L) >= n })
+  }
+
+  test("redactPii scrubs emails and phones, leaves clean text alone") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      "mail me at jo.doe+x@sub.example.org or call 555-123-4567 twice 555-999-0000",
+      "no pii here at all").toDF("t")
+    val out = df.select(TextFunctions.redactPii(col("t"))).collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> or call <PHONE> twice <PHONE>")
+    assert(out(1) == "no pii here at all")
+  }
+
   test("sessionize splits on gaps over the timeout only") {
     import spark.implicits._
     // user 1: events at 0s, 10s, 2000s (gap > 30min at micros scale? use us)
