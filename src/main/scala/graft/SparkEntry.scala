@@ -67,25 +67,32 @@ object SparkEntry {
       |SELECT doc_id + 100000 AS id, text || ' zz extra token' AS text
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
-  /** CTE chain (without the WITH keyword) deriving the capped MinHash+LSH
-    * candidate pairs of the near-dup corpus — `sg` (id, sig) and `pairs`
-    * (a_id, b_id) are in scope afterwards. Shared by the dedup_minhash and
-    * dedup_clusters oracles so both check the identical candidate set.
+  /** CTE chain (without the WITH keyword) deriving `p`-prefixed MinHash
+    * signature + capped band relations for an (id, text) source —
+    * `${p}sg` (id, sig) and `${p}bands` (id, sig, band_idx, band) are in
+    * scope afterwards. Mirrors Dedup.{minhashSignature, bands,
+    * dropHotBuckets} exactly.
+    */
+  private def minhashSigBandsCte(p: String, srcSql: String): String =
+    s"""${p}tok AS (SELECT id, ${OracleGen.toksSql("text")} AS tk FROM ($srcSql)),
+       |${p}shingled AS (SELECT id, ${OracleGen.shinglesOfToks("tk")} AS sh FROM ${p}tok),
+       |${p}hashed AS (SELECT id, list_transform(sh, s -> md5(s)) AS hs FROM ${p}shingled),
+       |${p}sg AS (SELECT id, ${OracleGen.minhashSigOfHashes("hs", 8)} AS sig FROM ${p}hashed),
+       |${p}bands0 AS (
+       |  SELECT id, sig, j AS band_idx, sig[2*j+1] || sig[2*j+2] AS band
+       |  FROM ${p}sg, (SELECT unnest(range(0, 4)) AS j)),
+       |${p}bands AS (
+       |  SELECT b.* FROM ${p}bands0 b
+       |  JOIN (SELECT band_idx, band FROM ${p}bands0
+       |        GROUP BY band_idx, band HAVING count(*) <= 50) keep
+       |    USING (band_idx, band))""".stripMargin
+
+  /** Capped MinHash+LSH candidate pairs of the near-dup corpus — `sg` and
+    * `pairs` (a_id, b_id) in scope afterwards. Shared by the dedup_minhash
+    * and dedup_clusters oracles so both check the identical candidate set.
     */
   private lazy val minhashPairsCteSql: String =
-    s"""corpus AS ($nearDupCorpusSql),
-       |tok AS (SELECT id, ${OracleGen.toksSql("text")} AS tk FROM corpus),
-       |shingled AS (SELECT id, ${OracleGen.shinglesOfToks("tk")} AS sh FROM tok),
-       |hashed AS (SELECT id, list_transform(sh, s -> md5(s)) AS hs FROM shingled),
-       |sg AS (SELECT id, ${OracleGen.minhashSigOfHashes("hs", 8)} AS sig FROM hashed),
-       |bands0 AS (
-       |  SELECT id, sig, j AS band_idx, sig[2*j+1] || sig[2*j+2] AS band
-       |  FROM sg, (SELECT unnest(range(0, 4)) AS j)),
-       |bands AS (
-       |  SELECT b.* FROM bands0 b
-       |  JOIN (SELECT band_idx, band FROM bands0
-       |        GROUP BY band_idx, band HAVING count(*) <= 50) keep
-       |    USING (band_idx, band)),
+    s"""${minhashSigBandsCte("", nearDupCorpusSql)},
        |pairs AS (
        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
        |  FROM bands a JOIN bands b
@@ -336,6 +343,26 @@ object SparkEntry {
         .groupBy(col("comp").as("comp_id"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
         .orderBy(col("comp_id"))
+    }),
+
+    // Incremental dedup (the ingest gate): the arriving batch — the
+    // shifted near-dup copies — is signed fresh and checked against the
+    // BASE corpus's staged signatures; the corpus is never re-hashed and
+    // the small new side broadcasts, so the join shuffles neither side.
+    // Every new doc must surface its origin.
+    "dedup_incremental" -> ((s, dir) => {
+      val stage = stagedPath("minhash_sigs_base_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(stage, "_SUCCESS").exists())
+          Dedup.stageMinhashSignatures(
+            Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+            col("id"), col("text"), stage)
+      }
+      val newBatch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("id"),
+          concat(col("text"), lit(" zz extra token")).as("text"))
+      Dedup.incrementalPairs(newBatch, col("id"), col("text"), stage, maxBucket = 50)
+        .orderBy(col("corpus_id"), col("new_id"))
     }),
 
     // SimHash fingerprints: planted near-dup pairs with Hamming distance —
@@ -1466,6 +1493,22 @@ object SparkEntry {
            |JOIN sg sa ON sa.id = p.a_id
            |JOIN sg sb ON sb.id = p.b_id
            |ORDER BY a_id, b_id""".stripMargin,
+
+      "dedup_incremental" ->
+        s"""WITH ${minhashSigBandsCte("c", "SELECT doc_id AS id, text FROM documents")},
+           |${minhashSigBandsCte("n",
+              "SELECT doc_id + 100000 AS id, text || ' zz extra token' AS text " +
+                "FROM documents WHERE doc_id % 10 = 0")},
+           |cand AS (
+           |  SELECT DISTINCT c.id AS corpus_id, n.id AS new_id
+           |  FROM cbands c JOIN nbands n
+           |    ON c.band_idx = n.band_idx AND c.band = n.band)
+           |SELECT cand.corpus_id, cand.new_id,
+           |  CAST(${OracleGen.sigMatchCount("cs.sig", "ns.sig", 8)} AS DOUBLE) / 8 AS est_jaccard
+           |FROM cand
+           |JOIN csg cs ON cs.id = cand.corpus_id
+           |JOIN nsg ns ON ns.id = cand.new_id
+           |ORDER BY corpus_id, new_id""".stripMargin,
 
       // hash-min label propagation == min reachable id: the oracle derives
       // each node's component as least(id, min over the transitive

@@ -125,6 +125,41 @@ object Dedup {
       maxBucket)
   }
 
+  /** Incremental dedup: candidate near-dup pairs between a NEW batch of
+    * documents and an existing corpus whose signatures are already staged
+    * (stageMinhashSignatures). The new side is signed fresh and banded;
+    * the corpus side reads the stage — so corpus text is never re-hashed
+    * and, because the incoming batch is small, its banded relation
+    * broadcasts: the join plan shuffles NEITHER side. This is the ingest
+    * gate a production pipeline runs on every arriving batch; the staged
+    * signatures then absorb the accepted rows via append.
+    * Output: (corpus_id, new_id, est_jaccard).
+    */
+  def incrementalPairs(newDf: DataFrame, idCol: Column, textCol: Column,
+                       stagePath: String, numHashes: Int = 8,
+                       rowsPerBand: Int = 2, shingleN: Int = 3,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    def banded(sigs: DataFrame) = {
+      val b = sigs.select(col("id"), col("sig"),
+        posexplode(bands(col("sig"), numHashes, rowsPerBand)).as(Seq("band_idx", "band")))
+      dropHotBuckets(b, Seq("band_idx", "band"), maxBucket)
+    }
+    val corpus = banded(newDf.sparkSession.read.parquet(stagePath))
+      .select(col("id").as("corpus_id"), col("sig").as("corpus_sig"),
+        col("band_idx"), col("band"))
+    val fresh = banded(newDf.select(idCol.as("id"),
+        minhashSignature(textCol, numHashes, shingleN).as("sig")))
+      .select(col("id").as("new_id"), col("sig").as("new_sig"),
+        col("band_idx").as("n_band_idx"), col("band").as("n_band"))
+    val matchCount = aggregate(zip_with(col("corpus_sig"), col("new_sig"),
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+    corpus.join(broadcast(fresh),
+        col("band_idx") === col("n_band_idx") && col("band") === col("n_band"))
+      .select(col("corpus_id"), col("new_id"),
+        (matchCount.cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
   /** Drop rows of `banded` falling in bucket-key groups larger than
     * `maxBucket` — the LSH hot-bucket guard. A bucket of size s yields
     * s(s-1)/2 candidate pairs, so one degenerate bucket (boilerplate

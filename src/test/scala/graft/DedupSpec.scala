@@ -145,6 +145,27 @@ class DedupSpec extends SparkSpec {
     assert(!cappedSim.exists { case (a, b) => a < 60 && b < 60 })
   }
 
+  test("incrementalPairs: new batch broadcasts against staged corpus, finds origins") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_inc")
+      .resolve("sigs").toString
+    val base = docs.select(col("doc_id").as("id"), col("text"))
+    Dedup.stageMinhashSignatures(base, col("id"), col("text"), stage)
+    val newBatch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("id"),
+        concat(col("text"), lit(" zz extra token")).as("text"))
+    val pairs = Dedup.incrementalPairs(newBatch, col("id"), col("text"), stage)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"new batch must broadcast — corpus side never shuffles:\n$plan")
+    val found = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.filter(col("doc_id") % 10 === 0)
+      .collect().map(_.getAs[Long]("doc_id")).map(i => (i, i + 100000)).toSet
+    // LSH recall is probabilistic per pair — nearly all origins surface
+    assert((expected -- found).size <= expected.size / 10,
+      s"missing origins: ${(expected -- found).take(5)}")
+  }
+
   test("connectedComponents resolves transitive chains and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
