@@ -334,20 +334,30 @@ object Dedup {
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
-    var changed = 1L
+    // every round can only DECREASE a node's label (min over a superset
+    // that includes its own label), so the exact label sum is strictly
+    // monotone until fixpoint — comparing sums detects convergence with
+    // one cheap aggregate instead of a per-round join
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
       val next = viaNeighbor.unionAll(labels)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp")).count()
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "graph diameter exceeds the round budget; raise maxIter or use " +
