@@ -471,6 +471,29 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
     }),
 
+    // Re-embedding migration: every third vector is re-embedded (halved —
+    // exact in float, bucket-invariant since signs are unchanged) and
+    // upserted; only affected bucket partitions are rewritten. The probe
+    // over the migrated store must equal the probe over the mixed corpus
+    // the oracle computes directly.
+    "q_vector_store_upsert" -> ((s, dir) => {
+      val path = stagedPath("vector_store_ups_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(path, "_GRAFT_UPSERTED").exists()) {
+          val emb = Tables.embeddings(s, dir)
+          graft.operators.VectorStore.write(emb, col("embedding"), path)
+          val reembedded = emb.filter(col("vec_id") % 3 === 0)
+            .select(col("vec_id"), col("label"),
+              transform(col("embedding"), x => (x * lit(0.5)).cast("float")).as("embedding"))
+          graft.operators.VectorStore.upsert(reembedded, col("embedding"), path)
+          new java.io.File(path, "_GRAFT_UPSERTED").createNewFile()
+        }
+      }
+      graft.operators.VectorStore.queryL2(s, path, "embedding", "vec_id",
+          QueryVec.values, 5)
+        .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), col("doc_id"), col("text"))
         .select(col("keep_id").as("doc_id"), col("n_dups"))
@@ -1606,6 +1629,24 @@ object SparkEntry {
            |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
            |         ${OracleGen.l2ToQuery("embedding")} AS distance
            |  FROM embeddings)
+           |WHERE bucket IN ($probes)
+           |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
+      },
+
+      "q_vector_store_upsert" -> {
+        val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+        s"""WITH store AS (
+           |  SELECT vec_id, label,
+           |    CASE WHEN vec_id % 3 = 0
+           |         THEN list_transform(embedding,
+           |                x -> CAST(CAST(x AS DOUBLE) * 0.5 AS FLOAT))
+           |         ELSE embedding END AS embedding
+           |  FROM embeddings)
+           |SELECT vec_id, label, bucket, distance FROM (
+           |  SELECT vec_id, label,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |         ${OracleGen.l2ToQuery("embedding")} AS distance
+           |  FROM store)
            |WHERE bucket IN ($probes)
            |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
       },

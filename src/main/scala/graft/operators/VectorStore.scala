@@ -53,6 +53,48 @@ object VectorStore {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  /** Partition-targeted upsert — the re-embedding migration path: replace
+    * the stored vectors of the given ids (and insert unseen ids),
+    * rewriting ONLY the bucket partitions that hold an old copy of an
+    * updated id or receive a new row. Affected buckets are identified by
+    * two metadata-sized aggregations (at most 2^numPlanes values collect
+    * to the driver), untouched bucket directories are never read or
+    * written — at 100 TB an update wave that lands in 3 of 16 buckets
+    * costs 3/16 of a rewrite, not a full-store pass. `df` must carry the
+    * store's data columns (id, vector, carried metadata).
+    */
+  def upsert(df: DataFrame, vecCol: Column, path: String,
+             idName: String = "vec_id", numPlanes: Int = 4,
+             dim: Int = 64): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val spark = df.sparkSession
+    val updates = df.withColumn("bucket", Ann.bucketOf(vecCol, numPlanes, dim))
+    val store = spark.read.parquet(path)
+    def bucketsOf(d: DataFrame): Set[Int] =
+      d.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
+    val affected = bucketsOf(
+      store.join(updates.select(col(idName)), Seq(idName), "left_semi")) ++
+      bucketsOf(updates)
+    if (affected.nonEmpty) {
+      val tmp = path + "__upserting"
+      store.filter(col("bucket").isin(affected.toSeq: _*))
+        .join(updates.select(col(idName)), Seq(idName), "left_anti")
+        .unionByName(updates)
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      affected.foreach { b =>
+        val dst = Paths.get(path, s"bucket=$b")
+        val src = Paths.get(tmp, s"bucket=$b")
+        if (Files.exists(dst))
+          Files.walk(dst).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.delete(f))
+        if (Files.exists(src)) Files.move(src, dst)
+      }
+      Files.walk(Paths.get(tmp)).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
   /** Compact a store in place: rewrite every bucket partition into one
     * file per bucket (repartition on the bucket column routes each
     * bucket's rows to a single task, partitionBy keeps the directory

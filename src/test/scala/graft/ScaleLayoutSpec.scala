@@ -100,6 +100,40 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(a == b, "appended store must serve the same probe result as a fresh write")
   }
 
+  test("VectorStore upsert rewrites only affected bucket partitions") {
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_ups").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb, col("embedding"), out)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("bucket="))
+    val mtimesBefore = dirs.map(d => d.getName ->
+      d.listFiles().map(_.lastModified).max).toMap
+
+    // update ONE vector (halved — bucket-invariant, float-exact)
+    val one = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => (x * lit(0.5)).cast("float")).as("embedding"))
+    val targetBucket = "bucket=" + one
+      .withColumn("b", graft.operators.Ann.bucketOf(col("embedding"), 4, 64))
+      .head().getAs[Int]("b")
+    VectorStore.upsert(one, col("embedding"), out)
+
+    val mtimesAfter = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .map(d => d.getName -> d.listFiles().map(_.lastModified).max).toMap
+    mtimesBefore.foreach { case (b, t) =>
+      if (b == targetBucket) assert(mtimesAfter(b) != t, s"$b must be rewritten")
+      else assert(mtimesAfter(b) == t, s"$b must be untouched by the upsert")
+    }
+    // no row count change, and the stored vector really is halved
+    assert(spark.read.parquet(out).count() == emb.count())
+    def embOf(r: org.apache.spark.sql.Row): Seq[Float] =
+      r.getSeq[Float](r.fieldIndex("embedding"))
+    val stored = embOf(spark.read.parquet(out).filter(col("vec_id") === 0).head())
+    val orig = embOf(emb.filter(col("vec_id") === 0).head())
+    assert(stored == orig.map(_ * 0.5f))
+  }
+
   test("VectorStore compact: one file per bucket, results and pruning invariant") {
     import graft.operators.VectorStore
     val out = Files.createTempDirectory("graft_vs_cmp").toFile.getAbsolutePath + "/store"
