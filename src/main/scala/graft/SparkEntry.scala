@@ -964,6 +964,43 @@ object SparkEntry {
         .orderBy(col("test_id"))
     }),
 
+    // Dense time series from sparse events (gap filling): hourly counts
+    // left-joined onto a complete generated hour spine, missing hours
+    // zero-filled. The spine is generated from a 1-row min/max aggregate
+    // (broadcast) — no driver round-trip, and the join is broadcast-hash
+    // because the spine is tiny relative to the corpus.
+    "q_resample" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(expr("ts div 1000 div 3600000000").as("hour_bucket"), col("value"))
+        .groupBy(col("hour_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      val spine = hourly.agg(min(col("hour_bucket")).as("lo"), max(col("hour_bucket")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("hour_bucket"))
+      spine.join(hourly, Seq("hour_bucket"), "left_outer")
+        .select(col("hour_bucket"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+        .orderBy(col("hour_bucket"))
+    }),
+
+    // SQL entrypoint surface with a correlated-free scalar subquery:
+    // orders above the global average price, per status. Runs through
+    // spark.sql over registered views — the same plans as the DataFrame
+    // API, proving the SQL front door works end-to-end.
+    "q_sql_scalar_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      // above-average test in exact DECIMAL form (price * n > total) —
+      // a raw double avg threshold would be partial-merge-order dependent
+      s.sql("""
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders_v
+        WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT count(*) FROM orders_v)
+              > (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders_v)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
     // Sessionization: per-user sessions under a 30-minute gap timeout —
     // lag + running-sum windows, then a two-level aggregate, one shuffle.
     "q_sessionize" -> ((s, dir) => {
@@ -2393,6 +2430,27 @@ object SparkEntry {
            |         ELSE text END AS t2
            |  FROM documents)
            |WHERE doc_id % 10 < 2 ORDER BY doc_id""".stripMargin,
+
+      "q_resample" ->
+        """WITH hourly AS (
+          |  SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n,
+          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |  FROM events GROUP BY hour_bucket),
+          |spine AS (
+          |  SELECT unnest(generate_series((SELECT min(hour_bucket) FROM hourly),
+          |                                (SELECT max(hour_bucket) FROM hourly))) AS hour_bucket)
+          |SELECT s.hour_bucket, coalesce(h.n, 0) AS n,
+          |       coalesce(h.sum_cents, 0) AS sum_cents
+          |FROM spine s LEFT JOIN hourly h USING (hour_bucket)
+          |ORDER BY hour_bucket""".stripMargin,
+
+      "q_sql_scalar_subquery" ->
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+          |FROM orders
+          |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT count(*) FROM orders)
+          |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
       "q_sample_stratified" ->
         """SELECT lang, count(*) AS n, min(doc_id) AS min_id,

@@ -172,6 +172,36 @@ class ScaleLayoutSpec extends SparkSpec {
       "scan must not read unprojected columns")
   }
 
+  test("runtime bloom filter from selective dim side prunes the fact scan") {
+    // Spark's runtime row-level filtering: a bloom filter built from the
+    // selective (creation) side is pushed into the large side's scan —
+    // the lever that turns a 100 TB fact scan into a semi-join-pruned
+    // one without bucketing. Thresholds lowered to trigger at test scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+      val sel = Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+        .groupBy().agg(sum(col("l_quantity")).as("s"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"bloom filter must be injected into the fact side:\n$plan")
+      assert(j.head().getAs[Double]("s") > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join result under synthetic skew") {
     import spark.implicits._
     // 10k rows all hitting one hot key + a tail
