@@ -292,6 +292,25 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Value-based (RANGE) window frame: per-user trailing 1-hour event
+    // count and cents sum at each event — frame bounds are event-time
+    // offsets, not row counts, so ties and gaps are handled by value.
+    "q_moving_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("cents_1h", sum(col("cents")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("n_1h")).as("max_n_1h"),
+          max(col("cents_1h")).as("max_cents_1h"),
+          sum(col("n_1h")).as("sum_n_1h"))
+        .orderBy(col("user_id"))
+    }),
+
     // lag(): inter-event gap per user (micros, exact integers).
     "q_event_gaps" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2430,6 +2449,20 @@ object SparkEntry {
            |         ELSE text END AS t2
            |  FROM documents)
            |WHERE doc_id % 10 < 2 ORDER BY doc_id""".stripMargin,
+
+      "q_moving_window" ->
+        """SELECT user_id, count(*) AS n_events, max(n_1h) AS max_n_1h,
+          |  max(cents_1h) AS max_cents_1h,
+          |  CAST(sum(n_1h) AS BIGINT) AS sum_n_1h
+          |FROM (
+          |  SELECT user_id,
+          |    CAST(count(*) OVER w AS BIGINT) AS n_1h,
+          |    CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+          |  FROM (SELECT user_id, epoch_us(ts) AS ts_us,
+          |          CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+          |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+          |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "q_resample" ->
         """WITH hourly AS (
