@@ -748,6 +748,30 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Corrupt-record handling (PERMISSIVE + columnNameOfCorruptRecord):
+    // every 7th props is broken in-query; unparseable input lands in the
+    // quarantine column instead of failing the job, and the query counts
+    // quarantined vs clean rows — the ingest-robustness contract a
+    // 100 TB pipeline needs (one bad record must never kill a 6-hour
+    // job, and bad records must be auditable, not dropped).
+    "q_json_corrupt" -> ((s, dir) => {
+      val broken = when(col("event_id") % 7 === 0,
+        concat(lit("xx"), col("props"))).otherwise(col("props"))
+      val schema = StructType(Seq(StructField("k", IntegerType),
+        StructField("_corrupt_record", StringType)))
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(broken, schema,
+            Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("p"))
+        .select(col("event_type"),
+          col("p").getField("_corrupt_record").isNotNull.as("corrupt"),
+          col("p").getField("k").as("k"))
+        .groupBy(col("event_type"), col("corrupt"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("k"), lit(0))).cast("long").as("sum_k"))
+        .orderBy(col("event_type"), col("corrupt"))
+    }),
+
     // Tumbling 1-hour window aggregation (batch twin of the streaming path).
     "q_window_hourly" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -2001,6 +2025,16 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q_json_corrupt" ->
+        """SELECT event_type, NOT json_valid(p) AS corrupt, count(*) AS n,
+          |  CAST(sum(CASE WHEN json_valid(p)
+          |                THEN CAST(regexp_extract(p, '"k":\s*(\d+)', 1) AS BIGINT)
+          |                ELSE 0 END) AS BIGINT) AS sum_k
+          |FROM (SELECT event_type,
+          |        CASE WHEN event_id % 7 = 0 THEN 'xx' || props ELSE props END AS p
+          |      FROM events)
+          |GROUP BY event_type, corrupt ORDER BY event_type, corrupt""".stripMargin,
 
       "q_window_hourly" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n,
