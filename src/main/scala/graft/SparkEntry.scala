@@ -1009,15 +1009,18 @@ object SparkEntry {
 
     // Dense time series from sparse events (gap filling): hourly counts
     // left-joined onto a complete generated hour spine, missing hours
-    // zero-filled. The spine is generated from a 1-row min/max aggregate
-    // (broadcast) — no driver round-trip, and the join is broadcast-hash
-    // because the spine is tiny relative to the corpus.
+    // zero-filled. The aggregated hourly relation (bucket-count-sized,
+    // tiny) is materialized once so the fact table is scanned ONCE —
+    // without it the spine's min/max branch re-scans the corpus; the
+    // spine then generates in-engine (no driver round-trip) and the
+    // join broadcasts.
     "q_resample" -> ((s, dir) => {
       val hourly = Tables.events(s, dir)
         .select(expr("ts div 1000 div 3600000000").as("hour_bucket"), col("value"))
         .groupBy(col("hour_bucket"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .localCheckpoint()
       val spine = hourly.agg(min(col("hour_bucket")).as("lo"), max(col("hour_bucket")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"))).as("hour_bucket"))
       spine.join(hourly, Seq("hour_bucket"), "left_outer")
