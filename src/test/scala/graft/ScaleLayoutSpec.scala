@@ -202,6 +202,37 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces small shuffle partitions at runtime") {
+    // the knob that makes one static shuffle.partitions setting safe at
+    // any scale: tiny post-shuffle data collapses to few partitions
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val df = Tables.nation(spark, sf0001).groupBy(col("n_regionkey")).count()
+      assert(df.collect().nonEmpty) // materialize THIS plan so AQE replans it
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("AQEShuffleRead coalesced"),
+        s"AQE must coalesce the 64-partition shuffle of a 25-row table:\n$finalPlan")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  test("observe() collects data-quality metrics in the same pass") {
+    // production ingest counts nulls/violations WITHOUT a second scan —
+    // CollectMetrics rides along the query
+    val obs = new org.apache.spark.sql.Observation("quality")
+    val df = Tables.orders(spark, sf0001)
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_price"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"))
+      .groupBy(col("o_orderstatus")).count()
+    val n = df.collect().map(_.getLong(1)).sum
+    val m = obs.get
+    assert(m("rows") == n, "metric pass must see every row exactly once")
+    assert(m("bad_price") == 0L && m("null_cust") == 0L)
+  }
+
   test("salted join equals plain join result under synthetic skew") {
     import spark.implicits._
     // 10k rows all hitting one hot key + a tail
