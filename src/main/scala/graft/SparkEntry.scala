@@ -817,6 +817,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Forward-direction as-of with a tolerance window (merge_asof
+    // completeness on the same custom exec): for each event, the NEXT
+    // order by the same user within 90 days — misses null out.
+    "q_asof_forward" -> ((s, dir) => {
+      val tol = 90L * 24 * 3600 * 1000000
+      val ev = Tables.events(s, dir)
+        .filter(col("event_id") % 100 === 0)
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+      graft.plans.AsOf.join(ev, "user_id", "ts_us", ord, "o_custkey", "o_us",
+          "o_orderkey", direction = "forward", toleranceUs = tol)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("o_orderkey"), col("o_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // Set ops: heavy-error users EXCEPT heavy-purchase users (thresholded so
     // the result is non-trivial — every user has every event type).
     "q_set_ops" -> ((s, dir) => {
@@ -2064,6 +2081,20 @@ object SparkEntry {
           |                    o.o_orderkey ASC NULLS LAST) AS rn
           |  FROM events e LEFT JOIN orders o
           |    ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+          |  WHERE e.event_id % 100 = 0)
+          |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+      "q_asof_forward" ->
+        """SELECT event_id, ts_us, user_id, o_orderkey, o_us FROM (
+          |  SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
+          |         o.o_orderkey, epoch_us(o.o_orderdate) AS o_us,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |           ORDER BY epoch_us(o.o_orderdate) ASC NULLS LAST,
+          |                    o.o_orderkey ASC NULLS LAST) AS rn
+          |  FROM events e LEFT JOIN orders o
+          |    ON o.o_custkey = e.user_id
+          |   AND epoch_us(o.o_orderdate) >= epoch_us(e.ts)
+          |   AND epoch_us(o.o_orderdate) - epoch_us(e.ts) <= 7776000000000
           |  WHERE e.event_id % 100 = 0)
           |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 

@@ -59,6 +59,28 @@ class AsOfSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("forward direction picks the next row; tolerance bounds both directions") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 55L), (3L, 200L, 10L))
+      .toDF("lid", "k", "t")
+    val right = Seq((11L, 100L, 20L), (12L, 100L, 20L), (13L, 100L, 60L),
+      (14L, 200L, 5L)).toDF("rid", "k", "rt")
+    def run(dir: String, tol: Long) =
+      AsOf.join(left, "k", "t", right, "k", "rt", "rid", dir, tol)
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+
+    // forward unbounded: lid1 (t=10) -> first rt>=10 is 20, tie min rid=11;
+    // lid2 (t=55) -> rt=60 (rid 13); lid3 (k=200, t=10) -> no rt>=10 -> null
+    assert(run("forward", Long.MaxValue) == Map(1L -> 11L, 2L -> 13L, 3L -> -1L))
+    // forward tolerance 5: lid1's candidate at distance 10 is out of range
+    assert(run("forward", 5L) == Map(1L -> -1L, 2L -> 13L, 3L -> -1L))
+    // backward unbounded: lid1 -> nothing <= 10 on key 100 -> null;
+    // lid2 -> rt=20, tie min rid=11; lid3 -> rt=5 (rid 14)
+    assert(run("backward", Long.MaxValue) == Map(1L -> -1L, 2L -> 11L, 3L -> 14L))
+    // backward tolerance 10: lid2's match at distance 35 is out of range
+    assert(run("backward", 10L) == Map(1L -> -1L, 2L -> -1L, 3L -> 14L))
+  }
+
   test("custom exec agrees with the join+window composition on real data") {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.tables.Tables.events(spark, sf0001)
