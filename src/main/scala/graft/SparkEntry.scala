@@ -364,6 +364,29 @@ object SparkEntry {
         .orderBy(col("comp_id"))
     }),
 
+    // Dedup APPLIED: pairs → clusters → filtered corpus. Every cluster
+    // keeps its min-id member; all other members anti-join away. The
+    // output is the before/after accounting plus an id checksum of the
+    // kept set — the end state of the whole dedup pipeline.
+    "q_dedup_apply" -> ((s, dir) => {
+      val stage = stagedPath("minhash_sigs_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(stage, "_SUCCESS").exists())
+          Dedup.stageMinhashSignatures(nearDupCorpus(s, dir), col("id"), col("text"), stage)
+      }
+      val corpus = nearDupCorpus(s, dir)
+      val pairs = Dedup.minhashPairsFromStage(s, stage, maxBucket = 50)
+        .select(col("a_id"), col("b_id"))
+      val dropIds = Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("comp")).select(col("id"))
+      val kept = corpus.join(dropIds, Seq("id"), "left_anti")
+      kept.agg(count(lit(1)).as("n_after"), sum(col("id")).as("sum_kept_ids"))
+        .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_before"))))
+        .select(col("n_before"), col("n_after"),
+          (col("n_before") - col("n_after")).as("n_dropped"),
+          col("sum_kept_ids").cast("long").as("sum_kept_ids"))
+    }),
+
     // Incremental dedup (the ingest gate): the arriving batch — the
     // shifted near-dup copies — is signed fresh and checked against the
     // BASE corpus's staged signatures; the corpus is never re-hashed and
@@ -1409,7 +1432,12 @@ object SparkEntry {
     // evictable; drained through the append parquet sink. The oracle is
     // the equivalent batch interval join.
     "q_stream_join" -> ((s0, dir) => {
-      val s = graft.streaming.Streaming.streamSession(s0)
+      // 4 shuffle partitions, not the default 8: a stream-stream join
+      // keeps FOUR state stores per partition, each paying fixed
+      // checkpoint/commit cost per micro-batch — at this state volume
+      // fewer, larger stores win; a real deployment sizes this to state
+      // bytes per partition, not CPU count.
+      val s = graft.streaming.Streaming.streamSession(s0, partitions = 4)
       val schema = Tables.events(s, dir).schema
       val staged = graft.streaming.Streaming.stageSplitSource(s, dir, "events", "ts")
       def src = s.readStream.schema(schema)
@@ -2552,6 +2580,26 @@ object SparkEntry {
           |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT count(*) FROM orders)
           |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+      "q_dedup_apply" ->
+        s"""WITH RECURSIVE $minhashPairsCteSql,
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION SELECT b_id, a_id FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, dst AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+           |cmp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+           |dropids AS (SELECT id FROM cmp WHERE comp <> id),
+           |corpus2 AS ($nearDupCorpusSql),
+           |kept AS (SELECT * FROM corpus2
+           |         WHERE id NOT IN (SELECT id FROM dropids))
+           |SELECT (SELECT count(*) FROM corpus2) AS n_before,
+           |       count(*) AS n_after,
+           |       (SELECT count(*) FROM corpus2) - count(*) AS n_dropped,
+           |       CAST(sum(id) AS BIGINT) AS sum_kept_ids
+           |FROM kept""".stripMargin,
 
       "q_sample_stratified" ->
         """SELECT lang, count(*) AS n, min(doc_id) AS min_id,
