@@ -1207,6 +1207,16 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("qdot"), col("score"))
     }),
 
+    // Batch KNN join: top-5 neighbours for every query row at once (the
+    // reference's retrieval loop as one set operation). Queries broadcast;
+    // two-level tournament keeps the top-k window off |queries| hot keys.
+    "knn_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Knn.knnJoin(emb.filter(col("vec_id") < 3), emb,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // ANN recall as a tracked, oracled metric (tolerance-flag contract of
     // q_approx_distinct): recall@10 of each approximate method against its
     // exact baseline — lsh_multi and ivf vs exact L2 top-10, quantized
@@ -1931,6 +1941,18 @@ object SparkEntry {
       "q_mime_roundtrip" ->
         """SELECT doc_id, text || chr(10) || 'tail part' AS document
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "knn_join" ->
+        s"""SELECT q_id, c_id, distance, rn FROM (
+           |  SELECT q_id, c_id, distance,
+           |         CAST(row_number() OVER (PARTITION BY q_id
+           |           ORDER BY distance ASC, c_id ASC) AS BIGINT) AS rn
+           |  FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |           ${OracleGen.l2FloatCols("c.embedding", "q.embedding")} AS distance
+           |    FROM embeddings q CROSS JOIN embeddings c
+           |    WHERE q.vec_id < 3))
+           |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
       "q_email_pipeline" ->
         s"""WITH src AS (

@@ -69,6 +69,14 @@ object OracleGen {
   def l2DoubleCols(a: String, b: String, dim: Int = QueryVec.dim): String =
     "sqrt(" + chain(dim, k => s"($a[$k] - $b[$k]) * ($a[$k] - $b[$k])") + ")"
 
+  /** L2 distance between two FLOAT[] columns — each element cast to DOUBLE
+    * before subtracting, matching the Spark expressions' widen-then-
+    * accumulate contract (a float-space subtraction differs in low bits).
+    */
+  def l2FloatCols(a: String, b: String, dim: Int = QueryVec.dim): String =
+    "sqrt(" + chain(dim,
+      k => s"(${elem(a, k)} - ${elem(b, k)}) * (${elem(a, k)} - ${elem(b, k)})") + ")"
+
   // ---- hash-embedding oracle (mirrors graft.expressions.HashEmbed) ----
 
   private def hv(t: String, pos: Int): String =
