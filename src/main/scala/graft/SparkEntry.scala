@@ -50,6 +50,34 @@ object SparkEntry {
     */
   private val RagQuery = "customer order for table part data"
 
+  /** Shared DuckDB CTE block computing the integer fixed-point BM25 term
+    * scores of every (doc, query-term) pair — mirror of Retrieval.bm25
+    * (k1 = 6/5, b = 3/4 folded into the exact integer ratio; `//` and
+    * Spark's DIV agree on positive operands). Ends with `bm25_scored`
+    * (doc_id, idf_fp, tfpart_fp) in scope.
+    */
+  private lazy val Bm25Ctes: String = {
+    val termsIn = RagQuery.split(" ").map(t => s"'$t'").mkString(", ")
+    s"""bm25_toks AS (
+       |  SELECT doc_id, ${OracleGen.toksSql("text")} AS tk FROM documents),
+       |bm25_dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM bm25_toks),
+       |bm25_g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |           CAST(sum(dl) AS BIGINT) AS total FROM bm25_dl),
+       |bm25_tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM bm25_toks)
+       |  WHERE tok IN ($termsIn) GROUP BY doc_id, tok),
+       |bm25_df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |            FROM bm25_tf GROUP BY tok),
+       |bm25_scored AS (
+       |  SELECT t.doc_id,
+       |    (1000000 * (2*g.n_docs - 2*f.df + 1)) // (2*f.df + 1) AS idf_fp,
+       |    (1000000 * 44 * t.tf * g.total)
+       |      // (20 * t.tf * g.total + 6 * g.total + 18 * d.dl * g.n_docs) AS tfpart_fp
+       |  FROM bm25_tf t JOIN bm25_df f USING (tok)
+       |    JOIN bm25_dl d USING (doc_id) CROSS JOIN bm25_g g)""".stripMargin
+  }
+
   /** Near-dup corpus for the dedup queries: documents plus a shifted-id,
     * slightly-extended copy of every 10th doc — constructed identically on
     * both engines so candidate-pair recall is oracle-checkable.
@@ -1120,6 +1148,43 @@ object SparkEntry {
         .filter(col("rn") <= 3 && col("doc_id") < 10)
         .select(col("doc_id"), col("rn"), col("tok"), col("tf"), col("dfreq"), col("tfidf"))
         .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    // BM25 lexical retrieval over the RAG query terms — exact integer
+    // fixed-point scoring (see Retrieval.bm25): idf and the tf saturation
+    // factor are single integer divisions after fixed-point scaling, the
+    // per-doc score an exact long sum, so the ranking is engine-identical.
+    "q_bm25" -> ((s, dir) => {
+      graft.operators.Retrieval.bm25(Tables.documents(s, dir),
+          col("doc_id"), col("text"), RagQuery.split(" ").toSeq)
+        .orderBy(col("score_fp").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("n_terms"), col("score_fp"))
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking
+    // and the hash-embed L2 vector ranking for the same query — the
+    // standard production retrieval shape the reference's embedding-only
+    // path (rag.py:65-90) is usually upgraded to. Both rank lists are
+    // top-20 (broadcast-size); fusion is exact integer arithmetic.
+    "q_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val lex = graft.operators.Retrieval.bm25(docs, col("doc_id"), col("text"),
+          RagQuery.split(" ").toSeq)
+        .orderBy(col("score_fp").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+      val corpus = Rag.embedCorpus(docs.select(col("doc_id"), col("text")), col("text"))
+      val vec = Rag.retrieve(corpus, col("doc_id"), RagQuery, 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("distance"), col("doc_id"))).cast("long"))
+      graft.operators.Retrieval.rrfFuse(
+          lex.select(col("doc_id"), col("rank")),
+          vec.select(col("doc_id"), col("rank")))
+        .orderBy(col("rrf_fp").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_fp"))
     }),
 
     // CUBE over return-flag × line-status: all four grouping sets in one
@@ -2255,6 +2320,40 @@ object SparkEntry {
            |  FROM scored)
            |WHERE rn <= 3 AND doc_id < 10
            |ORDER BY doc_id, rn""".stripMargin,
+
+      "q_bm25" ->
+        s"""WITH $Bm25Ctes
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           |  CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp
+           |FROM bm25_scored GROUP BY doc_id
+           |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
+
+      "q_rrf_fusion" ->
+        s"""WITH $Bm25Ctes,
+           |lexall AS (
+           |  SELECT doc_id, CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp
+           |  FROM bm25_scored GROUP BY doc_id),
+           |lex AS (
+           |  SELECT doc_id, rank FROM (
+           |    SELECT doc_id,
+           |      row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rank
+           |    FROM lexall) WHERE rank <= 20),
+           |${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},
+           |${OracleGen.embedCte("q", s"(SELECT '$RagQuery' AS text)", "0", "text", 64)},
+           |vecall AS (
+           |  SELECT d.id AS doc_id, ${OracleGen.l2DoubleCols("d.emb", "q.emb")} AS distance
+           |  FROM d_emb d, q_emb q
+           |  ORDER BY distance ASC, doc_id ASC LIMIT 20),
+           |vec AS (
+           |  SELECT doc_id,
+           |    row_number() OVER (ORDER BY distance ASC, doc_id) AS rank
+           |  FROM vecall)
+           |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           |  l.rank AS lex_rank, v.rank AS vec_rank,
+           |  coalesce(1000000000 // (60 + l.rank), 0)
+           |    + coalesce(1000000000 // (60 + v.rank), 0) AS rrf_fp
+           |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+           |ORDER BY rrf_fp DESC, doc_id LIMIT 10""".stripMargin,
 
       "q_cube" ->
         """SELECT l_returnflag, l_linestatus,

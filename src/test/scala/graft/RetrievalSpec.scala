@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: higher tf wins at equal length, shorter doc wins at equal tf") {
+    val docs = Seq(
+      (1L, "spark spark spark pad pad pad pad pad"),   // tf=3, dl=8
+      (2L, "spark spark filler pad pad pad pad pad"),  // tf=2, dl=8
+      (3L, "spark spark filler"),                      // tf=2, dl=3
+      (4L, "nothing relevant here at all pad pad pad") // tf=0 — absent
+    ).toDF("doc_id", "text")
+    val r = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("spark"))
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(!r.contains(4L), "doc without any query term must be absent")
+    assert(r(1L) > r(2L), "more occurrences at same length must score higher")
+    assert(r(3L) > r(2L), "same tf in a shorter doc must score higher")
+  }
+
+  test("bm25: multi-term scores sum exactly over matched terms") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha delta epsilon"),
+      (3L, "zeta eta theta")
+    ).toDF("doc_id", "text")
+    val both = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("alpha", "beta"))
+    val a = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("alpha"))
+    val b = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("beta"))
+    def score(df: org.apache.spark.sql.DataFrame, id: Long): Long =
+      df.filter(col("doc_id") === id).select(col("score_fp"))
+        .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    // doc 1 matches both terms: its fused score is the exact sum of the
+    // single-term scores (integer arithmetic — no float association)
+    assert(score(both, 1L) === score(a, 1L) + score(b, 1L))
+    assert(both.filter(col("doc_id") === 1).select(col("n_terms"))
+      .head().getLong(0) === 2L)
+  }
+
+  test("rrfFuse: doc ranked by both lists beats single-list docs; exact values") {
+    val lex = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rank")
+    val vec = Seq((10L, 2L), (30L, 1L)).toDF("doc_id", "rank")
+    val r = Retrieval.rrfFuse(lex, vec).collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r(10L) === 1000000000L / 61 + 1000000000L / 62)
+    assert(r(30L) === 1000000000L / 61)
+    assert(r(20L) === 1000000000L / 62)
+    assert(r(10L) > r(30L) && r(30L) > r(20L))
+  }
+}
