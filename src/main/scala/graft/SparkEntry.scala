@@ -1075,6 +1075,17 @@ object SparkEntry {
         .orderBy(col("test_id"))
     }),
 
+    // Duplicated-span report (exact substring-level dedup): every doc's
+    // 20-token windows (stride 10) hashed and counted corpus-wide; docs
+    // with any window occurring >1 times are reported with their exact
+    // duplication ratio. The planted near-dup copies share their
+    // original's windows, so both sides of every planted pair appear.
+    "q_dup_spans" -> ((s, dir) => {
+      Dedup.spanDuplication(nearDupCorpus(s, dir), col("id"), col("text"))
+        .filter(col("n_dup_windows") > 0)
+        .orderBy(col("id"))
+    }),
+
     // Dense time series from sparse events (gap filling): hourly counts
     // left-joined onto a complete generated hour spine, missing hours
     // zero-filled. The aggregated hourly relation (bucket-count-sized,
@@ -2636,6 +2647,25 @@ object SparkEntry {
            |  GROUP BY 1, 2 HAVING count(*) >= 5)
            |SELECT test_id, count(*) AS n_train_matches, max(n_shared) AS max_shared
            |FROM pairs GROUP BY test_id ORDER BY test_id""".stripMargin,
+
+      "q_dup_spans" ->
+        s"""WITH corpus AS ($nearDupCorpusSql),
+           |tok AS (SELECT id, ${OracleGen.toksSql("text")} AS tk FROM corpus),
+           |wins AS (
+           |  SELECT id, CASE WHEN len(tk) >= 20
+           |    THEN list_transform(range(0, len(tk) - 19, 10),
+           |      st -> md5(array_to_string(list_slice(tk, st + 1, st + 20), ' ')))
+           |    ELSE [md5(array_to_string(tk, ' '))] END AS ws
+           |  FROM tok),
+           |w AS (SELECT id, unnest(ws) AS wh FROM wins),
+           |c AS (SELECT wh, CAST(count(*) AS BIGINT) AS n_occ
+           |      FROM w GROUP BY wh HAVING count(*) > 1)
+           |SELECT w.id, CAST(count(*) AS BIGINT) AS n_windows,
+           |  CAST(count(c.n_occ) AS BIGINT) AS n_dup_windows,
+           |  (1000 * CAST(count(c.n_occ) AS BIGINT)) // CAST(count(*) AS BIGINT)
+           |    AS dup_permille
+           |FROM w LEFT JOIN c ON w.wh = c.wh
+           |GROUP BY w.id HAVING count(c.n_occ) > 0 ORDER BY w.id""".stripMargin,
 
       "q_pack_sequences" ->
         s"""WITH t AS (

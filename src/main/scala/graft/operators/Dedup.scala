@@ -365,6 +365,41 @@ object Dedup {
     labels
   }
 
+  /** Per-document duplicated-span report — exact substring-level dedup
+    * (the complement of whole-doc near-dup): slide a `w`-token window at
+    * `stride` over every document, hash each window, and count how many
+    * of a doc's windows occur more than once in the corpus (across docs
+    * OR repeated inside one doc — both are training-data duplication).
+    * Docs shorter than `w` tokens contribute one whole-doc window.
+    *
+    * Output: (id, n_windows, n_dup_windows, dup_permille) per doc —
+    * dup_permille = ⌊1000·n_dup/n⌋, exact integer.
+    *
+    * Scale shape: one narrow explode (corpus tokens × 1/stride windows),
+    * one aggregation on the window hash (partial agg absorbs any hot
+    * boilerplate hash map-side since the state is one long), one
+    * equi-join back on the hash, one aggregation on doc id. No O(n²);
+    * the window hash is md5 so collisions are negligible and the whole
+    * report is engine-exact.
+    */
+  def spanDuplication(df: DataFrame, idCol: Column, textCol: Column,
+                      w: Int = 20, stride: Int = 10): DataFrame = {
+    val tk = TextFunctions.tokens(textCol)
+    val winHashes = when(size(tk) >= w,
+        transform(sequence(lit(0), size(tk) - w, lit(stride)),
+          st => md5(concat_ws(" ", slice(tk, st + 1, lit(w))))))
+      .otherwise(array(md5(concat_ws(" ", tk))))
+    val wins = df.select(idCol.as("id"), explode(winHashes).as("wh"))
+    val dupSet = wins.groupBy(col("wh")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    wins.join(dupSet, Seq("wh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("n_occ")).as("n_dup_windows"))
+      .withColumn("dup_permille",
+        expr("(1000L * n_dup_windows) DIV n_windows"))
+  }
+
   /** Exact n-gram Jaccard for explicit candidate pairs.
     * `pairs`: (a_id, b_id). Computes |A∩B| / |A∪B| over distinct shingles.
     * Use LSH candidates (minhashPairs) upstream at scale — never all pairs.

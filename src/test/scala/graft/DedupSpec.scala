@@ -215,4 +215,26 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getSeq[String](0) == Seq("a b c", "b c d"))
     assert(out(1).getSeq[String](0) == Seq("a b"))
   }
+
+  test("spanDuplication flags shared windows, in-doc repeats, and short-doc dups") {
+    import spark.implicits._
+    val span = (1 to 25).map(i => s"w$i").mkString(" ")   // 25 tokens
+    val docs = Seq(
+      (1L, span + " unique tail one alpha beta"),          // shares windows with 2
+      (2L, span + " other ending two gamma delta"),
+      (3L, (1 to 60).map(_ => "rep").mkString(" ")),       // in-doc repeated window
+      (4L, (1 to 40).map(i => s"u$i").mkString(" ")),      // all windows unique
+      (5L, "tiny doc"), (6L, "tiny doc")                   // short-doc whole hash dup
+    ).toDF("id", "text")
+    val r = Dedup.spanDuplication(docs, $"id", $"text", w = 20, stride = 10)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // docs 1 and 2 share the windows fully inside the common 25-token span
+    assert(r(1L)._2 >= 1 && r(2L)._2 >= 1)
+    // doc 3: every window is "rep"*20 — all duplicated within the doc
+    assert(r(3L)._2 === r(3L)._1 && r(3L)._3 === 1000L)
+    assert(r(4L)._2 === 0L)
+    // short docs below w fall back to the whole-doc window
+    assert(r(5L) === ((1L, 1L, 1000L)) && r(6L) === ((1L, 1L, 1000L)))
+  }
 }
