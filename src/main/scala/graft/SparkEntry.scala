@@ -1086,6 +1086,21 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Z-order (Morton) key over (user bucket, hour bucket) — the
+    // multi-column clustering key for data skipping on either column
+    // (layout proof in ZOrderSpec; this query pins the interleave itself
+    // engine-exact). Top-100 by z so the output exercises the full bit
+    // range deterministically.
+    "q_zorder" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("x", col("user_id") % 256)
+        .withColumn("y", expr("ts div 1000 div 3600000000 % 256"))
+        .withColumn("z", graft.functions.ZOrder.zValue(col("x"), col("y"), 8))
+        .orderBy(col("z"), col("event_id"))
+        .limit(100)
+        .select(col("event_id"), col("x"), col("y"), col("z"))
+    }),
+
     // Dense time series from sparse events (gap filling): hourly counts
     // left-joined onto a complete generated hour spine, missing hours
     // zero-filled. The aggregated hourly relation (bucket-count-sized,
@@ -2666,6 +2681,15 @@ object SparkEntry {
            |    AS dup_permille
            |FROM w LEFT JOIN c ON w.wh = c.wh
            |GROUP BY w.id HAVING count(c.n_occ) > 0 ORDER BY w.id""".stripMargin,
+
+      "q_zorder" ->
+        s"""SELECT event_id, x, y,
+           |  ${graft.functions.ZOrder.zValueSql("x", "y", 8)} AS z
+           |FROM (
+           |  SELECT event_id, user_id % 256 AS x,
+           |    epoch_us(ts) // 3600000000 % 256 AS y
+           |  FROM events)
+           |ORDER BY z, event_id LIMIT 100""".stripMargin,
 
       "q_pack_sequences" ->
         s"""WITH t AS (
