@@ -56,6 +56,23 @@ object SparkEntry {
     * Spark's DIV agree on positive operands). Ends with `bm25_scored`
     * (doc_id, idf_fp, tfpart_fp) in scope.
     */
+  /** Shared DuckDB CTE block deriving per-label centroid vectors from the
+    * exact fixed-point sums (mirror of the VectorSumFp aggregation +
+    * `sum_fp/1e12/n` per-element formula). Ends with `centlist`
+    * (clabel, cvec DOUBLE[64]) in scope.
+    */
+  private lazy val CentroidListCtes: String =
+    """cent AS (
+      |  SELECT label AS clabel, i AS pos, count(*) AS n,
+      |    CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+      |        * 1000000000000.0) AS BIGINT)) AS BIGINT) AS sum_fp
+      |  FROM embeddings, range(1, 65) t(i)
+      |  GROUP BY label, i),
+      |centlist AS (
+      |  SELECT clabel,
+      |    list(CAST(sum_fp AS DOUBLE) / 1000000000000.0 / n ORDER BY pos) AS cvec
+      |  FROM cent GROUP BY clabel)""".stripMargin
+
   private lazy val Bm25Ctes: String = {
     val termsIn = RagQuery.split(" ").map(t => s"'$t'").mkString(", ")
     s"""bm25_toks AS (
@@ -1250,6 +1267,50 @@ object SparkEntry {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // Nearest-centroid assignment (one k-means E-step / centroid
+    // classifier eval): label centroids from exact fixed-point sums,
+    // broadcast to every embedding row, per-row argmin over the tiny
+    // centroid set (min over (dist, label) structs — deterministic
+    // tie-break), then the label × assigned confusion matrix. At 100 TB:
+    // one scan + broadcast + one small aggregation — no shuffle of the
+    // embedding relation itself.
+    "q_centroid_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.groupBy(col("label").as("clabel"))
+        .agg(count(lit(1)).as("n"),
+          VectorFunctions.vectorSumFp(col("embedding"), 64).as("sums"))
+        .select(col("clabel"),
+          transform(col("sums"),
+            x => x.cast("double") / lit(1000000000000.0) / col("n")).as("cvec"))
+      emb.crossJoin(broadcast(cents))
+        .withColumn("dist", VectorFunctions.l2Composed(col("embedding"), col("cvec")))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(min(struct(col("dist"), col("clabel"))).as("m"))
+        .select(col("label"), col("m").getField("clabel").as("assigned"))
+        .groupBy(col("label"), col("assigned"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("assigned"))
+    }),
+
+    // Embedding outlier screening (mislabel/noise detection for training
+    // data): the 10 vectors farthest from their OWN label's centroid.
+    // Same broadcast shape as q_centroid_assign; top-k never sorts
+    // globally (TakeOrderedAndProject).
+    "q_centroid_outliers" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.groupBy(col("label").as("clabel"))
+        .agg(count(lit(1)).as("n"),
+          VectorFunctions.vectorSumFp(col("embedding"), 64).as("sums"))
+        .select(col("clabel"),
+          transform(col("sums"),
+            x => x.cast("double") / lit(1000000000000.0) / col("n")).as("cvec"))
+      emb.join(broadcast(cents), col("label") === col("clabel"))
+        .withColumn("dist", VectorFunctions.l2Composed(col("embedding"), col("cvec")))
+        .orderBy(col("dist").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("dist"))
+    }),
+
     // Same centroids via the custom UDAF (TypedImperativeAggregate):
     // update() folds rows map-side into a fixed-point long[dim] buffer,
     // merge() combines partition buffers — the shuffle carries one buffer
@@ -2428,6 +2489,27 @@ object SparkEntry {
           |  FROM embeddings, range(1, 65) t(i)
           |  GROUP BY label, i)
           |ORDER BY label, pos""".stripMargin,
+
+      "q_centroid_assign" ->
+        s"""WITH $CentroidListCtes,
+           |d AS (
+           |  SELECT e.vec_id, e.label, c.clabel,
+           |    ${OracleGen.l2FloatCols("e.embedding", "c.cvec", 64)} AS dist
+           |  FROM embeddings e CROSS JOIN centlist c),
+           |r AS (
+           |  SELECT vec_id, label, clabel,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+           |  FROM d)
+           |SELECT label, clabel AS assigned, count(*) AS n
+           |FROM r WHERE rn = 1
+           |GROUP BY label, clabel ORDER BY label, assigned""".stripMargin,
+
+      "q_centroid_outliers" ->
+        s"""WITH $CentroidListCtes
+           |SELECT e.vec_id, e.label,
+           |  ${OracleGen.l2FloatCols("e.embedding", "c.cvec", 64)} AS dist
+           |FROM embeddings e JOIN centlist c ON e.label = c.clabel
+           |ORDER BY dist DESC, vec_id LIMIT 10""".stripMargin,
 
       "q_salted_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
