@@ -1073,6 +1073,20 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Temperature mixing (α = 1/2) of the skewed language distribution:
+    // a 200-doc budget split ∝ √cnt flattens the en head toward the
+    // tail languages (the multilingual-mix rebalance). Quotas exact
+    // integers, selection by md5-hash rank — fully deterministic.
+    "q_source_mix" -> ((s, dir) => {
+      TrainData.sourceMix(Tables.documents(s, dir), col("lang"),
+          col("doc_id"), budget = 200L)
+        .groupBy(col("source"))
+        .agg(max(col("cnt")).as("cnt"), max(col("n_target")).as("n_target"),
+          count(lit(1)).as("n_kept"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy(col("source"))
+    }),
+
     // Decontamination: test-split documents sharing >= 5 distinct word
     // shingles with any train-split document (the train/test leakage
     // check every LLM data pipeline needs). Shingle-key equi-join, no
@@ -2866,6 +2880,31 @@ object SparkEntry {
           |      FROM documents)
           |WHERE b < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
           |GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_source_mix" ->
+        """WITH cnts AS (
+          |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM documents GROUP BY lang),
+          |w AS (
+          |  SELECT source, cnt,
+          |    CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_fp
+          |  FROM cnts),
+          |tot AS (SELECT CAST(sum(w_fp) AS BIGINT) AS w_total FROM w),
+          |quota AS (
+          |  SELECT source, cnt, (200 * w_fp) // w_total AS n_target
+          |  FROM w CROSS JOIN tot),
+          |ranked AS (
+          |  SELECT lang AS source, doc_id AS id,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |  FROM documents),
+          |kept AS (
+          |  SELECT r.source, r.id FROM ranked r JOIN quota q USING (source)
+          |  WHERE r.rk <= q.n_target)
+          |SELECT q.source, q.cnt, q.n_target, CAST(count(*) AS BIGINT) AS n_kept,
+          |  min(k.id) AS min_id, max(k.id) AS max_id
+          |FROM quota q JOIN kept k USING (source)
+          |GROUP BY q.source, q.cnt, q.n_target ORDER BY q.source""".stripMargin,
 
       "q_approx_quantiles" ->
         """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med,

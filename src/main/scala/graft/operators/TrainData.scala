@@ -62,6 +62,38 @@ object TrainData {
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
 
+  /** Temperature-based source mixing (α = 1/2): distribute a sampling
+    * `budget` across sources proportionally to cnt^α instead of cnt —
+    * the standard rebalancing that keeps head sources (e.g. English at
+    * web scale) from drowning tail sources in a training mix. Quotas are
+    * exact integers: per-source weight w = ⌊√cnt·1e6⌋ (IEEE sqrt is
+    * correctly rounded, so the weight is engine-identical), quota =
+    * ⌊budget·w / Σw⌋. Row selection inside each source is the md5-hash
+    * ranking of the id — deterministic, seedless, and stable under
+    * re-partitioning.
+    *
+    * Scale shape: one count aggregation (tiny), quotas broadcast back,
+    * one per-source window for the hash rank (the only shuffle touching
+    * the corpus; partitioned by source, and a skewed head source is
+    * exactly what the quota caps). Output: the kept (source, id) rows.
+    */
+  def sourceMix(df: DataFrame, sourceCol: Column, idCol: Column,
+                budget: Long): DataFrame = {
+    val cnts = df.groupBy(sourceCol.as("source")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w_fp",
+        floor(sqrt(col("cnt").cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = cnts.agg(sum(col("w_fp")).as("w_total"))
+    val quota = cnts.crossJoin(broadcast(tot))
+      .withColumn("n_target", expr(s"(${budget}L * w_fp) DIV w_total"))
+    val ranked = df.select(sourceCol.as("source"), idCol.as("id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(md5(col("id").cast("string")), col("id"))).cast("long"))
+    ranked.join(broadcast(quota), "source")
+      .filter(col("rk") <= col("n_target"))
+      .select(col("source"), col("id"), col("rk"), col("cnt"), col("n_target"))
+  }
+
   /** Deterministic stratified sampling: keep `pct(class)` percent of rows
     * per class by hash bucket of the id — no RNG, no shuffle, and a row's
     * membership is stable under corpus growth and re-partitioning (the

@@ -130,4 +130,23 @@ class TrainDataSpec extends SparkSpec {
     assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 3L && out(0).getLong(3) == 2L)
     assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 1L && out(1).getLong(3) == 1L)
   }
+
+  test("sourceMix: sqrt-temperature quotas flatten the head; partition-stable") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => ("A", i.toLong)) ++
+      (1 to 25).map(i => ("B", 1000L + i))
+    val df = rows.toDF("src", "id")
+    // weights √100 : √25 = 10 : 5 → budget 30 splits 20/10 (proportional
+    // sampling would have given 24/6 — the head is flattened)
+    val by = TrainData.sourceMix(df, col("src"), col("id"), 30L)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by === Map("A" -> 20L, "B" -> 10L))
+    // hash-rank selection is stable under re-partitioning
+    val a = TrainData.sourceMix(df, col("src"), col("id"), 30L)
+      .select(col("source"), col("id")).collect().toSet
+    val b = TrainData.sourceMix(df.repartition(7), col("src"), col("id"), 30L)
+      .select(col("source"), col("id")).collect().toSet
+    assert(a === b)
+  }
 }
