@@ -56,6 +56,21 @@ object SparkEntry {
     * Spark's DIV agree on positive operands). Ends with `bm25_scored`
     * (doc_id, idf_fp, tfpart_fp) in scope.
     */
+  /** Mirror of TextAnalysis.langId as a DuckDB CASE over a `tk` token-list
+    * column in scope — shared by q_lang_id and the cleaning funnel.
+    */
+  private lazy val LangIdCaseSql: String = {
+    def hits(ws: Seq[String]) =
+      s"len(list_filter(tk, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    val hs = TextAnalysis.langWords.map { case (l, ws) => l -> hits(ws) }
+    val cases = hs.zipWithIndex.map { case ((l, h), i) =>
+      val later = hs.drop(i + 1).map(_._2)
+      val ge = (Seq(s"$h > 0") ++ later.map(o => s"$h >= $o")).mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
   /** Shared DuckDB CTE block deriving per-label centroid vectors from the
     * exact fixed-point sums (mirror of the VectorSumFp aggregation +
     * `sum_fp/1e12/n` per-element formula). Ends with `centlist`
@@ -787,6 +802,38 @@ object SparkEntry {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))
+    }),
+
+    // The corpus-cleaning funnel — the composed preprocessing pipeline
+    // every LLM data run fronts training with: language-ID gate →
+    // quality-score gate → repetition gate → exact dedup, reported as
+    // cumulative survivor counts per stage (the drop report data teams
+    // audit). Planted pollution: doubled-text copies (caught by the
+    // repetition gate) and verbatim copies (caught by dedup). One scan
+    // computes every narrow flag; the only shuffle is the content-hash
+    // distinct — which IS the dedup operator, on a uniform md5 key.
+    "q_clean_funnel" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.select(col("doc_id").as("id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+        .unionAll(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("id"), col("text")))
+      corpus.select(
+          (TextAnalysis.langId(col("text")) =!= "und").as("p_lang"),
+          (TextAnalysis.qualityScore(col("text")) >= 0.3).as("p_q"),
+          (TextFunctions.repetitionRatio(col("text"), 3) < 0.3).as("p_rep"),
+          md5(col("text")).as("ck"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("p_lang"), 1)).as("n_lang"),
+          count(when(col("p_lang") && col("p_q"), 1)).as("n_quality"),
+          count(when(col("p_lang") && col("p_q") && col("p_rep"), 1))
+            .as("n_repetition"),
+          count_distinct(
+            when(col("p_lang") && col("p_q") && col("p_rep"), col("ck")))
+            .as("n_unique"))
     }),
 
     // BPE-ish sub-word token counting, aggregated per source.
@@ -2201,21 +2248,11 @@ object SparkEntry {
         """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
           |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
 
-      "q_lang_id" -> {
-        val tk = OracleGen.toksSql("text")
-        def hits(ws: Seq[String]) =
-          s"len(list_filter(tk, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
-        val hs = TextAnalysis.langWords.map { case (l, ws) => l -> hits(ws) }
-        val cases = hs.zipWithIndex.map { case ((l, h), i) =>
-          val later = hs.drop(i + 1).map(_._2)
-          val ge = (Seq(s"$h > 0") ++ later.map(o => s"$h >= $o")).mkString(" AND ")
-          s"WHEN $ge THEN '$l'"
-        }.mkString(" ")
+      "q_lang_id" ->
         s"""SELECT lang, predicted, count(*) AS n FROM (
-           |  SELECT lang, CASE $cases ELSE 'und' END AS predicted
-           |  FROM (SELECT lang, $tk AS tk FROM documents))
-           |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
-      },
+           |  SELECT lang, $LangIdCaseSql AS predicted
+           |  FROM (SELECT lang, ${OracleGen.toksSql("text")} AS tk FROM documents))
+           |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
 
       "q_quality" -> {
         val stop = "len(list_filter(tk, t -> t IN ('the','a','of','and','to','in')))"
@@ -2240,6 +2277,37 @@ object SparkEntry {
            |          SELECT text || ' ' || text AS text FROM documents
            |          WHERE doc_id % 10 = 0))))
            |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      "q_clean_funnel" -> {
+        val stop = "len(list_filter(tk, t -> t IN ('the','a','of','and','to','in')))"
+        s"""WITH corpus AS (
+           |  SELECT doc_id AS id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS id, text || ' ' || text AS text
+           |  FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 200000 AS id, text FROM documents WHERE doc_id % 7 = 0),
+           |f AS (
+           |  SELECT id, md5(text) AS ck,
+           |    ($LangIdCaseSql) <> 'und' AS p_lang,
+           |    ((least(CAST(len(tk) AS DOUBLE), 60.0) / 60.0) * 0.7 +
+           |     (CASE WHEN len(tk) > 0
+           |           THEN CAST($stop AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+           |           ELSE 0.0 END) * 0.3) >= 0.3 AS p_q,
+           |    (1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+           |      / CAST(len(sh) AS DOUBLE)) < 0.3 AS p_rep
+           |  FROM (SELECT id, text, tk, ${OracleGen.shinglesOfToks("tk")} AS sh
+           |        FROM (SELECT id, text, ${OracleGen.toksSql("text")} AS tk
+           |              FROM corpus)))
+           |SELECT count(*) AS n_total,
+           |  CAST(count(CASE WHEN p_lang THEN 1 END) AS BIGINT) AS n_lang,
+           |  CAST(count(CASE WHEN p_lang AND p_q THEN 1 END) AS BIGINT) AS n_quality,
+           |  CAST(count(CASE WHEN p_lang AND p_q AND p_rep THEN 1 END) AS BIGINT)
+           |    AS n_repetition,
+           |  CAST(count(DISTINCT CASE WHEN p_lang AND p_q AND p_rep THEN ck END)
+           |    AS BIGINT) AS n_unique
+           |FROM f""".stripMargin
+      },
 
       "q_token_bpe" ->
         """SELECT source,
