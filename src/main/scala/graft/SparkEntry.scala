@@ -1229,6 +1229,48 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Ordered conversion funnel (view → click → purchase): per user, the
+    // first view, the first click strictly AFTER that view, the first
+    // purchase strictly after that click — the sequence-respecting funnel
+    // (not mere presence counts). Three filtered min-aggregations joined
+    // on user_id (co-partitioned after the first shuffle), one summary
+    // row; exact integer micros throughout.
+    "q_funnel_conversion" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      def firstAfter(t: String, after: DataFrame, afterCol: String, out: String) =
+        ev.filter(col("event_type") === t)
+          .join(after, "user_id")
+          .filter(col("ts_us") > col(afterCol))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as(out))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+      val c = firstAfter("click", v, "t_view", "t_click")
+      val p = firstAfter("purchase", c, "t_click", "t_purchase")
+      v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"),
+          sum(col("t_purchase") - col("t_view")).as("sum_funnel_us"))
+    }),
+
+    // Weekly cohort retention matrix: cohort = epoch-week of a user's
+    // first event, age = weeks since; each cell counts distinct users of
+    // that cohort active at that age. Two shuffles (first-seen per user,
+    // cell aggregation) — the classic growth-analytics query, exact.
+    "q_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("d", expr("ts div 1000 div 86400000000"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      ev.select(col("user_id"), col("d")).distinct()
+        .join(first, "user_id")
+        .withColumn("cohort_week", expr("d0 DIV 7"))
+        .withColumn("age_week", expr("(d - d0) DIV 7"))
+        .groupBy(col("cohort_week"), col("age_week"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("age_week"))
+    }),
+
     // TF-IDF: top-3 terms per document. Rational idf (n_docs/df — a single
     // exactly-rounded division) instead of ln() whose rounding is not
     // IEEE-pinned across engines. tf and df aggregate over the full corpus;
@@ -2469,6 +2511,37 @@ object SparkEntry {
           |SELECT user_id, max(session_id) AS n_sessions,
           |  CAST(sum(n) AS BIGINT) AS n_events, max(n) AS max_session_events
           |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_funnel_conversion" ->
+        """WITH v AS (
+          |  SELECT user_id, min(epoch_us(ts)) AS t_view
+          |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+          |c AS (
+          |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+          |  FROM events e JOIN v ON e.user_id = v.user_id
+          |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+          |  GROUP BY e.user_id),
+          |p AS (
+          |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+          |  FROM events e JOIN c ON e.user_id = c.user_id
+          |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+          |  GROUP BY e.user_id)
+          |SELECT count(*) AS n_view,
+          |  CAST(count(c.t_click) AS BIGINT) AS n_click,
+          |  CAST(count(p.t_purchase) AS BIGINT) AS n_purchase,
+          |  CAST(sum(p.t_purchase - v.t_view) AS BIGINT) AS sum_funnel_us
+          |FROM v LEFT JOIN c ON v.user_id = c.user_id
+          |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+
+      "q_cohort_retention" ->
+        """WITH d AS (
+          |  SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+          |first AS (SELECT user_id, min(d) AS d0 FROM d GROUP BY user_id),
+          |act AS (SELECT DISTINCT user_id, d FROM d)
+          |SELECT f.d0 // 7 AS cohort_week, (a.d - f.d0) // 7 AS age_week,
+          |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+          |FROM act a JOIN first f ON a.user_id = f.user_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q_tfidf" ->
         s"""WITH toks AS (
