@@ -1782,6 +1782,22 @@ object SparkEntry {
     // mode across >= 3 micro-batches; the drain keeps each user's LATEST
     // update (max batch id), which after the final batch is the converged
     // state — the batch GROUP BY oracles it.
+    // Streaming heavy hitters: running per-user event counts (complete-
+    // mode state) re-emitting the top-10 every micro-batch — the live
+    // leaderboard/abuse-detection shape. Cross-batch state merge must
+    // converge to the batch GROUP BY oracle.
+    "q_stream_topk" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val src = s.readStream.schema(Tables.events(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "events", "ts"))
+      val agg = src.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      graft.streaming.Streaming.drainTopK(agg,
+          "topk_" + Integer.toHexString(dir.hashCode), 10,
+          Seq(col("n").desc, col("user_id")))
+        .orderBy(col("n").desc, col("user_id"))
+    }),
+
     "q_stream_user_stats" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
       import s.implicits._
@@ -2859,6 +2875,10 @@ object SparkEntry {
            |  CAST(list_sum(list_transform(emb,
            |    x -> CAST(floor(x * 1000000000000.0) AS BIGINT))) AS BIGINT) AS emb_fp
            |FROM d_emb""".stripMargin,
+
+      "q_stream_topk" ->
+        """SELECT user_id, count(*) AS n FROM events
+          |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
 
       "q_stream_user_stats" ->
         """SELECT user_id, count(*) AS n_events,

@@ -150,6 +150,28 @@ object Streaming {
     stream.sparkSession.read.parquet(out)
   }
 
+  /** Complete-mode drain that materializes only the top-k of each batch's
+    * state: the streaming heavy-hitters shape. The running aggregation
+    * state lives in the state store (bounded by the key space, not the
+    * stream); each micro-batch re-emits the currently-converged top-k
+    * (sort+limit over the state = TakeOrderedAndProject, never a global
+    * sort of the stream), and the final batch leaves the exact answer.
+    */
+  def drainTopK(stream: DataFrame, name: String, k: Int,
+                order: Seq[Column]): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => batch.orderBy(order: _*).limit(k)
+        .write.mode("overwrite").parquet(out)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.read.parquet(out)
+  }
+
   /** Append-mode drain for streams whose sink rows are final on emission
     * (stream-stream inner joins, watermark-finalized windows, streaming
     * dedup): each micro-batch's new rows append to the parquet sink from

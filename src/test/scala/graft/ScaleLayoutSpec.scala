@@ -247,4 +247,22 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(salted == plain)
     assert(plain("hot") == 10000L)
   }
+
+  test("retrieval/centroid/span plans: broadcasts, no cartesian, heap top-k") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    val bm25 = plan("q_bm25")
+    assert(!bm25.contains("CartesianProduct"), "bm25 globals must broadcast, not cartesian")
+    assert(bm25.contains("TakeOrderedAndProject"), "bm25 top-10 must be a heap, not a sort")
+    val assign = plan("q_centroid_assign")
+    assert(!assign.contains("CartesianProduct"))
+    assert(assign.contains("BroadcastNestedLoopJoin") || assign.contains("BroadcastHashJoin"),
+      "centroids must broadcast to the embedding scan")
+    val outliers = plan("q_centroid_outliers")
+    assert(outliers.contains("TakeOrderedAndProject"))
+    assert(outliers.contains("BroadcastHashJoin"), "own-label centroid join must broadcast")
+    val spans = plan("q_dup_spans")
+    assert(!spans.contains("CartesianProduct") && !spans.contains("BroadcastNestedLoopJoin"),
+      "window-hash join must be an equi-join")
+  }
 }
