@@ -215,6 +215,26 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Incremental aggregate maintenance: agg(S ∪ Δ) computed as
+    // merge(partial(S), partial(Δ)) — the partial-aggregation algebra
+    // behind incremental/materialized pipelines (a new data increment
+    // re-aggregates only Δ and merges into the stored partials instead
+    // of rescanning S). Sums are DECIMAL-exact, so the merged result is
+    // bit-identical to the oracle's one-pass aggregation however the
+    // corpus is split.
+    "q_incr_agg" -> ((s, dir) => {
+      val cut = lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00"))
+      def partial(f: Column) = Tables.lineitem(s, dir).filter(f)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(discPrice).as("sum_disc"))
+      partial(col("l_shipdate") < cut)
+        .unionAll(partial(col("l_shipdate") >= cut))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("sum_disc")).cast("double").as("sum_disc_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_revenue_nation" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
@@ -1844,6 +1864,14 @@ object SparkEntry {
            |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
            |GROUP BY l_returnflag, l_linestatus
            |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      // one-pass aggregation over the full table — equality with the
+      // split-and-merged Spark result proves the partial-agg algebra
+      "q_incr_agg" ->
+        s"""SELECT l_returnflag, count(*) AS n,
+           |  CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc_price
+           |FROM lineitem
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
       "q_revenue_nation" ->
         s"""SELECT n_name,
