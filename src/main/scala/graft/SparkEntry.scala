@@ -856,6 +856,33 @@ object SparkEntry {
             .as("n_unique"))
     }),
 
+    // The full training-set build, end to end in ONE query: polluted
+    // corpus → quality gates (lang-ID, quality score, repetition) →
+    // exact dedup (keep min id per content hash) → stable train split →
+    // sequence packing into 512-token bins. This is the complete 100 TB
+    // story composed from the individual oracled operators: narrow gate
+    // expressions, one content-hash shuffle, a hash split that never
+    // moves data, and the per-shard packing window.
+    "q_training_build" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.select(col("doc_id").as("id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+        .unionAll(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("id"), col("text")))
+      val gated = corpus.filter(
+        TextAnalysis.langId(col("text")) =!= "und" &&
+          TextAnalysis.qualityScore(col("text")) >= 0.3 &&
+          TextFunctions.repetitionRatio(col("text"), 3) < 0.3)
+      val deduped = gated.groupBy(md5(col("text")).as("ck"))
+        .agg(min(col("id")).as("id"), max(col("text")).as("text"))
+      val train = deduped.filter(TrainData.hashSplit(col("id")) === "train")
+      TrainData.packSequences(train, col("id"), col("text"),
+          seqLen = 512L, shards = 4)
+        .orderBy(col("shard"), col("bin"))
+    }),
+
     // BPE-ish sub-word token counting, aggregated per source.
     "q_token_bpe" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -2393,6 +2420,48 @@ object SparkEntry {
            |  CAST(count(DISTINCT CASE WHEN p_lang AND p_q AND p_rep THEN ck END)
            |    AS BIGINT) AS n_unique
            |FROM f""".stripMargin
+      },
+
+      "q_training_build" -> {
+        val stop = "len(list_filter(tk, t -> t IN ('the','a','of','and','to','in')))"
+        s"""WITH corpus AS (
+           |  SELECT doc_id AS id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS id, text || ' ' || text AS text
+           |  FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 200000 AS id, text FROM documents WHERE doc_id % 7 = 0),
+           |gated AS (
+           |  SELECT id, text FROM (
+           |    SELECT id, text, tk, ${OracleGen.shinglesOfToks("tk")} AS sh
+           |    FROM (SELECT id, text, ${OracleGen.toksSql("text")} AS tk FROM corpus))
+           |  WHERE ($LangIdCaseSql) <> 'und'
+           |    AND ((least(CAST(len(tk) AS DOUBLE), 60.0) / 60.0) * 0.7 +
+           |         (CASE WHEN len(tk) > 0
+           |               THEN CAST($stop AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+           |               ELSE 0.0 END) * 0.3) >= 0.3
+           |    AND (1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+           |         / CAST(len(sh) AS DOUBLE)) < 0.3),
+           |dedup AS (
+           |  SELECT min(id) AS id, max(text) AS text
+           |  FROM gated GROUP BY md5(text)),
+           |train AS (
+           |  SELECT id, text FROM dedup
+           |  WHERE id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 < 80),
+           |t AS (
+           |  SELECT id,
+           |    id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 % 4 AS shard,
+           |    CAST(len(${OracleGen.toksSql("text")}) AS BIGINT) AS n_tokens
+           |  FROM train),
+           |c AS (
+           |  SELECT shard, id, n_tokens,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM t)
+           |SELECT shard, (cum - n_tokens) // 512 AS bin, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |  min(id) AS min_id, max(id) AS max_id
+           |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
       },
 
       "q_token_bpe" ->
