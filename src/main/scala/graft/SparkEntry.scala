@@ -1829,6 +1829,27 @@ object SparkEntry {
     // mode across >= 3 micro-batches; the drain keeps each user's LATEST
     // update (max batch id), which after the final batch is the converged
     // state — the batch GROUP BY oracles it.
+    // Sliding (overlapping) event-time windows: 2-hour windows every
+    // hour, so each event lands in exactly two windows — the overlap
+    // bookkeeping the tumbling q_stream_hourly doesn't exercise. Same
+    // watermark/state machinery, ≥3 micro-batches.
+    "q_stream_sliding" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val src = s.readStream.schema(Tables.events(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "events", "ts"))
+      val agg = src
+        .select(timestamp_micros(expr("ts div 1000")).as("ts_t"))
+        .withWatermark("ts_t", "3 hours")
+        .groupBy(window(col("ts_t"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.Streaming.drainToParquet(agg,
+          "sliding_" + Integer.toHexString(dir.hashCode))
+        .select(expr("unix_micros(window.start) div 3600000000").as("win_start_hour"),
+          col("n"))
+        .orderBy(col("win_start_hour"))
+    }),
+
     // Streaming heavy hitters: running per-user event counts (complete-
     // mode state) re-emitting the top-10 every micro-batch — the live
     // leaderboard/abuse-detection shape. Cross-batch state merge must
@@ -2972,6 +2993,14 @@ object SparkEntry {
            |  CAST(list_sum(list_transform(emb,
            |    x -> CAST(floor(x * 1000000000000.0) AS BIGINT))) AS BIGINT) AS emb_fp
            |FROM d_emb""".stripMargin,
+
+      // every event (hour h) lands in the two 2h/1h-slide windows that
+      // start at h-1 and h
+      "q_stream_sliding" ->
+        """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+          |w AS (SELECT h AS ws FROM e UNION ALL SELECT h - 1 AS ws FROM e)
+          |SELECT ws AS win_start_hour, count(*) AS n
+          |FROM w GROUP BY ws ORDER BY ws""".stripMargin,
 
       "q_stream_topk" ->
         """SELECT user_id, count(*) AS n FROM events

@@ -329,11 +329,22 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").cast("long").as("src"),
       col("b_id").cast("long").as("dst"))
+    // pre-partitioned on the join key once: every round's edge-side input
+    // then satisfies the join's distribution from the checkpoint (the
+    // Dataset checkpoint preserves outputPartitioning), so only the
+    // label-propagation shuffle remains per round
     val sym = edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    // seed with min(id, min neighbor) — one propagation round folded into
+    // the init aggregation; for the common near-dup shape (cliques/stars
+    // labeled by their minimum) this IS the fixpoint and the loop only
+    // confirms it
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
+      .localCheckpoint()
     // every round can only DECREASE a node's label (min over a superset
     // that includes its own label), so the exact label sum is strictly
     // monotone until fixpoint — comparing sums detects convergence with
