@@ -88,6 +88,59 @@ object SparkEntry {
       |    list(CAST(sum_fp AS DOUBLE) / 1000000000000.0 / n ORDER BY pos) AS cvec
       |  FROM cent GROUP BY clabel)""".stripMargin
 
+  /** Fused hybrid-retrieval relation (doc_id, lex_rank, vec_rank, rrf_fp):
+    * RRF of the top-20 BM25 and top-20 hash-embed L2 rankings for
+    * RagQuery — shared by q_rrf_fusion and q_rag_hybrid.
+    */
+  private def rrfFused(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val lex = graft.operators.Retrieval.bm25(docs, col("doc_id"), col("text"),
+        RagQuery.split(" ").toSeq)
+      .orderBy(col("score_fp").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+    val corpus = Rag.embedCorpus(docs.select(col("doc_id"), col("text")), col("text"))
+    val vec = Rag.retrieve(corpus, col("doc_id"), RagQuery, 20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("distance"), col("doc_id"))).cast("long"))
+    graft.operators.Retrieval.rrfFuse(
+      lex.select(col("doc_id"), col("rank")),
+      vec.select(col("doc_id"), col("rank")))
+  }
+
+  /** Shared DuckDB CTE chain (Bm25Ctes included) ending with `fused`
+    * (doc_id, lex_rank, vec_rank, rrf_fp): reciprocal-rank fusion of the
+    * top-20 BM25 and top-20 hash-embed L2 rankings for RagQuery — mirror
+    * of Retrieval.rrfFuse over Retrieval.bm25 + Rag.retrieve.
+    */
+  private lazy val RrfFusedCtes: String =
+    s"""$Bm25Ctes,
+       |lexall AS (
+       |  SELECT doc_id, CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp
+       |  FROM bm25_scored GROUP BY doc_id),
+       |lex AS (
+       |  SELECT doc_id, rank FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rank
+       |    FROM lexall) WHERE rank <= 20),
+       |${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},
+       |${OracleGen.embedCte("q", s"(SELECT '$RagQuery' AS text)", "0", "text", 64)},
+       |vecall AS (
+       |  SELECT d.id AS doc_id, ${OracleGen.l2DoubleCols("d.emb", "q.emb")} AS distance
+       |  FROM d_emb d, q_emb q
+       |  ORDER BY distance ASC, doc_id ASC LIMIT 20),
+       |vec AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY distance ASC, doc_id) AS rank
+       |  FROM vecall),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    l.rank AS lex_rank, v.rank AS vec_rank,
+       |    coalesce(1000000000 // (60 + l.rank), 0)
+       |      + coalesce(1000000000 // (60 + v.rank), 0) AS rrf_fp
+       |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)""".stripMargin
+
   private lazy val Bm25Ctes: String = {
     val termsIn = RagQuery.split(" ").map(t => s"'$t'").mkString(", ")
     s"""bm25_toks AS (
@@ -1361,23 +1414,27 @@ object SparkEntry {
     // path (rag.py:65-90) is usually upgraded to. Both rank lists are
     // top-20 (broadcast-size); fusion is exact integer arithmetic.
     "q_rrf_fusion" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir)
-      val lex = graft.operators.Retrieval.bm25(docs, col("doc_id"), col("text"),
-          RagQuery.split(" ").toSeq)
-        .orderBy(col("score_fp").desc, col("doc_id")).limit(20)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
-      val corpus = Rag.embedCorpus(docs.select(col("doc_id"), col("text")), col("text"))
-      val vec = Rag.retrieve(corpus, col("doc_id"), RagQuery, 20)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("distance"), col("doc_id"))).cast("long"))
-      graft.operators.Retrieval.rrfFuse(
-          lex.select(col("doc_id"), col("rank")),
-          vec.select(col("doc_id"), col("rank")))
+      rrfFused(s, dir)
         .orderBy(col("rrf_fp").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_fp"))
+    }),
+
+    // The E3 RAG pipeline upgraded to hybrid retrieval: RRF top-5 →
+    // ordered context assembly (descending fusion score) → the M2
+    // generation prompt. The production-shape upgrade of the reference's
+    // embedding-only retrieve (rag.py:65-90).
+    "q_rag_hybrid" -> ((s, dir) => {
+      val top5 = rrfFused(s, dir)
+        .orderBy(col("rrf_fp").desc, col("doc_id")).limit(5)
+      top5.join(Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct((-col("rrf_fp")).as("k"),
+              col("doc_id").as("i"), col("text").as("doc")))),
+            x => x.getField("doc")), "\n\n").as("context"))
+        .select(lit(RagQuery).as("query"), col("context"),
+          Rag.promptOf(col("context"), RagQuery).as("prompt"))
     }),
 
     // CUBE over return-flag × line-status: all four grouping sets in one
@@ -2705,31 +2762,23 @@ object SparkEntry {
            |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
 
       "q_rrf_fusion" ->
-        s"""WITH $Bm25Ctes,
-           |lexall AS (
-           |  SELECT doc_id, CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp
-           |  FROM bm25_scored GROUP BY doc_id),
-           |lex AS (
-           |  SELECT doc_id, rank FROM (
-           |    SELECT doc_id,
-           |      row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rank
-           |    FROM lexall) WHERE rank <= 20),
-           |${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},
-           |${OracleGen.embedCte("q", s"(SELECT '$RagQuery' AS text)", "0", "text", 64)},
-           |vecall AS (
-           |  SELECT d.id AS doc_id, ${OracleGen.l2DoubleCols("d.emb", "q.emb")} AS distance
-           |  FROM d_emb d, q_emb q
-           |  ORDER BY distance ASC, doc_id ASC LIMIT 20),
-           |vec AS (
-           |  SELECT doc_id,
-           |    row_number() OVER (ORDER BY distance ASC, doc_id) AS rank
-           |  FROM vecall)
-           |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
-           |  l.rank AS lex_rank, v.rank AS vec_rank,
-           |  coalesce(1000000000 // (60 + l.rank), 0)
-           |    + coalesce(1000000000 // (60 + v.rank), 0) AS rrf_fp
-           |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        s"""WITH $RrfFusedCtes
+           |SELECT doc_id, lex_rank, vec_rank, rrf_fp FROM fused
            |ORDER BY rrf_fp DESC, doc_id LIMIT 10""".stripMargin,
+
+      "q_rag_hybrid" ->
+        s"""WITH $RrfFusedCtes,
+           |top5 AS (
+           |  SELECT doc_id, rrf_fp FROM fused
+           |  ORDER BY rrf_fp DESC, doc_id LIMIT 5),
+           |ctx AS (
+           |  SELECT string_agg(t.text, chr(10) || chr(10)
+           |           ORDER BY top5.rrf_fp DESC, top5.doc_id) AS context
+           |  FROM top5 JOIN documents t ON top5.doc_id = t.doc_id)
+           |SELECT '$RagQuery' AS query, context,
+           |       'Context:' || chr(10) || context || chr(10) || chr(10) ||
+           |       'Question: ' || '$RagQuery' AS prompt
+           |FROM ctx""".stripMargin,
 
       "q_cube" ->
         """SELECT l_returnflag, l_linestatus,
