@@ -1731,6 +1731,44 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Dynamic partition pruning: the fact table is laid out by day; the
+    // dim side's filter (tag = 'keep') is only known at run time, and the
+    // broadcast result is re-used as a partition filter on the fact scan
+    // (PartitionFilters: dynamicpruningexpression — asserted in
+    // ScaleLayoutSpec). At 100 TB this is the difference between scanning
+    // 3 partitions and scanning all of them when the pruning predicate
+    // arrives via a join instead of a literal.
+    "q_dpp_join" -> ((s, dir) => {
+      val out = stagedPath("events_by_day_v1", dir)
+      val dimOut = stagedPath("day_dim_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(out, "_SUCCESS").exists()) {
+          Tables.events(s, dir)
+            .withColumn("day", expr("ts div 1000 div 86400000000"))
+            .write.mode("overwrite").partitionBy("day").parquet(out)
+        }
+        if (!new java.io.File(dimOut, "_SUCCESS").exists()) {
+          import s.implicits._
+          // int days match the inferred partition-column type, keeping the
+          // join key the bare partition attribute (what DPP keys on); the
+          // dim is a real parquet table so its runtime filter survives as
+          // a Filter node (a literal local relation would constant-fold
+          // and DPP would see no pruning filter to reuse)
+          (19723 to 19752).map(d => (d, if (d <= 19725) "keep" else "drop"))
+            .toDF("day", "tag")
+            .write.mode("overwrite").parquet(dimOut)
+        }
+      }
+      val dim = s.read.parquet(dimOut)
+      s.read.parquet(out)
+        .join(broadcast(dim.filter(col("tag") === "keep")), "day")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .select(col("day").cast("long").as("day"), col("n"), col("sum_cents"))
+        .orderBy(col("day"))
+    }),
+
     // Full-outer join with unmatched sides on both ends (customers with no
     // orders / order keys outside the customer slice), classified and
     // counted.
@@ -2994,6 +3032,13 @@ object SparkEntry {
           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
           |FROM orders WHERE date_part('year', o_orderdate) = 1998
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+      "q_dpp_join" ->
+        """SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM events
+          |WHERE epoch_us(ts) // 86400000000 IN (19723, 19724, 19725)
+          |GROUP BY day ORDER BY day""".stripMargin,
 
       "q_stream_hourly" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n,

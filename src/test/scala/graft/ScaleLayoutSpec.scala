@@ -265,4 +265,12 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(!spans.contains("CartesianProduct") && !spans.contains("BroadcastNestedLoopJoin"),
       "window-hash join must be an equi-join")
   }
+
+  test("q_dpp_join: runtime dim filter prunes fact partitions (DPP)") {
+    val df = SparkEntry.queries("q_dpp_join")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "fact scan must carry a dynamicpruningexpression partition filter")
+    assert(df.count() > 0)
+  }
 }
