@@ -621,6 +621,28 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
     }),
 
+    // Store compaction as a declared query: a fragmented store (write +
+    // append = two file generations per bucket) is compacted to one file
+    // per bucket; the probe must be invariant — same oracle SQL as
+    // q_vector_store. Compaction is the maintenance op that keeps probe
+    // file-counts (and task counts at 100 TB) bounded as appends accrue.
+    "q_vector_store_compact" -> ((s, dir) => {
+      val path = stagedPath("vector_store_compact_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(path, "_SUCCESS").exists()) {
+          val emb = Tables.embeddings(s, dir)
+          graft.operators.VectorStore.write(
+            emb.filter(col("vec_id") % 2 === 0), col("embedding"), path)
+          graft.operators.VectorStore.append(
+            emb.filter(col("vec_id") % 2 === 1), col("embedding"), path)
+          graft.operators.VectorStore.compact(s, path)
+        }
+      }
+      graft.operators.VectorStore.queryL2(s, path, "embedding", "vec_id",
+          QueryVec.values, 5)
+        .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
+    }),
+
     // Incremental vector-store maintenance: the store is built by an
     // initial write of half the vectors, an append of the other half, and
     // a re-append of an already-present slice (idempotence: dropped by the
@@ -2203,6 +2225,19 @@ object SparkEntry {
       },
 
       "q_vector_store" -> {
+        val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+        s"""SELECT vec_id, label, bucket, distance FROM (
+           |  SELECT vec_id, label,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |         ${OracleGen.l2ToQuery("embedding")} AS distance
+           |  FROM embeddings)
+           |WHERE bucket IN ($probes)
+           |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
+      },
+
+      // probe over the compacted store is invariant — identical SQL to
+      // q_vector_store
+      "q_vector_store_compact" -> {
         val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
         s"""SELECT vec_id, label, bucket, distance FROM (
            |  SELECT vec_id, label,
