@@ -40,7 +40,8 @@ object GraftFunctions {
       if (es.length > 1) intLit(es(1), "shingles n") else 3,
       distinct = false)),
     "repetition_ratio" -> (es => RepetitionRatio(es(0),
-      if (es.length > 1) intLit(es(1), "repetition_ratio n") else 3))
+      if (es.length > 1) intLit(es(1), "repetition_ratio n") else 3)),
+    "cms_estimate" -> (es => CmsEstimate(es(0), es(1)))
   )
 
   def registerAll(spark: SparkSession): Unit =

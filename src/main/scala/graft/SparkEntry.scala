@@ -1351,6 +1351,32 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Heavy hitters via count-min sketch: the sketch aggregates
+    // distributively (one tiny mergeable binary per partition crosses the
+    // shuffle — never per-key rows), and the native cms_estimate
+    // expression reads estimates back inside the engine. Output follows
+    // the tolerance-flag contract (q_approx_distinct pattern): exact
+    // top-5 counts plus the CMS guarantee (n ≤ estimate ≤ n + ε·N)
+    // as a checked flag.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sketch = ev.agg(
+        count_min_sketch(col("user_id"), lit(0.001), lit(0.99), lit(42)).as("cms"),
+        count(lit(1)).as("n_total"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id")).limit(5)
+      exact.crossJoin(broadcast(sketch))
+        .withColumn("est", org.apache.spark.sql.GraftBridge.column(
+          graft.expressions.CmsEstimate(
+            org.apache.spark.sql.GraftBridge.expression(col("cms")),
+            org.apache.spark.sql.GraftBridge.expression(col("user_id")))))
+        .select(col("user_id"), col("n"),
+          (col("est") >= col("n") &&
+            col("est") <= col("n") + ceil(col("n_total") * 0.001).cast("long"))
+            .as("within_bound"))
+        .orderBy(col("n").desc, col("user_id"))
+    }),
+
     // Ordered conversion funnel (view → click → purchase): per user, the
     // first view, the first click strictly AFTER that view, the first
     // purchase strictly after that click — the sequence-respecting funnel
@@ -2775,6 +2801,13 @@ object SparkEntry {
           |SELECT user_id, max(session_id) AS n_sessions,
           |  CAST(sum(n) AS BIGINT) AS n_events, max(n) AS max_session_events
           |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // tolerance-flag contract: exact counts compared exactly, the CMS
+      // bound reported as a flag the oracle expects TRUE
+      "q_heavy_hitters" ->
+        """SELECT user_id, count(*) AS n, TRUE AS within_bound
+          |FROM events GROUP BY user_id
+          |ORDER BY n DESC, user_id LIMIT 5""".stripMargin,
 
       "q_funnel_conversion" ->
         """WITH v AS (
