@@ -1351,6 +1351,27 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Time-series anomaly detection: hourly event counts, corpus mean/σ
+    // from exact integer power sums (S1, S2 — one aggregation, broadcast
+    // back), and the hours deviating more than 2σ. The z-score chain is
+    // the same left-associated double expression on both engines over
+    // integer-exact inputs, so even the flagged set is deterministic.
+    "q_anomaly_hours" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(expr("ts div 1000 div 3600000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.agg(count(lit(1)).as("n_hours"),
+        sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))
+      hourly.crossJoin(broadcast(stats))
+        .withColumn("mean", col("s1").cast("double") / col("n_hours"))
+        .withColumn("std", sqrt(col("s2").cast("double") / col("n_hours")
+          - col("mean") * col("mean")))
+        .withColumn("z", (col("n").cast("double") - col("mean")) / col("std"))
+        .filter(abs(col("z")) > 2.0)
+        .select(col("hour_bucket"), col("n"), col("z"))
+        .orderBy(col("hour_bucket"))
+    }),
+
     // Heavy hitters via count-min sketch: the sketch aggregates
     // distributively (one tiny mergeable binary per partition crosses the
     // shuffle — never per-key rows), and the native cms_estimate
@@ -2801,6 +2822,24 @@ object SparkEntry {
           |SELECT user_id, max(session_id) AS n_sessions,
           |  CAST(sum(n) AS BIGINT) AS n_events, max(n) AS max_session_events
           |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_anomaly_hours" ->
+        """WITH hourly AS (
+          |  SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1),
+          |stats AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_hours,
+          |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+          |  FROM hourly),
+          |z AS (
+          |  SELECT hour_bucket, n,
+          |    (CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE) / n_hours))
+          |      / sqrt(CAST(s2 AS DOUBLE) / n_hours
+          |             - (CAST(s1 AS DOUBLE) / n_hours) * (CAST(s1 AS DOUBLE) / n_hours)) AS z
+          |  FROM hourly CROSS JOIN stats)
+          |SELECT hour_bucket, n, z FROM z WHERE abs(z) > 2.0
+          |ORDER BY hour_bucket""".stripMargin,
 
       // tolerance-flag contract: exact counts compared exactly, the CMS
       // bound reported as a flag the oracle expects TRUE
