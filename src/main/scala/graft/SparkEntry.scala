@@ -1351,6 +1351,21 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // The custom-expression SQL surface end-to-end: hash_embed +
+    // l2_distance called from spark.sql over a temp view — the same
+    // codegen'd Catalyst expressions the DataFrame queries use, reached
+    // through the FunctionRegistry (GraftFunctions.registerAll), so a
+    // SQL-only user gets identical results.
+    "q_sql_custom_funcs" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql(
+        s"""SELECT doc_id,
+           |  l2_distance(hash_embed(text, 64), hash_embed('$RagQuery', 64)) AS distance
+           |FROM documents_v
+           |ORDER BY distance ASC, doc_id ASC LIMIT 5""".stripMargin)
+    }),
+
     // Time-series anomaly detection: hourly event counts, corpus mean/σ
     // from exact integer power sums (S1, S2 — one aggregation, broadcast
     // back), and the hours deviating more than 2σ. The z-score chain is
@@ -2822,6 +2837,13 @@ object SparkEntry {
           |SELECT user_id, max(session_id) AS n_sessions,
           |  CAST(sum(n) AS BIGINT) AS n_events, max(n) AS max_session_events
           |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_sql_custom_funcs" ->
+        s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},
+           |${OracleGen.embedCte("q", s"(SELECT '$RagQuery' AS text)", "0", "text", 64)}
+           |SELECT d.id AS doc_id, ${OracleGen.l2DoubleCols("d.emb", "q.emb")} AS distance
+           |FROM d_emb d, q_emb q
+           |ORDER BY distance ASC, doc_id ASC LIMIT 5""".stripMargin,
 
       "q_anomaly_hours" ->
         """WITH hourly AS (
