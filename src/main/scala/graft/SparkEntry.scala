@@ -88,6 +88,56 @@ object SparkEntry {
       |    list(CAST(sum_fp AS DOUBLE) / 1000000000000.0 / n ORDER BY pos) AS cvec
       |  FROM cent GROUP BY clabel)""".stripMargin
 
+  /** Unrolled Lloyd-iteration CTE chain mirroring Clustering.lloyd
+    * (q_kmeans): seeds by lowest vec_id, per-iteration cross join against
+    * the ≤ k centroids with the same left-associated L2 chain, argmin via
+    * row_number ORDER BY (dist, cid), centroid update through the
+    * identical 1e-12 fixed-point integer sums. Same doubles → same
+    * comparisons → same memberships, iteration by iteration.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM embeddings ORDER BY vec_id LIMIT $k)""".stripMargin)
+    var prev = "seeds"
+    for (it <- 1 to iters) {
+      sb.append(
+        s""",
+           |d$it AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |    ${OracleGen.l2FloatCols("e.embedding", "c.cvec", 64)} AS dist
+           |  FROM embeddings e CROSS JOIN $prev c),
+           |a$it AS (
+           |  SELECT vec_id, embedding, cid FROM (
+           |    SELECT vec_id, embedding, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d$it) WHERE rn = 1),
+           |c${it}p AS (
+           |  SELECT cid, i AS pos, count(*) AS n,
+           |    CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+           |        * 1000000000000.0) AS BIGINT)) AS BIGINT) AS sum_fp
+           |  FROM a$it, range(1, 65) t(i)
+           |  GROUP BY cid, i),
+           |c$it AS (
+           |  SELECT cid,
+           |    list(CAST(sum_fp AS DOUBLE) / 1000000000000.0 / n ORDER BY pos) AS cvec
+           |  FROM c${it}p GROUP BY cid)""".stripMargin)
+      prev = s"c$it"
+    }
+    sb.append(
+      s"""
+         |SELECT a.cid, count(*) AS n, sum(a.vec_id) AS sum_ids, cf.cent_fp
+         |FROM a$iters a JOIN (
+         |  SELECT cid, CAST(list_sum(list_transform(cvec,
+         |    x -> CAST(floor(x * 1000000.0) AS BIGINT))) AS BIGINT) AS cent_fp
+         |  FROM c$iters) cf ON a.cid = cf.cid
+         |GROUP BY a.cid, cf.cent_fp ORDER BY a.cid""".stripMargin)
+    sb.toString
+  }
+
   /** Fused hybrid-retrieval relation (doc_id, lex_rank, vec_rank, rrf_fp):
     * RRF of the top-20 BM25 and top-20 hash-embed L2 rankings for
     * RagQuery — shared by q_rrf_fusion and q_rag_hybrid.
@@ -286,6 +336,50 @@ object SparkEntry {
         .agg(sum(col("n")).as("n"),
           sum(col("sum_disc")).cast("double").as("sum_disc_price"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Lakehouse MERGE (upsert) on a dimension snapshot: a change batch of
+    // UPDATE rows (every 10th customer gets its account balance restated to
+    // its exact order-total sum, segment 'UPDATED') plus INSERT rows (new
+    // customers minted from the supplier table, segment 'NEW') applied onto
+    // `customer` in one full-outer-join pass (Merge.merge). Verified via
+    // per-segment exact-decimal summary of the merged snapshot; the oracle
+    // replays the same MERGE as FULL OUTER JOIN + presence-CASE.
+    "q_merge_upsert" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val updates = c.filter(col("c_custkey") % 10 === 0)
+        .join(Tables.orders(s, dir).groupBy(col("o_custkey"))
+            .agg(sum(col("o_totalprice").cast(dec12)).cast("double").as("new_bal")),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("new_bal").as("c_acctbal"), lit("UPDATED").as("c_mktsegment"))
+      val inserts = Tables.supplier(s, dir)
+        .select((col("s_suppkey") + 10000000L).as("c_custkey"),
+          col("s_name").as("c_name"), col("s_nationkey").as("c_nationkey"),
+          col("s_acctbal").as("c_acctbal"), lit("NEW").as("c_mktsegment"))
+      graft.operators.Merge.merge(c, updates.unionAll(inserts), Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(dec12)).cast("double").as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // SCD type-2 interval history: the events change-log collapsed into
+    // per-user event_type validity intervals (Merge.scd2: one shuffle on
+    // user, lag to drop same-state repeats, lead for valid_to). Durations
+    // are exact integer microseconds — ts arrives as BIGINT nanos
+    // (nanosAsLong), truncated per-endpoint to micros exactly like the
+    // oracle's epoch_us, so the per-state rollup is engine-exact.
+    "q_scd2" -> ((s, dir) => {
+      graft.operators.Merge.scd2(Tables.events(s, dir), col("user_id"),
+          col("event_type"), col("ts"), col("event_id"))
+        .groupBy(col("state"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+          coalesce(sum(expr("valid_to DIV 1000 - valid_from DIV 1000")),
+            lit(0L)).as("dur_us"))
+        .orderBy(col("state"))
     }),
 
     "q_revenue_nation" -> ((s, dir) => {
@@ -1602,6 +1696,28 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("dist"))
     }),
 
+    // Deterministic k-means (Lloyd, k=4, 2 unrolled iterations): seeds =
+    // 4 lowest-id vectors, argmin ties to lowest cid, centroid updates
+    // through the q_centroid 1e-12 fixed-point sums — every iteration is
+    // bit-exact in any engine/partitioning, so the oracle replays the
+    // identical unrolled CTE chain. Per iteration: broadcast k centroids,
+    // narrow per-row argmin, (cid × dim) update agg — no shuffle of the
+    // vector relation itself. Output: per-cluster size, member-id sum, and
+    // a 1e-6 fixed-point checksum of the final centroid.
+    "q_kmeans" -> ((s, dir) => {
+      val (asg, cents) = graft.operators.Clustering.lloyd(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        k = 4, iters = 2, dim = 64)
+      val checks = cents.select(col("cid"),
+        aggregate(transform(col("cvec"),
+            x => floor(x * lit(1000000.0)).cast("long")),
+          lit(0L), (a, b) => a + b).as("cent_fp"))
+      asg.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_ids"))
+        .join(checks, Seq("cid"))
+        .orderBy(col("cid"))
+    }),
+
     // Same centroids via the custom UDAF (TypedImperativeAggregate):
     // update() folds rows map-side into a fixed-point long[dim] buffer,
     // merge() combines partition buffers — the shuffle carries one buffer
@@ -2099,6 +2215,42 @@ object SparkEntry {
            |  CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc_price
            |FROM lineitem
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "q_merge_upsert" ->
+        """WITH src AS (
+          |  SELECT c.c_custkey, c.c_name, c.c_nationkey,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS c_acctbal,
+          |    'UPDATED' AS c_mktsegment
+          |  FROM customer c JOIN orders ON o_custkey = c_custkey
+          |  WHERE c_custkey % 10 = 0
+          |  GROUP BY c.c_custkey, c.c_name, c.c_nationkey
+          |  UNION ALL
+          |  SELECT s_suppkey + 10000000, s_name, s_nationkey, s_acctbal, 'NEW'
+          |  FROM supplier),
+          |merged AS (
+          |  SELECT
+          |    coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+          |    CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+          |    CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+          |  FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey)
+          |SELECT c_mktsegment, count(*) AS n,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+          |  sum(c_custkey) AS sum_key
+          |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      "q_scd2" ->
+        """WITH m AS (
+          |  SELECT user_id, event_type, ts, event_id,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events),
+          |runs AS (
+          |  SELECT user_id, event_type, ts AS valid_from,
+          |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+          |  FROM m WHERE prev IS NULL OR event_type <> prev)
+          |SELECT event_type AS state, count(*) AS n_intervals,
+          |  sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
+          |  coalesce(sum(epoch_us(valid_to) - epoch_us(valid_from)), 0) AS dur_us
+          |FROM runs GROUP BY event_type ORDER BY state""".stripMargin,
 
       "q_revenue_nation" ->
         s"""SELECT n_name,
@@ -2994,6 +3146,8 @@ object SparkEntry {
           |  FROM embeddings, range(1, 65) t(i)
           |  GROUP BY label, i)
           |ORDER BY label, pos""".stripMargin,
+
+      "q_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
 
       "q_centroid_assign" ->
         s"""WITH $CentroidListCtes,

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deterministic k-means (Lloyd) over an embedding column — the
+  * unsupervised counterpart of the per-label centroid operators
+  * (q_centroid / q_centroid_assign): cluster discovery for corpus
+  * organization, topic bucketing, and IVF coarse-quantizer training
+  * (Ann.annIvf's centroid formula is the static stand-in this replaces
+  * when trained on real data).
+  *
+  * Determinism contract (what makes every step oracle-checkable):
+  * seeds are the k lowest-id vectors (no RNG); the assignment argmin
+  * breaks distance ties by lowest centroid id; centroid updates go
+  * through the same 1e-12 fixed-point integer sums as q_centroid, so
+  * the new centroids are bit-identical doubles in any engine and any
+  * partitioning. Iterations compose exactly: distances on identical
+  * doubles give identical comparisons, hence identical memberships.
+  *
+  * Scale shape per iteration: one broadcast of k small centroid rows,
+  * one narrow per-row argmin over the broadcast set (no shuffle of the
+  * embedding relation), one (cid × dim)-keyed aggregation for the
+  * update — the exact shape that holds at 10⁹ vectors. Nothing iterates
+  * on the driver; `iters` is a fixed unroll.
+  */
+object Clustering {
+
+  val Scale = 1000000000000.0 // 1e-12 fixed point, shared with q_centroid
+
+  /** Deterministic seeds: the k lowest-id vectors, cid = 0..k-1 in id
+    * order. k rows — the window's single-partition sort is k items.
+    */
+  def seeds(emb: DataFrame, idCol: Column, vecCol: Column, k: Int): DataFrame =
+    emb.orderBy(idCol).limit(k)
+      .select((row_number().over(Window.orderBy(idCol)) - 1).as("cid"),
+        transform(vecCol, x => x.cast("double")).as("cvec"))
+
+  /** Assignment step: nearest centroid per vector (argmin = min over
+    * (dist, cid) structs — deterministic tie-break by lowest cid).
+    * Output (id, vec, cid). The centroid set broadcasts; the embedding
+    * relation is scanned once, narrow.
+    */
+  def assign(emb: DataFrame, cents: DataFrame, idCol: Column,
+             vecCol: Column): DataFrame =
+    emb.select(idCol.as("id"), vecCol.as("vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", VectorFunctions.l2Composed(col("vec"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"), col("m").getField("cid").as("cid"))
+
+  /** Update step: per-cluster mean via exact fixed-point integer sums
+    * (VectorSumFp merge-able buffers — the shuffle carries one
+    * long[dim] buffer per (cid × partition), never rows). Clusters that
+    * lost all members drop out, deterministically.
+    */
+  def update(assigned: DataFrame, dim: Int): DataFrame =
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        VectorFunctions.vectorSumFp(col("vec"), dim).as("sums"))
+      .select(col("cid"),
+        transform(col("sums"),
+          x => x.cast("double") / lit(Scale) / col("n")).as("cvec"))
+
+  /** Full Lloyd run, `iters` unrolled assign+update rounds from the
+    * deterministic seeds. Returns (assignments (id, vec, cid) of the
+    * LAST assignment, centroids (cid, cvec) of the LAST update).
+    */
+  def lloyd(emb: DataFrame, idCol: Column, vecCol: Column, k: Int,
+            iters: Int, dim: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, "lloyd needs at least one iteration")
+    var cents = seeds(emb, idCol, vecCol, k)
+    var asg: DataFrame = null
+    for (_ <- 0 until iters) {
+      asg = assign(emb, cents, idCol, vecCol)
+      cents = update(asg, dim)
+    }
+    (asg, cents)
+  }
+}

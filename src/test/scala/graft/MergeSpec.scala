@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Merge
+
+class MergeSpec extends SparkSpec {
+
+  test("merge applies update / insert / keep semantics") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val source = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("k", "name", "bal")
+    val out = Merge.merge(target, source, Seq("k"))
+      .orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)))
+  }
+
+  test("merge update replaces wholesale, including source nulls") {
+    import spark.implicits._
+    val target = Seq((1L, Option("a"))).toDF("k", "name")
+    val source = Seq((1L, Option.empty[String])).toDF("k", "name")
+    val out = Merge.merge(target, source, Seq("k")).collect()
+    assert(out.length == 1 && out.head.isNullAt(1))
+  }
+
+  test("merge rejects mismatched schemas") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "name")
+    val source = Seq((1L, "a")).toDF("k", "other")
+    intercept[IllegalArgumentException] {
+      Merge.merge(target, source, Seq("k"))
+    }
+  }
+
+  test("scd2 collapses same-state runs into intervals with correct bounds") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val changes = Seq(
+      (1L, "view", ts(0), 1L), (1L, "view", ts(1), 2L), (1L, "click", ts(2), 3L),
+      (1L, "view", ts(3), 4L),
+      (2L, "buy", ts(5), 5L)
+    ).toDF("u", "state", "ts", "eid")
+    val out = Merge.scd2(changes, $"u", $"state", $"ts", $"eid")
+      .orderBy($"key", $"valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      (1L, "view", ts(0), Some(ts(2)), false),   // run of 2 views collapsed
+      (1L, "click", ts(2), Some(ts(3)), false),
+      (1L, "view", ts(3), None, true),           // state can recur as new run
+      (2L, "buy", ts(5), None, true)))
+  }
+
+  test("scd2 same-timestamp changes resolve by tiebreak deterministically") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val changes = Seq((1L, "b", t, 2L), (1L, "a", t, 1L)).toDF("u", "state", "ts", "eid")
+    val out = Merge.scd2(changes, $"u", $"state", $"ts", $"eid")
+      .orderBy($"valid_from", $"state").collect()
+    // eid=1 ("a") sorts first, then eid=2 ("b") — "b" is the open interval
+    assert(out.length == 2)
+    assert(out.map(_.getString(1)).toSeq == Seq("a", "b"))
+    assert(!out(0).getBoolean(4) && out(1).getBoolean(4))
+  }
+
+  test("merge plans one join over distributed relations, no cartesian") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "name")
+    val source = Seq((2L, "b")).toDF("k", "name")
+    val plan = Merge.merge(target, source, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoop"))
+  }
+}
