@@ -138,6 +138,44 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled greedy-MMR CTE chain mirroring Rag.mmrSelect (q_mmr): the
+    * top-`n` retrieval head, then `k` steps each cross-joining the tiny
+    * selected set, scoring λ·(−dist) − (1−λ)·max(dot sims) with the same
+    * left-associated chains, ties to lowest doc id.
+    */
+  private def mmrOracleSql(n: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},
+         |${OracleGen.embedCte("q", s"(SELECT '$RagQuery' AS text)", "0", "text", 64)},
+         |cand AS (
+         |  SELECT d.id AS doc_id, d.emb, ${OracleGen.l2DoubleCols("d.emb", "q.emb")} AS dist
+         |  FROM d_emb d, q_emb q
+         |  ORDER BY dist ASC, doc_id ASC LIMIT $n),
+         |s1 AS (
+         |  SELECT doc_id, emb, dist FROM cand
+         |  ORDER BY 0.5 * (-(dist)) DESC, doc_id ASC LIMIT 1)""".stripMargin)
+    for (i <- 2 to k) {
+      val prior = (1 until i).map(j => s"s$j AS t$j").mkString(", ")
+      val notIn = (1 until i).map(j => s"c.doc_id <> t$j.doc_id").mkString(" AND ")
+      val sims = (1 until i).map(j => OracleGen.dotCols("c.emb", s"t$j.emb", 64))
+      val maxSim = if (sims.size == 1) s"(${sims.head})"
+        else sims.map(x => s"($x)").mkString("GREATEST(", ", ", ")")
+      sb.append(
+        s""",
+           |s$i AS (
+           |  SELECT c.doc_id, c.emb, c.dist FROM cand c, $prior
+           |  WHERE $notIn
+           |  ORDER BY 0.5 * (-(c.dist)) - 0.5 * $maxSim DESC, c.doc_id ASC
+           |  LIMIT 1)""".stripMargin)
+    }
+    sb.append("\n" + (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rnk, doc_id, dist FROM s$i")
+      .mkString("\nUNION ALL\n"))
+    sb.append("\nORDER BY rnk")
+    sb.toString
+  }
+
   /** Fused hybrid-retrieval relation (doc_id, lex_rank, vec_rank, rrf_fp):
     * RRF of the top-20 BM25 and top-20 hash-embed L2 rankings for
     * RagQuery — shared by q_rrf_fusion and q_rag_hybrid.
@@ -815,6 +853,23 @@ object SparkEntry {
       topk.join(broadcast(docs), topk("k_doc_id") === docs("doc_id"))
         .select(col("doc_id"), col("distance"), col("lang"), col("source"))
         .orderBy(col("distance"), col("doc_id"))
+    }),
+
+    // MMR diversity re-ranking between retrieval and context assembly:
+    // top-20 candidates by exact KNN, then 5 greedy picks maximizing
+    // 0.5·(−distance) − 0.5·(max dot-similarity to the already-picked
+    // set). Near-duplicate hits stop crowding the context window. The
+    // greedy loop only ever touches the 20-row candidate head (selected
+    // rows broadcast per step); the corpus-scale work stays in the
+    // retrieval stage. Oracle: identical unrolled greedy steps in SQL.
+    "q_mmr" -> ((s, dir) => {
+      val corpus = Rag.embedCorpus(Tables.documents(s, dir), col("text"))
+      val cand = Rag.retrieve(corpus, col("doc_id"), RagQuery, 20)
+        .select(col("doc_id"), col("embedding"), col("distance"))
+      Rag.mmrSelect(cand, col("doc_id"), col("embedding"), col("distance"),
+          k = 5, lambda = 0.5)
+        .select(col("rnk"), col("id").as("doc_id"), col("dist"))
+        .orderBy(col("rnk"))
     }),
 
     // E3 full pipeline (rag.py:169-196): intent route → retrieve → ordered
@@ -2087,6 +2142,31 @@ object SparkEntry {
     // dropDuplicates keeps one state entry per content hash and append
     // mode emits each distinct content exactly once (first arrival). The
     // emitted SET is order-independent, so the batch DISTINCT oracles it.
+    // Streaming CDC-apply (MERGE sink): the events change-log streams in
+    // over >= 3 micro-batches; each batch collapses to latest-per-user and
+    // MERGEs onto the persisted snapshot (update existing users, insert
+    // new ones) — after the final batch the snapshot is exactly the latest
+    // event per user, which is what the oracle computes in one batch pass.
+    // Cross-batch correctness is the point: a user updated in batches 0
+    // and 2 must surface batch 2's row.
+    "q_stream_merge" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val src = s.readStream.schema(Tables.events(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "events", "ts"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          col("value"))
+      val snap = graft.streaming.Streaming.drainMergeSnapshot(src,
+        sys.props("java.io.tmpdir") + "/graft_stream_merge_snap_" +
+          Integer.toHexString(dir.hashCode),
+        keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      snap.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("value").cast(dec12)).cast("double").as("sum_value"),
+          sum(col("user_id")).as("sum_users"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_stream_dedup" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
       val src = s.readStream.schema(Tables.documents(s, dir).schema)
@@ -2518,6 +2598,8 @@ object SparkEntry {
            |SELECT topk.doc_id, topk.distance, documents.lang, documents.source
            |FROM topk JOIN documents ON topk.doc_id = documents.doc_id
            |ORDER BY topk.distance, topk.doc_id""".stripMargin,
+
+      "q_mmr" -> mmrOracleSql(n = 20, k = 5),
 
       "q_rag_context" ->
         s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},
@@ -3360,6 +3442,18 @@ object SparkEntry {
           | AND p.event_type = 'purchase' AND e.event_type = 'error'
           | AND epoch_us(e.ts) >= epoch_us(p.ts)
           | AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000""".stripMargin,
+
+      "q_stream_merge" ->
+        """WITH latest AS (
+          |  SELECT user_id, event_type, value FROM (
+          |    SELECT user_id, event_type, value,
+          |      row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events) WHERE rn = 1)
+          |SELECT event_type, count(*) AS n_users,
+          |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+          |  sum(user_id) AS sum_users
+          |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "q_stream_dedup" ->
         "SELECT DISTINCT md5(text) AS text_md5 FROM documents",

@@ -31,6 +31,54 @@ object Rag {
     Knn.knn(corpus, col("embedding"), idCol, qVec, k, Knn.L2)
   }
 
+  /** Maximal-marginal-relevance re-ranking: greedily pick `k` results
+    * maximizing λ·relevance − (1−λ)·redundancy, where relevance is the
+    * negated retrieval distance and redundancy is the max dot-product
+    * similarity to the already-selected set. The standard diversity stage
+    * between retrieval and context assembly — near-duplicate hits (which
+    * a near-dup-heavy corpus produces constantly) stop crowding out
+    * coverage of the query's other aspects.
+    *
+    * `candidates` is the SMALL retrieval head (top-N of an ANN/KNN stage),
+    * so each greedy step is one narrow pass over N rows with the ≤ k
+    * selected rows broadcast; the checkpoints materialize only those tiny
+    * relations (never the corpus — the scale-bearing stage is the
+    * retrieval upstream). Determinism: score ties break on lowest id;
+    * every arithmetic step is the same left-associated double chain in
+    * the SQL oracle.
+    * Output: (rnk 1..k, id, dist) in selection order.
+    */
+  def mmrSelect(candidates: DataFrame, idCol: Column, vecCol: Column,
+                distCol: Column, k: Int, lambda: Double = 0.5): DataFrame = {
+    val cand = candidates
+      .select(idCol.as("id"), vecCol.as("vec"), distCol.as("dist"))
+      .localCheckpoint() // top-N rows only; steps must not re-run retrieval
+    var sel = Vector.empty[DataFrame]
+    (1 to k).foreach { _ =>
+      val withSel = sel.zipWithIndex.foldLeft(cand) { case (df, (sj, j)) =>
+        df.crossJoin(broadcast(
+          sj.select(col("id").as(s"sid_$j"), col("vec").as(s"svec_$j"))))
+      }
+      val notPicked = sel.indices.foldLeft(withSel) { (df, j) =>
+        df.filter(col("id") =!= col(s"sid_$j"))
+      }
+      val sims = sel.indices.map(j =>
+        VectorFunctions.dotComposed(col("vec"), col(s"svec_$j")))
+      val score =
+        if (sims.isEmpty) lit(lambda) * -col("dist")
+        else lit(lambda) * -col("dist") -
+          lit(1 - lambda) * (if (sims.size == 1) sims.head else greatest(sims: _*))
+      val next = notPicked.withColumn("score", score)
+        .orderBy(col("score").desc, col("id")).limit(1)
+        .select(col("id"), col("vec"), col("dist"))
+        .localCheckpoint() // one row
+      sel = sel :+ next
+    }
+    sel.zipWithIndex.map { case (sj, i) =>
+        sj.select(lit((i + 1).toLong).as("rnk"), col("id"), col("dist"))
+      }.reduce(_ unionAll _)
+  }
+
   /** Ordered context assembly (A2, `rag.py:189`): join the top-k documents
     * with "\n\n", in ascending distance order (tie-broken by id so the
     * result is reproducible). Single-pass: sort_array over collected

@@ -259,6 +259,61 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Drain a keyed change-log stream into a maintained snapshot: every
+    * micro-batch is first collapsed to its latest row per key (largest
+    * `orderCols`, e.g. event time then event id), then applied onto the
+    * persisted snapshot with Merge.merge — update if the key exists,
+    * insert if new, keep untouched keys. This is the streaming CDC-apply
+    * / Delta-style MERGE sink: after every batch the snapshot holds
+    * exactly the latest state per key, and replaying a batch is
+    * idempotent (latest-wins is order-insensitive across replays).
+    *
+    * The swap is write-new → delete-old → rename (the merged relation is
+    * fully materialized before the old snapshot dir is dropped); on a
+    * cluster the same shape rides a table format's atomic commit instead
+    * of a directory rename. Per batch: one join keyed on `keys` — the
+    * snapshot never transits the driver.
+    */
+  def drainMergeSnapshot(stream: DataFrame, snapshotPath: String,
+                         keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    import org.apache.spark.sql.expressions.Window
+    def rmTree(dir: String): Unit = {
+      val p = Paths.get(dir)
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+    }
+    rmTree(snapshotPath)
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val s = batch.sparkSession
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(orderCols.map(c => col(c).desc): _*)
+        val latest = batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val merged =
+          if (Files.exists(Paths.get(snapshotPath, "_SUCCESS")))
+            graft.operators.Merge.merge(
+              s.read.parquet(snapshotPath).select(batch.columns.map(col): _*),
+              latest, keys)
+          else latest
+        val next = snapshotPath + "_next"
+        rmTree(next)
+        merged.write.mode("overwrite").parquet(next) // materializes before swap
+        rmTree(snapshotPath)
+        Files.move(Paths.get(next), Paths.get(snapshotPath))
+      }
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.read.parquet(snapshotPath)
+  }
+
   /** Drain a streaming DataFrame to completion over its (bounded) source:
     * Trigger.AvailableNow processes everything currently available, the
     * memory sink in Complete mode holds the final state, and the result

@@ -67,6 +67,27 @@ class MergeSpec extends SparkSpec {
     assert(!out(0).getBoolean(4) && out(1).getBoolean(4))
   }
 
+  test("streaming CDC-merge snapshot equals batch latest-per-key") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val s = graft.streaming.Streaming.streamSession(spark)
+    val src = graft.streaming.Streaming.stageSplitSource(s, sf0001, "events", "ts")
+    val schema = s.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val snap = graft.streaming.Streaming.drainMergeSnapshot(stream,
+      sys.props("java.io.tmpdir") + "/graft_test_merge_snap",
+      keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+    val expected = s.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"))
+    val got = snap.select(col("user_id"), col("event_id"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("merge plans one join over distributed relations, no cartesian") {
     import spark.implicits._
     val target = Seq((1L, "a")).toDF("k", "name")
