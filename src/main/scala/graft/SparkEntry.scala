@@ -88,6 +88,45 @@ object SparkEntry {
       |    list(CAST(sum_fp AS DOUBLE) / 1000000000000.0 / n ORDER BY pos) AS cvec
       |  FROM cent GROUP BY clabel)""".stripMargin
 
+  /** Unrolled power-iteration CTE chain mirroring Graph.pagerank
+    * (q_pagerank). Constants are emitted from the same Scala doubles the
+    * Spark side computes with (e.g. 1−0.85 ≠ the literal 0.15 in the last
+    * ulp), so both engines evaluate identical operand chains.
+    */
+  private def pagerankOracleSql(iters: Int, damping: Double = 0.85): String = {
+    val scale = graft.operators.Graph.ContribScale
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+         |r0 AS (SELECT id, 1.0 / n_nodes AS r FROM nodes, nn)""".stripMargin)
+    for (it <- 1 to iters) {
+      sb.append(
+        s""",
+           |c$it AS (
+           |  SELECT e.dst AS id,
+           |    CAST(floor(r.r / d.odeg * $scale) AS BIGINT) AS c
+           |  FROM edges e
+           |  JOIN r${it - 1} r ON e.src = r.id
+           |  JOIN deg d ON e.src = d.src),
+           |r$it AS (
+           |  SELECT n.id,
+           |    ${1 - damping} / n_nodes +
+           |      $damping * (CAST(coalesce(s.sum_c, 0) AS DOUBLE) / $scale) AS r
+           |  FROM nodes n
+           |  LEFT JOIN (SELECT id, sum(c) AS sum_c FROM c$it GROUP BY id) s
+           |    ON n.id = s.id
+           |  CROSS JOIN nn)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, r FROM r$iters ORDER BY r DESC, id ASC LIMIT 20")
+    sb.toString
+  }
+
   /** Unrolled Lloyd-iteration CTE chain mirroring Clustering.lloyd
     * (q_kmeans): seeds by lowest vec_id, per-iteration cross join against
     * the ≤ k centroids with the same left-associated L2 chain, argmin via
@@ -1751,6 +1790,21 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("dist"))
     }),
 
+    // PageRank over the symmetrized part↔supplier bipartite graph from
+    // lineitem (3 power-iteration rounds, d=0.85): per round one edge⋈rank
+    // join + one dst aggregation — the message-passing shape that holds at
+    // web-graph scale. Per-edge contributions truncate to 1e-15 fixed
+    // point before summing, so the aggregation is exact-integer in any
+    // partitioning and the oracle's unrolled CTE replay is bit-identical.
+    "q_pagerank" -> ((s, dir) => {
+      val p = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pagerank(edges, iters = 3)
+        .orderBy(col("r").desc, col("id")).limit(20)
+    }),
+
     // Deterministic k-means (Lloyd, k=4, 2 unrolled iterations): seeds =
     // 4 lowest-id vectors, argmin ties to lowest cid, centroid updates
     // through the q_centroid 1e-12 fixed-point sums — every iteration is
@@ -2050,6 +2104,35 @@ object SparkEntry {
     // sink (foreachBatch from the executors — no driver materialization).
     // The oracle is the BATCH semantics — incremental execution must
     // converge to it.
+    // Watermark late-data semantics, proven end-to-end: the source plants
+    // a final out-of-order file replaying event-times from the start of
+    // the stream (stageSplitSourceWithLate) after 3 in-order batches have
+    // advanced the watermark days past them. Append mode emits each hourly
+    // window exactly once when the watermark passes its end; the late rows
+    // MUST be dropped (their windows are finalized) and the trailing
+    // windows inside the 30-min delay MUST NOT emit. The oracle computes
+    // exactly that: non-late rows only, windows ending at or before
+    // max-event-time − 30 min. Any double-count, loss, or premature
+    // emission breaks the hash.
+    "q_stream_late" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val src = s.readStream.schema(Tables.events(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSourceWithLate(
+          s, dir, "events", "ts", "event_id"))
+      val agg = src
+        .select(timestamp_micros(expr("ts div 1000")).as("ts_t"), col("value"))
+        .withWatermark("ts_t", "30 minutes")
+        .groupBy(window(col("ts_t"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec12)).cast("double").as("sum_value"))
+      graft.streaming.Streaming.drainAppendToParquet(agg,
+          "late_" + Integer.toHexString(dir.hashCode))
+        .select(expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
+          col("n"), col("sum_value"))
+        .orderBy(col("hour_bucket"))
+    }),
+
     "q_stream_hourly" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
       val src = s.readStream.schema(Tables.events(s, dir).schema)
@@ -3229,6 +3312,8 @@ object SparkEntry {
           |  GROUP BY label, i)
           |ORDER BY label, pos""".stripMargin,
 
+      "q_pagerank" -> pagerankOracleSql(iters = 3),
+
       "q_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
 
       "q_centroid_assign" ->
@@ -3404,6 +3489,27 @@ object SparkEntry {
           |FROM events
           |WHERE epoch_us(ts) // 86400000000 IN (19723, 19724, 19725)
           |GROUP BY day ORDER BY day""".stripMargin,
+
+      // Batch replay of the watermark contract: drop the planted late rows
+      // (first ts-range ∧ event_id%5=0 — the staging predicate), keep only
+      // windows finalized by the final watermark (max event ms − 30 min;
+      // Spark tracks event-time stats in whole milliseconds). The split
+      // width mirrors stageSplitSourceWithLate's integer arithmetic.
+      "q_stream_late" ->
+        """WITH b AS (
+          |  SELECT min(epoch_ns(ts)) AS mn,
+          |    ((max(epoch_ns(ts)) - min(epoch_ns(ts))) // 3 + 1) AS width
+          |  FROM events),
+          |ok AS (
+          |  SELECT e.ts, e.value FROM events e, b
+          |  WHERE NOT (epoch_ns(e.ts) < b.mn + b.width AND e.event_id % 5 = 0)),
+          |wm AS (SELECT (max(epoch_us(ts)) // 1000) - 1800000 AS wm_ms FROM events)
+          |SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+          |FROM ok, wm
+          |GROUP BY hour_bucket, wm_ms
+          |HAVING (hour_bucket + 1) * 3600000 <= wm_ms
+          |ORDER BY hour_bucket""".stripMargin,
 
       "q_stream_hourly" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n,

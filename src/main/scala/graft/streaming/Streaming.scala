@@ -128,6 +128,59 @@ object Streaming {
     out
   }
 
+  /** stageSplitSource variant that PLANTS LATE DATA: rows of the first
+    * `orderCol` range with `lateIdCol % 5 == 0` are withheld from their
+    * in-order file and delivered as one final out-of-order file. With
+    * `maxFilesPerTrigger=1` the last micro-batch therefore replays
+    * event-times from the start of the stream after the watermark has
+    * advanced past them — the input that proves watermark semantics:
+    * a correct engine must DROP those rows (their windows are finalized),
+    * not double-count them. Deterministic: the late set is a pure
+    * predicate of the row, so a batch oracle can mirror it exactly.
+    */
+  def stageSplitSourceWithLate(s: org.apache.spark.sql.SparkSession,
+                               sfDir: String, table: String, orderCol: String,
+                               lateIdCol: String, splits: Int = 3): String = {
+    import java.nio.file.{Files, Paths}
+    val out = graft.tables.Staging.stagedPath(
+      s"stream_${table}_late_${splits}f_v1", sfDir)
+    this.synchronized {
+      if (!Files.exists(Paths.get(out, "_GRAFT_DONE"))) {
+        val outP = Paths.get(out)
+        Files.createDirectories(outP)
+        val df = s.read.parquet(s"$sfDir/$table.parquet")
+        val mm = df.agg(min(col(orderCol)).cast("long"),
+          max(col(orderCol)).cast("long")).head()
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val width = (mx - mn) / splits + 1
+        val isLate = col(orderCol).cast("long") < mn + width &&
+          pmod(col(lateIdCol), lit(5)) === 0
+        val base = System.currentTimeMillis()
+        def writeSplit(i: Int, part: org.apache.spark.sql.DataFrame): Unit = {
+          import scala.jdk.CollectionConverters._
+          val tmp = Files.createTempDirectory("graft_split").toString
+          part.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = Files.list(Paths.get(tmp)).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written for split $i"))
+          val dst = outP.resolve(f"split-$i%04d.parquet")
+          Files.move(f, dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        }
+        (0 until splits).foreach { i =>
+          val lo = mn + width * i
+          writeSplit(i, df.filter(col(orderCol).cast("long") >= lo &&
+              (if (i == splits - 1) lit(true)
+               else col(orderCol).cast("long") < lo + width) && !isLate))
+        }
+        writeSplit(splits, df.filter(isLate)) // the out-of-order tail file
+        Files.createFile(Paths.get(out, "_GRAFT_DONE"))
+      }
+    }
+    out
+  }
+
   /** Drain a streaming DataFrame to completion through a DISTRIBUTED sink:
     * Trigger.AvailableNow processes everything currently available, and
     * each micro-batch's foreachBatch writes the full Complete-mode state to
