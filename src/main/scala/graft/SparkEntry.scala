@@ -2002,6 +2002,25 @@ object SparkEntry {
     // sums (bit-exact across engines; raw-double stddev partial-merge
     // order is not). Sums accumulate as DECIMAL(38,0) so the
     // sum-of-squares never overflows at corpus scale (see Stats).
+    // ANALYZE-style CBO statistics over orders: per-column row/non-null/
+    // exact-distinct counts plus numeric min/max, one aggregation pass
+    // (Expand for the exact distincts; approx_count_distinct is the
+    // same-shape 100 TB lever). The stats a cost-based optimizer feeds
+    // selectivity estimation from.
+    "q_table_stats" -> ((s, dir) => {
+      graft.operators.Stats.tableStats(Tables.orders(s, dir),
+          numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+          otherCols = Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy(col("col_name"))
+    }),
+
+    // Exact equi-depth histogram of order totals (the CBO's other
+    // statistic): 8 equal-count bins, deterministic tie order.
+    "q_histogram" -> ((s, dir) => {
+      graft.operators.Stats.equiDepthHistogram(Tables.orders(s, dir),
+        col("o_totalprice"), col("o_orderkey"), buckets = 8)
+    }),
+
     "q_stats_moments" -> ((s, dir) => {
       val qfp = round(col("l_quantity") * lit(100)).cast("long")
       val dfp = round(col("l_discount") * lit(100)).cast("long")
@@ -2104,6 +2123,28 @@ object SparkEntry {
     // sink (foreachBatch from the executors — no driver materialization).
     // The oracle is the BATCH semantics — incremental execution must
     // converge to it.
+    // Stream-static dimension enrichment: the events stream joins the
+    // static customer table (user_id = c_custkey) — the planner re-reads
+    // the static side per micro-batch and BROADCASTS it under the join,
+    // so the streaming side stays narrow (no stream-side shuffle for the
+    // join). Rolled up per market segment in Complete mode; proven over
+    // >= 3 micro-batches against the one-pass batch join oracle.
+    "q_stream_static_join" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val src = s.readStream.schema(Tables.events(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "events", "ts"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = src.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec12)).cast("double").as("sum_value"))
+      graft.streaming.Streaming.drainToParquet(agg,
+          "static_join_" + Integer.toHexString(dir.hashCode))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Watermark late-data semantics, proven end-to-end: the source plants
     // a final out-of-order file replaying event-times from the start of
     // the stream (stageSplitSourceWithLate) after 3 in-order batches have
@@ -3452,6 +3493,30 @@ object SparkEntry {
           |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
           |ORDER BY o_custkey, rn""".stripMargin,
 
+      "q_table_stats" -> {
+        def num(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+             |  count(DISTINCT $c) AS ndv,
+             |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+             |FROM orders""".stripMargin
+        def str(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+             |  count(DISTINCT $c) AS ndv,
+             |  CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v
+             |FROM orders""".stripMargin
+        (Seq("o_orderkey", "o_custkey", "o_totalprice").map(num) ++
+          Seq("o_orderstatus", "o_orderpriority").map(str))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      },
+
+      "q_histogram" ->
+        """WITH t AS (
+          |  SELECT o_totalprice AS v,
+          |    ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+          |  FROM orders)
+          |SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
+          |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+
       "q_stats_moments" ->
         """SELECT l_returnflag, n,
           |  CAST(sq AS DOUBLE) / n / 100.0 AS mean_qty,
@@ -3489,6 +3554,12 @@ object SparkEntry {
           |FROM events
           |WHERE epoch_us(ts) // 86400000000 IN (19723, 19724, 19725)
           |GROUP BY day ORDER BY day""".stripMargin,
+
+      "q_stream_static_join" ->
+        """SELECT c_mktsegment, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+          |FROM events JOIN customer ON user_id = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
       // Batch replay of the watermark contract: drop the planted late rows
       // (first ts-range ∧ event_id%5=0 — the staging predicate), keep only

@@ -54,4 +54,57 @@ object Stats {
     (n * sqd - sq * sd).cast("double") /
       (sqrt((n * sqq - sq * sq).cast("double")) *
         sqrt((n * sdd - sd * sd).cast("double")))
+
+  /** ANALYZE-style table statistics — the input a cost-based optimizer
+    * collects per column: row count, non-null count, exact distinct
+    * count, and (numeric columns) min/max. One aggregation pass over the
+    * table; multiple exact distincts plan through Catalyst's Expand (one
+    * row replica per distinct column), which is the exact-collection
+    * cost — a 100 TB ANALYZE swaps `count_distinct` for
+    * `approx_count_distinct` (HLL, one replica, mergeable) with the same
+    * output shape. Min/max/counts always come map-side-combined.
+    * Output: (col_name, n_rows, n_nonnull, ndv, min_v, max_v) — min/max
+    * NULL for non-numeric columns (string formatting is engine-specific;
+    * numeric stats are the ones selectivity estimation consumes).
+    */
+  def tableStats(df: DataFrame, numericCols: Seq[String],
+                 otherCols: Seq[String]): DataFrame = {
+    val all = numericCols ++ otherCols
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("_n")) ++
+        all.flatMap { c => Seq(
+          count(col(c)).as(s"_cnt_$c"),
+          count_distinct(col(c)).as(s"_ndv_$c")) } ++
+        numericCols.flatMap { c => Seq(
+          min(col(c)).cast("double").as(s"_min_$c"),
+          max(col(c)).cast("double").as(s"_max_$c")) }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows =
+      numericCols.map(c => struct(lit(c).as("col_name"), col("_n").as("n_rows"),
+        col(s"_cnt_$c").as("n_nonnull"), col(s"_ndv_$c").as("ndv"),
+        col(s"_min_$c").as("min_v"), col(s"_max_$c").as("max_v"))) ++
+      otherCols.map(c => struct(lit(c).as("col_name"), col("_n").as("n_rows"),
+        col(s"_cnt_$c").as("n_nonnull"), col(s"_ndv_$c").as("ndv"),
+        lit(null).cast("double").as("min_v"), lit(null).cast("double").as("max_v")))
+    one.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+  }
+
+  /** Exact equi-depth histogram (the other CBO statistic): `buckets`
+    * bins of equal row count over `valueCol`, ties ordered by `tieCol`
+    * for determinism. This exact form global-sorts (ntile over one
+    * window) — correct for the dimension-sized relations ANALYZE targets;
+    * the 100 TB form derives boundaries from approx_percentile (one
+    * mergeable sketch pass) and bins with width_bucket, same output
+    * shape. Output: (bucket 1..k, n, lo, hi).
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: Column, tieCol: Column,
+                         buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(valueCol.as("v"), tieCol.as("tb"))
+      .withColumn("bucket",
+        ntile(buckets).over(Window.orderBy(col("v"), col("tb"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("bucket"))
+  }
 }

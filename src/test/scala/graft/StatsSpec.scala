@@ -50,4 +50,36 @@ class StatsSpec extends SparkSpec {
     assert(row.getAs[Double]("v") == expVar)
     assert(row.getAs[Double]("c") == expCorr)
   }
+
+  test("tableStats reports counts, ndv, and numeric min/max per column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Option(2.0), Option("a")), (2L, Option(4.0), Option("a")),
+      (3L, Option.empty[Double], Option.empty[String])).toDF("k", "x", "s")
+    val out = graft.operators.Stats.tableStats(df, Seq("k", "x"), Seq("s"))
+      .orderBy(col("col_name")).collect()
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    assert(byName("k").getLong(1) == 3 && byName("k").getLong(2) == 3 &&
+      byName("k").getLong(3) == 3 && byName("k").getDouble(4) == 1.0 &&
+      byName("k").getDouble(5) == 3.0)
+    assert(byName("x").getLong(2) == 2 && byName("x").getLong(3) == 2 &&
+      byName("x").getDouble(4) == 2.0 && byName("x").getDouble(5) == 4.0)
+    assert(byName("s").getLong(2) == 2 && byName("s").getLong(3) == 1 &&
+      byName("s").isNullAt(4) && byName("s").isNullAt(5))
+  }
+
+  test("equiDepthHistogram bins have equal depth and ordered bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 80).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+    val h = graft.operators.Stats.equiDepthHistogram(df, col("v"), col("id"), 8)
+      .collect()
+    assert(h.length == 8)
+    assert(h.forall(_.getLong(1) == 10)) // 80 rows / 8 buckets
+    // bucket ranges tile the domain in order without overlap
+    val sorted = h.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) < b.getDouble(2))
+    }
+  }
 }
