@@ -742,6 +742,24 @@ object SparkEntry {
         col("embedding"), 20)
     }),
 
+    // Contrastive hard-negative mining: per anchor, the 2 most-similar
+    // same-LSH-bucket vectors with cosine in the mid band [0.2, 0.8) —
+    // the training pairs that actually carry gradient for embedding
+    // fine-tuning. Bucket equi-join + per-anchor window; summarized per
+    // anchor-label for a compact oracle row set.
+    "q_hard_negatives" -> ((s, dir) => {
+      val negs = Ann.hardNegatives(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), lo = 0.2, hi = 0.8, perAnchor = 2)
+      val lbl = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      negs.join(broadcast(lbl), negs("anchor_id") === lbl("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("anchor_id")).as("n_anchors"),
+          sum(col("neg_id")).as("sum_neg_ids"),
+          sum(floor(col("cos_sim") * lit(1000000.0)).cast("long")).as("sim_fp"))
+        .orderBy(col("label"))
+    }),
+
     // Generic SimHash near-dup mining: candidate pairs found BY
     // fingerprint banding (4×8-bit segments, join on segment equality,
     // Hamming ≤ 3 filter) — recovers the planted near-dups with no
@@ -2042,6 +2060,42 @@ object SparkEntry {
     // prunes directories (PartitionFilters in the scan), never touching
     // non-1998 files. The layout pattern that makes 100 TB scans cheap;
     // with the setup split out, the measured query IS the pruned read.
+    // Schema evolution on read: the staged table holds files written under
+    // two schema generations (v1: doc_id+text; v2 adds lang+n_chars) —
+    // mergeSchema reconciles them into one relation with NULLs for the
+    // pre-evolution rows, the lakehouse schema-drift contract. One-time
+    // staging, content-fingerprinted like every staged layout.
+    "q_schema_evolution" -> ((s, dir) => {
+      val stage = stagedPath("schema_evo_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(stage, "_GRAFT_DONE").exists()) {
+          import java.nio.file.{Files, Paths}
+          import scala.jdk.CollectionConverters._
+          Files.createDirectories(Paths.get(stage))
+          val docs = Tables.documents(s, dir)
+          def writeIn(df: DataFrame, name: String): Unit = {
+            val tmp = Files.createTempDirectory("graft_evo").toString
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = Files.list(Paths.get(tmp)).iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error("no parquet part for schema stage"))
+            Files.move(part, Paths.get(stage, name))
+          }
+          writeIn(docs.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("text")), "gen1.parquet")
+          writeIn(docs.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("text"), col("lang"), col("n_chars")),
+            "gen2.parquet")
+          Files.createFile(Paths.get(stage, "_GRAFT_DONE"))
+        }
+      }
+      s.read.option("mergeSchema", "true").parquet(stage)
+        .groupBy(coalesce(col("lang"), lit("<pre-evolution>")).as("lang2"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+        .orderBy(col("lang2"))
+    }),
+
     "q_partition_prune" -> ((s, dir) => {
       val out = stagedPath("part_orders_v1", dir)
       this.synchronized {
@@ -2605,6 +2659,28 @@ object SparkEntry {
            |FROM sides a JOIN sides b
            |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |ORDER BY cos_sim DESC, a_id ASC, b_id ASC LIMIT 20""".stripMargin,
+
+      "q_hard_negatives" ->
+        s"""WITH sides AS (
+           |  SELECT vec_id, embedding, label,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket
+           |  FROM embeddings),
+           |pairs AS (
+           |  SELECT a.vec_id AS anchor_id, a.label, b.vec_id AS neg_id,
+           |         ${OracleGen.cosineCols("a.embedding", "b.embedding")} AS cos_sim
+           |  FROM sides a JOIN sides b
+           |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |band AS (
+           |  SELECT anchor_id, label, neg_id, cos_sim,
+           |    row_number() OVER (PARTITION BY anchor_id
+           |                       ORDER BY cos_sim DESC, neg_id) AS rn
+           |  FROM pairs WHERE cos_sim >= 0.2 AND cos_sim < 0.8)
+           |SELECT label, count(*) AS n_pairs,
+           |  count(DISTINCT anchor_id) AS n_anchors,
+           |  sum(neg_id) AS sum_neg_ids,
+           |  CAST(sum(CAST(floor(cos_sim * 1000000.0) AS BIGINT)) AS BIGINT) AS sim_fp
+           |FROM band WHERE rn <= 2
+           |GROUP BY label ORDER BY label""".stripMargin,
 
       "dedup_simhash_pairs" ->
         s"""WITH corpus AS ($nearDupCorpusSql),
@@ -3541,6 +3617,13 @@ object SparkEntry {
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
           |  count(*) AS n, TRUE AS within_tol
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "q_schema_evolution" ->
+        """SELECT CASE WHEN doc_id % 2 = 0 THEN '<pre-evolution>' ELSE lang END AS lang2,
+          |  count(*) AS n, sum(doc_id) AS sum_ids,
+          |  sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE n_chars END) AS sum_chars
+          |FROM documents
+          |GROUP BY lang2 ORDER BY lang2""".stripMargin,
 
       "q_partition_prune" ->
         """SELECT o_orderpriority, count(*) AS n,

@@ -163,6 +163,40 @@ object Ann {
       .limit(k)
   }
 
+  /** Contrastive hard-negative mining: for every anchor vector, the
+    * `perAnchor` most-similar SAME-BUCKET neighbours whose cosine falls in
+    * [lo, hi) — similar enough to be hard (same LSH bucket, mid-band
+    * similarity), dissimilar enough to be true negatives (the ≥ hi band is
+    * the near-dup zone, mined separately and excluded). This is the
+    * training-pair generator for contrastive embedding fine-tuning: easy
+    * negatives (random) teach nothing, near-dups (≥ hi) are false
+    * negatives; the mid-band is where the gradient is.
+    *
+    * Scale shape: the LSH bucket equi-join bounds candidates to same-bucket
+    * pairs (2^numPlanes buckets — no cartesian), and the per-anchor top-k
+    * is one window over anchor keys. Both shuffles are on well-spread keys.
+    */
+  def hardNegatives(df: DataFrame, idCol: Column, vecCol: Column,
+                    lo: Double, hi: Double, perAnchor: Int,
+                    numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sides = df.select(idCol.as("id"), vecCol.as("vec"),
+      norm(vecCol).as("nrm"), bucketOf(vecCol, numPlanes, dim).as("bucket"))
+    val a = sides.select(col("id").as("anchor_id"), col("vec").as("a_vec"),
+      col("nrm").as("a_norm"), col("bucket"))
+    val b = sides.select(col("id").as("neg_id"), col("vec").as("b_vec"),
+      col("nrm").as("b_norm"), col("bucket").as("b_bucket"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("neg_id"))
+    a.join(b, col("bucket") === col("b_bucket") && col("anchor_id") =!= col("neg_id"))
+      .select(col("anchor_id"), col("neg_id"),
+        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos_sim"))
+      .filter(col("cos_sim") >= lo && col("cos_sim") < hi)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perAnchor)
+      .select(col("anchor_id"), col("neg_id"), col("cos_sim"))
+  }
+
   /** Exact top similar pairs by cosine — brute force for modest n (the
     * oracle-checkable baseline and the recall reference for the bucketed
     * variant above; never the declared path at scale).

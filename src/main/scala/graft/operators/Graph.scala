@@ -32,16 +32,23 @@ object Graph {
     * the caller's responsibility otherwise; dangling mass is not
     * redistributed). Returns (id, r) after `iters` rounds from the
     * uniform start, r' = (1−d)/N + d·Σ_in trunc(r/odeg).
+    *
+    * The edge/degree/node relations materialize once; rank iterations
+    * compose LAZILY (each round's relations are consumed exactly once, so
+    * the chained DAG does each round's work once — no re-execution) with a
+    * lineage cut every `checkpointEvery` rounds to keep adversarially long
+    * runs' plans bounded. Typical fixed-round runs (≤ 8) execute as one
+    * job after the three setup materializations.
     */
-  def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               checkpointEvery: Int = 8): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg")).localCheckpoint()
     val nRel = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     var ranks = nodes.crossJoin(nRel)
       .select(col("id"), (lit(1.0) / col("n_nodes")).as("r"))
-      .localCheckpoint()
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contribs = e.join(ranks, e("src") === ranks("id"))
         .join(deg, Seq("src"))
         .select(col("dst").as("id"),
@@ -53,7 +60,8 @@ object Graph {
           (lit(1 - damping) / col("n_nodes") +
             lit(damping) * (coalesce(col("sum_c"), lit(0L)).cast("double") /
               lit(ContribScale))).as("r"))
-        .localCheckpoint()
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }
