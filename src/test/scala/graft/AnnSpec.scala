@@ -68,6 +68,21 @@ class AnnSpec extends SparkSpec {
     assert(sims.sameElements(sims.sorted.reverse))
   }
 
+  test("hard negatives: bucket equi-join plan, mid-band sims, per-anchor cap") {
+    val negs = Ann.hardNegatives(emb, col("vec_id"), col("embedding"),
+      lo = 0.2, hi = 0.8, perAnchor = 2)
+    val plan = negs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoop"))
+    val rows = negs.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val s = r.getDouble(2); s >= 0.2 && s < 0.8 && r.getLong(0) != r.getLong(1)
+    })
+    val perAnchor = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perAnchor.forall(_ <= 2))
+  }
+
   test("topCosinePairs is symmetric-free (a<b) and descending") {
     val pairs = Ann.topCosinePairs(emb.limit(50), col("vec_id"), col("embedding"), 10)
       .collect()

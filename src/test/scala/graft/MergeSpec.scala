@@ -88,6 +88,17 @@ class MergeSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("scd2 plans exactly one shuffle — both windows share the key partitioning") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val changes = Seq((1L, "a", t, 1L)).toDF("u", "state", "ts", "eid")
+    val plan = Merge.scd2(changes, $"u", $"state", $"ts", $"eid")
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange".r.findAllIn(plan).length -
+      "(?i)reusedexchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected a single shuffle, plan:\n$plan")
+  }
+
   test("merge plans one join over distributed relations, no cartesian") {
     import spark.implicits._
     val target = Seq((1L, "a")).toDF("k", "name")
