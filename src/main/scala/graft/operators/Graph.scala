@@ -40,15 +40,15 @@ object Graph {
     * runs' plans bounded. Typical fixed-round runs (≤ 8) execute as one
     * job after the three setup materializations.
     */
-  /** `broadcastRanks` is the rank-vector distribution lever: one row per
-    * node, so it broadcasts for dimension-scale graphs (this engine's
-    * catalogs, dedup clusters — no shuffle at all on the edge side);
-    * for billion-node graphs set false and the join falls back to the
-    * shuffle path, where the pre-partitioned edge relation still never
-    * re-shuffles (only the small rank side moves).
+  /** `broadcastRanks` distributes the per-round rank vector by broadcast
+    * instead of shuffle. Almost always leave false: the rank side is one
+    * row per node (it shuffles in milliseconds against the pre-partitioned
+    * edge relation, which never re-shuffles either way), while a broadcast
+    * pays a driver collect + rebroadcast PER ROUND — measured slower even
+    * at dimension scale, and impossible at billion-node scale.
     */
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-               checkpointEvery: Int = 8, broadcastRanks: Boolean = true): DataFrame = {
+               checkpointEvery: Int = 8, broadcastRanks: Boolean = false): DataFrame = {
     // setup, materialized once: the per-node degree relation (one row per
     // node — the node list AND the degree lookup), and the edge relation
     // with each edge's out-degree folded in via a broadcast of that small
