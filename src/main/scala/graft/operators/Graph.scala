@@ -40,35 +40,17 @@ object Graph {
     * runs' plans bounded. Typical fixed-round runs (≤ 8) execute as one
     * job after the three setup materializations.
     */
-  /** `broadcastRanks` distributes the per-round rank vector by broadcast
-    * instead of shuffle. Almost always leave false: the rank side is one
-    * row per node (it shuffles in milliseconds against the pre-partitioned
-    * edge relation, which never re-shuffles either way), while a broadcast
-    * pays a driver collect + rebroadcast PER ROUND — measured slower even
-    * at dimension scale, and impossible at billion-node scale.
-    */
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-               checkpointEvery: Int = 8, broadcastRanks: Boolean = false): DataFrame = {
-    // setup, materialized once: the per-node degree relation (one row per
-    // node — the node list AND the degree lookup), and the edge relation
-    // with each edge's out-degree folded in via a broadcast of that small
-    // relation, pre-partitioned on src so no iteration ever re-shuffles
-    // the (large) edge set
-    val e0 = edges.select(col("src"), col("dst"))
-    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-      .localCheckpoint()
-    val e = e0.join(broadcast(deg), Seq("src"))
-      .repartition(col("src")).localCheckpoint()
-    val nodes = deg.select(col("src").as("id"))
-    val nRel = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+               checkpointEvery: Int = 8): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg")).localCheckpoint()
+    val nRel = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     var ranks = nodes.crossJoin(nRel)
       .select(col("id"), (lit(1.0) / col("n_nodes")).as("r"))
     for (i <- 0 until iters) {
-      // rank vector is one row per node — it broadcasts (or shuffles
-      // cheaply) to the pre-partitioned edges; the only large movement
-      // per round is the message aggregation's shuffle on dst
-      val rside = if (broadcastRanks) broadcast(ranks) else ranks
-      val contribs = e.join(rside, e("src") === ranks("id"))
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .join(deg, Seq("src"))
         .select(col("dst").as("id"),
           floor(col("r") / col("odeg") * lit(ContribScale)).cast("long").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("sum_c"))
