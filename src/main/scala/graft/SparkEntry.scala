@@ -2032,6 +2032,15 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // The ANALYZE scale path: HLL-sketch NDV per column (mergeable, no
+    // Expand) with a tracked within-5% flag against the exact NDV.
+    "q_table_stats_approx" -> ((s, dir) => {
+      graft.operators.Stats.tableStatsApprox(Tables.orders(s, dir),
+          Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+            "o_orderpriority"), rsd = 0.02, tol = 0.05)
+        .orderBy(col("col_name"))
+    }),
+
     // Exact equi-depth histogram of order totals (the CBO's other
     // statistic): 8 equal-count bins, deterministic tie order.
     "q_histogram" -> ((s, dir) => {
@@ -3584,6 +3593,13 @@ object SparkEntry {
           Seq("o_orderstatus", "o_orderpriority").map(str))
           .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       },
+
+      "q_table_stats_approx" ->
+        (Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+          "o_orderpriority")
+          .map(c => s"SELECT '$c' AS col_name, count(DISTINCT $c) AS ndv, " +
+            "TRUE AS within_tol FROM orders")
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
 
       "q_histogram" ->
         """WITH t AS (

@@ -89,6 +89,27 @@ object Stats {
     one.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
   }
 
+  /** The 100 TB ANALYZE path made concrete: per-column HLL sketch NDV
+    * (`approx_count_distinct`, mergeable partials — no Expand replication,
+    * one pass) checked against the exact NDV under the repo's
+    * tolerance-flag contract (cf. q_approx_distinct). Output:
+    * (col_name, ndv, within_tol) — the flag asserts the sketch landed
+    * within `tol` relative error, so the scale lever's accuracy is a
+    * tracked metric, not a claim.
+    */
+  def tableStatsApprox(df: DataFrame, cols: Seq[String], rsd: Double,
+                       tol: Double): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c => Seq(
+      count_distinct(col(c)).as(s"_ndv_$c"),
+      approx_count_distinct(col(c), rsd).as(s"_andv_$c")) }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c => struct(lit(c).as("col_name"),
+      col(s"_ndv_$c").as("ndv"),
+      (abs(col(s"_andv_$c") - col(s"_ndv_$c")) <=
+        col(s"_ndv_$c") * lit(tol)).as("within_tol")))
+    one.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+  }
+
   /** Exact equi-depth histogram (the other CBO statistic): `buckets`
     * bins of equal row count over `valueCol`, ties ordered by `tieCol`
     * for determinism. This exact form global-sorts (ntile over one
