@@ -3,9 +3,11 @@
 
 Reads Verify output (outDir/<name>/ parquet + outDir/oracle_sql.json),
 registers the sf-dir parquet tables as DuckDB views, runs each oracle SQL,
-and compares: column names (sorted), row count, and the exact multiset of
-row values (floats compared bit-exact; small tolerance fallback reported
-separately so near-misses are visible).
+and compares: column names (sorted), column TYPES (the driver's value hash
+is typed — DuckDB HUGEINT vs Spark BIGINT is a failure even when the
+values match, which Python fetchall() erases), row count, and the exact
+multiset of row values (floats compared bit-exact; small tolerance
+fallback reported separately so near-misses are visible).
 """
 import json, math, sys
 import duckdb
@@ -29,17 +31,28 @@ def main(sf_dir, out_dir):
     n_ok = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
-            got_cols = [d[0] for d in con.description]
-            exp = con.execute(sql).fetchall()
-            exp_cols = [d[0] for d in con.description]
+            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = list(got_rel.columns)
+            got_types = [str(t) for t in got_rel.types]
+            got = got_rel.fetchall()
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            exp_types = [str(t) for t in exp_rel.types]
+            exp = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error {str(e)[:300]}")
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        type_diffs = [
+            (c, got_types[got_cols.index(c)], exp_types[exp_cols.index(c)])
+            for c in exp_cols
+            if got_types[got_cols.index(c)] != exp_types[exp_cols.index(c)]]
+        if type_diffs:
+            print(f"FAIL {name}: TYPE mismatch (col, spark, oracle): {type_diffs}")
             n_fail += 1
             continue
         # duplicate column names would make index() silently misalign

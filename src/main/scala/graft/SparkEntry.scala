@@ -168,7 +168,8 @@ object SparkEntry {
     }
     sb.append(
       s"""
-         |SELECT a.cid, count(*) AS n, sum(a.vec_id) AS sum_ids, cf.cent_fp
+         |SELECT CAST(a.cid AS INTEGER) AS cid, count(*) AS n,
+         |  CAST(sum(a.vec_id) AS BIGINT) AS sum_ids, cf.cent_fp
          |FROM a$iters a JOIN (
          |  SELECT cid, CAST(list_sum(list_transform(cvec,
          |    x -> CAST(floor(x * 1000000.0) AS BIGINT))) AS BIGINT) AS cent_fp
@@ -2502,7 +2503,7 @@ object SparkEntry {
           |  FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey)
           |SELECT c_mktsegment, count(*) AS n,
           |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
-          |  sum(c_custkey) AS sum_key
+          |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
           |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
       "q_scd2" ->
@@ -2515,8 +2516,8 @@ object SparkEntry {
           |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
           |  FROM m WHERE prev IS NULL OR event_type <> prev)
           |SELECT event_type AS state, count(*) AS n_intervals,
-          |  sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
-          |  coalesce(sum(epoch_us(valid_to) - epoch_us(valid_from)), 0) AS dur_us
+          |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+          |  CAST(coalesce(sum(epoch_us(valid_to) - epoch_us(valid_from)), 0) AS BIGINT) AS dur_us
           |FROM runs GROUP BY event_type ORDER BY state""".stripMargin,
 
       "q_revenue_nation" ->
@@ -2686,7 +2687,7 @@ object SparkEntry {
            |  FROM pairs WHERE cos_sim >= 0.2 AND cos_sim < 0.8)
            |SELECT label, count(*) AS n_pairs,
            |  count(DISTINCT anchor_id) AS n_anchors,
-           |  sum(neg_id) AS sum_neg_ids,
+           |  CAST(sum(neg_id) AS BIGINT) AS sum_neg_ids,
            |  CAST(sum(CAST(floor(cos_sim * 1000000.0) AS BIGINT)) AS BIGINT) AS sim_fp
            |FROM band WHERE rn <= 2
            |GROUP BY label ORDER BY label""".stripMargin,
@@ -3636,8 +3637,8 @@ object SparkEntry {
 
       "q_schema_evolution" ->
         """SELECT CASE WHEN doc_id % 2 = 0 THEN '<pre-evolution>' ELSE lang END AS lang2,
-          |  count(*) AS n, sum(doc_id) AS sum_ids,
-          |  sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE n_chars END) AS sum_chars
+          |  count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+          |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars
           |FROM documents
           |GROUP BY lang2 ORDER BY lang2""".stripMargin,
 
@@ -3728,7 +3729,7 @@ object SparkEntry {
           |    FROM events) WHERE rn = 1)
           |SELECT event_type, count(*) AS n_users,
           |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
-          |  sum(user_id) AS sum_users
+          |  CAST(sum(user_id) AS BIGINT) AS sum_users
           |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "q_stream_dedup" ->
