@@ -50,7 +50,21 @@ object Bench {
     val ps = pass1.map { case (n, t1) => s"\"$n\":[$t1,${pass2(n)}]" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}"""
+    println(full)
+    // The driver captures only the tail of stdout (2000 chars in rounds
+    // 5-6 — twice too short for the full 130-query map, which left the
+    // artifact's "parsed" null). Persist the whole line as a repo file the
+    // round commit carries, and end stdout with a compact summary line
+    // that always fits the capture window: total + the slowest queries.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val slowest = results.toSeq.sortBy(-_._2).take(12)
+      .map { case (n, t) => s"\"$n\":${r3(t)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"BENCH_FULL.json","slowest":$slowest}""")
     spark.stop()
   }
 }

@@ -2049,6 +2049,14 @@ object SparkEntry {
         col("o_totalprice"), col("o_orderkey"), buckets = 8)
     }),
 
+    // The same statistic by the 100 TB path: sketch boundaries +
+    // width_bucket binning, accuracy tracked via the tolerance flag
+    // (no global sort / single-partition window in this plan).
+    "q_histogram_approx" -> ((s, dir) => {
+      graft.operators.Stats.equiDepthHistogramApprox(Tables.orders(s, dir),
+        col("o_totalprice"), buckets = 8, accuracy = 10000, tol = 0.05)
+    }),
+
     "q_stats_moments" -> ((s, dir) => {
       val qfp = round(col("l_quantity") * lit(100)).cast("long")
       val dfp = round(col("l_discount") * lit(100)).cast("long")
@@ -3609,6 +3617,12 @@ object SparkEntry {
           |  FROM orders)
           |SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
           |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      // Sketch boundaries are not oracle-reproducible; the contract row is
+      // the tolerance flag (cf. q_table_stats_approx).
+      "q_histogram_approx" ->
+        """SELECT CAST(i AS BIGINT) AS bucket, TRUE AS depth_within_tol
+          |FROM range(1, 9) t(i) ORDER BY bucket""".stripMargin,
 
       "q_stats_moments" ->
         """SELECT l_returnflag, n,

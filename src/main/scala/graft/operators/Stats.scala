@@ -128,4 +128,37 @@ object Stats {
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
       .orderBy(col("bucket"))
   }
+
+  /** The 100 TB equi-depth histogram: bucket boundaries from one
+    * `approx_percentile` pass (a mergeable KLL-style sketch — map-side
+    * partials, no global sort, no single-partition window anywhere in the
+    * plan), then each row binned by a fold over the broadcast boundary
+    * array (width_bucket against arbitrary boundaries). Because the
+    * boundaries are sketch-derived they are not oracle-reproducible, so —
+    * like [[tableStatsApprox]] — the accuracy is emitted as a tracked
+    * tolerance flag instead of raw boundary values: each bucket's row
+    * count must land within `tol` relative error of the ideal N/k depth.
+    * Output: (bucket 1..k, depth_within_tol).
+    */
+  def equiDepthHistogramApprox(df: DataFrame, valueCol: Column, buckets: Int,
+                               accuracy: Int, tol: Double): DataFrame = {
+    val vals = df.select(valueCol.cast("double").as("v")).where(col("v").isNotNull)
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = vals.agg(
+      percentile_approx(col("v"), array(probs.map(lit): _*), lit(accuracy))
+        .as("bounds"),
+      count(lit(1)).as("n_total"))
+    val binned = vals.join(broadcast(bounds))
+      .select(
+        (lit(1) + aggregate(col("bounds"), lit(0),
+          (acc, b) => acc + when(col("v") > b, lit(1)).otherwise(lit(0))))
+          .cast("long").as("bucket"),
+        col("n_total"))
+    binned.groupBy(col("bucket"), col("n_total"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (abs(col("n") - col("n_total") / buckets) <=
+          lit(tol) * col("n_total") / buckets).as("depth_within_tol"))
+      .orderBy(col("bucket"))
+  }
 }

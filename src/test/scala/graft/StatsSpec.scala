@@ -82,4 +82,19 @@ class StatsSpec extends SparkSpec {
       assert(a.getDouble(3) < b.getDouble(2))
     }
   }
+
+  test("equiDepthHistogramApprox: depths within tol, no window in plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 8000).map(i => ((i * 2654435761L) % 100003).toDouble)
+      .toDF("v")
+    val h = graft.operators.Stats.equiDepthHistogramApprox(
+      df, col("v"), buckets = 8, accuracy = 10000, tol = 0.05)
+    val plan = h.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"approx histogram must not sort through a window:\n$plan")
+    val rows = h.collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 8L))
+    assert(rows.forall(_.getBoolean(1)), "every bucket depth within tol")
+  }
 }
