@@ -127,6 +127,58 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled PageRank replay for the DIRECTED part→supplier graph, where
+    * every supplier node is a sink: mirrors Graph.pagerank's dangling-mass
+    * path — per round, the dangling nodes' ranks truncate to the same
+    * 1e-15 fixed point, sum to one exact integer, and every node receives
+    * d·(sum_d/scale)/N on top of its in-edge contributions. Operand
+    * chains (division/addition order, coalesce placement) match the Spark
+    * column expressions term for term.
+    */
+  private def pagerankDanglingOracleSql(iters: Int,
+                                        damping: Double = 0.85): String = {
+    val scale = graft.operators.Graph.ContribScale
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH edges AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |nodes AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+         |dang AS (
+         |  SELECT n.id FROM nodes n
+         |  LEFT JOIN deg d ON n.id = d.src WHERE d.src IS NULL),
+         |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+         |r0 AS (SELECT id, 1.0 / n_nodes AS r FROM nodes, nn)""".stripMargin)
+    for (it <- 1 to iters) {
+      sb.append(
+        s""",
+           |c$it AS (
+           |  SELECT e.dst AS id,
+           |    CAST(floor(r.r / d.odeg * $scale) AS BIGINT) AS c
+           |  FROM edges e
+           |  JOIN r${it - 1} r ON e.src = r.id
+           |  JOIN deg d ON e.src = d.src),
+           |d$it AS (
+           |  SELECT CAST(coalesce(sum(CAST(floor(r.r * $scale) AS BIGINT)), 0)
+           |    AS BIGINT) AS sum_d
+           |  FROM r${it - 1} r JOIN dang g ON r.id = g.id),
+           |r$it AS (
+           |  SELECT n.id,
+           |    ${1 - damping} / n_nodes +
+           |      $damping * (CAST(coalesce(s.sum_c, 0) AS DOUBLE) / $scale +
+           |        (CAST(dd.sum_d AS DOUBLE) / $scale) / n_nodes) AS r
+           |  FROM nodes n
+           |  LEFT JOIN (SELECT id, sum(c) AS sum_c FROM c$it GROUP BY id) s
+           |    ON n.id = s.id
+           |  CROSS JOIN nn CROSS JOIN d$it dd)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, r FROM r$iters ORDER BY r DESC, id ASC LIMIT 20")
+    sb.toString
+  }
+
   /** Unrolled Lloyd-iteration CTE chain mirroring Clustering.lloyd
     * (q_kmeans): seeds by lowest vec_id, per-iteration cross join against
     * the ≤ k centroids with the same left-associated L2 chain, argmin via
@@ -1824,6 +1876,20 @@ object SparkEntry {
         .orderBy(col("r").desc, col("id")).limit(20)
     }),
 
+    // PageRank over the DIRECTED part→supplier graph: every supplier node
+    // is a sink, so this is the dangling-mass path — each round one extra
+    // fixed-point aggregate over the dangling nodes' ranks becomes a
+    // broadcast scalar redistributed to all nodes. Mass stays conserved
+    // (Σr = 1 up to truncation) where the naive formulation would leak
+    // 1−d of it per round through the sinks.
+    "q_pagerank_dangling" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Graph.pagerank(edges, iters = 3)
+        .orderBy(col("r").desc, col("id")).limit(20)
+    }),
+
     // Deterministic k-means (Lloyd, k=4, 2 unrolled iterations): seeds =
     // 4 lowest-id vectors, argmin ties to lowest cid, centroid updates
     // through the q_centroid 1e-12 fixed-point sums — every iteration is
@@ -3448,6 +3514,7 @@ object SparkEntry {
           |ORDER BY label, pos""".stripMargin,
 
       "q_pagerank" -> pagerankOracleSql(iters = 3),
+      "q_pagerank_dangling" -> pagerankDanglingOracleSql(iters = 3),
 
       "q_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
 

@@ -322,29 +322,30 @@ object Dedup {
     * (clusters are cliques/short chains). At 100 TB scale with
     * adversarial diameters, alternating large-star/small-star converges
     * in O(log n) rounds with the same join-shape per round. Lineage is
-    * truncated every round (localCheckpoint), so plans stay constant-size
-    * across iterations. Non-convergence within maxIter throws — never
-    * silently wrong.
+    * truncated every round via `stage` — [[Stage.Local]] (executor-memory,
+    * the local default) or [[Stage.Parquet]] (durable stage, the cluster
+    * path: survives executor loss and restarts from the last round) — so
+    * plans stay constant-size across iterations. Non-convergence within
+    * maxIter throws — never silently wrong.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          stage: Stage = Stage.Local): DataFrame = {
     val edges = pairs.select(col("a_id").cast("long").as("src"),
       col("b_id").cast("long").as("dst"))
     // pre-partitioned on the join key once: every round's edge-side input
     // then satisfies the join's distribution from the checkpoint (the
     // Dataset checkpoint preserves outputPartitioning), so only the
     // label-propagation shuffle remains per round
-    val sym = edges.unionAll(
+    val sym = stage.cut(edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
-      .localCheckpoint()
+      .repartition(col("dst")), "cc_edges")
     // seed with min(id, min neighbor) — one propagation round folded into
     // the init aggregation; for the common near-dup shape (cliques/stars
     // labeled by their minimum) this IS the fixpoint and the loop only
     // confirms it
-    var labels = sym.groupBy(col("src").as("id"))
+    var labels = stage.cut(sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("mn"))
-      .select(col("id"), least(col("id"), col("mn")).as("comp"))
-      .localCheckpoint()
+      .select(col("id"), least(col("id"), col("mn")).as("comp")), "cc_labels_0")
     // every round can only DECREASE a node's label (min over a superset
     // that includes its own label), so the exact label sum is strictly
     // monotone until fixpoint — comparing sums detects convergence with
@@ -359,9 +360,8 @@ object Dedup {
     while (changed && iter < maxIter) {
       val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
-      val next = viaNeighbor.unionAll(labels)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      val next = stage.cut(viaNeighbor.unionAll(labels)
+        .groupBy("id").agg(min("comp").as("comp")), s"cc_labels_${iter + 1}")
       val nextSum = labelSum(next)
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum

@@ -28,40 +28,75 @@ object Graph {
   val ContribScale = 1e15
 
   /** PageRank over a directed edge list (cols `src`, `dst`; pre-deduped).
-    * Every node must have out-degree ≥ 1 (true for symmetrized graphs —
-    * the caller's responsibility otherwise; dangling mass is not
-    * redistributed). Returns (id, r) after `iters` rounds from the
-    * uniform start, r' = (1−d)/N + d·Σ_in trunc(r/odeg).
+    * The node set is src ∪ dst, so sink pages (out-degree 0) are ranked
+    * too, and their mass is redistributed: each round aggregates the
+    * dangling nodes' rank to one fixed-point scalar (broadcast — never a
+    * shuffle of the rank relation) and every node receives an equal
+    * d·(Σ_dangling trunc(r))/N share on top of its in-edge contributions:
+    * r' = (1−d)/N + d·(Σ_in trunc(r/odeg) + trunc-Σ_dangling(r)/N).
     *
-    * The edge/degree/node relations materialize once; rank iterations
-    * compose LAZILY (each round's relations are consumed exactly once, so
-    * the chained DAG does each round's work once — no re-execution) with a
-    * lineage cut every `checkpointEvery` rounds to keep adversarially long
-    * runs' plans bounded. Typical fixed-round runs (≤ 8) execute as one
-    * job after the three setup materializations.
+    * The edge/degree/node/dangling relations materialize once. On graphs
+    * with no dangling nodes (e.g. symmetrized ones) the per-round scalar
+    * is skipped entirely and rank iterations compose LAZILY (each round's
+    * relations are consumed exactly once, so the chained DAG does each
+    * round's work once — no re-execution) with a lineage cut every
+    * `checkpointEvery` rounds to keep adversarially long runs' plans
+    * bounded. With dangling nodes each round's rank relation is consumed
+    * twice (contributions + dangling scalar), so it is materialized per
+    * round — the Pregel superstep discipline — instead of chained.
+    *
+    * Determinism holds in both paths: the dangling sum truncates each
+    * rank to 1e-15 fixed point before summing, so it is an exact integer
+    * in any partitioning, like the per-edge contributions.
+    *
+    * All materializations go through `stage`: [[Stage.Local]] (default,
+    * executor-memory) for local/fixed-round runs, [[Stage.Parquet]] for
+    * the cluster path — durable, restartable mid-iteration, identical
+    * results (asserted in GraphSpec).
     */
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-               checkpointEvery: Int = 8): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg")).localCheckpoint()
+               checkpointEvery: Int = 8,
+               stage: Stage = Stage.Local): DataFrame = {
+    val e = stage.cut(edges.select(col("src"), col("dst")), "pr_edges")
+    val nodes = stage.cut(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct(), "pr_nodes")
+    val deg = stage.cut(
+      e.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "pr_deg")
+    val dangling = stage.cut(
+      nodes.join(deg, nodes("id") === deg("src"), "left_anti"), "pr_dangling")
+    val hasDangling = dangling.limit(1).count() > 0
     val nRel = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     var ranks = nodes.crossJoin(nRel)
       .select(col("id"), (lit(1.0) / col("n_nodes")).as("r"))
     for (i <- 0 until iters) {
-      val contribs = e.join(ranks, e("src") === ranks("id"))
+      val cur = if (hasDangling && i > 0) stage.cut(ranks, s"pr_ranks_$i")
+                else ranks
+      val contribs = e.join(cur, e("src") === cur("id"))
         .join(deg, Seq("src"))
         .select(col("dst").as("id"),
           floor(col("r") / col("odeg") * lit(ContribScale)).cast("long").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("sum_c"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
-        .crossJoin(nRel)
-        .select(col("id"),
-          (lit(1 - damping) / col("n_nodes") +
-            lit(damping) * (coalesce(col("sum_c"), lit(0L)).cast("double") /
-              lit(ContribScale))).as("r"))
-      if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
-        ranks = ranks.localCheckpoint()
+      val base = nodes.join(contribs, Seq("id"), "left").crossJoin(nRel)
+      ranks =
+        if (hasDangling) {
+          val dsum = broadcast(cur.join(dangling, Seq("id"), "left_semi")
+            .agg(coalesce(sum(floor(col("r") * lit(ContribScale)).cast("long")),
+              lit(0L)).as("sum_d")))
+          base.crossJoin(dsum)
+            .select(col("id"),
+              (lit(1 - damping) / col("n_nodes") +
+                lit(damping) * (coalesce(col("sum_c"), lit(0L)).cast("double") /
+                  lit(ContribScale) +
+                  col("sum_d").cast("double") / lit(ContribScale) /
+                    col("n_nodes"))).as("r"))
+        } else {
+          base.select(col("id"),
+            (lit(1 - damping) / col("n_nodes") +
+              lit(damping) * (coalesce(col("sum_c"), lit(0L)).cast("double") /
+                lit(ContribScale))).as("r"))
+        }
+      if (!hasDangling && (i + 1) % checkpointEvery == 0 && i + 1 < iters)
+        ranks = stage.cut(ranks, s"pr_ranks_cut_${i + 1}")
     }
     ranks
   }

@@ -182,6 +182,18 @@ class DedupSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
   }
 
+  test("parquet-staged connectedComponents matches the in-memory cut") {
+    import spark.implicits._
+    import graft.operators.Stage
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a_id", "b_id")
+    val dir = java.nio.file.Files.createTempDirectory("cc_stage").toString
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap(Dedup.connectedComponents(pairs, stage = Stage.Parquet(dir)))
+      == asMap(Dedup.connectedComponents(pairs)))
+  }
+
   test("simhash: near-dups within small hamming distance, self distance 0") {
     val t = "the quick brown fox jumps over the lazy dog again and again today"
     val fp1 = SimHash.fingerprint(t)

@@ -40,6 +40,42 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-9)
   }
 
+  test("pagerank conserves mass through dangling nodes") {
+    import spark.implicits._
+    // directed chain 1→2→3: node 3 is a sink; without redistribution
+    // d = 0.85 of its rank would leak every round
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rows = Graph.pagerank(edges, iters = 4).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), "sink-only nodes are ranked")
+    assert(math.abs(rows.values.sum - 1.0) < 1e-9, s"mass conserved: $rows")
+    // the chain's end accumulates more rank than its start
+    assert(rows(3L) > rows(1L))
+  }
+
+  test("dangling-path pagerank is deterministic across repartitionings") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst") // node 4 dangles
+    def run(parts: Int) = Graph.pagerank(edges.repartition(parts), iters = 3)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(run(1) == run(7)) // bit-identical, not just approximately equal
+  }
+
+  test("parquet-staged pagerank is bit-identical to the in-memory cut") {
+    import spark.implicits._
+    import graft.operators.Stage
+    val e0 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val edges = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
+      .unionAll(Seq((4L, 9L)).toDF("src", "dst")) // 9 has no out-edge: dangles
+    val dir = java.nio.file.Files.createTempDirectory("pr_stage").toString
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    val local = asMap(Graph.pagerank(edges, iters = 3, stage = Stage.Local))
+    val staged = asMap(Graph.pagerank(edges, iters = 3, stage = Stage.Parquet(dir)))
+    assert(local == staged) // bit-identical across cut strategies
+  }
+
   test("pagerank is deterministic across repartitionings") {
     import spark.implicits._
     val e0 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
