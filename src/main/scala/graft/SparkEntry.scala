@@ -1534,6 +1534,27 @@ object SparkEntry {
         .orderBy(col("test_id"))
     }),
 
+    // Decontamination under planted Zipf-head skew: the same report with
+    // a ubiquitous three-token tail appended to EVERY document, so one
+    // shingle has df = corpus size. The maxDf guard must drop it on both
+    // engines before the join — without the guard the join fans out
+    // test×train on that single key and the +1 shared count flips pairs
+    // across the minShared threshold. Green here means the declared
+    // query, not just the unit spec, exercises the guard.
+    "q_decontaminate_skew" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("text",
+          concat(col("text"), lit(" zzstopa zzstopb zzstopc")))
+        .withColumn("split", TrainData.hashSplit(col("doc_id")))
+      val train = docs.filter(col("split") === "train")
+      val test = docs.filter(col("split") === "test")
+      Dedup.crossOverlap(train, test, col("doc_id"), col("text"),
+          minShared = 5, maxDf = 50)
+        .groupBy(col("test_id"))
+        .agg(count(lit(1)).as("n_train_matches"), max(col("n_shared")).as("max_shared"))
+        .orderBy(col("test_id"))
+    }),
+
     // Duplicated-span report (exact substring-level dedup): every doc's
     // 20-token windows (stride 10) hashed and counted corpus-wide; docs
     // with any window occurring >1 times are reported with their exact
@@ -3856,6 +3877,32 @@ object SparkEntry {
            |  SELECT doc_id, text,
            |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
            |  FROM (SELECT doc_id, text,
+           |          doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 AS b
+           |        FROM documents)),
+           |tok AS (SELECT doc_id, split, ${OracleGen.toksSql("text")} AS tk FROM split),
+           |sh0 AS (SELECT doc_id, split,
+           |         unnest(list_distinct(${OracleGen.shinglesOfToks("tk")})) AS sh
+           |       FROM tok),
+           |sh AS (
+           |  SELECT * FROM sh0 WHERE split IN ('test', 'train')
+           |    AND sh NOT IN (
+           |      SELECT sh FROM sh0 WHERE split IN ('test', 'train')
+           |      GROUP BY sh HAVING count(*) > 50)),
+           |pairs AS (
+           |  SELECT t.doc_id AS test_id, tr.doc_id AS train_id, count(*) AS n_shared
+           |  FROM sh t JOIN sh tr ON t.sh = tr.sh
+           |  WHERE t.split = 'test' AND tr.split = 'train'
+           |  GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT test_id, count(*) AS n_train_matches, max(n_shared) AS max_shared
+           |FROM pairs GROUP BY test_id ORDER BY test_id""".stripMargin,
+
+      // Same replay with the planted ubiquitous tail — the df>50 guard
+      // must drop the corpus-wide shingle on both engines.
+      "q_decontaminate_skew" ->
+        s"""WITH split AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, text || ' zzstopa zzstopb zzstopc' AS text,
            |          doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 AS b
            |        FROM documents)),
            |tok AS (SELECT doc_id, split, ${OracleGen.toksSql("text")} AS tk FROM split),
