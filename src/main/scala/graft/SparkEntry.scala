@@ -1496,6 +1496,68 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // Leakage-aware split: documents assigned to train/val/test by their
+    // NEAR-DUP CLUSTER label (connected components over the staged
+    // minhash pairs), so a held-out doc's near-duplicates can never land
+    // in train. n_straddle counts groups spanning more than one split —
+    // structurally zero here, and the oracle recomputes rather than
+    // assumes it.
+    "q_split_grouped" -> ((s, dir) => {
+      val stage = stagedPath("minhash_sigs_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(stage, "_SUCCESS").exists())
+          Dedup.stageMinhashSignatures(nearDupCorpus(s, dir), col("id"), col("text"), stage)
+      }
+      val pairs = Dedup.minhashPairsFromStage(s, stage, maxBucket = 50)
+        .select(col("a_id"), col("b_id"))
+      val comps = Dedup.connectedComponents(pairs)
+      val labeled = TrainData.groupedSplit(nearDupCorpus(s, dir), col("id"), comps)
+      val straddle = broadcast(labeled.groupBy(col("group_id"))
+        .agg(count_distinct(col("split")).as("nsp"))
+        .filter(col("nsp") > 1).agg(count(lit(1)).as("n_straddle")))
+      labeled.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("group_id")).as("n_groups"),
+          sum(col("id")).cast("long").as("sum_ids"))
+        .crossJoin(straddle)
+        .orderBy(col("split"))
+    }),
+
+    // K-fold cross-validation assignment (k=5): fold by multiplicative
+    // hash — stable under corpus growth, every fold's train side is the
+    // other four folds. One scan, one tiny broadcast total.
+    "q_kfold" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tot = broadcast(docs.agg(count(lit(1)).as("n_total")))
+      docs.select(TrainData.kfoldAssign(col("doc_id"), 5).cast("long").as("fold"),
+          col("doc_id"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_val"), sum(col("doc_id")).cast("long").as("sum_ids"))
+        .crossJoin(tot)
+        .select(col("fold"), col("n_val"), (col("n_total") - col("n_val")).as("n_train"),
+          col("sum_ids"))
+        .orderBy(col("fold"))
+    }),
+
+    // Quality-weighted subsampling: each doc keeps with probability
+    // n_chars/20 % (capped at 90) — longer docs oversampled — via the
+    // seedless hash-bucket filter; per-language kept counts + id
+    // checksum pin the exact surviving set.
+    "q_sample_weighted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pct = least(lit(90L), floor(col("n_chars") / lit(20.0)).cast("long"))
+      val kept = TrainData.weightedSample(docs, col("doc_id"), pct)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("sum_kept_ids"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("sum_kept_ids"), lit(0L)).as("sum_kept_ids"))
+        .orderBy(col("lang"))
+    }),
+
     // Deterministic stratified sampling: 20% of 'en' docs, 50% of every
     // other class, by multiplicative hash of the id — no RNG, a narrow
     // filter the scan absorbs; membership is append-stable. Aggregates
@@ -3461,6 +3523,62 @@ object SparkEntry {
           |        doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 AS b
           |      FROM documents)
           |GROUP BY 1 ORDER BY split""".stripMargin,
+
+      // Reuses the dedup_clusters recursive-closure CTE so the group
+      // labels are the identical component set, then re-derives the
+      // split and the straddle count from scratch.
+      "q_split_grouped" ->
+        s"""WITH RECURSIVE $minhashPairsCteSql,
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION SELECT b_id, a_id FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, dst AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+           |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+           |corpus AS ($nearDupCorpusSql),
+           |sp AS (
+           |  SELECT c.id, coalesce(k.comp, c.id) AS group_id,
+           |    CASE WHEN coalesce(k.comp, c.id) * CAST(2654435761 AS BIGINT)
+           |           % 4294967296 % 100 < 80 THEN 'train'
+           |         WHEN coalesce(k.comp, c.id) * CAST(2654435761 AS BIGINT)
+           |           % 4294967296 % 100 < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM corpus c LEFT JOIN comp k ON c.id = k.id),
+           |straddle AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_straddle FROM (
+           |    SELECT group_id FROM sp GROUP BY group_id
+           |    HAVING count(DISTINCT split) > 1))
+           |SELECT split, count(*) AS n_docs,
+           |  CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+           |  CAST(sum(id) AS BIGINT) AS sum_ids, s.n_straddle
+           |FROM sp CROSS JOIN straddle s
+           |GROUP BY split, s.n_straddle ORDER BY split""".stripMargin,
+
+      "q_kfold" ->
+        """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+          |SELECT CAST(doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 5
+          |    AS BIGINT) AS fold,
+          |  count(*) AS n_val,
+          |  CAST(t.n_total - count(*) AS BIGINT) AS n_train,
+          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+          |FROM documents CROSS JOIN tot t
+          |GROUP BY fold, t.n_total ORDER BY fold""".stripMargin,
+
+      "q_sample_weighted" ->
+        """WITH k AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+          |    CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+          |  FROM documents
+          |  WHERE doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 <
+          |        least(90, CAST(floor(n_chars / 20.0) AS BIGINT))
+          |  GROUP BY lang)
+          |SELECT d.lang, count(*) AS n_docs,
+          |  coalesce(k.n_kept, 0) AS n_kept,
+          |  coalesce(k.sum_kept_ids, 0) AS sum_kept_ids
+          |FROM documents d LEFT JOIN k ON d.lang = k.lang
+          |GROUP BY d.lang, k.n_kept, k.sum_kept_ids ORDER BY d.lang""".stripMargin,
 
       "q_sessionize" ->
         """WITH flagged AS (

@@ -161,4 +161,40 @@ object TrainData {
         sum(col("n")).as("n_events"),
         max(col("n")).as("max_session_events"))
   }
+
+  /** Leakage-aware split: assign train/val/test by the near-dup GROUP,
+    * not the document — a near-duplicate of a held-out document must not
+    * land in train (the eval-contamination bug a per-document split
+    * cannot prevent). `components` is Dedup.connectedComponents output
+    * (id, comp) over candidate pairs; documents outside any component
+    * keep their own id as group label. One left join on id plus the same
+    * multiplicative-hash split as [[hashSplit]], so every member of a
+    * component inherits its group's split by construction and the
+    * assignment stays stable as the corpus grows. Adds (group_id, split).
+    */
+  def groupedSplit(docs: DataFrame, idCol: Column,
+                   components: DataFrame): DataFrame = {
+    val comp = components.select(col("id").as("_gid"), col("comp").as("_comp"))
+    docs.join(comp, idCol === col("_gid"), "left")
+      .withColumn("group_id", coalesce(col("_comp"), idCol.cast("long")))
+      .withColumn("split", hashSplit(col("group_id")))
+      .drop("_gid", "_comp")
+  }
+
+  /** K-fold cross-validation fold of an id, 0..k-1 — the same seedless
+    * multiplicative hash as [[hashBucket]], so fold membership is stable
+    * under corpus growth and engine-independent.
+    */
+  def kfoldAssign(idCol: Column, k: Int): Column =
+    idCol * lit(2654435761L) % lit(4294967296L) % lit(k)
+
+  /** Deterministic per-row weighted subsampling: keep a row iff its hash
+    * bucket (0..99) is below its OWN keep-percentage column — quality- or
+    * source-weighted downsampling as one narrow filter the scan absorbs
+    * (the generalization of [[stratifiedSample]] from per-class constants
+    * to a per-row weight). Seedless and re-partition-stable like every
+    * sampler here.
+    */
+  def weightedSample(df: DataFrame, idCol: Column, pctCol: Column): DataFrame =
+    df.filter(hashBucket(idCol) < pctCol)
 }

@@ -149,4 +149,47 @@ class TrainDataSpec extends SparkSpec {
       .select(col("source"), col("id")).collect().toSet
     assert(a === b)
   }
+
+  test("groupedSplit: every component member shares its group's split") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // components {1,2,3} -> 1 and {10,11} -> 10; the rest are singletons
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val out = TrainData.groupedSplit(docs, col("id"), comps)
+      .select(col("id"), col("group_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, "component split is shared")
+    assert(out(10L) == out(11L))
+    assert(out(7L)._1 == 7L, "singletons keep their own id as group")
+    // group label decides the split: member 2's split equals what its
+    // LABEL would get as a plain document, even if 2's own hash differs
+    val plain = docs.select(col("id"), TrainData.hashSplit(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(2L)._2 == plain(1L))
+  }
+
+  test("kfoldAssign: folds dense in [0,k), deterministic") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val folds = df.select(TrainData.kfoldAssign(col("id"), 5).as("f"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(folds == Set(0L, 1L, 2L, 3L, 4L))
+    val a = df.select(col("id"), TrainData.kfoldAssign(col("id"), 5)).collect().toSet
+    val b = df.repartition(9)
+      .select(col("id"), TrainData.kfoldAssign(col("id"), 5)).collect().toSet
+    assert(a == b)
+  }
+
+  test("weightedSample: keeps exactly the rows whose bucket beats their pct") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, (i % 100).toInt)).toDF("id", "pct")
+    val kept = TrainData.weightedSample(df, col("id"), col("pct"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val expected = (1L to 300L).filter { i =>
+      i * 2654435761L % 4294967296L % 100 < (i % 100)
+    }.toSet
+    assert(kept == expected)
+    assert(kept.nonEmpty && kept.size < 300, "a weighted sample, not all/none")
+  }
 }
