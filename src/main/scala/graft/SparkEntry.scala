@@ -476,6 +476,48 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Bulk JSONL export + read-back (the training-data delivery format:
+    // one JSON object per line, written distributed, schema-stable).
+    // The accounting compares the re-read export against the source
+    // table, proving the round-trip lossless — the export twin of the
+    // S2 parquet bulk-load sink.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val out = stagedPath("jsonl_export_v1", dir)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      this.synchronized {
+        if (!new java.io.File(out, "_SUCCESS").exists())
+          d.write.mode("overwrite").json(out)
+      }
+      s.read.schema(d.schema).json(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"),
+          sum(length(col("text"))).cast("long").as("sum_text_len"))
+        .orderBy(col("lang"))
+    }),
+
+    // Corpus snapshot diff: two deterministic document-corpus versions
+    // (every 13th doc dropped, every 7th's text revised, every 11th
+    // re-minted under a new id) classified added/removed/changed/
+    // unchanged by content fingerprint in one full-outer join — the
+    // refresh audit that scopes re-embedding/re-dedup to touched ids.
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val old = d.select(col("doc_id").as("id"), md5(col("text")).as("fp"))
+      val newer = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id").as("id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fp"))
+        .unionAll(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 200000).as("id"), md5(col("text")).as("fp")))
+      graft.operators.Merge.corpusDiff(old, newer, col("id"), col("fp"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).cast("long").as("sum_ids"))
+        .orderBy(col("status"))
+    }),
+
     // Lakehouse MERGE (upsert) on a dimension snapshot: a change batch of
     // UPDATE rows (every 10th customer gets its account balance restated to
     // its exact order-total sum, segment 'UPDATED') plus INSERT rows (new
@@ -2710,6 +2752,34 @@ object SparkEntry {
           |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
           |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
           |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      // The oracle reads the SOURCE table: equality proves the
+      // export+re-read lost nothing.
+      "q_jsonl_roundtrip" ->
+        """SELECT lang, count(*) AS n,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_corpus_diff" ->
+        """WITH snap1 AS (SELECT doc_id AS id, md5(text) AS fp FROM documents),
+          |snap2 AS (
+          |  SELECT doc_id AS id,
+          |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp
+          |  FROM documents WHERE doc_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 200000 AS id, md5(text) AS fp
+          |  FROM documents WHERE doc_id % 11 = 0),
+          |d AS (
+          |  SELECT coalesce(o.id, n.id) AS id,
+          |    CASE WHEN o.id IS NULL THEN 'added'
+          |         WHEN n.id IS NULL THEN 'removed'
+          |         WHEN o.fp = n.fp THEN 'unchanged'
+          |         ELSE 'changed' END AS status
+          |  FROM snap1 o FULL OUTER JOIN snap2 n ON o.id = n.id)
+          |SELECT status, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_ids
+          |FROM d GROUP BY status ORDER BY status""".stripMargin,
 
       "q_scd2" ->
         """WITH m AS (

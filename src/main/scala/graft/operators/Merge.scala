@@ -73,4 +73,27 @@ object Merge {
       .select(col("key"), col("state"), col("ts").as("valid_from"),
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
+
+  /** Corpus snapshot diff: classify every id across two corpus versions
+    * as added / removed / changed / unchanged by comparing a content
+    * fingerprint — the refresh audit a pipeline runs before re-embedding
+    * or re-deduplicating an updated crawl (only `added`+`changed` need
+    * reprocessing; `removed` ids need tombstoning downstream).
+    *
+    * One full-outer shuffle join on the id — the merge shape — with the
+    * fingerprint comparison as a narrow projection. Output:
+    * (id, status, old_fp, new_fp).
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 idCol: Column, fpCol: Column): DataFrame = {
+    val o = oldDf.select(idCol.as("id"), fpCol.as("old_fp"), lit(1).as("_o"))
+    val n = newDf.select(idCol.as("id"), fpCol.as("new_fp"), lit(1).as("_n"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("_o").isNull, "added")
+          .when(col("_n").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_fp"), col("new_fp"))
+  }
 }

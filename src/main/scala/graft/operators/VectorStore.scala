@@ -71,6 +71,8 @@ object VectorStore {
     val spark = df.sparkSession
     val updates = df.withColumn("bucket", Ann.bucketOf(vecCol, numPlanes, dim))
     val store = spark.read.parquet(path)
+    // bounded driver collect: bucket ids live in [0, 2^numPlanes) — at
+    // the default 4 planes this is ≤ 16 rows regardless of store size
     def bucketsOf(d: DataFrame): Set[Int] =
       d.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
     val affected = bucketsOf(

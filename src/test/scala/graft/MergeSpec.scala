@@ -108,4 +108,14 @@ class MergeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoop"))
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "fp")
+    val neu = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("id", "fp")
+    val out = Merge.corpusDiff(old, neu, $"id", $"fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
 }
