@@ -2613,6 +2613,36 @@ object SparkEntry {
         "dedup_" + Integer.toHexString(dir.hashCode))
     }),
 
+    // Streaming near-dup ingest gate: documents stream in over >= 3
+    // micro-batches; each batch is screened against the staged reference
+    // corpus (the planted near-dup copies), rejected rows are the docs
+    // whose copy is already in the reference, and the audit sink pins
+    // every verdict with its batch id. n_batches = 3 in both rows proves
+    // the gate really ran per micro-batch.
+    "q_stream_dedup_gate" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val sigStage = stagedPath("gate_ref_sigs_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(sigStage, "_SUCCESS").exists()) {
+          val ref = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000).as("id"),
+              concat(col("text"), lit(" zz extra token")).as("text"))
+          Dedup.stageMinhashSignatures(ref, col("id"), col("text"), sigStage)
+        }
+      }
+      val src = s.readStream.schema(Tables.documents(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "documents", "doc_id"))
+        .select(col("doc_id").as("id"), col("text"))
+      val audit = graft.streaming.Streaming.drainDedupGate(src, sigStage,
+        "gate_" + Integer.toHexString(dir.hashCode), threshold = 0.5)
+      audit.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("id")).cast("long").as("sum_ids"),
+          count_distinct(col("_batch_id")).as("n_batches"))
+        .orderBy(col("status"))
+    }),
+
     // Streaming ingest INTO the persisted vector store (the reference's
     // continuous fetch → embed → store-add loop against the partitioned
     // layout): documents stream in over >= 3 micro-batches, each batch
@@ -2891,6 +2921,33 @@ object SparkEntry {
            |JOIN csg cs ON cs.id = cand.corpus_id
            |JOIN nsg ns ON ns.id = cand.new_id
            |ORDER BY corpus_id, new_id""".stripMargin,
+
+      // The gate's verdict is reference-fixed, so the oracle replays the
+      // union of batches: rejected = docs with a band-bucket hit in the
+      // reference at est_jaccard >= 0.5. Batch ids re-derive from
+      // stageSplitSource's range arithmetic (thirds of the id domain).
+      "q_stream_dedup_gate" ->
+        s"""WITH ${minhashSigBandsCte("s", "SELECT doc_id AS id, text FROM documents")},
+           |${minhashSigBandsCte("r",
+              "SELECT doc_id + 100000 AS id, text || ' zz extra token' AS text " +
+                "FROM documents WHERE doc_id % 10 = 0")},
+           |rej AS (
+           |  SELECT DISTINCT n.id
+           |  FROM sbands n JOIN rbands r
+           |    ON n.band_idx = r.band_idx AND n.band = r.band
+           |  JOIN ssg ns ON ns.id = n.id
+           |  JOIN rsg rs ON rs.id = r.id
+           |  WHERE CAST(${OracleGen.sigMatchCount("ns.sig", "rs.sig", 8)}
+           |          AS DOUBLE) / 8 >= 0.5),
+           |st AS (
+           |  SELECT d.doc_id AS id,
+           |    CASE WHEN rej.id IS NULL THEN 'accepted' ELSE 'rejected' END AS status
+           |  FROM documents d LEFT JOIN rej ON d.doc_id = rej.id),
+           |mm AS (SELECT min(doc_id) AS mn,
+           |              (max(doc_id) - min(doc_id)) // 3 + 1 AS w FROM documents)
+           |SELECT status, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_ids,
+           |  CAST(count(DISTINCT (id - mm.mn) // mm.w) AS BIGINT) AS n_batches
+           |FROM st CROSS JOIN mm GROUP BY status ORDER BY status""".stripMargin,
 
       // hash-min label propagation == min reachable id: the oracle derives
       // each node's component as least(id, min over the transitive

@@ -277,6 +277,48 @@ object Streaming {
     stream.sparkSession.read.parquet(out)
   }
 
+  /** Streaming near-dup ingest gate: every micro-batch of (id, text)
+    * documents is screened against a FIXED staged reference-corpus
+    * signature table (Dedup.incrementalPairs — the incoming batch
+    * broadcasts, the band join shuffles neither side) and every row
+    * lands in the audit sink stamped accepted/rejected plus its
+    * micro-batch id. Gating against a fixed reference makes the verdict
+    * batch-boundary-invariant, so the batch oracle replays the union of
+    * batches exactly; the growing-reference variant (gate absorbs what
+    * it accepts) is the batch pair dedup_incremental + signature append.
+    */
+  def drainDedupGate(docs: DataFrame, sigStagePath: String, name: String,
+                     threshold: Double, maxBucket: Int = 50): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
+    val p = Paths.get(out)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, bid) => {
+        val b = batch.select(col("id"), col("text"))
+        val dup = graft.operators.Dedup.incrementalPairs(b, col("id"),
+            col("text"), sigStagePath, maxBucket = maxBucket)
+          .filter(col("est_jaccard") >= threshold)
+          .select(col("new_id").as("id"), lit(1).as("_dup")).distinct()
+        b.join(dup, Seq("id"), "left")
+          .select(col("id"),
+            when(col("_dup").isNull, "accepted").otherwise("rejected")
+              .as("status"),
+            lit(bid).as("_batch_id"))
+          .write.mode("append").parquet(out)
+      }
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    docs.sparkSession.read.parquet(out)
+  }
+
   /** Drain a stateless stream of (id, vector, ...) rows INTO a
     * bucket-partitioned vector store: the first micro-batch creates the
     * store, every later batch appends through VectorStore.append (bucket
