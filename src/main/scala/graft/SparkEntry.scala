@@ -196,8 +196,30 @@ object SparkEntry {
     */
   private def kmeansOracleSql(k: Int, iters: Int): String = {
     val sb = new StringBuilder
+    sb.append("WITH ")
+    sb.append(kmeansCtesSql(k, iters))
     sb.append(
-      s"""WITH seeds AS (
+      s"""
+         |SELECT CAST(a.cid AS INTEGER) AS cid, count(*) AS n,
+         |  CAST(sum(a.vec_id) AS BIGINT) AS sum_ids, cf.cent_fp
+         |FROM a$iters a JOIN (
+         |  SELECT cid, CAST(list_sum(list_transform(cvec,
+         |    x -> CAST(floor(x * 1000000.0) AS BIGINT))) AS BIGINT) AS cent_fp
+         |  FROM c$iters) cf ON a.cid = cf.cid
+         |GROUP BY a.cid, cf.cent_fp ORDER BY a.cid""".stripMargin)
+    sb.toString
+  }
+
+  /** The Lloyd CTE chain alone (no WITH keyword, no final SELECT):
+    * `seeds`, then per-iteration d/a/c relations; `a$iters` (vec_id,
+    * embedding, cid) and `c$iters` (cid, cvec) are in scope afterwards.
+    * Shared by the q_kmeans oracle and the trained-centroid IVF oracle so
+    * both replay the identical training run.
+    */
+  private def kmeansCtesSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""seeds AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
          |  FROM embeddings ORDER BY vec_id LIMIT $k)""".stripMargin)
@@ -226,15 +248,6 @@ object SparkEntry {
            |  FROM c${it}p GROUP BY cid)""".stripMargin)
       prev = s"c$it"
     }
-    sb.append(
-      s"""
-         |SELECT CAST(a.cid AS INTEGER) AS cid, count(*) AS n,
-         |  CAST(sum(a.vec_id) AS BIGINT) AS sum_ids, cf.cent_fp
-         |FROM a$iters a JOIN (
-         |  SELECT cid, CAST(list_sum(list_transform(cvec,
-         |    x -> CAST(floor(x * 1000000.0) AS BIGINT))) AS BIGINT) AS cent_fp
-         |  FROM c$iters) cf ON a.cid = cf.cid
-         |GROUP BY a.cid, cf.cent_fp ORDER BY a.cid""".stripMargin)
     sb.toString
   }
 
@@ -1500,6 +1513,38 @@ object SparkEntry {
         .orderBy(col("tf").desc, col("tok").asc)
     }),
 
+    // BPE merge-candidate mining: corpus-wide adjacent-token-pair counts,
+    // top 20 — the statistic one training round of a BPE tokenizer
+    // maximizes over. Narrow self-zip explode + one count aggregation.
+    "q_bigrams" -> ((s, dir) => {
+      TrainData.bigrams(Tables.documents(s, dir), col("text"), topN = 20)
+    }),
+
+    // Edit-distance refinement of LSH candidates: the banded minhash
+    // pairs (never all-pairs) re-scored with exact levenshtein over each
+    // doc's 120-char tail — candidate generation stays O(n/2^H)-bucketed,
+    // the quadratic DP runs only on candidates and capped prefixes. The
+    // planted suffix-copies confirm at distance <= 16; band-collision
+    // false positives don't.
+    "q_editdist_refine" -> ((s, dir) => {
+      val stage = stagedPath("minhash_sigs_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(stage, "_SUCCESS").exists())
+          Dedup.stageMinhashSignatures(nearDupCorpus(s, dir), col("id"), col("text"), stage)
+      }
+      val pairs = Dedup.minhashPairsFromStage(s, stage, maxBucket = 50)
+        .select(col("a_id"), col("b_id"))
+      val corpus = nearDupCorpus(s, dir)
+      pairs
+        .join(corpus.select(col("id").as("a_id"), col("text").as("a_text")), "a_id")
+        .join(corpus.select(col("id").as("b_id"), col("text").as("b_text")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          levenshtein(expr("right(a_text, 120)"), expr("right(b_text, 120)"))
+            .cast("long").as("edit_dist"))
+        .withColumn("confirmed", col("edit_dist") <= 16)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Concat-and-chunk sequence packing: docs hash to 4 shards, each
     // shard's token stream (id order) is cut into 512-token chunks; a
     // doc's bin = chunk index of its first token (exclusive running sum).
@@ -2117,6 +2162,41 @@ object SparkEntry {
           col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
           k = 5, numPlanes = 5, probeBits = 2)
         .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // IVF with TRAINED centroids: the k-means run (q_kmeans machinery)
+    // becomes the coarse quantizer — cells adapt to the data instead of
+    // the formula-deterministic planes/centroids, which is the quality
+    // lever q_ann_recall's ivf rows leave on the table. Probing the 2
+    // nearest of 4 trained cells scans ~half the corpus; the recall row
+    // is replayed exactly by the oracle (training, assignment, probe
+    // order, and the metric itself are all deterministic).
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions
+      val emb = Tables.embeddings(s, dir)
+      val (_, cents) = graft.operators.Clustering.lloyd(emb, col("vec_id"),
+        col("embedding"), k = 4, iters = 2, dim = 64)
+      val cells = graft.operators.Clustering.assign(emb, cents, col("vec_id"),
+          col("embedding"))
+        .select(col("id").as("vec_id"), col("cid"))
+      val qlit = typedlit(QueryVec.values)
+      val probes = cents
+        .withColumn("qdist", VectorFunctions.l2Composed(col("cvec"), qlit))
+        .withColumn("rn", row_number().over(Window.orderBy(col("qdist"), col("cid"))))
+        .filter(col("rn") <= 2).select(col("cid"))
+      val ann = emb.join(cells, "vec_id").join(broadcast(probes), "cid")
+        .withColumn("distance", VectorFunctions.l2(col("embedding"), qlit))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      val exact = Knn.knn(emb, col("embedding"), col("vec_id"),
+        QueryVec.values, 10, Knn.L2).select(col("vec_id"))
+      ann.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit("ivf_trained_nprobe2").as("method"),
+          (col("n_hits").cast("double") / 10).as("recall_at_10"),
+          lit(0.5).as("min_recall"),
+          (col("n_hits").cast("double") / 10 >= lit(0.5)).as("recall_ok"))
     }),
 
     // Batch-retrieval recall as a tracked metric: ann_join's top-5 per
@@ -3290,6 +3370,40 @@ object SparkEntry {
            |  FROM cand)
            |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
+      "q_ann_ivf_trained" ->
+        s"""WITH ${kmeansCtesSql(4, 2)},
+           |qd AS (
+           |  SELECT cid, ${OracleGen.l2ToQuery("cvec")} AS qdist FROM c2),
+           |probes AS (
+           |  SELECT cid FROM (
+           |    SELECT cid, row_number() OVER (ORDER BY qdist, cid) AS rn FROM qd)
+           |  WHERE rn <= 2),
+           |fd AS (
+           |  SELECT e.vec_id, c.cid,
+           |    ${OracleGen.l2FloatCols("e.embedding", "c.cvec", 64)} AS dist
+           |  FROM embeddings e CROSS JOIN c2 c),
+           |fa AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM fd) WHERE rn = 1),
+           |ann AS (
+           |  SELECT e.vec_id FROM embeddings e
+           |  JOIN fa ON fa.vec_id = e.vec_id
+           |  WHERE fa.cid IN (SELECT cid FROM probes)
+           |  ORDER BY ${OracleGen.l2ToQuery("embedding")} ASC, e.vec_id ASC
+           |  LIMIT 10),
+           |exact AS (
+           |  SELECT vec_id FROM embeddings
+           |  ORDER BY ${OracleGen.l2ToQuery("embedding")} ASC, vec_id ASC LIMIT 10),
+           |hits AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n FROM ann JOIN exact USING (vec_id))
+           |SELECT 'ivf_trained_nprobe2' AS method,
+           |  CAST(h.n AS DOUBLE) / 10 AS recall_at_10,
+           |  CAST(0.5 AS DOUBLE) AS min_recall,
+           |  CAST(h.n AS DOUBLE) / 10 >= CAST(0.5 AS DOUBLE) AS recall_ok
+           |FROM hits h""".stripMargin,
+
       "q_ann_join_recall" ->
         s"""WITH cb AS (
            |  SELECT vec_id AS c_id, embedding,
@@ -3641,6 +3755,26 @@ object SparkEntry {
            |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
            |FROM tok GROUP BY tok HAVING count(*) >= 2
            |ORDER BY tf DESC, tok ASC LIMIT 100""".stripMargin,
+
+      "q_bigrams" ->
+        s"""WITH tok AS (SELECT ${OracleGen.toksSql("text")} AS tk FROM documents),
+           |bg AS (
+           |  SELECT tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i + 1 AS INTEGER)] AS bigram
+           |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tok))
+           |SELECT bigram, count(*) AS n FROM bg
+           |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+      "q_editdist_refine" ->
+        s"""WITH $minhashPairsCteSql,
+           |corpus AS ($nearDupCorpusSql)
+           |SELECT p.a_id, p.b_id,
+           |  CAST(levenshtein(right(ca.text, 120), right(cb.text, 120)) AS BIGINT)
+           |    AS edit_dist,
+           |  levenshtein(right(ca.text, 120), right(cb.text, 120)) <= 16 AS confirmed
+           |FROM pairs p
+           |JOIN corpus ca ON ca.id = p.a_id
+           |JOIN corpus cb ON cb.id = p.b_id
+           |ORDER BY a_id, b_id""".stripMargin,
 
       "q_split" ->
         """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,

@@ -197,4 +197,24 @@ object TrainData {
     */
   def weightedSample(df: DataFrame, idCol: Column, pctCol: Column): DataFrame =
     df.filter(hashBucket(idCol) < pctCol)
+
+  /** Adjacent-token-pair (bigram) frequencies — the merge-candidate
+    * statistic of a BPE-training round (the highest-count adjacent pair
+    * is the next merge). One narrow zip of each token list with its own
+    * tail, one count aggregation whose Zipf head the map-side partial
+    * aggregation absorbs; topN bounds the result to the merge table.
+    */
+  def bigrams(df: DataFrame, textCol: Column, topN: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    val tks = df.select(TextFunctions.tokens(textCol).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pairs = zip_with(
+      slice(col("tk"), lit(1), size(col("tk")) - 1),
+      slice(col("tk"), lit(2), size(col("tk")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    tks.select(explode(pairs).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(topN)
+  }
 }
