@@ -2175,8 +2175,10 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.VectorFunctions
       val emb = Tables.embeddings(s, dir)
-      val (_, cents) = graft.operators.Clustering.lloyd(emb, col("vec_id"),
-        col("embedding"), k = 4, iters = 2, dim = 64)
+      // k rows — materialized once so the training lineage is not
+      // re-executed by each of its two consumers (probes + assignment)
+      val cents = graft.operators.Clustering.lloyd(emb, col("vec_id"),
+        col("embedding"), k = 4, iters = 2, dim = 64)._2.localCheckpoint()
       val cells = graft.operators.Clustering.assign(emb, cents, col("vec_id"),
           col("embedding"))
         .select(col("id").as("vec_id"), col("cid"))
