@@ -135,6 +135,16 @@ object SparkEntry {
       .map(m => if (m == 0) "q.bucket" else s"xor(q.bucket, $m)")
       .mkString(", ")
 
+  /** 1e-12 fixed-point DCG rank weights floor(1e12 / log2(rn+1)) for
+    * rn = 1..k, computed ONCE in Scala and emitted to both engines as
+    * integer literals — log2 is not correctly-rounded, so letting each
+    * engine evaluate it would risk last-ulp divergence; identical
+    * literals + exact integer sums keep nDCG bit-identical.
+    */
+  private def dcgWeightFp(k: Int): IndexedSeq[Long] =
+    (1 to k).map(rn =>
+      math.floor(1e12 / (math.log(rn + 1.0) / math.log(2.0))).toLong)
+
   /** Unrolled PageRank replay for the DIRECTED part→supplier graph, where
     * every supplier node is a sink: mirrors Graph.pagerank's dangling-mass
     * path — per round, the dangling nodes' ranks truncate to the same
@@ -2201,6 +2211,39 @@ object SparkEntry {
           (col("n_hits").cast("double") / 10 >= lit(0.5)).as("recall_ok"))
     }),
 
+    // IR evaluation metrics for the batch ANN path: per query, MRR
+    // (reciprocal rank of the first exact-top-5 hit) and nDCG@5 of
+    // ann_join's ranking against the exact top-5 as relevance. DCG terms
+    // use 1e-12 fixed-point rank weights emitted as shared literals
+    // (log2 is not correctly rounded across engines), so the metric
+    // itself — not just a flag — replays bit-exact in the oracle.
+    "q_retrieval_metrics" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 3)
+      val exact = Knn.knnJoin(queries, emb, col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), k = 5).select(col("q_id"), col("c_id"))
+      val ann = Ann.annJoin(queries, emb, col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), k = 5, numPlanes = 5, probeBits = 2)
+        .select(col("q_id"), col("c_id"), col("rn"))
+      val wfp = dcgWeightFp(5)
+      val w = (1 to 5).foldLeft(lit(0L)) { (acc, rn) =>
+        when(col("rn") === rn, lit(wfp(rn - 1))).otherwise(acc)
+      }
+      val idcgFp = wfp.sum
+      val marked = ann
+        .join(exact.withColumn("_rel", lit(1)), Seq("q_id", "c_id"), "left")
+        .select(col("q_id"), col("rn"),
+          coalesce(col("_rel"), lit(0)).as("rel"))
+      marked.groupBy(col("q_id"))
+        .agg(sum(col("rel")).cast("long").as("n_rel"),
+          min(when(col("rel") === 1, col("rn"))).as("first_rel"),
+          sum(when(col("rel") === 1, w).otherwise(lit(0L))).cast("long").as("dcg_fp"))
+        .select(col("q_id"), col("n_rel"),
+          coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("mrr"),
+          (col("dcg_fp").cast("double") / lit(idcgFp).cast("double")).as("ndcg"))
+        .orderBy(col("q_id"))
+    }),
+
     // Batch-retrieval recall as a tracked metric: ann_join's top-5 per
     // query scored against the exact knn_join top-5 — the multi-query
     // twin of q_ann_recall. Both sides are deterministic, so the oracle
@@ -3405,6 +3448,54 @@ object SparkEntry {
            |  CAST(0.5 AS DOUBLE) AS min_recall,
            |  CAST(h.n AS DOUBLE) / 10 >= CAST(0.5 AS DOUBLE) AS recall_ok
            |FROM hits h""".stripMargin,
+
+      "q_retrieval_metrics" -> {
+        val wfp = dcgWeightFp(5)
+        val wCase = (1 to 5).map(rn => s"WHEN $rn THEN ${wfp(rn - 1)}")
+          .mkString("CASE rn ", " ", " END")
+        s"""WITH cb AS (
+           |  SELECT vec_id AS c_id, embedding,
+           |    ${OracleGen.lshBucket("embedding", 5, 64)} AS bucket
+           |  FROM embeddings),
+           |qb AS (
+           |  SELECT vec_id AS q_id, embedding,
+           |    ${OracleGen.lshBucket("embedding", 5, 64)} AS bucket
+           |  FROM embeddings WHERE vec_id < 3),
+           |allp AS (
+           |  SELECT q.q_id, c.c_id,
+           |    ${OracleGen.l2FloatCols("c.embedding", "q.embedding")} AS distance
+           |  FROM cb c CROSS JOIN qb q),
+           |exact AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY distance ASC, c_id ASC) AS rn FROM allp)
+           |  WHERE rn <= 5),
+           |cand AS (
+           |  SELECT q.q_id, c.c_id,
+           |    ${OracleGen.l2FloatCols("c.embedding", "q.embedding")} AS distance
+           |  FROM cb c JOIN qb q
+           |    ON c.bucket IN ($annJoinProbesSql)),
+           |ann AS (
+           |  SELECT q_id, c_id, rn FROM (
+           |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY distance ASC, c_id ASC) AS rn FROM cand)
+           |  WHERE rn <= 5),
+           |marked AS (
+           |  SELECT a.q_id, a.rn,
+           |    CASE WHEN e.c_id IS NULL THEN 0 ELSE 1 END AS rel
+           |  FROM ann a LEFT JOIN exact e
+           |    ON a.q_id = e.q_id AND a.c_id = e.c_id),
+           |per AS (
+           |  SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+           |    min(CASE WHEN rel = 1 THEN rn END) AS first_rel,
+           |    CAST(sum(CASE WHEN rel = 1 THEN $wCase ELSE 0 END) AS BIGINT)
+           |      AS dcg_fp
+           |  FROM marked GROUP BY q_id)
+           |SELECT q_id, n_rel,
+           |  coalesce(CAST(1 AS DOUBLE) / first_rel, CAST(0 AS DOUBLE)) AS mrr,
+           |  CAST(dcg_fp AS DOUBLE) / CAST(${wfp.sum} AS DOUBLE) AS ndcg
+           |FROM per ORDER BY q_id""".stripMargin
+      },
 
       "q_ann_join_recall" ->
         s"""WITH cb AS (
