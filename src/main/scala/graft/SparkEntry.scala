@@ -775,6 +775,18 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // EXACT set-similarity self-join at Jaccard >= 0.6 via PPJoin-style
+    // prefix filtering — zero recall loss (every qualifying pair, even
+    // ones LSH banding would miss), no cartesian product: candidates
+    // come only from each doc's rarest-token prefix, so Zipf-head tokens
+    // never become join keys, plus a size-compatibility prune in the
+    // join itself.
+    "dedup_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixJaccardJoin(nearDupCorpus(s, dir), col("id"), col("text"),
+          threshold = 0.6)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Near-dup CLUSTER resolution: LSH candidate pairs → connected
     // components (hash-min label propagation) → one row per cluster with
     // its keeper (min id) and size. The step that turns pair mining into
@@ -3073,6 +3085,40 @@ object SparkEntry {
            |SELECT status, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_ids,
            |  CAST(count(DISTINCT (id - mm.mn) // mm.w) AS BIGINT) AS n_batches
            |FROM st CROSS JOIN mm GROUP BY status ORDER BY status""".stripMargin,
+
+      "dedup_prefix_jaccard" -> {
+        val t = "CAST(0.6 AS DOUBLE)"
+        s"""WITH corpus AS ($nearDupCorpusSql),
+           |tok AS (SELECT id, ${OracleGen.toksSql("text")} AS tk0 FROM corpus),
+           |tk0 AS (SELECT id, list_distinct(${OracleGen.shinglesOfToks("tk0")}) AS tk
+           |        FROM tok),
+           |ex AS (SELECT id, unnest(tk) AS tok FROM tk0),
+           |dfs AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok),
+           |otk AS (
+           |  SELECT e.id, list(e.tok ORDER BY d.df, e.tok) AS otk,
+           |    count(*) AS sz
+           |  FROM ex e JOIN dfs d ON e.tok = d.tok GROUP BY e.id),
+           |pref AS (
+           |  SELECT id, sz, unnest(list_slice(otk, 1,
+           |    greatest(CAST(sz - ceil($t * sz) + 1 AS INTEGER), 1))) AS ptok
+           |  FROM otk),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           |  FROM pref a JOIN pref b ON a.ptok = b.ptok AND a.id < b.id
+           |    AND $t * greatest(a.sz, b.sz) <= least(a.sz, b.sz)),
+           |v AS (
+           |  SELECT c.a_id, c.b_id,
+           |    CAST(len(list_intersect(ta.tk, tb.tk)) AS BIGINT) AS inter,
+           |    len(ta.tk) AS a_sz, len(tb.tk) AS b_sz
+           |  FROM cand c
+           |  JOIN tk0 ta ON ta.id = c.a_id
+           |  JOIN tk0 tb ON tb.id = c.b_id)
+           |SELECT a_id, b_id, inter,
+           |  CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) AS jaccard
+           |FROM v
+           |WHERE CAST(inter AS DOUBLE) / (a_sz + b_sz - inter) >= $t
+           |ORDER BY a_id, b_id""".stripMargin
+      },
 
       // hash-min label propagation == min reachable id: the oracle derives
       // each node's component as least(id, min over the transitive

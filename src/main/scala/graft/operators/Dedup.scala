@@ -307,6 +307,62 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** EXACT all-pairs shingle-set similarity join at threshold `t`
+    * (PPJoin-style prefix filtering) — the deterministic complement to
+    * the MinHash/SimHash miners: no probabilistic recall loss, every
+    * pair with Jaccard ≥ t is returned, and the plan is still never a
+    * cartesian product. Elements are `shingleN`-gram shingles (the
+    * discriminative unit the whole dedup family uses — raw tokens
+    * degenerate on small vocabularies).
+    *
+    * Prefix-filtering theorem: order every document's distinct shingles
+    * by global rarity (df asc, shingle asc); two sets with Jaccard ≥ t
+    * must share an element within each one's first |d| − ⌈t·|d|⌉ + 1. So
+    * candidates come from an equi-join on PREFIX elements only — and
+    * because prefixes hold each document's RAREST shingles, Zipf-head
+    * elements never become join keys (the skew guard falls out of the
+    * ordering itself). A size filter (t·max ≤ min) prunes length-
+    * incompatible pairs inside the join; survivors verify with the exact
+    * intersection. Shuffles: one df count, one ordered-list build, one
+    * prefix equi-join, one verify join — all keyed, all bounded.
+    * Output: (a_id, b_id, inter, jaccard).
+    */
+  def prefixJaccardJoin(df: DataFrame, idCol: Column, textCol: Column,
+                        threshold: Double, shingleN: Int = 3): DataFrame = {
+    val toks = df.select(idCol.as("id"),
+      TextFunctions.shingles(textCol, shingleN, distinct = true).as("tk"))
+    val ex = toks.select(col("id"), explode(col("tk")).as("tok"))
+    val dfs = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfs, "tok")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("id"),
+        transform(col("ord"), s => s.getField("tok")).as("otk"),
+        size(col("ord")).as("sz"))
+    val p = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val pref = ordered.select(col("id"), col("sz"),
+      explode(slice(col("otk"), lit(1), greatest(p, lit(1)))).as("ptok"))
+    val a = pref.select(col("id").as("a_id"), col("sz").as("a_psz"), col("ptok"))
+    val b = pref.select(col("id").as("b_id"), col("sz").as("b_psz"),
+      col("ptok").as("b_ptok"))
+    val cand = a.join(b, col("ptok") === col("b_ptok") &&
+        col("a_id") < col("b_id") &&
+        lit(threshold) * greatest(col("a_psz"), col("b_psz")) <=
+          least(col("a_psz"), col("b_psz")))
+      .select(col("a_id"), col("b_id")).distinct()
+    val ta = toks.select(col("id").as("a_id"), col("tk").as("a_tk"),
+      size(col("tk")).as("a_sz"))
+    val tb = toks.select(col("id").as("b_id"), col("tk").as("b_tk"),
+      size(col("tk")).as("b_sz"))
+    cand.join(ta, "a_id").join(tb, "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("a_tk"), col("b_tk"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("a_sz") + col("b_sz") - col("inter")))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+  }
+
   /** Connected components over an undirected near-dup pair list
     * (a_id, b_id) → (id, comp) with comp = the minimum id reachable from
     * the node. This resolves PAIRS into CLUSTERS — the step between

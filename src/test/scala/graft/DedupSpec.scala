@@ -182,6 +182,34 @@ class DedupSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
   }
 
+  test("prefixJaccardJoin: exact result equals brute force, no cartesian") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"), // near-dup of 1
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six"),             // near-dup of 3
+      (5L, "totally unrelated words appear here now")
+    ).toDF("id", "text")
+    val out = Dedup.prefixJaccardJoin(docs, $"id", $"text", threshold = 0.5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over shingle sets at the same threshold
+    def sh(t: String) = t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val all = Seq(1L, 2L, 3L, 4L, 5L)
+      .map(i => i -> sh(docs.collect().find(_.getLong(0) == i).get.getString(1)))
+      .toMap
+    val exp = (for {
+      a <- all.keys; b <- all.keys if a < b
+      inter = (all(a) & all(b)).size
+      j = inter.toDouble / (all(a).size + all(b).size - inter)
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(got == exp, s"got $got expected $exp")
+    assert(exp.contains((1L, 2L)) && exp.contains((3L, 4L)))
+  }
+
   test("parquet-staged connectedComponents matches the in-memory cut") {
     import spark.implicits._
     import graft.operators.Stage
