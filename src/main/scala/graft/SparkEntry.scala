@@ -1018,6 +1018,31 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
     }),
 
+    // Tombstoning: delete every 4th vector from the store (rewriting
+    // only the buckets that hold one), then prove the store serves the
+    // same probe as a fresh write of the surviving corpus AND that a
+    // full exact scan finds zero deleted ids.
+    "q_vector_store_delete" -> ((s, dir) => {
+      val path = stagedPath("vector_store_del_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(path, "_GRAFT_DELETED").exists()) {
+          val emb = Tables.embeddings(s, dir)
+          graft.operators.VectorStore.write(emb, col("embedding"), path)
+          graft.operators.VectorStore.delete(s, path,
+            emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")))
+          new java.io.File(path, "_GRAFT_DELETED").createNewFile()
+        }
+      }
+      val probe = graft.operators.VectorStore.queryL2(s, path, "embedding",
+          "vec_id", QueryVec.values, 5)
+        .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
+      val leftoverVictims = broadcast(s.read.parquet(path)
+        .filter(col("vec_id") % 4 === 0)
+        .agg(count(lit(1)).as("n_deleted_left")))
+      probe.crossJoin(leftoverVictims)
+        .orderBy(col("distance").asc, col("vec_id").asc)
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), col("doc_id"), col("text"))
         .select(col("keep_id").as("doc_id"), col("n_dups"))
@@ -3269,6 +3294,22 @@ object SparkEntry {
            |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
            |         ${OracleGen.l2ToQuery("embedding")} AS distance
            |  FROM store)
+           |WHERE bucket IN ($probes)
+           |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
+      },
+
+      // post-delete store == fresh write of the surviving corpus; the
+      // leftover-victims count asserts the tombstoning actually removed
+      // every targeted id from ALL partitions
+      "q_vector_store_delete" -> {
+        val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+        s"""SELECT vec_id, label, bucket, distance,
+           |  CAST(0 AS BIGINT) AS n_deleted_left
+           |FROM (
+           |  SELECT vec_id, label,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |         ${OracleGen.l2ToQuery("embedding")} AS distance
+           |  FROM embeddings WHERE vec_id % 4 <> 0)
            |WHERE bucket IN ($probes)
            |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
       },

@@ -97,6 +97,42 @@ object VectorStore {
     }
   }
 
+  /** Partition-targeted delete — the tombstoning path a corpus refresh
+    * needs for removed documents (cf. Merge.corpusDiff's `removed`
+    * class): drop the rows of the given ids, rewriting ONLY the bucket
+    * partitions that actually hold one of them. Affected buckets come
+    * from one metadata-sized aggregation (≤ 2^numPlanes values to the
+    * driver), untouched bucket directories are never read or written —
+    * the same cost shape as [[upsert]]. A delete wave hitting 3 of 16
+    * buckets costs 3/16 of a rewrite, never a full-store pass.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+             idName: String = "vec_id"): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val store = spark.read.parquet(path)
+    val victims = ids.select(col(idName))
+    val affected = store.join(victims, Seq(idName), "left_semi")
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
+    if (affected.nonEmpty) {
+      val tmp = path + "__deleting"
+      store.filter(col("bucket").isin(affected.toSeq: _*))
+        .join(victims, Seq(idName), "left_anti")
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      affected.foreach { b =>
+        val dst = Paths.get(path, s"bucket=$b")
+        val src = Paths.get(tmp, s"bucket=$b")
+        if (Files.exists(dst))
+          Files.walk(dst).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.delete(f))
+        if (Files.exists(src)) Files.move(src, dst)
+        else Files.createDirectories(dst) // bucket emptied by the delete
+      }
+      Files.walk(Paths.get(tmp)).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
   /** Compact a store in place: rewrite every bucket partition into one
     * file per bucket (repartition on the bucket column routes each
     * bucket's rows to a single task, partitionBy keeps the directory

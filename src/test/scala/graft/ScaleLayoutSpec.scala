@@ -134,6 +134,35 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(stored == orig.map(_ * 0.5f))
   }
 
+  test("VectorStore delete rewrites only buckets holding a victim") {
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_del").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb, col("embedding"), out)
+    val mtimesBefore = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .map(d => d.getName -> d.listFiles().map(_.lastModified).max).toMap
+
+    // delete ONE vector; only its bucket may be rewritten
+    val victim = emb.filter(col("vec_id") === 0)
+    val targetBucket = "bucket=" + victim
+      .withColumn("b", graft.operators.Ann.bucketOf(col("embedding"), 4, 64))
+      .head().getAs[Int]("b")
+    VectorStore.delete(spark, out, victim.select(col("vec_id")))
+
+    val mtimesAfter = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .filter(_.listFiles().nonEmpty)
+      .map(d => d.getName -> d.listFiles().map(_.lastModified).max).toMap
+    mtimesBefore.foreach { case (b, t) =>
+      if (b == targetBucket) assert(mtimesAfter(b) != t, s"$b must be rewritten")
+      else assert(mtimesAfter(b) == t, s"$b must be untouched by the delete")
+    }
+    val left = spark.read.parquet(out)
+    assert(left.count() == emb.count() - 1)
+    assert(left.filter(col("vec_id") === 0).count() == 0)
+  }
+
   test("VectorStore compact: one file per bucket, results and pruning invariant") {
     import graft.operators.VectorStore
     val out = Files.createTempDirectory("graft_vs_cmp").toFile.getAbsolutePath + "/store"
