@@ -145,6 +145,53 @@ object SparkEntry {
     (1 to k).map(rn =>
       math.floor(1e12 / (math.log(rn + 1.0) / math.log(2.0))).toLong)
 
+  /** Unrolled personalized-PageRank replay: identical to
+    * pagerankOracleSql except the teleport term is a seed-membership CASE
+    * over the same constants-from-Scala doubles.
+    */
+  private def pagerankPersonalizedOracleSql(iters: Int,
+                                            damping: Double = 0.85): String = {
+    val scale = graft.operators.Graph.ContribScale
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |nodes AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+         |sd AS (SELECT id FROM nodes WHERE id % 2 = 0 AND id < 20),
+         |ns AS (SELECT count(*) AS n_seeds FROM sd),
+         |r0 AS (
+         |  SELECT n.id,
+         |    CASE WHEN s.id IS NOT NULL THEN 1.0 / n_seeds ELSE 0.0 END AS r
+         |  FROM nodes n LEFT JOIN sd s ON n.id = s.id CROSS JOIN ns)""".stripMargin)
+    for (it <- 1 to iters) {
+      sb.append(
+        s""",
+           |c$it AS (
+           |  SELECT e.dst AS id,
+           |    CAST(floor(r.r / d.odeg * $scale) AS BIGINT) AS c
+           |  FROM edges e
+           |  JOIN r${it - 1} r ON e.src = r.id
+           |  JOIN deg d ON e.src = d.src),
+           |r$it AS (
+           |  SELECT n.id,
+           |    CASE WHEN sd2.id IS NOT NULL THEN ${1 - damping} / ns.n_seeds
+           |         ELSE 0.0 END +
+           |      $damping * (CAST(coalesce(s.sum_c, 0) AS DOUBLE) / $scale) AS r
+           |  FROM nodes n
+           |  LEFT JOIN (SELECT id, sum(c) AS sum_c FROM c$it GROUP BY id) s
+           |    ON n.id = s.id
+           |  LEFT JOIN sd sd2 ON n.id = sd2.id
+           |  CROSS JOIN ns)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, r FROM r$iters ORDER BY r DESC, id ASC LIMIT 20")
+    sb.toString
+  }
+
   /** Unrolled PageRank replay for the DIRECTED part→supplier graph, where
     * every supplier node is a sink: mirrors Graph.pagerank's dangling-mass
     * path — per round, the dangling nodes' ranks truncate to the same
@@ -2112,6 +2159,21 @@ object SparkEntry {
         .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       graft.operators.Graph.pagerank(edges, iters = 3)
+        .orderBy(col("r").desc, col("id")).limit(20)
+    }),
+
+    // Personalized PageRank: teleport restricted to a seed set (the 10
+    // lowest part nodes) — rank concentrates around the seeds, the
+    // seed-expansion / related-items primitive. Same per-round join+agg
+    // shape as q_pagerank; the seed set broadcasts.
+    "q_pagerank_personalized" -> ((s, dir) => {
+      val p = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 2 === 0 && col("id") < 20)
+      graft.operators.Graph.pagerankPersonalized(edges, seeds, iters = 3)
         .orderBy(col("r").desc, col("id")).limit(20)
     }),
 
@@ -4201,6 +4263,7 @@ object SparkEntry {
 
       "q_pagerank" -> pagerankOracleSql(iters = 3),
       "q_pagerank_dangling" -> pagerankDanglingOracleSql(iters = 3),
+      "q_pagerank_personalized" -> pagerankPersonalizedOracleSql(iters = 3),
 
       "q_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
 

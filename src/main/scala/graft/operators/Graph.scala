@@ -100,4 +100,50 @@ object Graph {
     }
     ranks
   }
+
+  /** Personalized PageRank: teleport mass goes ONLY to the `seeds` node
+    * set (uniformly), so rank concentrates in the seeds' neighbourhood —
+    * the seed-expansion / related-items primitive (grow a labeled set,
+    * rank documents around a topic seed, recommend by graph proximity).
+    * r' = (1−d)·[id ∈ S]/|S| + d·Σ_in trunc(r/odeg), r0 uniform over S.
+    *
+    * Same per-iteration shape and determinism contract as [[pagerank]]
+    * (one edge⋈rank join + one dst aggregation, 1e-15 fixed-point
+    * contributions); the seed set broadcasts (it is small by
+    * definition — a query's labeled examples, not the corpus). Callers
+    * pass a dangling-free graph (symmetrized), as seeded walks are
+    * usually run on mutualized similarity graphs.
+    */
+  def pagerankPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           damping: Double = 0.85,
+                           stage: Stage = Stage.Local): DataFrame = {
+    val e = stage.cut(edges.select(col("src"), col("dst")), "ppr_edges")
+    val nodes = stage.cut(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct(), "ppr_nodes")
+    val deg = stage.cut(
+      e.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "ppr_deg")
+    val seedSet = stage.cut(
+      nodes.join(seeds.select(col("id")), Seq("id"), "left_semi"), "ppr_seeds")
+    val nSeeds = broadcast(seedSet.agg(count(lit(1)).as("n_seeds")))
+    val seedMark = broadcast(seedSet.withColumn("_seed", lit(1)))
+    var ranks = nodes.join(seedMark, Seq("id"), "left").crossJoin(nSeeds)
+      .select(col("id"),
+        when(col("_seed").isNotNull, lit(1.0) / col("n_seeds"))
+          .otherwise(lit(0.0)).as("r"))
+    for (_ <- 0 until iters) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"),
+          floor(col("r") / col("odeg") * lit(ContribScale)).cast("long").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("sum_c"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .join(seedMark, Seq("id"), "left").crossJoin(nSeeds)
+        .select(col("id"),
+          (when(col("_seed").isNotNull, lit(1 - damping) / col("n_seeds"))
+            .otherwise(lit(0.0)) +
+            lit(damping) * (coalesce(col("sum_c"), lit(0L)).cast("double") /
+              lit(ContribScale))).as("r"))
+    }
+    ranks
+  }
 }

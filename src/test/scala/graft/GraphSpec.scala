@@ -62,6 +62,23 @@ class GraphSpec extends SparkSpec {
     assert(run(1) == run(7)) // bit-identical, not just approximately equal
   }
 
+  test("personalized pagerank confines rank to the seed's component") {
+    import spark.implicits._
+    // triangle 1-2-3 (seeded at 1) ∪ disconnected triangle 10-11-12:
+    // without global teleport, the unseeded component must get ZERO mass
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val edges = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = Seq(1L).toDF("id")
+    val r = Graph.pagerankPersonalized(edges, seeds, iters = 4)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(Seq(10L, 11L, 12L).forall(r(_) == 0.0),
+      s"unseeded component must hold no mass: $r")
+    assert(r(1L) > r(2L) && r(2L) == r(3L), s"seed ranks highest: $r")
+    // mass conserved within the seeded component (up to truncation)
+    assert(math.abs(r(1L) + r(2L) + r(3L) - 1.0) < 1e-9)
+  }
+
   test("parquet-staged pagerank is bit-identical to the in-memory cut") {
     import spark.implicits._
     import graft.operators.Stage
