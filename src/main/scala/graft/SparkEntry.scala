@@ -2709,6 +2709,35 @@ object SparkEntry {
         .orderBy(col("hour_bucket"))
     }),
 
+    // Streaming sketch state: per-event-type approx quantiles maintained
+    // as a mergeable KLL-style sketch across >= 3 micro-batches
+    // (complete-mode state = one sketch per key, never the rows). The
+    // tolerance flags score the converged stream sketch against the
+    // exact batch quantiles — the q_table_stats_approx contract, here
+    // proving the sketch survives incremental merge.
+    "q_stream_quantiles" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val src = s.readStream.schema(Tables.events(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "events", "ts"))
+      val agg = src.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.9)), lit(10000)).as("qs"),
+          count(lit(1)).as("n"))
+      val streamed = graft.streaming.Streaming.drainToParquet(agg,
+        "quantiles_" + Integer.toHexString(dir.hashCode))
+      val exact = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.5D, 0.9D))").as("eqs"),
+          (max(col("value")) - min(col("value"))).as("rng"))
+      streamed.join(exact, "event_type")
+        .select(col("event_type"), col("n"),
+          (abs(element_at(col("qs"), 1) - element_at(col("eqs"), 1)) <=
+            lit(0.05) * col("rng")).as("p50_within_tol"),
+          (abs(element_at(col("qs"), 2) - element_at(col("eqs"), 2)) <=
+            lit(0.05) * col("rng")).as("p90_within_tol"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_stream_hourly" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
       val src = s.readStream.schema(Tables.events(s, dir).schema)
@@ -4516,6 +4545,13 @@ object SparkEntry {
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin,
+
+      // sketch values aren't oracle-reproducible; the contract rows are
+      // the exact count + tolerance flags (q_table_stats_approx pattern)
+      "q_stream_quantiles" ->
+        """SELECT event_type, count(*) AS n,
+          |  TRUE AS p50_within_tol, TRUE AS p90_within_tol
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       // Batch sessionization twin of Spark's session_window: a new session
       // starts when the gap since the previous event is >= the 30-minute

@@ -329,8 +329,12 @@ object Dedup {
     */
   def prefixJaccardJoin(df: DataFrame, idCol: Column, textCol: Column,
                         threshold: Double, shingleN: Int = 3): DataFrame = {
+    // materialized once: three consumers (df count, prefix build, verify
+    // join) would otherwise re-evaluate the shingle expression per use —
+    // at corpus scale this is the staged-signature pattern's in-memory twin
     val toks = df.select(idCol.as("id"),
       TextFunctions.shingles(textCol, shingleN, distinct = true).as("tk"))
+      .localCheckpoint()
     val ex = toks.select(col("id"), explode(col("tk")).as("tok"))
     val dfs = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ordered = ex.join(dfs, "tok")
