@@ -439,12 +439,23 @@ object SparkEntry {
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   /** CTE chain (without the WITH keyword) deriving `p`-prefixed MinHash
-    * signature + capped band relations for an (id, text) source —
+    * signature + band relations for an (id, text) source —
     * `${p}sg` (id, sig) and `${p}bands` (id, sig, band_idx, band) are in
     * scope afterwards. Mirrors Dedup.{minhashSignature, bands,
-    * dropHotBuckets} exactly.
+    * dropHotBuckets} exactly. `capped = false` skips the hot-bucket drop —
+    * the fresh/new side of Dedup.incrementalPairs, which caps only the
+    * fixed corpus side so verdicts stay batch-boundary-invariant.
     */
-  private def minhashSigBandsCte(p: String, srcSql: String): String =
+  private def minhashSigBandsCte(p: String, srcSql: String,
+                                 capped: Boolean = true): String = {
+    val bandsCte =
+      if (capped)
+        s"""${p}bands AS (
+           |  SELECT b.* FROM ${p}bands0 b
+           |  JOIN (SELECT band_idx, band FROM ${p}bands0
+           |        GROUP BY band_idx, band HAVING count(*) <= 50) keep
+           |    USING (band_idx, band))""".stripMargin
+      else s"${p}bands AS (SELECT * FROM ${p}bands0)"
     s"""${p}tok AS (SELECT id, ${OracleGen.toksSql("text")} AS tk FROM ($srcSql)),
        |${p}shingled AS (SELECT id, ${OracleGen.shinglesOfToks("tk")} AS sh FROM ${p}tok),
        |${p}hashed AS (SELECT id, list_transform(sh, s -> md5(s)) AS hs FROM ${p}shingled),
@@ -452,11 +463,8 @@ object SparkEntry {
        |${p}bands0 AS (
        |  SELECT id, sig, j AS band_idx, sig[2*j+1] || sig[2*j+2] AS band
        |  FROM ${p}sg, (SELECT unnest(range(0, 4)) AS j)),
-       |${p}bands AS (
-       |  SELECT b.* FROM ${p}bands0 b
-       |  JOIN (SELECT band_idx, band FROM ${p}bands0
-       |        GROUP BY band_idx, band HAVING count(*) <= 50) keep
-       |    USING (band_idx, band))""".stripMargin
+       |$bandsCte""".stripMargin
+  }
 
   /** Capped MinHash+LSH candidate pairs of the near-dup corpus — `sg` and
     * `pairs` (a_id, b_id) in scope afterwards. Shared by the dedup_minhash
@@ -2505,11 +2513,16 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
-    // Exact equi-depth histogram of order totals (the CBO's other
-    // statistic): 8 equal-count bins, deterministic tie order.
+    // Exact equi-depth histogram (the CBO's other statistic) in its
+    // scale-shaped form: per-nation supplier balance histograms, 4
+    // equal-count bins each, deterministic tie order. The ntile window
+    // PARTITIONS BY nation, so the sorts parallelize across groups — no
+    // single-partition WindowExec anywhere in this plan (asserted in
+    // StatsSpec + the all-queries plan sweep). The fact-table statistic
+    // is the sketch path, q_histogram_approx.
     "q_histogram" -> ((s, dir) => {
-      graft.operators.Stats.equiDepthHistogram(Tables.orders(s, dir),
-        col("o_totalprice"), col("o_orderkey"), buckets = 8)
+      graft.operators.Stats.equiDepthHistogramBy(Tables.supplier(s, dir),
+        col("s_nationkey"), col("s_acctbal"), col("s_suppkey"), buckets = 4)
     }),
 
     // The same statistic by the 100 TB path: sketch boundaries +
@@ -3163,7 +3176,7 @@ object SparkEntry {
         s"""WITH ${minhashSigBandsCte("c", "SELECT doc_id AS id, text FROM documents")},
            |${minhashSigBandsCte("n",
               "SELECT doc_id + 100000 AS id, text || ' zz extra token' AS text " +
-                "FROM documents WHERE doc_id % 10 = 0")},
+                "FROM documents WHERE doc_id % 10 = 0", capped = false)},
            |cand AS (
            |  SELECT DISTINCT c.id AS corpus_id, n.id AS new_id
            |  FROM cbands c JOIN nbands n
@@ -3175,12 +3188,15 @@ object SparkEntry {
            |JOIN nsg ns ON ns.id = cand.new_id
            |ORDER BY corpus_id, new_id""".stripMargin,
 
-      // The gate's verdict is reference-fixed, so the oracle replays the
-      // union of batches: rejected = docs with a band-bucket hit in the
-      // reference at est_jaccard >= 0.5. Batch ids re-derive from
-      // stageSplitSource's range arithmetic (thirds of the id domain).
+      // The gate's verdict is reference-fixed (hot-bucket cap applies only
+      // to the fixed reference side — Dedup.incrementalPairs), so the
+      // oracle replays the union of batches with the stream side UNCAPPED:
+      // rejected = docs with a band-bucket hit in the capped reference at
+      // est_jaccard >= 0.5. Batch ids re-derive from stageSplitSource's
+      // range arithmetic (thirds of the id domain).
       "q_stream_dedup_gate" ->
-        s"""WITH ${minhashSigBandsCte("s", "SELECT doc_id AS id, text FROM documents")},
+        s"""WITH ${minhashSigBandsCte("s",
+              "SELECT doc_id AS id, text FROM documents", capped = false)},
            |${minhashSigBandsCte("r",
               "SELECT doc_id + 100000 AS id, text || ' zz extra token' AS text " +
                 "FROM documents WHERE doc_id % 10 = 0")},
@@ -4457,11 +4473,12 @@ object SparkEntry {
 
       "q_histogram" ->
         """WITH t AS (
-          |  SELECT o_totalprice AS v,
-          |    ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
-          |  FROM orders)
-          |SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
-          |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+          |  SELECT s_nationkey AS grp, s_acctbal AS v,
+          |    ntile(4) OVER (PARTITION BY s_nationkey
+          |                   ORDER BY s_acctbal, s_suppkey) AS bucket
+          |  FROM supplier)
+          |SELECT grp, bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
+          |FROM t GROUP BY grp, bucket ORDER BY grp, bucket""".stripMargin,
 
       // Sketch boundaries are not oracle-reproducible; the contract row is
       // the tolerance flag (cf. q_table_stats_approx).

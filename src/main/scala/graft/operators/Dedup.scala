@@ -133,22 +133,30 @@ object Dedup {
     * broadcasts: the join plan shuffles NEITHER side. This is the ingest
     * gate a production pipeline runs on every arriving batch; the staged
     * signatures then absorb the accepted rows via append.
+    *
+    * `maxBucket` caps ONLY the staged corpus side. The corpus is fixed, so
+    * its bucket sizes — and therefore the verdict for any given incoming
+    * document — do not depend on how the arriving stream is chopped into
+    * batches (batch-boundary invariance). A cap on the fresh side would
+    * depend on batch composition, and is unnecessary: candidate blow-up
+    * comes from hot CORPUS buckets (s fresh rows x bucket_n corpus rows);
+    * the fresh batch itself is small and broadcast.
     * Output: (corpus_id, new_id, est_jaccard).
     */
   def incrementalPairs(newDf: DataFrame, idCol: Column, textCol: Column,
                        stagePath: String, numHashes: Int = 8,
                        rowsPerBand: Int = 2, shingleN: Int = 3,
                        maxBucket: Int = Int.MaxValue): DataFrame = {
-    def banded(sigs: DataFrame) = {
+    def banded(sigs: DataFrame, cap: Int) = {
       val b = sigs.select(col("id"), col("sig"),
         posexplode(bands(col("sig"), numHashes, rowsPerBand)).as(Seq("band_idx", "band")))
-      dropHotBuckets(b, Seq("band_idx", "band"), maxBucket)
+      dropHotBuckets(b, Seq("band_idx", "band"), cap)
     }
-    val corpus = banded(newDf.sparkSession.read.parquet(stagePath))
+    val corpus = banded(newDf.sparkSession.read.parquet(stagePath), maxBucket)
       .select(col("id").as("corpus_id"), col("sig").as("corpus_sig"),
         col("band_idx"), col("band"))
     val fresh = banded(newDf.select(idCol.as("id"),
-        minhashSignature(textCol, numHashes, shingleN).as("sig")))
+        minhashSignature(textCol, numHashes, shingleN).as("sig")), Int.MaxValue)
       .select(col("id").as("new_id"), col("sig").as("new_sig"),
         col("band_idx").as("n_band_idx"), col("band").as("n_band"))
     val matchCount = aggregate(zip_with(col("corpus_sig"), col("new_sig"),
@@ -325,16 +333,21 @@ object Dedup {
     * incompatible pairs inside the join; survivors verify with the exact
     * intersection. Shuffles: one df count, one ordered-list build, one
     * prefix equi-join, one verify join — all keyed, all bounded.
+    * The shingle materialization goes through `stage` like every other
+    * staged operator: [[Stage.Local]] (default) for local runs,
+    * [[Stage.Parquet]] for the durable cluster path (DedupSpec asserts
+    * both yield identical pairs).
     * Output: (a_id, b_id, inter, jaccard).
     */
   def prefixJaccardJoin(df: DataFrame, idCol: Column, textCol: Column,
-                        threshold: Double, shingleN: Int = 3): DataFrame = {
+                        threshold: Double, shingleN: Int = 3,
+                        stage: Stage = Stage.Local): DataFrame = {
     // materialized once: three consumers (df count, prefix build, verify
     // join) would otherwise re-evaluate the shingle expression per use —
-    // at corpus scale this is the staged-signature pattern's in-memory twin
-    val toks = df.select(idCol.as("id"),
-      TextFunctions.shingles(textCol, shingleN, distinct = true).as("tk"))
-      .localCheckpoint()
+    // at corpus scale this is the staged-signature pattern's durable twin
+    val toks = stage.cut(df.select(idCol.as("id"),
+      TextFunctions.shingles(textCol, shingleN, distinct = true).as("tk")),
+      "ppj_shingles")
     val ex = toks.select(col("id"), explode(col("tk")).as("tok"))
     val dfs = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ordered = ex.join(dfs, "tok")

@@ -113,9 +113,17 @@ object Graph {
     * definition — a query's labeled examples, not the corpus). Callers
     * pass a dangling-free graph (symmetrized), as seeded walks are
     * usually run on mutualized similarity graphs.
+    *
+    * Lineage discipline matches [[pagerank]]: every `checkpointEvery`
+    * rounds the rank relation goes through `stage.cut`, so the plan
+    * stays bounded at any iteration count (GraphSpec asserts the cut
+    * path is bit-identical). Requires a non-empty effective seed set
+    * (seeds ∩ nodes) — an empty one has no teleport distribution and
+    * would silently yield all-NaN ranks.
     */
   def pagerankPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
                            damping: Double = 0.85,
+                           checkpointEvery: Int = 8,
                            stage: Stage = Stage.Local): DataFrame = {
     val e = stage.cut(edges.select(col("src"), col("dst")), "ppr_edges")
     val nodes = stage.cut(e.select(col("src").as("id"))
@@ -124,13 +132,15 @@ object Graph {
       e.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "ppr_deg")
     val seedSet = stage.cut(
       nodes.join(seeds.select(col("id")), Seq("id"), "left_semi"), "ppr_seeds")
+    require(seedSet.limit(1).count() > 0,
+      "pagerankPersonalized: seed set is empty or disjoint from the graph's nodes")
     val nSeeds = broadcast(seedSet.agg(count(lit(1)).as("n_seeds")))
     val seedMark = broadcast(seedSet.withColumn("_seed", lit(1)))
     var ranks = nodes.join(seedMark, Seq("id"), "left").crossJoin(nSeeds)
       .select(col("id"),
         when(col("_seed").isNotNull, lit(1.0) / col("n_seeds"))
           .otherwise(lit(0.0)).as("r"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contribs = e.join(ranks, e("src") === ranks("id"))
         .join(deg, Seq("src"))
         .select(col("dst").as("id"),
@@ -143,6 +153,8 @@ object Graph {
             .otherwise(lit(0.0)) +
             lit(damping) * (coalesce(col("sum_c"), lit(0L)).cast("double") /
               lit(ContribScale))).as("r"))
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
+        ranks = stage.cut(ranks, s"ppr_ranks_cut_${i + 1}")
     }
     ranks
   }

@@ -112,11 +112,14 @@ object Stats {
 
   /** Exact equi-depth histogram (the other CBO statistic): `buckets`
     * bins of equal row count over `valueCol`, ties ordered by `tieCol`
-    * for determinism. This exact form global-sorts (ntile over one
-    * window) — correct for the dimension-sized relations ANALYZE targets;
-    * the 100 TB form derives boundaries from approx_percentile (one
-    * mergeable sketch pass) and bins with width_bucket, same output
-    * shape. Output: (bucket 1..k, n, lo, hi).
+    * for determinism. This exact form global-sorts (ntile over ONE
+    * single-partition window) — acceptable ONLY for fixed-cardinality
+    * relations (nation/region-sized); it is deliberately NOT declared
+    * against any scaling table. The declared exact statistic is the
+    * per-group form [[equiDepthHistogramBy]] (partitioned window — sorts
+    * parallelize across groups); the declared fact-table statistic is
+    * the sketch path [[equiDepthHistogramApprox]] (no sort anywhere).
+    * Output: (bucket 1..k, n, lo, hi).
     */
   def equiDepthHistogram(df: DataFrame, valueCol: Column, tieCol: Column,
                          buckets: Int): DataFrame = {
@@ -129,6 +132,29 @@ object Stats {
       .orderBy(col("bucket"))
   }
 
+  /** Exact equi-depth histogram PER GROUP — the scale-shaped exact form:
+    * the ntile window partitions by `groupCol`, so each group sorts
+    * independently in parallel and no single task ever holds the whole
+    * relation (the per-partition column statistics ANALYZE keeps for a
+    * partitioned table). Skewed-group ceiling: one task per group, fine
+    * for the bounded group domains this targets (nations, categories,
+    * date partitions); an unbounded group domain should use
+    * [[equiDepthHistogramApprox]] per group instead.
+    * Output: (grp, bucket 1..k, n, lo, hi).
+    */
+  def equiDepthHistogramBy(df: DataFrame, groupCol: Column, valueCol: Column,
+                           tieCol: Column, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(groupCol.as("grp"), valueCol.as("v"), tieCol.as("tb"))
+      .withColumn("bucket",
+        ntile(buckets).over(
+          Window.partitionBy(col("grp")).orderBy(col("v"), col("tb")))
+          .cast("long"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("grp"), col("bucket"))
+  }
+
   /** The 100 TB equi-depth histogram: bucket boundaries from one
     * `approx_percentile` pass (a mergeable KLL-style sketch — map-side
     * partials, no global sort, no single-partition window anywhere in the
@@ -138,7 +164,11 @@ object Stats {
     * like [[tableStatsApprox]] — the accuracy is emitted as a tracked
     * tolerance flag instead of raw boundary values: each bucket's row
     * count must land within `tol` relative error of the ideal N/k depth.
-    * Output: (bucket 1..k, depth_within_tol).
+    * Every bucket 1..k is ALWAYS present in the output: a bucket the
+    * binning left empty (degenerate sketch boundaries) appears with
+    * depth_within_tol = false rather than silently vanishing, so a
+    * consumer checking "all flags true" cannot pass on a degenerate
+    * boundary set. Output: (bucket 1..k, depth_within_tol).
     */
   def equiDepthHistogramApprox(df: DataFrame, valueCol: Column, buckets: Int,
                                accuracy: Int, tol: Double): DataFrame = {
@@ -152,12 +182,14 @@ object Stats {
       .select(
         (lit(1) + aggregate(col("bounds"), lit(0),
           (acc, b) => acc + when(col("v") > b, lit(1)).otherwise(lit(0))))
-          .cast("long").as("bucket"),
-        col("n_total"))
-    binned.groupBy(col("bucket"), col("n_total"))
-      .agg(count(lit(1)).as("n"))
+          .cast("long").as("bucket"))
+    val counts = binned.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val allBuckets = df.sparkSession.range(1, buckets + 1)
+      .select(col("id").as("bucket"))
+      .crossJoin(broadcast(bounds.select(col("n_total"))))
+    allBuckets.join(counts, Seq("bucket"), "left")
       .select(col("bucket"),
-        (abs(col("n") - col("n_total") / buckets) <=
+        (abs(coalesce(col("n"), lit(0L)) - col("n_total") / buckets) <=
           lit(tol) * col("n_total") / buckets).as("depth_within_tol"))
       .orderBy(col("bucket"))
   }

@@ -47,11 +47,28 @@ object TrainData {
       .orderBy(col("tf").desc, col("tok").asc)
       .limit(topN)
 
+  /** id * 2654435761 mod 2^32, computed EXACTLY for any non-negative
+    * Long id without ever overflowing (ANSI mode throws on wrap): reduce
+    * the id mod 2^32 first (id*k ≡ (id mod 2^32)*k (mod 2^32)), then
+    * split-multiply in 16-bit halves — every intermediate stays below
+    * 2^49. Bit-for-bit equal to unbounded-precision engines (the DuckDB
+    * oracle's HUGEINT math) over the whole Long domain, where a naive
+    * `id * k % 2^32` wraps at ids >= ~3.47e9.
+    */
+  private def knuth32(idCol: Column): Column = {
+    val k = lit(2654435761L)
+    val a = pmod(idCol.cast("long"), lit(4294967296L))
+    val hi = shiftright(a, 16)
+    val lo = a.bitwiseAND(lit(65535L))
+    pmod(pmod(hi * k, lit(65536L)) * lit(65536L) + lo * k, lit(4294967296L))
+  }
+
   /** Knuth multiplicative-hash bucket in [0, 100) of a non-negative id —
-    * deterministic, engine-independent integer math (no RNG, no seed).
+    * deterministic, engine-independent integer math (no RNG, no seed),
+    * total over the entire Long id domain (see [[knuth32]]).
     */
   def hashBucket(idCol: Column): Column =
-    idCol * lit(2654435761L) % lit(4294967296L) % lit(100)
+    pmod(knuth32(idCol), lit(100L))
 
   /** Stable train/val/test assignment: 80/10/10 by hash bucket of the id.
     * A sample's split never changes when the corpus grows — the invariant
@@ -183,10 +200,11 @@ object TrainData {
 
   /** K-fold cross-validation fold of an id, 0..k-1 — the same seedless
     * multiplicative hash as [[hashBucket]], so fold membership is stable
-    * under corpus growth and engine-independent.
+    * under corpus growth and engine-independent; total over the entire
+    * Long id domain (see [[knuth32]]).
     */
   def kfoldAssign(idCol: Column, k: Int): Column =
-    idCol * lit(2654435761L) % lit(4294967296L) % lit(k)
+    pmod(knuth32(idCol), lit(k.toLong))
 
   /** Deterministic per-row weighted subsampling: keep a row iff its hash
     * bucket (0..99) is below its OWN keep-percentage column — quality- or

@@ -282,10 +282,13 @@ object Streaming {
     * signature table (Dedup.incrementalPairs — the incoming batch
     * broadcasts, the band join shuffles neither side) and every row
     * lands in the audit sink stamped accepted/rejected plus its
-    * micro-batch id. Gating against a fixed reference makes the verdict
-    * batch-boundary-invariant, so the batch oracle replays the union of
-    * batches exactly; the growing-reference variant (gate absorbs what
-    * it accepts) is the batch pair dedup_incremental + signature append.
+    * micro-batch id. The verdict is batch-boundary-invariant: the
+    * reference corpus is fixed AND the hot-bucket cap applies only to
+    * that fixed side (incrementalPairs never caps the incoming batch,
+    * whose bucket sizes would depend on how the stream was chopped), so
+    * the batch oracle replays the union of batches exactly; the
+    * growing-reference variant (gate absorbs what it accepts) is the
+    * batch pair dedup_incremental + signature append.
     */
   def drainDedupGate(docs: DataFrame, sigStagePath: String, name: String,
                      threshold: Double, maxBucket: Int = 50): DataFrame = {

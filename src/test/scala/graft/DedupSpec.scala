@@ -210,6 +210,25 @@ class DedupSpec extends SparkSpec {
     assert(exp.contains((1L, 2L)) && exp.contains((3L, 4L)))
   }
 
+  test("parquet-staged prefixJaccardJoin matches the in-memory cut") {
+    import spark.implicits._
+    import graft.operators.Stage
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six"),
+      (5L, "totally unrelated words appear here now")
+    ).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ppj_stage").toString
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(asSet(Dedup.prefixJaccardJoin(docs, $"id", $"text", 0.5,
+        stage = Stage.Parquet(dir)))
+      == asSet(Dedup.prefixJaccardJoin(docs, $"id", $"text", 0.5)))
+  }
+
   test("parquet-staged connectedComponents matches the in-memory cut") {
     import spark.implicits._
     import graft.operators.Stage

@@ -79,6 +79,37 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r(1L) + r(2L) + r(3L) - 1.0) < 1e-9)
   }
 
+  test("personalized pagerank: lineage cut is bit-identical, staged too") {
+    import spark.implicits._
+    import graft.operators.Stage
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val edges = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = Seq(1L, 4L).toDF("id")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    // iters > checkpointEvery forces cuts inside the loop: ranks must be
+    // bit-identical to the uncut composition and to the durable cut
+    val uncut = asMap(Graph.pagerankPersonalized(edges, seeds, iters = 5,
+      checkpointEvery = 100))
+    val cut = asMap(Graph.pagerankPersonalized(edges, seeds, iters = 5,
+      checkpointEvery = 2))
+    assert(uncut == cut)
+    val dir = java.nio.file.Files.createTempDirectory("ppr_stage").toString
+    val staged = asMap(Graph.pagerankPersonalized(edges, seeds, iters = 5,
+      checkpointEvery = 2, stage = Stage.Parquet(dir)))
+    assert(uncut == staged)
+  }
+
+  test("personalized pagerank rejects an empty effective seed set") {
+    import spark.implicits._
+    val e0 = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pagerankPersonalized(e0, Seq(99L).toDF("id"), iters = 2)
+    }
+    assert(ex.getMessage.contains("seed set is empty"))
+  }
+
   test("parquet-staged pagerank is bit-identical to the in-memory cut") {
     import spark.implicits._
     import graft.operators.Stage

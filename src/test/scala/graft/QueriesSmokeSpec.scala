@@ -1,15 +1,60 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec, CollectLimitExec}
+
 /** Every SparkEntry query must run at sf0.001 and (except candidate-pair
   * mining, which may legitimately find nothing at tiny scale) return rows.
   * Catches runtime breakage in any registered query, and enforces the
   * queries ↔ oracleSql contract invariants.
+  *
+  * The same pass sweeps every query's physical plan for the two
+  * scale-killers that can land silently behind a green hash:
+  *   - a CartesianProduct (all-pairs blow-up), and
+  *   - an UNPARTITIONED WindowExec over an unbounded input (one task
+  *     sorts the whole relation — the q_histogram class of regression).
+  * A global window whose input subtree is limit-bounded (top-k
+  * re-ranking after TakeOrderedAndProject/GlobalLimit, k-row centroid
+  * relations) is scale-safe and allowed.
   */
 class QueriesSmokeSpec extends SparkSpec {
 
   // legitimately empty at tiny scale: set difference / intersection /
   // anti-join results
   private val mayBeEmpty = Set("q_set_ops", "q_anti_join", "q_intersect")
+
+  // Global-window inputs that ARE bounded but whose bound is invisible to
+  // the plan walk because a lineage cut (localCheckpoint → RDD scan)
+  // hides the upstream limit: k-means centroid relations (k rows by
+  // construction, cf. Clustering.seeds/lloyd).
+  private val checkpointBoundedWindow =
+    Set("q_kmeans", "q_ann_ivf_trained")
+
+  private def hasLimitBelow(p: SparkPlan): Boolean =
+    flattenPlan(p).exists {
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case _ => false
+    }
+
+  private def planViolations(name: String, df: DataFrame): Seq[String] = {
+    val nodes = planNodes(df)
+    val cartesian = nodes.collect { case c: CartesianProductExec => c }
+      .map(_ => s"$name: CartesianProduct in executed plan")
+    val globalWindows = nodes.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w.child
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.child
+    }
+    val unbounded =
+      if (checkpointBoundedWindow(name)) Nil
+      else globalWindows.filterNot(hasLimitBelow)
+        .map(_ => s"$name: unpartitioned Window over unbounded input " +
+          "(single task sorts the whole relation)")
+    cartesian ++ unbounded
+  }
 
   test("queries and oracleSql cover each other exactly (every op is proven)") {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -19,13 +64,15 @@ class QueriesSmokeSpec extends SparkSpec {
       s"queries without a DuckDB oracle (add one — 'runs' is not 'proven'): $unproven")
   }
 
-  test("every query runs on sf0.001") {
+  test("every query runs on sf0.001 with a scale-safe plan") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
-        val n = fn(spark, sf0001).count()
-        if (n == 0 && !mayBeEmpty(name)) Some(s"$name: 0 rows") else None
+        val df = fn(spark, sf0001)
+        val planIssues = planViolations(name, df)
+        val n = df.count()
+        planIssues ++ (if (n == 0 && !mayBeEmpty(name)) Seq(s"$name: 0 rows") else Nil)
       } catch {
-        case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}")
+        case e: Throwable => Seq(s"$name: ${e.getMessage.linesIterator.next()}")
       }
     }
     assert(failures.isEmpty, failures.mkString("; "))

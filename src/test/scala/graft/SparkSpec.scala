@@ -23,4 +23,23 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   def sf0001 = "/root/testdata/sf0.001"
+
+  /** All nodes of a physical-plan subtree, looking through AQE wrappers,
+    * query stages, and subqueries — for plan-shape assertions.
+    */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => flattenPlan(a.executedPlan)
+      case s: QueryStageExec        => flattenPlan(s.plan)
+      case _                        => p.children.flatMap(flattenPlan)
+    }
+    (p +: inner) ++ p.subqueries.flatMap(flattenPlan)
+  }
+
+  /** All nodes of a DataFrame's executed plan (see [[flattenPlan]]). */
+  def planNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    flattenPlan(df.queryExecution.executedPlan)
 }

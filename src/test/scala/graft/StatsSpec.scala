@@ -83,6 +83,48 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("equiDepthHistogramBy: per-group depths, partitioned window only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 120).map(i => ((i % 3).toLong, i.toLong, i * 1.5))
+      .toDF("g", "id", "v")
+    val out = graft.operators.Stats.equiDepthHistogramBy(
+      df, col("g"), col("v"), col("id"), buckets = 4)
+    // the scale contract: the ntile window partitions by group — a
+    // single-partition sort of the whole relation must never appear
+    val windows = planNodes(out).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "window must partition by grp")
+    val rows = out.collect()
+    assert(rows.length == 12) // 3 groups x 4 buckets
+    assert(rows.forall(_.getLong(2) == 10)) // 40 rows per group / 4
+    // within each group, bucket ranges tile in order without overlap
+    rows.groupBy(_.getLong(0)).values.foreach { grp =>
+      grp.sortBy(_.getLong(1)).sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(4) < b.getDouble(3))
+      case _ => ()
+      }
+    }
+  }
+
+  test("equiDepthHistogramApprox: empty buckets surface as flag=false rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // constant column → all sketch boundaries coincide → every row bins
+    // into bucket 1 and buckets 2..8 are EMPTY: they must still appear,
+    // flagged false, so an "all flags true" consumer fails honestly
+    val df = Seq.fill(100)(42.0).toDF("v")
+    val rows = graft.operators.Stats.equiDepthHistogramApprox(
+      df, col("v"), buckets = 8, accuracy = 10000, tol = 0.05)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 8L),
+      "every bucket row must be present even when empty")
+    assert(!rows.head.getBoolean(1), "overfull bucket 1 out of tolerance")
+    assert(rows.tail.forall(!_.getBoolean(1)), "empty buckets flag false")
+  }
+
   test("equiDepthHistogramApprox: depths within tol, no window in plan") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -181,6 +181,25 @@ class TrainDataSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hash buckets and folds match unbounded math past the Long wrap point") {
+    import spark.implicits._
+    // id * 2654435761 overflows Long for ids >= ~3.47e9 (ANSI mode would
+    // throw; pre-ANSI it wrapped negative, landing folds outside [0,k)
+    // and silently dropping rows from weightedSample). The split multiply
+    // must equal unbounded-precision arithmetic over the whole domain.
+    val ids = Seq(1L, 99L, 3470000000L, 4000000000L,
+      Long.MaxValue / 2654435761L + 1, 9000000000L, Long.MaxValue)
+    val out = ids.toDF("id").select(col("id"),
+      TrainData.hashBucket(col("id")).as("b"),
+      TrainData.kfoldAssign(col("id"), 5).as("f")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    ids.foreach { i =>
+      val h = (BigInt(i) * BigInt(2654435761L)) mod BigInt(4294967296L)
+      assert(out(i) == ((h % 100).toLong, (h % 5).toLong),
+        s"id $i: got ${out(i)}, unbounded math says (${h % 100}, ${h % 5})")
+    }
+  }
+
   test("weightedSample: keeps exactly the rows whose bucket beats their pct") {
     import spark.implicits._
     val df = (1L to 300L).map(i => (i, (i % 100).toInt)).toDF("id", "pct")
