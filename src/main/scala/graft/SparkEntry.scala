@@ -1077,6 +1077,55 @@ object SparkEntry {
     // only the buckets that hold one), then prove the store serves the
     // same probe as a fresh write of the surviving corpus AND that a
     // full exact scan finds zero deleted ids.
+    // The composed store lifecycle a corpus refresh runs end-to-end:
+    // half-write → append the rest → re-embed upsert (vec*0.5, label_v2)
+    // → delete wave → compact — then one probe against the final layout.
+    // The two trailing counters prove the maintenance contract: zero
+    // tombstone residue (no deleted id anywhere) and one file per bucket
+    // after compaction. The oracle replays the same lifecycle as pure
+    // relational algebra over the source table.
+    "q_vector_store_lifecycle" -> ((s, dir) => {
+      val path = stagedPath("vector_store_life_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(path, "_GRAFT_LIFECYCLE").exists()) {
+          val emb = Tables.embeddings(s, dir)
+          graft.operators.VectorStore.write(
+            emb.filter(col("vec_id") % 2 === 0), col("embedding"), path)
+          graft.operators.VectorStore.append(
+            emb.filter(col("vec_id") % 2 === 1), col("embedding"), path)
+          // replayed append: idempotent on vec_id, must be a no-op
+          graft.operators.VectorStore.append(emb, col("embedding"), path)
+          val reemb = emb.filter(col("vec_id") % 3 === 0)
+            .select(col("vec_id"), (col("label") + lit(1000)).as("label"),
+              transform(col("embedding"), x => (x * lit(0.5)).cast("float"))
+                .as("embedding"))
+          graft.operators.VectorStore.upsert(reemb, col("embedding"), path)
+          graft.operators.VectorStore.delete(s, path,
+            emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")))
+          graft.operators.VectorStore.compact(s, path)
+          new java.io.File(path, "_GRAFT_LIFECYCLE").createNewFile()
+        }
+      }
+      val probe = graft.operators.VectorStore.queryL2(s, path, "embedding",
+          "vec_id", QueryVec.values, 5)
+        .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
+      val residue = broadcast(s.read.parquet(path)
+        .filter(col("vec_id") % 4 === 0)
+        .agg(count(lit(1)).as("n_deleted_left")))
+      // filesystem metadata (driver-side, bounded by 2^numPlanes dirs):
+      // the compaction contract is one file per bucket partition
+      val maxFiles = {
+        val buckets = new java.io.File(path).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        if (buckets.isEmpty) 0L
+        else buckets.map(_.listFiles().count(_.getName.endsWith(".parquet")))
+          .max.toLong
+      }
+      probe.crossJoin(residue)
+        .withColumn("max_files_per_bucket", lit(maxFiles))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+    }),
+
     "q_vector_store_delete" -> ((s, dir) => {
       val path = stagedPath("vector_store_del_v1", dir)
       this.synchronized {
@@ -1561,29 +1610,41 @@ object SparkEntry {
 
     // Multimodal plumbing: text bytes as opaque BINARY payloads, typed
     // batch decode (STUB codec, real Dataset/mapPartitions shape).
-    "q_multimodal_stub" -> ((s, dir) => {
+    // REAL multimodal decode: synthesize valid PNG / GIF / BMP container
+    // headers (planted per-doc dimensions, document text as the payload
+    // body) with declarative hex arithmetic, then parse magic + pixel
+    // dimensions BACK out of the raw bytes in Multimodal.decodeBatch —
+    // independent JVM byte arithmetic, no codec library. The oracle
+    // builds the same blobs in DuckDB and parses them back out of the
+    // hex, so a wrong endianness / offset on either side hash-fails.
+    "q_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
-      val kind = when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
+      val w = (lit(16L) + col("doc_id") % 240).cast("int")
+      val h = (lit(16L) + (col("doc_id") * 3) % 240).cast("int")
+      val payload = encode(col("text"), "UTF-8")
+      val bytes = when(col("doc_id") % 3 === 0, Multimodal.pngBytes(w, h, payload))
+        .when(col("doc_id") % 3 === 1, Multimodal.gifBytes(w, h, payload))
+        .otherwise(Multimodal.bmpBytes(w, h, payload))
       val media = Tables.documents(s, dir)
-        .select(col("doc_id").as("id"), kind.as("kind"),
-          encode(col("text"), "UTF-8").as("bytes"))
+        .select(col("doc_id").as("id"), lit("image").as("kind"),
+          bytes.as("bytes"))
         .as[Multimodal.MediaRow]
       Multimodal.decode(media).toDF()
-        .select(col("id").as("doc_id"), col("kind"), col("byte_len"),
-          col("width"), col("height"), col("n_frames"))
+        .select(col("id").as("doc_id"), col("magic"), col("byte_len"),
+          col("width"), col("height"))
         .orderBy(col("doc_id"))
     }),
 
-    // Frame sampling for video payloads (every 2nd frame index).
+    // Frame sampling over ingest-supplied container metadata (every 2nd
+    // frame index): frame COUNT is metadata a container scan provides;
+    // extracting frame images is the codec boundary (decodeBatch).
     "q_frame_sample" -> ((s, dir) => {
-      import s.implicits._
-      val media = Tables.documents(s, dir)
+      val vids = Tables.documents(s, dir)
         .filter(col("doc_id") % 3 === 2)
-        .select(col("doc_id").as("id"), lit("video").as("kind"),
-          encode(col("text"), "UTF-8").as("bytes"))
-        .as[Multimodal.MediaRow]
-      Multimodal.sampleFrames(Multimodal.decode(media))
+        .select(col("doc_id").as("id"),
+          (lit(1L) + length(encode(col("text"), "UTF-8")).cast("long") % 7)
+            .as("n_frames"))
+      Multimodal.sampleFrames(vids, stride = 2)
         .select(col("id"), explode(col("frame_idx")).as("frame"))
         .orderBy(col("id"), col("frame"))
     }),
@@ -3405,6 +3466,32 @@ object SparkEntry {
            |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
       },
 
+      // the full lifecycle collapses to: surviving ids (%4<>0), with the
+      // %3==0 rows re-embedded and relabeled by the upsert; the replayed
+      // append contributes nothing (idempotent), and the residue/file
+      // counters are the maintenance contract's fixed points
+      "q_vector_store_lifecycle" -> {
+        val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+        s"""WITH store AS (
+           |  SELECT vec_id,
+           |    CASE WHEN vec_id % 3 = 0 THEN label + 1000 ELSE label END AS label,
+           |    CASE WHEN vec_id % 3 = 0
+           |         THEN list_transform(embedding,
+           |                x -> CAST(CAST(x AS DOUBLE) * 0.5 AS FLOAT))
+           |         ELSE embedding END AS embedding
+           |  FROM embeddings WHERE vec_id % 4 <> 0)
+           |SELECT vec_id, label, bucket, distance,
+           |  CAST(0 AS BIGINT) AS n_deleted_left,
+           |  CAST(1 AS BIGINT) AS max_files_per_bucket
+           |FROM (
+           |  SELECT vec_id, label,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |         ${OracleGen.l2ToQuery("embedding")} AS distance
+           |  FROM store)
+           |WHERE bucket IN ($probes)
+           |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
+      },
+
       // post-delete store == fresh write of the surviving corpus; the
       // leftover-victims count asserts the tombstoning actually removed
       // every targeted id from ALL partitions
@@ -4007,17 +4094,59 @@ object SparkEntry {
           |  SELECT user_id FROM events WHERE event_type = 'click')
           |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-      "q_multimodal_stub" ->
-        """SELECT doc_id, kind, byte_len,
-          |  16 + byte_len % 64 AS width,
-          |  16 + (byte_len // 64) % 64 AS height,
-          |  CASE WHEN kind = 'video' THEN 1 + byte_len % 7 ELSE CAST(1 AS BIGINT) END AS n_frames
-          |FROM (
-          |  SELECT doc_id,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-          |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-          |  FROM documents)
-          |ORDER BY doc_id""".stripMargin,
+      // Builds the SAME container blobs (PNG/GIF/BMP headers around the
+      // text payload) with DuckDB blob/hex functions, then parses magic +
+      // dimensions back OUT of the hex — an independent decode of real
+      // header bytes, so an endianness or offset bug on either engine
+      // hash-fails. Offsets are 1-based hex-string positions (byte k ->
+      // char 2k+1): PNG w@16 h@20 big-endian; GIF w@6 h@8 LE16;
+      // BMP w@18 h@22 LE32.
+      "q_multimodal_decode" -> {
+        def le16(e: String) =
+          s"from_hex(substr(lpad(to_hex($e),4,'0'),3,2) || substr(lpad(to_hex($e),4,'0'),1,2))"
+        def le32(e: String) =
+          s"from_hex(substr(lpad(to_hex($e),8,'0'),7,2) || substr(lpad(to_hex($e),8,'0'),5,2) || " +
+            s"substr(lpad(to_hex($e),8,'0'),3,2) || substr(lpad(to_hex($e),8,'0'),1,2))"
+        def be32(e: String) = s"from_hex(lpad(to_hex($e),8,'0'))"
+        val w = "(16 + doc_id % 240)"
+        val h = "(16 + (doc_id * 3) % 240)"
+        s"""WITH m AS (
+           |  SELECT doc_id,
+           |    CASE CAST(doc_id % 3 AS INTEGER)
+           |      WHEN 0 THEN from_hex('89504E470D0A1A0A0000000D49484452') ||
+           |        ${be32(w)} || ${be32(h)} || from_hex('0802000000') || encode(text)
+           |      WHEN 1 THEN encode('GIF89a') || ${le16(w)} || ${le16(h)} ||
+           |        from_hex('F70000') || encode(text)
+           |      ELSE encode('BM') || from_hex('000000000000000000000000') ||
+           |        from_hex('28000000') || ${le32(w)} || ${le32(h)} || encode(text)
+           |    END AS b
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id, hex(b) AS hx,
+           |    CAST(octet_length(b) AS BIGINT) AS byte_len,
+           |    CASE
+           |      WHEN substr(hex(b),1,16) = '89504E470D0A1A0A'
+           |       AND substr(hex(b),25,8) = '49484452' THEN 'png'
+           |      WHEN substr(hex(b),1,8) = '47494638'
+           |       AND substr(hex(b),11,2) = '61' THEN 'gif'
+           |      WHEN substr(hex(b),1,4) = '424D' THEN 'bmp'
+           |      ELSE 'bin' END AS magic
+           |  FROM m)
+           |SELECT doc_id, magic, byte_len,
+           |  CAST(CASE magic
+           |    WHEN 'png' THEN CAST(('0x' || substr(hx,33,8)) AS BIGINT)
+           |    WHEN 'gif' THEN CAST(('0x' || substr(hx,15,2) || substr(hx,13,2)) AS BIGINT)
+           |    WHEN 'bmp' THEN CAST(('0x' || substr(hx,43,2) || substr(hx,41,2) ||
+           |      substr(hx,39,2) || substr(hx,37,2)) AS BIGINT)
+           |    ELSE 0 END AS BIGINT) AS width,
+           |  CAST(CASE magic
+           |    WHEN 'png' THEN CAST(('0x' || substr(hx,41,8)) AS BIGINT)
+           |    WHEN 'gif' THEN CAST(('0x' || substr(hx,19,2) || substr(hx,17,2)) AS BIGINT)
+           |    WHEN 'bmp' THEN CAST(('0x' || substr(hx,51,2) || substr(hx,49,2) ||
+           |      substr(hx,47,2) || substr(hx,45,2)) AS BIGINT)
+           |    ELSE 0 END AS BIGINT) AS height
+           |FROM p ORDER BY doc_id""".stripMargin
+      },
 
       "q_frame_sample" ->
         """SELECT doc_id AS id, unnest(range(0, 1 + byte_len % 7, 2)) AS frame

@@ -6,26 +6,67 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpec {
 
-  test("decode stub derives deterministic metadata from payload bytes") {
-    import spark.implicits._
-    val media = Seq(
-      Multimodal.MediaRow(1L, "image", Array.fill[Byte](100)(7)),
-      Multimodal.MediaRow(2L, "video", Array.fill[Byte](130)(1))
-    ).toDS()
-    val out = Multimodal.decode(media).collect().sortBy(_.id)
-    assert(out(0) == Multimodal.MediaMeta(1L, "image", 100L, 16 + 100 % 64, 16 + (100 / 64) % 64, 1L))
-    assert(out(1) == Multimodal.MediaMeta(2L, "video", 130L, 16 + 130 % 64, 16 + (130 / 64) % 64, 1 + 130 % 7))
+  // Golden header bytes written out field by field from the published
+  // container layouts — these pin decodeBatch to the REAL formats
+  // independently of the Column-side builders (a compensating
+  // endianness/offset bug in builder+parser cannot pass these).
+  private val goldenPng: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0x00, 0x00, 0x00, 0x0D,                           // IHDR length 13
+      'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x01, 0x00,                           // width 256 (BE)
+      0x00, 0x00, 0x00, 0x47,                           // height 71 (BE)
+      0x08, 0x02, 0x00, 0x00, 0x00).map(_.toByte)
+  private val goldenGif: Array[Byte] =
+    ("GIF89a".getBytes("US-ASCII") ++
+      Array(0x2C, 0x01,                                 // width 300 (LE)
+        0x47, 0x00,                                     // height 71 (LE)
+        0xF7, 0x00, 0x00).map(_.toByte))
+  private val goldenBmp: Array[Byte] =
+    ("BM".getBytes("US-ASCII") ++
+      Array.fill[Byte](12)(0) ++
+      Array[Byte](40, 0, 0, 0) ++
+      Array(0x00, 0x02, 0x00, 0x00,                     // width 512 (LE)
+        0x10, 0x01, 0x00, 0x00).map(_.toByte))          // height 272 (LE)
+
+  test("decodeBatch parses golden PNG/GIF/BMP headers and flags raw bytes") {
+    val out = Multimodal.decodeBatch(Iterator(
+      Multimodal.MediaRow(1L, "image", goldenPng),
+      Multimodal.MediaRow(2L, "image", goldenGif),
+      Multimodal.MediaRow(3L, "image", goldenBmp),
+      Multimodal.MediaRow(4L, "audio", Array.fill[Byte](100)(7))
+    )).toSeq
+    assert(out(0) == Multimodal.MediaMeta(1L, "image", 29L, "png", 256L, 71L))
+    assert(out(1) == Multimodal.MediaMeta(2L, "image", 13L, "gif", 300L, 71L))
+    assert(out(2) == Multimodal.MediaMeta(3L, "image", 26L, "bmp", 512L, 272L))
+    assert(out(3) == Multimodal.MediaMeta(4L, "audio", 100L, "bin", 0L, 0L))
   }
 
-  test("sampleFrames strides over video frames only") {
+  test("Column builders round-trip through the byte parser with payloads") {
     import spark.implicits._
-    val meta = Seq(
-      Multimodal.MediaMeta(1L, "video", 10L, 20L, 20L, 5L),
-      Multimodal.MediaMeta(2L, "image", 10L, 20L, 20L, 1L)
-    ).toDS()
+    val df = Seq((1L, 640, 480, "png"), (2L, 300, 200, "gif"),
+      (3L, 1920, 1080, "bmp")).toDF("id", "w", "h", "fmt")
+    val payload = encode(lit("payload bytes after the header"), "UTF-8")
+    val media = df.select(col("id"), lit("image").as("kind"),
+        when(col("fmt") === "png", Multimodal.pngBytes(col("w"), col("h"), payload))
+          .when(col("fmt") === "gif", Multimodal.gifBytes(col("w"), col("h"), payload))
+          .otherwise(Multimodal.bmpBytes(col("w"), col("h"), payload)).as("bytes"))
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.decode(media).collect().sortBy(_.id)
+    assert(out.map(m => (m.id, m.magic, m.width, m.height)).toSeq ==
+      Seq((1L, "png", 640L, 480L), (2L, "gif", 300L, 200L),
+        (3L, "bmp", 1920L, 1080L)))
+    // payload rides along: byte_len = header + 30 payload bytes
+    assert(out.map(_.byte_len).toSeq == Seq(29L + 30, 13L + 30, 26L + 30))
+  }
+
+  test("sampleFrames strides over supplied frame-count metadata") {
+    import spark.implicits._
+    val meta = Seq((1L, 5L), (2L, 1L)).toDF("id", "n_frames")
     val out = Multimodal.sampleFrames(meta, stride = 2).collect()
-    assert(out.length == 1)
+      .sortBy(_.getLong(0))
     assert(out(0).getSeq[Long](2) == Seq(0L, 2L, 4L))
+    assert(out(1).getSeq[Long](2) == Seq(0L))
   }
 
   test("fromText builds binary payloads with UTF-8 byte length") {

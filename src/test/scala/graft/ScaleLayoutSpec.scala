@@ -189,6 +189,42 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == emb.count())
   }
 
+  test("VectorStore lifecycle: delete→compact leaves no tombstone residue") {
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_life").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb.filter(col("vec_id") % 2 === 0), col("embedding"), out)
+    VectorStore.append(emb.filter(col("vec_id") % 2 === 1), col("embedding"), out)
+    val reemb = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), (col("label") + lit(1000)).as("label"),
+        transform(col("embedding"), x => (x * lit(0.5)).cast("float")).as("embedding"))
+    graft.operators.VectorStore.upsert(reemb, col("embedding"), out)
+    VectorStore.delete(spark, out,
+      emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")))
+    val beforeCompact = VectorStore
+      .queryL2(spark, out, "embedding", "vec_id", QueryVec.values, 10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"))).toSeq
+    VectorStore.compact(spark, out)
+
+    // no tombstone residue: every victim gone from every partition, and
+    // the maintenance pass left exactly one file per bucket
+    val store = spark.read.parquet(out)
+    assert(store.filter(col("vec_id") % 4 === 0).count() == 0)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty && files.forall(_._2 == 1), files.mkString(", "))
+    // query results invariant across the compaction
+    val afterCompact = VectorStore
+      .queryL2(spark, out, "embedding", "vec_id", QueryVec.values, 10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"))).toSeq
+    assert(afterCompact == beforeCompact)
+    // final state equals a fresh write of the surviving, re-embedded corpus
+    assert(store.count() == emb.filter(col("vec_id") % 4 =!= 0).count())
+    assert(store.filter(col("vec_id") % 3 === 0).filter(col("label") < 1000).count() == 0,
+      "every surviving re-embedded row must carry the upserted label")
+  }
+
   test("selective filter + projection reach the parquet scan") {
     val df = Tables.lineitem(spark, sf0001)
       .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
