@@ -1608,8 +1608,6 @@ object SparkEntry {
         .orderBy(col("yr"), col("qtr"))
     }),
 
-    // Multimodal plumbing: text bytes as opaque BINARY payloads, typed
-    // batch decode (STUB codec, real Dataset/mapPartitions shape).
     // REAL multimodal decode: synthesize valid PNG / GIF / BMP container
     // headers (planted per-doc dimensions, document text as the payload
     // body) with declarative hex arithmetic, then parse magic + pixel
