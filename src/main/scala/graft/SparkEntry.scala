@@ -1681,6 +1681,16 @@ object SparkEntry {
       TrainData.bigrams(Tables.documents(s, dir), col("text"), topN = 20)
     }),
 
+    // Unigram-LM quality proxy (the classic cheap pretraining filter):
+    // per-doc integer-scaled mean corpus term frequency — log-free so
+    // both engines replay the exact integers. Rare-token-heavy docs
+    // (gibberish) score low; the declared output is every doc's score.
+    "q_unigram_lm" -> ((s, dir) => {
+      TrainData.unigramLmScore(Tables.documents(s, dir), col("doc_id"),
+          col("text"))
+        .orderBy(col("id"))
+    }),
+
     // Edit-distance refinement of LSH candidates: the banded minhash
     // pairs (never all-pairs) re-scored with exact levenshtein over each
     // doc's 120-char tail — candidate generation stays O(n/2^H)-bucketed,
@@ -2264,6 +2274,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_ids"))
         .join(checks, Seq("cid"))
         .orderBy(col("cid"))
+    }),
+
+    // Cluster-separation audit over the trained k-means (the eval loop
+    // deciding whether these centroids can key an IVF layout): per
+    // cluster, fixed-point sums of own-centroid vs nearest-other-centroid
+    // distances and the separation verdict — a simplified silhouette
+    // whose per-point work is one cross join against the <= k broadcast
+    // centroids (the exact pairwise silhouette is O(n^2), never worth it).
+    "q_cluster_quality" -> ((s, dir) => {
+      val (asg, cents) = graft.operators.Clustering.lloyd(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        k = 4, iters = 2, dim = 64)
+      graft.operators.Clustering.clusterQuality(asg, cents)
     }),
 
     // Same centroids via the custom UDAF (TypedImperativeAggregate):
@@ -4178,6 +4201,16 @@ object SparkEntry {
            |SELECT bigram, count(*) AS n FROM bg
            |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
+      "q_unigram_lm" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id AS id, unnest(${OracleGen.toksSql("text")}) AS tok
+           |  FROM documents),
+           |tf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok)
+           |SELECT id, count(*) AS n_tok, CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+           |  CAST(CAST(sum(tf.tf) AS BIGINT) * 1000 // count(*) AS BIGINT) AS lm_fp
+           |FROM tok JOIN tf USING (tok)
+           |GROUP BY id ORDER BY id""".stripMargin,
+
       "q_editdist_refine" ->
         s"""WITH $minhashPairsCteSql,
            |corpus AS ($nearDupCorpusSql)
@@ -4438,6 +4471,27 @@ object SparkEntry {
       "q_pagerank_personalized" -> pagerankPersonalizedOracleSql(iters = 3),
 
       "q_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
+
+      // replays the unrolled Lloyd CTEs, then per point the same
+      // truncated own/other centroid distances (identical double chains
+      // -> identical floor'd integers)
+      "q_cluster_quality" ->
+        s"""WITH ${kmeansCtesSql(4, 2)},
+           |q AS (
+           |  SELECT a.vec_id, a.cid, c.cid AS ccid,
+           |    CAST(floor(${OracleGen.l2FloatCols("a.embedding", "c.cvec", 64)}
+           |      * 1000000.0) AS BIGINT) AS dist_fp
+           |  FROM a2 a CROSS JOIN c2 c),
+           |pp AS (
+           |  SELECT vec_id, cid,
+           |    CAST(sum(CASE WHEN ccid = cid THEN dist_fp END) AS BIGINT) AS intra_fp,
+           |    CAST(min(CASE WHEN ccid <> cid THEN dist_fp END) AS BIGINT) AS inter_fp
+           |  FROM q GROUP BY vec_id, cid)
+           |SELECT CAST(cid AS INTEGER) AS cid, count(*) AS n,
+           |  CAST(sum(intra_fp) AS BIGINT) AS sum_intra_fp,
+           |  CAST(sum(inter_fp) AS BIGINT) AS sum_inter_fp,
+           |  sum(inter_fp) > sum(intra_fp) AS separated
+           |FROM pp GROUP BY cid ORDER BY cid""".stripMargin,
 
       "q_centroid_assign" ->
         s"""WITH $CentroidListCtes,

@@ -67,6 +67,37 @@ object Clustering {
         transform(col("sums"),
           x => x.cast("double") / lit(Scale) / col("n")).as("cvec"))
 
+  /** Cluster-separation audit over a finished assignment — the eval loop
+    * of the clustering family (is this k / these iterations good enough
+    * to key an IVF layout on?). Per point: distance to its OWN centroid
+    * (intra) and to the NEAREST OTHER centroid (inter), truncated to
+    * 1e-6 fixed point; per cluster: member count, both distance sums,
+    * and the separation verdict sum_inter > sum_intra (a simplified
+    * silhouette — the exact silhouette's pairwise a(i) term is O(n²) and
+    * never worth it at scale; centroid distances are the standard
+    * surrogate). Shape: one narrow cross join against the ≤ k broadcast
+    * centroids (the assign shape), one per-point conditional
+    * aggregation, one per-cluster aggregation — no all-pairs path.
+    * Output: (cid, n, sum_intra_fp, sum_inter_fp, separated).
+    */
+  def clusterQuality(asg: DataFrame, cents: DataFrame): DataFrame = {
+    val cl = cents.select(col("cid").as("ccid"), col("cvec"))
+    val d = asg.crossJoin(broadcast(cl))
+      .withColumn("dist_fp",
+        floor(VectorFunctions.l2Composed(col("vec"), col("cvec")) *
+          lit(1000000.0)).cast("long"))
+    d.groupBy(col("id"), col("cid"))
+      .agg(
+        sum(when(col("ccid") === col("cid"), col("dist_fp"))).as("intra_fp"),
+        min(when(col("ccid") =!= col("cid"), col("dist_fp"))).as("inter_fp"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("intra_fp")).as("sum_intra_fp"),
+        sum(col("inter_fp")).as("sum_inter_fp"))
+      .withColumn("separated", col("sum_inter_fp") > col("sum_intra_fp"))
+      .orderBy(col("cid"))
+  }
+
   /** Full Lloyd run, `iters` unrolled assign+update rounds from the
     * deterministic seeds. Returns (assignments (id, vec, cid) of the
     * LAST assignment, centroids (cid, cvec) of the LAST update).

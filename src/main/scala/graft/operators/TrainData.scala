@@ -216,6 +216,29 @@ object TrainData {
   def weightedSample(df: DataFrame, idCol: Column, pctCol: Column): DataFrame =
     df.filter(hashBucket(idCol) < pctCol)
 
+  /** Unigram-LM quality proxy: score each document by the average corpus
+    * frequency of its tokens — the classic cheap pretraining filter
+    * (gibberish / OCR noise is rare-token-heavy and scores low; natural
+    * text tracks the corpus distribution). Kept log-free so the score is
+    * exact integer arithmetic an independent engine replays bit-for-bit:
+    * lm_fp = (Σ tf(token) over the doc's tokens) * 1000 DIV n_tokens —
+    * the integer-scaled mean corpus term frequency. Two keyed shuffles
+    * (corpus tf count, per-doc sum); the tf relation joins on the token
+    * key, never broadcast-assumed (a 100 TB vocab is not small).
+    * Empty documents have no tokens and drop out, like every
+    * token-explode consumer here. Output: (id, n_tok, sum_tf, lm_fp).
+    */
+  def unigramLmScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = df.select(idCol.as("id"),
+      explode(TextFunctions.tokens(textCol)).as("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    toks.join(tf, "tok")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("tf")).as("sum_tf"))
+      .withColumn("lm_fp", expr("sum_tf * 1000 DIV n_tok"))
+  }
+
   /** Adjacent-token-pair (bigram) frequencies — the merge-candidate
     * statistic of a BPE-training round (the highest-count adjacent pair
     * is the next merge). One narrow zip of each token list with its own

@@ -53,6 +53,26 @@ class ClusteringSpec extends SparkSpec {
     assert(moved <= n / 4, s"iteration 3 moved $moved of $n points")
   }
 
+  test("clusterQuality: planted tight clusters are separated, counts total") {
+    import spark.implicits._
+    // two tight blobs far apart in 64-dim: cluster 0 near origin,
+    // cluster 1 near (10,10,...); with k=2 Lloyd converges in one round
+    // and every point sits far closer to its own centroid
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array.fill(64)(base + (i % 5) * 0.01f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (asg, cents) = Clustering.lloyd(df, col("vec_id"), col("embedding"),
+      k = 2, iters = 2, dim = 64)
+    val q = Clustering.clusterQuality(asg, cents).collect()
+    assert(q.map(_.getLong(1)).sum == 20, "every point audited exactly once")
+    assert(q.forall(_.getBoolean(4)),
+      "planted far-apart blobs must report separated=true")
+    assert(q.forall(r => r.getLong(3) > r.getLong(2)),
+      "inter sum strictly above intra sum per cluster")
+  }
+
   test("assignment plan broadcasts centroids and never shuffles vectors") {
     val cents = Clustering.seeds(emb, col("vec_id"), col("embedding"), 4)
     val plan = Clustering.assign(emb, cents, col("vec_id"), col("embedding"))

@@ -181,6 +181,24 @@ class TrainDataSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("unigramLmScore: hand-computed corpus frequencies, gibberish low") {
+    import spark.implicits._
+    // corpus tf: the=3, cat=2, sat=2, xqzt=1, vvkp=1
+    val docs = Seq(
+      (1L, "the cat sat"),         // tfs 3+2+2 = 7, n=3  -> lm 2333
+      (2L, "the cat sat the"),     // tfs 3+2+2+3 = 10, n=4 -> lm 2500
+      (3L, "xqzt vvkp")            // tfs 1+1 = 2, n=2 -> lm 1000
+    ).toDF("id", "t")
+    val out = TrainData.unigramLmScore(docs, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 7L, 2333L)))
+    assert(out(2L) == ((4L, 10L, 2500L)))
+    assert(out(3L) == ((2L, 2L, 1000L)))
+    // the filter property: gibberish scores strictly below natural text
+    assert(out(3L)._3 < out(1L)._3 && out(3L)._3 < out(2L)._3)
+  }
+
   test("hash buckets and folds match unbounded math past the Long wrap point") {
     import spark.implicits._
     // id * 2654435761 overflows Long for ids >= ~3.47e9 (ANSI mode would
