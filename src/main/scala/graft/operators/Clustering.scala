@@ -101,15 +101,25 @@ object Clustering {
   /** Full Lloyd run, `iters` unrolled assign+update rounds from the
     * deterministic seeds. Returns (assignments (id, vec, cid) of the
     * LAST assignment, centroids (cid, cvec) of the LAST update).
+    *
+    * Same lineage discipline as the other iterative operators
+    * (Graph.pagerank, Dedup.connectedComponents): every `checkpointEvery`
+    * rounds the centroid relation — k rows, the only thing that threads
+    * between iterations — goes through `stage.cut`, so the composed plan
+    * stays bounded at any iteration count and [[Stage.Parquet]] gives the
+    * durable restart point on a cluster (cutting k rows costs nothing).
     */
   def lloyd(emb: DataFrame, idCol: Column, vecCol: Column, k: Int,
-            iters: Int, dim: Int): (DataFrame, DataFrame) = {
+            iters: Int, dim: Int, checkpointEvery: Int = 8,
+            stage: Stage = Stage.Local): (DataFrame, DataFrame) = {
     require(iters >= 1, "lloyd needs at least one iteration")
     var cents = seeds(emb, idCol, vecCol, k)
     var asg: DataFrame = null
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       asg = assign(emb, cents, idCol, vecCol)
       cents = update(asg, dim)
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
+        cents = stage.cut(cents, s"km_cents_cut_${i + 1}")
     }
     (asg, cents)
   }

@@ -107,6 +107,20 @@ object Dedup {
         minhashSignature(textCol, numHashes, shingleN).as("sig"))
       .write.mode("overwrite").parquet(stagePath)
 
+  /** Absorb a gated batch into the staged signature table: append the
+    * accepted rows' signatures (the same hashing as
+    * [[stageMinhashSignatures]]) so the NEXT [[incrementalPairs]] call
+    * screens against them — the write half of the production ingest loop
+    * the gate's docstring promises. Append-only; accepted rows are novel
+    * by the gate's own verdict, so no id dedup is needed here.
+    */
+  def absorbSignatures(df: DataFrame, idCol: Column, textCol: Column,
+                       stagePath: String, numHashes: Int = 8,
+                       shingleN: Int = 3): Unit =
+    df.select(idCol.as("id"),
+        minhashSignature(textCol, numHashes, shingleN).as("sig"))
+      .write.mode("append").parquet(stagePath)
+
   /** Banding join against a previously staged signature table. */
   def minhashPairsFromStage(spark: org.apache.spark.sql.SparkSession,
                             stagePath: String, numHashes: Int = 8,

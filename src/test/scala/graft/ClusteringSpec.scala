@@ -53,6 +53,19 @@ class ClusteringSpec extends SparkSpec {
     assert(moved <= n / 4, s"iteration 3 moved $moved of $n points")
   }
 
+  test("lloyd lineage cut is bit-identical, including the parquet stage") {
+    import graft.operators.Stage
+    def run(ce: Int, st: Stage) =
+      Clustering.lloyd(emb, col("vec_id"), col("embedding"), 4, 4, 64,
+          checkpointEvery = ce, stage = st)
+        ._1.select("id", "cid").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val uncut = run(100, Stage.Local)
+    assert(run(2, Stage.Local) == uncut)
+    val dir = java.nio.file.Files.createTempDirectory("km_stage").toString
+    assert(run(2, Stage.Parquet(dir)) == uncut)
+  }
+
   test("clusterQuality: planted tight clusters are separated, counts total") {
     import spark.implicits._
     // two tight blobs far apart in 64-dim: cluster 0 near origin,

@@ -166,6 +166,27 @@ class DedupSpec extends SparkSpec {
       s"missing origins: ${(expected -- found).take(5)}")
   }
 
+  test("absorbSignatures closes the ingest loop: absorbed rows gate the next batch") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_absorb")
+      .resolve("sigs").toString
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "text")
+    Dedup.stageMinhashSignatures(corpus, col("id"), col("text"), stage)
+    // batch 1: one novel doc — no hit against the staged corpus
+    val b1 = Seq((10L, "one two three four five six seven eight")).toDF("id", "text")
+    assert(Dedup.incrementalPairs(b1, col("id"), col("text"), stage).count() == 0)
+    // absorb batch 1, then batch 2 = a near-dup of BATCH 1's doc: the
+    // gate must now catch it against the absorbed signatures
+    Dedup.absorbSignatures(b1, col("id"), col("text"), stage)
+    val b2 = Seq((20L, "one two three four five six seven eight nine"))
+      .toDF("id", "text")
+    val hits = Dedup.incrementalPairs(b2, col("id"), col("text"), stage)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((10L, 20L)),
+      s"absorbed doc 10 must surface as the origin of near-dup 20: $hits")
+  }
+
   test("connectedComponents resolves transitive chains and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
