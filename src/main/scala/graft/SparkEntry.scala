@@ -2991,6 +2991,36 @@ object SparkEntry {
         .orderBy(col("status"))
     }),
 
+    // The GROWING-reference gate — the full production ingest loop:
+    // screen each micro-batch, absorb what was accepted, so later
+    // batches are also gated against earlier accepted documents (not
+    // just the fixed reference). Batch order is pinned by
+    // stageSplitSource's mtimes, so the oracle replays the exact
+    // sequence by unrolling the three batches.
+    "q_stream_dedup_absorb" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val sigStage = stagedPath("gate_ref_sigs_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(sigStage, "_SUCCESS").exists()) {
+          val ref = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000).as("id"),
+              concat(col("text"), lit(" zz extra token")).as("text"))
+          Dedup.stageMinhashSignatures(ref, col("id"), col("text"), sigStage)
+        }
+      }
+      val src = s.readStream.schema(Tables.documents(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "documents", "doc_id"))
+        .select(col("doc_id").as("id"), col("text"))
+      val audit = graft.streaming.Streaming.drainDedupGateGrowing(src, sigStage,
+        "gateg_" + Integer.toHexString(dir.hashCode), threshold = 0.5)
+      audit.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("id")).cast("long").as("sum_ids"),
+          count_distinct(col("_batch_id")).as("n_batches"))
+        .orderBy(col("status"))
+    }),
+
     // Streaming ingest INTO the persisted vector store (the reference's
     // continuous fetch → embed → store-add loop against the partitioned
     // layout): documents stream in over >= 3 micro-batches, each batch
@@ -3299,6 +3329,64 @@ object SparkEntry {
            |SELECT status, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_ids,
            |  CAST(count(DISTINCT (id - mm.mn) // mm.w) AS BIGINT) AS n_batches
            |FROM st CROSS JOIN mm GROUP BY status ORDER BY status""".stripMargin,
+
+      // Growing-gate replay: batches are id thirds in pinned order;
+      // accepted(i) joins the screening set for batches > i. Both sides
+      // UNCAPPED (the growing drain passes no hot-bucket cap — cap
+      // semantics on a growing side would couple the cap to history).
+      // A doc is rejected iff it band-hits the reference at est >= 0.5,
+      // OR an EARLIER-batch ACCEPTED doc; same-batch docs never screen
+      // each other (absorption happens after the whole batch).
+      "q_stream_dedup_absorb" -> {
+        val sim = (a: String, b: String) =>
+          s"CAST(${OracleGen.sigMatchCount(a, b, 8)} AS DOUBLE) / 8 >= 0.5"
+        s"""WITH ${minhashSigBandsCte("s",
+              "SELECT doc_id AS id, text FROM documents", capped = false)},
+           |${minhashSigBandsCte("r",
+              "SELECT doc_id + 100000 AS id, text || ' zz extra token' AS text " +
+                "FROM documents WHERE doc_id % 10 = 0", capped = false)},
+           |mm AS (SELECT min(doc_id) AS mn,
+           |              (max(doc_id) - min(doc_id)) // 3 + 1 AS w FROM documents),
+           |bid AS (SELECT g.id, (g.id - mm.mn) // mm.w AS b
+           |        FROM ssg g CROSS JOIN mm),
+           |hr AS (
+           |  SELECT DISTINCT n.id
+           |  FROM sbands n JOIN rbands r
+           |    ON n.band_idx = r.band_idx AND n.band = r.band
+           |  JOIN ssg ns ON ns.id = n.id
+           |  JOIN rsg rs ON rs.id = r.id
+           |  WHERE ${sim("ns.sig", "rs.sig")}),
+           |hd AS (
+           |  SELECT DISTINCT n.id, e.id AS src
+           |  FROM sbands n JOIN sbands e
+           |    ON n.band_idx = e.band_idx AND n.band = e.band AND n.id <> e.id
+           |  JOIN ssg ns ON ns.id = n.id
+           |  JOIN ssg es ON es.id = e.id
+           |  WHERE ${sim("ns.sig", "es.sig")}),
+           |acc0 AS (
+           |  SELECT b.id FROM bid b
+           |  WHERE b.b = 0 AND b.id NOT IN (SELECT id FROM hr)),
+           |acc1 AS (
+           |  SELECT b.id FROM bid b
+           |  WHERE b.b = 1 AND b.id NOT IN (SELECT id FROM hr)
+           |    AND b.id NOT IN (
+           |      SELECT h.id FROM hd h WHERE h.src IN (SELECT id FROM acc0))),
+           |acc2 AS (
+           |  SELECT b.id FROM bid b
+           |  WHERE b.b = 2 AND b.id NOT IN (SELECT id FROM hr)
+           |    AND b.id NOT IN (
+           |      SELECT h.id FROM hd h WHERE h.src IN (
+           |        SELECT id FROM acc0 UNION ALL SELECT id FROM acc1))),
+           |acc AS (SELECT id FROM acc0 UNION ALL SELECT id FROM acc1
+           |        UNION ALL SELECT id FROM acc2),
+           |st AS (
+           |  SELECT b.id, b.b,
+           |    CASE WHEN a.id IS NULL THEN 'rejected' ELSE 'accepted' END AS status
+           |  FROM bid b LEFT JOIN acc a ON a.id = b.id)
+           |SELECT status, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_ids,
+           |  CAST(count(DISTINCT b) AS BIGINT) AS n_batches
+           |FROM st GROUP BY status ORDER BY status""".stripMargin
+      },
 
       "dedup_prefix_jaccard" -> {
         val t = "CAST(0.6 AS DOUBLE)"

@@ -322,6 +322,65 @@ object Streaming {
     docs.sparkSession.read.parquet(out)
   }
 
+  /** The GROWING-reference ingest gate — the full production loop: every
+    * micro-batch is screened (Dedup.incrementalPairs against the staged
+    * signatures), the verdict lands in the audit sink, and the ACCEPTED
+    * rows' signatures are absorbed into the stage
+    * (Dedup.absorbSignatures) before the next batch arrives — so a
+    * near-duplicate of an accepted document is rejected even though
+    * neither is in the original reference. foreachBatch runs micro-batches
+    * strictly sequentially, and stageSplitSource pins batch order with
+    * strictly increasing file mtimes, so the verdict sequence is
+    * deterministic and the batch oracle replays it by unrolling the
+    * batches (accepted(i) screens batch i+1). The growing stage is
+    * re-seeded from the fixed reference at every drain call, so
+    * re-execution is idempotent end-to-end. No hot-bucket cap here: cap
+    * semantics on a growing side would couple the cap to batch history —
+    * the capped, batch-invariant variant is [[drainDedupGate]].
+    */
+  def drainDedupGateGrowing(docs: DataFrame, refStagePath: String,
+                            name: String, threshold: Double): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    def reset(dir: String): Unit = {
+      val p = Paths.get(dir)
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+    }
+    val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
+    val grow = sys.props("java.io.tmpdir") + "/graft_gate_grow_" + name
+    reset(out); reset(grow)
+    val s = docs.sparkSession
+    s.read.parquet(refStagePath).write.mode("overwrite").parquet(grow)
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, bid) => {
+        val b = batch.select(col("id"), col("text"))
+        val dup = graft.operators.Dedup.incrementalPairs(b, col("id"),
+            col("text"), grow)
+          .filter(col("est_jaccard") >= threshold)
+          .select(col("new_id").as("id"), lit(1).as("_dup")).distinct()
+        val verdict = b.join(dup, Seq("id"), "left")
+          .select(col("id"), col("text"),
+            when(col("_dup").isNull, "accepted").otherwise("rejected")
+              .as("status"),
+            lit(bid).as("_batch_id"))
+          .localCheckpoint() // one evaluation feeds both the sink and the absorb
+        verdict.select(col("id"), col("status"), col("_batch_id"))
+          .write.mode("append").parquet(out)
+        graft.operators.Dedup.absorbSignatures(
+          verdict.filter(col("status") === "accepted"), col("id"), col("text"),
+          grow)
+      }
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
   /** Drain a stateless stream of (id, vector, ...) rows INTO a
     * bucket-partitioned vector store: the first micro-batch creates the
     * store, every later batch appends through VectorStore.append (bucket

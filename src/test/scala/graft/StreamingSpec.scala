@@ -108,6 +108,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("growing gate rejects a near-dup of an ACCEPTED earlier-batch doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_gate_src")
+      .toFile.getAbsolutePath
+    val refDir = java.nio.file.Files.createTempDirectory("graft_gate_ref")
+      .resolve("sigs").toString
+    // reference holds only doc 1
+    graft.operators.Dedup.stageMinhashSignatures(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("id", "text"),
+      col("id"), col("text"), refDir)
+    // batch 1: a ref near-dup (must reject) + a novel doc (must accept);
+    // batch 2: a near-dup OF THE NOVEL DOC — the fixed gate would accept
+    // it (not in the reference); the growing gate must reject it because
+    // batch 1's accepted doc was absorbed in between. Distinct mtimes pin
+    // the file order, exactly like stageSplitSource.
+    val f1 = new java.io.File(srcDir, "b1.parquet")
+    val f2 = new java.io.File(srcDir, "b2.parquet")
+    def writeOne(rows: Seq[(Long, String)], dst: java.io.File, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gb").toString
+      rows.toDF("id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val base = System.currentTimeMillis()
+    writeOne(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (11L, "one two three four five six seven eight")), f1, base)
+    writeOne(Seq(
+      (20L, "one two three four five six seven eight nine")), f2, base + 4000)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val audit = Streaming.drainDedupGateGrowing(src, refDir, "spec_grow", 0.5)
+    val st = audit.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(st(10L)._1 == "rejected", "ref near-dup must reject")
+    assert(st(11L)._1 == "accepted", "novel doc must accept")
+    assert(st(20L)._1 == "rejected",
+      "near-dup of the absorbed batch-1 doc must reject — the growing property")
+    assert(st(11L)._2 < st(20L)._2, "doc 20 arrived in a later micro-batch")
+  }
+
   test("split source + maxFilesPerTrigger drives >=3 micro-batches; update drain converges") {
     import spark.implicits._
     // the staged split dir replays 3 ts-ordered files as 3 micro-batches;
