@@ -576,6 +576,28 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ORC interchange (the other columnar lake format Spark ships
+    // natively): distributed ORC write + typed read-back; the oracle
+    // reads the SOURCE table, so the round-trip must be lossless —
+    // same contract as q_jsonl_roundtrip on the text side.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val out = stagedPath("orc_export_v1", dir)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
+      this.synchronized {
+        if (!new java.io.File(out, "_SUCCESS").exists())
+          d.write.mode("overwrite").orc(out)
+      }
+      s.read.orc(out)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"),
+          sum(length(col("text"))).cast("long").as("sum_text_len"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Corpus snapshot diff: two deterministic document-corpus versions
     // (every 13th doc dropped, every 7th's text revised, every 11th
     // re-minted under a new id) classified added/removed/changed/
@@ -3169,6 +3191,13 @@ object SparkEntry {
           |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
           |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_orc_roundtrip" ->
+        """SELECT lang, source, count(*) AS n,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+          |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
       "q_corpus_diff" ->
         """WITH snap1 AS (SELECT doc_id AS id, md5(text) AS fp FROM documents),
