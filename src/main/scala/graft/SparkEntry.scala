@@ -1480,6 +1480,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // MapType surface: build a per-user event_type -> count map via
+    // map_from_entries over a collected entry list, prune it with the
+    // map_filter higher-order function, and explode it back to rows —
+    // construction, HOF filtering, and explosion round-trip through the
+    // engine's map representation (a dropped or duplicated entry would
+    // change the counts); the declared output stays primitive columns.
+    "q_map_ops" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+          .as("m"))
+        .select(col("user_id"),
+          explode(map_filter(col("m"), (_, v) => v >= 2))
+            .as(Seq("event_type", "n")))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Corrupt-record handling (PERMISSIVE + columnNameOfCorruptRecord):
     // every 7th props is broken in-query; unparseable input lands in the
     // quarantine column instead of failing the job, and the query counts
@@ -4167,6 +4186,14 @@ object SparkEntry {
           |        CASE WHEN event_id % 7 = 0 THEN 'xx' || props ELSE props END AS p
           |      FROM events)
           |GROUP BY event_type, corrupt ORDER BY event_type, corrupt""".stripMargin,
+
+      // the map round-trip collapses to the plain grouped counts — which
+      // is the point: construction/filter/explosion must be lossless
+      "q_map_ops" ->
+        """SELECT user_id, event_type, n FROM (
+          |  SELECT user_id, event_type, count(*) AS n
+          |  FROM events GROUP BY user_id, event_type)
+          |WHERE n >= 2 ORDER BY user_id, event_type""".stripMargin,
 
       "q_window_hourly" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n,
