@@ -1480,6 +1480,14 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Key-skew diagnostic: the exact hot-key profile of events.user_id —
+    // the measurement that decides whether a join on this key needs
+    // salting (Skew.saltedJoin) before it runs. Single-pass argmax, no
+    // window, map-side partials absorb the hot keys themselves.
+    "q_skew_report" -> ((s, dir) => {
+      graft.operators.Skew.skewReport(Tables.events(s, dir), col("user_id"))
+    }),
+
     // MapType surface: build a per-user event_type -> count map via
     // map_from_entries over a collected entry list, prune it with the
     // map_filter higher-order function, and explode it back to rows —
@@ -4186,6 +4194,16 @@ object SparkEntry {
           |        CASE WHEN event_id % 7 = 0 THEN 'xx' || props ELSE props END AS p
           |      FROM events)
           |GROUP BY event_type, corrupt ORDER BY event_type, corrupt""".stripMargin,
+
+      "q_skew_report" ->
+        """WITH kc AS (SELECT user_id AS k, count(*) AS n
+          |            FROM events GROUP BY user_id)
+          |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+          |  CAST(max(n) AS BIGINT) AS max_n,
+          |  CAST(min(CASE WHEN n = (SELECT max(n) FROM kc) THEN k END)
+          |    AS BIGINT) AS hot_key,
+          |  CAST(max(n) * 1000 * count(*) // sum(n) AS BIGINT) AS skew_fp
+          |FROM kc""".stripMargin,
 
       // the map round-trip collapses to the plain grouped counts — which
       // is the point: construction/filter/explosion must be lossless

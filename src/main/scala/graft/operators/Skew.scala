@@ -15,6 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Key-distribution diagnostic — the measurement that DECIDES whether a
+    * join needs [[saltedJoin]] (or a bigger AQE skew threshold) before it
+    * runs: per key-column, the exact hot-key profile as integers. One
+    * keyed aggregation plus one tiny rollup; at 100 TB the first
+    * aggregation's map-side partials absorb the hot keys themselves.
+    * skew_fp = max_n * 1000 * n_keys DIV n_rows — the max/mean frequency
+    * ratio in 1e-3 fixed point (1000 = perfectly uniform); hot_key is the
+    * lowest NUMERIC key among those at max_n, found by a single-pass
+    * max(struct(n, -k)) argmax — no window, no second pass over the key
+    * counts. Output: (n_keys, n_rows, max_n, hot_key, skew_fp).
+    */
+  def skewReport(df: DataFrame, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.as("k")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(struct(col("n"), (-col("k")).as("nk"))).as("m"))
+      .select(col("n_keys"), col("n_rows"),
+        col("m.n").as("max_n"), (-col("m.nk")).as("hot_key"),
+        expr("m.n * 1000 * n_keys DIV n_rows").as("skew_fp"))
+
   /** Equi-join `large ⋈ small` on `key`, salted `factor` ways.
     * `large` may have arbitrary skew on `key`; `small` is replicated.
     * Output columns: large.* ++ small.* (minus small's key copy).

@@ -298,6 +298,23 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(m("bad_price") == 0L && m("null_cust") == 0L)
   }
 
+  test("skewReport: exact hot-key profile on a planted distribution") {
+    import spark.implicits._
+    // key 7 -> 60 rows, keys 1..10 -> 4 each (incl. 7: 64), total 100
+    val df = (Seq.fill(60)(7L) ++ (1L to 10L).flatMap(k => Seq.fill(4)(k)))
+      .toDF("k")
+    val r = graft.operators.Skew.skewReport(df, col("k")).head()
+    assert(r.getLong(0) == 10)    // n_keys
+    assert(r.getLong(1) == 100)   // n_rows
+    assert(r.getLong(2) == 64)    // max_n = 60 + 4
+    assert(r.getLong(3) == 7)     // hot_key
+    assert(r.getLong(4) == 6400)  // 64 * 1000 * 10 / 100 = 6.4x uniform
+    // uniform distribution reads exactly 1000
+    val u = graft.operators.Skew.skewReport(
+      (1L to 50L).flatMap(k => Seq.fill(2)(k)).toDF("k"), col("k")).head()
+    assert(u.getLong(4) == 1000)
+  }
+
   test("salted join equals plain join result under synthetic skew") {
     import spark.implicits._
     // 10k rows all hitting one hot key + a tail
