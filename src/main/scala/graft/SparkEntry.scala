@@ -1008,6 +1008,123 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
     }),
 
+    // Optimizer-rule gate (plans.LshKnnRule): the SAME declarative exact-KNN
+    // query as knn_l2, run in a child session with the rule installed and
+    // spark.graft.ann.autoLsh=true. The rule must rewrite the O(n) distance
+    // scan into the bucket-local LSH probe; the oracle is the bucket-local
+    // SQL (ann_lsh semantics), NOT the exact top-5 — recall@5 < 1 on this
+    // corpus, so an un-fired rule returns the exact answer and hash-
+    // MISMATCHES. The in-closure plan check catches the same failure
+    // earlier with a better message. (Answer quality of the rewrite vs
+    // exact KNN is tracked separately by q_ann_recall.)
+    "q_lsh_rule_knn" -> ((s, dir) => {
+      val child = s.newSession()
+      graft.plans.LshKnnRule.install(child)
+      child.conf.set("spark.graft.ann.autoLsh", "true")
+      val df = Knn.knn(Tables.embeddings(child, dir), col("embedding"),
+          col("vec_id"), QueryVec.values, 5, Knn.L2)
+        .select(col("vec_id"), col("label"), col("distance"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      require(opt.contains("dot_product"),
+        s"LshKnnRule did not inject the LSH bucket filter:\n$opt")
+      df
+    }),
+
+    // Runtime bloom-filter pruning gate: the selective dim side (URGENT
+    // orders) builds a bloom filter that Spark pushes into the fact-side
+    // scan (might_contain over bloom_filter_agg) — semi-join pruning of a
+    // 100 TB fact scan without bucketing or partition keys. Runs in a
+    // child session so the trigger-at-test-scale thresholds don't leak
+    // into other queries; the closure asserts the filter actually landed
+    // in the physical plan, and the oracle replays the join-aggregate.
+    "q_bloom_prune" -> ((s, dir) => {
+      val child = s.newSession()
+      Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false"
+      ).foreach { case (k, v) => child.conf.set(k, v) }
+      val li = Tables.lineitem(child, dir)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val sel = Tables.orders(child, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val df = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(dec12)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter was not injected into the fact scan:\n$plan")
+      df
+    }),
+
+    // Bucketed co-located join gate: orders and customer written once as
+    // bucketed tables on the join key (8 buckets, sorted); the join is a
+    // SortMergeJoin with NO exchange on either join side — at 100 TB the
+    // layout replaces the two largest shuffles of the query. Child session
+    // pins autoBroadcast=-1 so the small side can't broadcast away the
+    // thing being proven; the closure asserts the exchange-free plan.
+    "q_bucketed_join" -> ((s, dir) => {
+      val path = stagedPath("bucketed_join_v1", dir)
+      val tok = java.lang.Integer.toHexString(path.hashCode)
+      val (ot, ct) = (s"orders_bkt_$tok", s"customer_bkt_$tok")
+      val child = s.newSession()
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      this.synchronized {
+        if (!child.catalog.tableExists(ot)) {
+          Tables.orders(child, dir).write.mode("overwrite")
+            .bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .option("path", s"$path/orders_bkt").saveAsTable(ot)
+          Tables.customer(child, dir).write.mode("overwrite")
+            .bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .option("path", s"$path/customer_bkt").saveAsTable(ct)
+        }
+      }
+      val df = child.table(ot)
+        .join(child.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec12)).cast("double").as("total_price"))
+        .orderBy(col("c_mktsegment"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"bucketed join must be a SortMergeJoin:\n$plan")
+      require(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+        !plan.contains("Exchange hashpartitioning(c_custkey"),
+        s"bucketed join must not shuffle either join side:\n$plan")
+      df
+    }),
+
+    // IVF layout as a PERSISTED partition-pruned read: embeddings written
+    // once partitioned by IVF cell (nearest of 8 formula-deterministic
+    // centroids); the probe reads ONLY the query's 2 nearest cells via
+    // partition pruning (PartitionFilters on cell), exact re-rank inside.
+    // Same answer as the in-memory ann_ivf — the directory layout IS the
+    // index, and probe cost is nprobe/nlist of the store at any scale.
+    "q_ivf_layout" -> ((s, dir) => {
+      val path = stagedPath("ivf_layout_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          Tables.embeddings(s, dir)
+            .withColumn("cell", Ann.cellOf(col("embedding"), 8, 64))
+            .write.mode("overwrite").partitionBy("cell").parquet(path)
+      }
+      val probes = Ann.ivfProbes(QueryVec.values, 8, 2)
+      val df = s.read.parquet(path)
+        .filter(col("cell").isin(probes: _*))
+        .withColumn("distance",
+          VectorFunctions.l2(col("embedding"), typedlit(QueryVec.values)))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), col("label"), col("cell"), col("distance"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters"),
+        s"IVF probe must prune cell partitions:\n$plan")
+      df
+    }),
+
     // Persisted vector store (S7 at scale): vectors written partitioned
     // by LSH bucket (one-time setup per sf dir), multi-probe query reads
     // ONLY the probed bucket directories — partition pruning makes the
@@ -3148,6 +3265,35 @@ object SparkEntry {
     })
   )
 
+  /** Shared DuckDB mirror of the IVF probe (Ann.annIvf nlist=8 nprobe=2
+    * k=10): nearest-of-8 cell assignment via the least-distance CASE
+    * (first-wins tie-break, same as Ann.cellOf), probe the 2 cells nearest
+    * the query, exact re-rank. Used by both ann_ivf (in-memory cells) and
+    * q_ivf_layout (cell-partitioned persisted layout) — the two Spark
+    * paths must serve identical rows.
+    */
+  private lazy val ivfProbeOracleSql: String = {
+    val nlist = 8
+    val probes = Ann.ivfProbes(QueryVec.values, nlist, 2)
+    val dCols = (0 until nlist)
+      .map(j => s"    ${OracleGen.l2ToCentroid("embedding", j, 64)} AS d$j")
+      .mkString(",\n")
+    val caseArms = (0 until nlist - 1)
+      .map(j => s"WHEN d$j = mind THEN $j").mkString(" ")
+    s"""WITH dists AS (
+       |  SELECT vec_id, label, embedding,
+       |$dCols
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, label, embedding,
+       |    CASE $caseArms ELSE ${nlist - 1} END AS cell
+       |  FROM (SELECT *, least(${(0 until nlist).map("d" + _).mkString(", ")}) AS mind
+       |        FROM dists))
+       |SELECT vec_id, label, cell, ${OracleGen.l2ToQuery("embedding")} AS distance
+       |FROM cells WHERE cell IN (${probes.mkString(", ")})
+       |ORDER BY distance ASC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val l2 = OracleGen.l2ToQuery("embedding")
     val cos = OracleGen.cosineToQuery("embedding")
@@ -3695,6 +3841,32 @@ object SparkEntry {
            |  FROM embeddings)
            |WHERE bucket = ${OracleGen.lshBucketOfQuery(4)}
            |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin,
+
+      // bucket-local LSH semantics (ann_lsh), NOT exact top-5: if the
+      // optimizer rule fails to rewrite, the Spark side returns the exact
+      // answer and this oracle hash-mismatches — the rule is in the gate
+      "q_lsh_rule_knn" ->
+        s"""SELECT vec_id, label, distance FROM (
+           |  SELECT vec_id, label,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |         ${OracleGen.l2ToQuery("embedding")} AS distance
+           |  FROM embeddings)
+           |WHERE bucket = ${OracleGen.lshBucketOfQuery(4)}
+           |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin,
+
+      "q_bloom_prune" ->
+        s"""SELECT l_returnflag,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           |  count(*) AS n_items
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_orderpriority = '1-URGENT'
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "q_bucketed_join" ->
+        s"""SELECT c_mktsegment, count(*) AS n_orders,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
       "q_embed_docs" ->
         s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)}
@@ -4682,27 +4854,12 @@ object SparkEntry {
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
-      "ann_ivf" -> {
-        val nlist = 8
-        val probes = Ann.ivfProbes(QueryVec.values, nlist, 2)
-        val dCols = (0 until nlist)
-          .map(j => s"    ${OracleGen.l2ToCentroid("embedding", j, 64)} AS d$j")
-          .mkString(",\n")
-        val caseArms = (0 until nlist - 1)
-          .map(j => s"WHEN d$j = mind THEN $j").mkString(" ")
-        s"""WITH dists AS (
-           |  SELECT vec_id, label, embedding,
-           |$dCols
-           |  FROM embeddings),
-           |cells AS (
-           |  SELECT vec_id, label, embedding,
-           |    CASE $caseArms ELSE ${nlist - 1} END AS cell
-           |  FROM (SELECT *, least(${(0 until nlist).map("d" + _).mkString(", ")}) AS mind
-           |        FROM dists))
-           |SELECT vec_id, label, cell, ${OracleGen.l2ToQuery("embedding")} AS distance
-           |FROM cells WHERE cell IN (${probes.mkString(", ")})
-           |ORDER BY distance ASC, vec_id ASC LIMIT 10""".stripMargin
-      },
+      "ann_ivf" -> ivfProbeOracleSql,
+
+      // identical semantics persisted: the partition-pruned read over the
+      // cell-partitioned layout must serve the same rows as the in-memory
+      // cell computation
+      "q_ivf_layout" -> ivfProbeOracleSql,
 
       "q_vector_store_quantized" -> {
         val (codes, qMaxAbs) = Quantize.quantizeQuery(QueryVec.values)
