@@ -3017,6 +3017,33 @@ object SparkEntry {
         .orderBy(col("hour_bucket"))
     }),
 
+    // Checkpoint recovery (streaming durability): the q_stream_hourly
+    // aggregation drained through a KILLED-AND-RESTARTED query — run 1
+    // dies on a planted failure after committing only micro-batch 0, run 2
+    // resumes from the explicit checkpoint. The restarted source never
+    // re-reads batch 0's file (offset log), so matching the whole-table
+    // batch oracle proves the state store recovered batch 0's counts from
+    // the checkpoint. drainWithRestart also audits the commit log to rule
+    // out a silent from-scratch rerun.
+    "q_stream_restart" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val srcDir = graft.streaming.Streaming.stageSplitSource(s, dir, "events", "ts")
+      val schema = Tables.events(s, dir).schema
+      val mk = () => s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .select(timestamp_micros(expr("ts div 1000")).as("ts_t"), col("value"))
+        .withWatermark("ts_t", "2 hours")
+        .groupBy(window(col("ts_t"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec12)).cast("double").as("sum_value"))
+      graft.streaming.Streaming.drainWithRestart(mk,
+          "restart_" + Integer.toHexString(dir.hashCode))
+        .select(expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
+          col("n"), col("sum_value"))
+        .orderBy(col("hour_bucket"))
+    }),
+
     // Streaming session windows (session_window, 30-min gap): one row per
     // (user, session), session end = last event + gap. Batch-oracled like
     // q_stream_hourly (the oracle is lag-based sessionization SQL).
@@ -5059,6 +5086,13 @@ object SparkEntry {
           |ORDER BY hour_bucket""".stripMargin,
 
       "q_stream_hourly" ->
+        """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin,
+
+      // identical whole-table semantics: the killed-and-restarted drain
+      // must converge to the same result as the uninterrupted stream
+      "q_stream_restart" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin,

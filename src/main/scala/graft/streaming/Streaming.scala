@@ -471,6 +471,80 @@ object Streaming {
     stream.sparkSession.read.parquet(snapshotPath)
   }
 
+  /** Checkpointed Complete-mode drain with a PLANTED mid-stream failure and
+    * a restart — the durability half of the streaming contract. Run 1
+    * starts the query with an explicit checkpointLocation and kills it
+    * (exception out of foreachBatch) when `failAtBatch` arrives, so the
+    * state store holds exactly the batches committed before the failure.
+    * Run 2 restarts the SAME query from that checkpoint: the file source's
+    * offset log excludes the already-committed files, so the restarted run
+    * never re-reads them — the final Complete-mode state can only be
+    * correct if the state store recovered their contribution from the
+    * checkpoint. Converging to the batch oracle therefore PROVES recovery,
+    * not merely reprocessing. The failure is planted before the batch's
+    * sink write, so the overwrite sink never holds a torn batch; sink and
+    * checkpoint are reset per call, keeping the drain idempotent.
+    *
+    * `mkStream` is a thunk because the two runs must build the streaming
+    * plan independently (a failed query's DataFrame is not restartable).
+    */
+  def drainWithRestart(mkStream: () => DataFrame, name: String,
+                       failAtBatch: Long = 1L): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    def reset(dir: String): Unit = {
+      val p = Paths.get(dir)
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+    }
+    val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
+    val ckpt = checkpointDir(name)
+    reset(out); reset(ckpt)
+    @volatile var planted = false
+    def run(plantFailure: Boolean): Unit = {
+      val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (batch, bid) => {
+          if (plantFailure && bid >= failAtBatch) {
+            planted = true
+            throw new RuntimeException(s"planted failure at micro-batch $bid")
+          }
+          batch.write.mode("overwrite").parquet(out)
+        }
+      val q = mkStream().writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(writeBatch)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if plantFailure && planted => () // the planned kill
+      }
+    }
+    run(plantFailure = true)
+    require(planted,
+      s"source produced fewer than ${failAtBatch + 1} micro-batches — " +
+        "the restart proof needs a failure strictly mid-stream")
+    run(plantFailure = false)
+    val recovered = mkStream().sparkSession.read.parquet(out)
+    // restart must RESUME, not restart from scratch: the commit log holds
+    // every committed batch id, so batch `failAtBatch` must have committed
+    // exactly once across the two runs and batch 0 only in run 1
+    val commits = Option(new java.io.File(ckpt, "commits").list())
+      .getOrElse(Array.empty[String]).filter(_.forall(_.isDigit)).map(_.toLong)
+    require(commits.contains(0L) && commits.contains(failAtBatch),
+      s"checkpoint commit log must span the failure: ${commits.sorted.mkString(",")}")
+    recovered
+  }
+
+  /** Stable checkpoint directory for a named drain (exposed so specs can
+    * audit the offset/commit logs the restart path relies on).
+    */
+  def checkpointDir(name: String): String =
+    sys.props("java.io.tmpdir") + "/graft_stream_ckpt_" + name
+
   /** Drain a streaming DataFrame to completion over its (bounded) source:
     * Trigger.AvailableNow processes everything currently available, the
     * memory sink in Complete mode holds the final state, and the result

@@ -192,6 +192,50 @@ class StreamingSpec extends SparkSpec {
     assert(out == batch)
   }
 
+  test("mid-stream kill + restart: stateful agg recovers state from the checkpoint") {
+    // drainWithRestart kills the query on a planted failure after batch 0
+    // commits, then restarts from the explicit checkpoint. The restarted
+    // source skips batch 0's file (offset log), so equality with both the
+    // uninterrupted drain AND the whole-table batch aggregation proves the
+    // state store resumed batch 0's contribution — the durability half of
+    // the streaming contract.
+    val s = Streaming.streamSession(spark)
+    val srcDir = Streaming.stageSplitSource(s, sf0001, "events", "ts")
+    val schema = graft.tables.Tables.events(s, sf0001).schema
+    def mk() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts_t"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withWatermark("ts_t", "2 hours")
+      .groupBy(window(col("ts_t"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_cents"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val recovered = asMap(Streaming.drainWithRestart(() => mk(), "spec_kill_restart"))
+    val straight = asMap(Streaming.drainToParquet(mk(), "spec_kill_straight"))
+    assert(recovered == straight,
+      "killed-and-restarted drain must equal the uninterrupted run")
+
+    val batch = graft.tables.Tables.events(s, sf0001)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts_t"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(window(col("ts_t"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_cents"))
+    assert(recovered == asMap(batch),
+      "recovered stream state must equal the batch aggregation")
+    assert(recovered.nonEmpty)
+
+    // audit: run 1 committed only batch 0; run 2 committed the rest from
+    // the same checkpoint (no renumbering — ids continue, never reset)
+    val commits = new java.io.File(Streaming.checkpointDir("spec_kill_restart"),
+      "commits").list().filter(_.forall(_.isDigit)).map(_.toLong).sorted
+    assert(commits.head == 0L && commits.length >= 3,
+      s"commit log must span both runs contiguously: ${commits.mkString(",")}")
+  }
+
   test("checkpoint recovery: a restarted query resumes without reprocessing") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
