@@ -35,7 +35,10 @@ object Multimodal {
 
   /** REAL header decode: recognize the container by its magic bytes and
     * parse width/height from the header — pure byte arithmetic, no
-    * library. Unrecognized payloads yield ("bin", 0, 0).
+    * library. Unrecognized payloads yield ("bin", 0, 0). BMP biHeight is
+    * a SIGNED int32 in BITMAPINFOHEADER (negative = top-down row order);
+    * the decoder sign-extends and reports the magnitude, so a real
+    * top-down bitmap yields its pixel height, not ~4.29e9.
     */
   def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaMeta] =
     rows.map { r =>
@@ -57,7 +60,8 @@ object Multimodal {
       val isBmp = b.length >= 26 && u(0) == 'B' && u(1) == 'M'
       if (isPng)      MediaMeta(r.id, r.kind, b.length.toLong, "png", be32(16), be32(20))
       else if (isGif) MediaMeta(r.id, r.kind, b.length.toLong, "gif", le16(6), le16(8))
-      else if (isBmp) MediaMeta(r.id, r.kind, b.length.toLong, "bmp", le32(18), le32(22))
+      else if (isBmp) MediaMeta(r.id, r.kind, b.length.toLong, "bmp", le32(18),
+        math.abs(le32(22).toInt.toLong))
       else            MediaMeta(r.id, r.kind, b.length.toLong, "bin", 0L, 0L)
     }
 

@@ -21,10 +21,15 @@ object Skew {
     * keyed aggregation plus one tiny rollup; at 100 TB the first
     * aggregation's map-side partials absorb the hot keys themselves.
     * skew_fp = max_n * 1000 * n_keys DIV n_rows — the max/mean frequency
-    * ratio in 1e-3 fixed point (1000 = perfectly uniform); hot_key is the
-    * lowest NUMERIC key among those at max_n, found by a single-pass
+    * ratio in 1e-3 fixed point (1000 = perfectly uniform), computed
+    * through DECIMAL(38,0) so the product can't overflow Long on a
+    * heavy-skew high-cardinality table (max_n × n_keys ≥ ~9.2e15 is
+    * exactly the 100 TB regime this diagnostic targets); hot_key is the
+    * lowest key among those at max_n, found by a single-pass
     * max(struct(n, -k)) argmax — no window, no second pass over the key
-    * counts. Output: (n_keys, n_rows, max_n, hot_key, skew_fp).
+    * counts. keyCol must be a NUMERIC key strictly above its type's
+    * MinValue (the -k negation is the argmax trick; Long.MinValue has no
+    * negation). Output: (n_keys, n_rows, max_n, hot_key, skew_fp).
     */
   def skewReport(df: DataFrame, keyCol: Column): DataFrame =
     df.groupBy(keyCol.as("k")).agg(count(lit(1)).as("n"))
@@ -33,7 +38,8 @@ object Skew {
         max(struct(col("n"), (-col("k")).as("nk"))).as("m"))
       .select(col("n_keys"), col("n_rows"),
         col("m.n").as("max_n"), (-col("m.nk")).as("hot_key"),
-        expr("m.n * 1000 * n_keys DIV n_rows").as("skew_fp"))
+        expr("CAST(CAST(m.n AS DECIMAL(38,0)) * 1000 * n_keys DIV n_rows AS BIGINT)")
+          .as("skew_fp"))
 
   /** Equi-join `large ⋈ small` on `key`, salted `factor` ways.
     * `large` may have arbitrary skew on `key`; `small` is replicated.

@@ -32,7 +32,15 @@ object Stage {
     def cut(df: DataFrame, name: String): DataFrame = df.localCheckpoint()
   }
 
-  /** Durable parquet-stage cut under `dir` — the 100 TB lever. */
+  /** Durable parquet-stage cut under `dir` — the 100 TB lever.
+    *
+    * A stage directory is SINGLE-RUN-OWNED: cut names are fixed per cut
+    * site+round (`ppr_ranks_cut_3`, `km_cents_cut_2`, …), so two
+    * concurrent runs sharing one `dir` would overwrite each other's cut
+    * files mid-iteration. Allocate a fresh directory per run (as the
+    * specs do with per-run temp dirs); that is also what makes a run
+    * restartable from its own last stage.
+    */
   final case class Parquet(dir: String) extends Stage {
     def cut(df: DataFrame, name: String): DataFrame = {
       val path = s"$dir/$name"

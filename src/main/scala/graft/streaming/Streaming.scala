@@ -332,7 +332,16 @@ object Streaming {
     * strictly sequentially, and stageSplitSource pins batch order with
     * strictly increasing file mtimes, so the verdict sequence is
     * deterministic and the batch oracle replays it by unrolling the
-    * batches (accepted(i) screens batch i+1). The growing stage is
+    * batches (accepted(i) screens batch i+1).
+    *
+    * PRECONDITION: unlike [[drainDedupGate]] (whose verdict is
+    * order-insensitive), this drain's result depends on absorption ORDER,
+    * and FileStreamSource with maxFilesPerTrigger=1 orders files by
+    * mtime with path-order tie-breaking. The source directory must
+    * therefore carry strictly increasing per-file mtimes — use
+    * stageSplitSource (which pins them explicitly) or an equivalently
+    * mtime-pinned layout; coarse filesystem timestamps with equal mtimes
+    * would silently reorder absorption and diverge from the oracle. The growing stage is
     * re-seeded from the fixed reference at every drain call, so
     * re-execution is idempotent end-to-end. No hot-bucket cap here: cap
     * semantics on a growing side would couple the cap to batch history —
