@@ -244,6 +244,66 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Convergence-stopped PageRank replay (q_pagerank_converged): unrolls
+    * `maxIters` rounds of the same CTE chain as pagerankOracleSql (on the
+    * l_partkey ≤ 500 symmetrized subgraph), then — like the Spark side —
+    * DECIDES the stop round from the data: per round, the exact
+    * fixed-point L1 delta Σ|trunc(r_i·1e15) − trunc(r_{i-1}·1e15)| (an
+    * integer in any order), and k = the first round whose delta ≤ tolFp
+    * (maxIters if none). Output is round k's ranks plus iters_run = k, so
+    * the stop decision itself is part of the hash-checked result.
+    */
+  private def pagerankConvergedOracleSql(maxIters: Int, tolFp: Long,
+                                         damping: Double = 0.85): String = {
+    val scale = graft.operators.Graph.ContribScale
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem WHERE l_partkey <= 500),
+         |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+         |r0 AS (SELECT id, 1.0 / n_nodes AS r FROM nodes, nn)""".stripMargin)
+    for (it <- 1 to maxIters) {
+      sb.append(
+        s""",
+           |c$it AS (
+           |  SELECT e.dst AS id,
+           |    CAST(floor(r.r / d.odeg * $scale) AS BIGINT) AS c
+           |  FROM edges e
+           |  JOIN r${it - 1} r ON e.src = r.id
+           |  JOIN deg d ON e.src = d.src),
+           |r$it AS (
+           |  SELECT n.id,
+           |    ${1 - damping} / n_nodes +
+           |      $damping * (CAST(coalesce(s.sum_c, 0) AS DOUBLE) / $scale) AS r
+           |  FROM nodes n
+           |  LEFT JOIN (SELECT id, sum(c) AS sum_c FROM c$it GROUP BY id) s
+           |    ON n.id = s.id
+           |  CROSS JOIN nn),
+           |d$it AS (
+           |  SELECT $it AS i,
+           |    CAST(sum(abs(CAST(floor(a.r * $scale) AS BIGINT) -
+           |      CAST(floor(b.r * $scale) AS BIGINT))) AS BIGINT) AS d
+           |  FROM r$it a JOIN r${it - 1} b ON a.id = b.id)""".stripMargin)
+    }
+    val dUnion = (1 to maxIters).map(i => s"SELECT i, d FROM d$i")
+      .mkString(" UNION ALL ")
+    val rUnion = (1 to maxIters).map(i => s"SELECT $i AS i, id, r FROM r$i")
+      .mkString(" UNION ALL ")
+    sb.append(
+      s""",
+         |kk AS (SELECT CAST(coalesce(min(i), $maxIters) AS INTEGER) AS k
+         |       FROM ($dUnion) WHERE d <= $tolFp),
+         |allr AS ($rUnion)
+         |SELECT allr.id, allr.r, kk.k AS iters_run
+         |FROM allr, kk WHERE allr.i = kk.k
+         |ORDER BY r DESC, id ASC LIMIT 20""".stripMargin)
+    sb.toString
+  }
+
   /** Unrolled Lloyd-iteration CTE chain mirroring Clustering.lloyd
     * (q_kmeans): seeds by lowest vec_id, per-iteration cross join against
     * the ≤ k centroids with the same left-associated L2 chain, argmin via
@@ -2388,6 +2448,25 @@ object SparkEntry {
         .distinct()
       val edges = p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.Graph.pagerank(edges, iters = 3)
+        .orderBy(col("r").desc, col("id")).limit(20)
+    }),
+
+    // Convergence-STOPPED PageRank on the l_partkey ≤ 500 symmetrized
+    // subgraph: rounds run until the exact fixed-point L1 delta
+    // Σ|trunc(r'·1e15) − trunc(r·1e15)| is ≤ 4e14 (or 10 rounds) — the
+    // delta is an integer in any partitioning, so the stop decision is
+    // deterministic, the oracle re-derives the SAME k from its unrolled
+    // replay, and iters_run is part of the hash-checked output. Stops at
+    // round 8 on sf0.01, round 4 on sf0.1 — the early-stop path is
+    // exercised at both scales.
+    "q_pagerank_converged" -> ((s, dir) => {
+      val p = Tables.lineitem(s, dir)
+        .filter(col("l_partkey") <= 500)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pagerankConverged(edges, maxIters = 10,
+          tolFp = 400000000000000L)
         .orderBy(col("r").desc, col("id")).limit(20)
     }),
 
@@ -4828,6 +4907,9 @@ object SparkEntry {
           |ORDER BY label, pos""".stripMargin,
 
       "q_pagerank" -> pagerankOracleSql(iters = 3),
+
+      "q_pagerank_converged" ->
+        pagerankConvergedOracleSql(maxIters = 10, tolFp = 400000000000000L),
       "q_pagerank_dangling" -> pagerankDanglingOracleSql(iters = 3),
       "q_pagerank_personalized" -> pagerankPersonalizedOracleSql(iters = 3),
 

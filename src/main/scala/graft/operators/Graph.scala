@@ -101,6 +101,79 @@ object Graph {
     ranks
   }
 
+  /** Convergence-stopped PageRank: same per-round message-passing shape
+    * and determinism contract as [[pagerank]], but instead of a fixed
+    * unroll it stops when the EXACT fixed-point L1 delta
+    * Σ_nodes |trunc(r'·1e15) − trunc(r·1e15)| drops to ≤ `tolFp`, or at
+    * `maxIters`. The delta is an integer sum of per-node integers, so the
+    * stop decision is bit-identical in any partitioning/order — the SQL
+    * oracle replays the SAME decision by unrolling maxIters rounds and
+    * selecting the first iteration whose delta meets tolFp. The rounds
+    * actually run are emitted as an `iters_run` column so the stop count
+    * itself is part of the checked result.
+    *
+    * Convergence checking inherently needs the delta per round, so every
+    * round materializes through `stage` (the Pregel superstep discipline;
+    * no lazy chaining) and runs one extra keyed join+agg over the two
+    * rank vectors — one row per node, never the edge relation.
+    */
+  def pagerankConverged(edges: DataFrame, maxIters: Int, tolFp: Long,
+                        damping: Double = 0.85,
+                        stage: Stage = Stage.Local): DataFrame = {
+    require(maxIters > 0, "pagerankConverged: maxIters must be positive")
+    require(tolFp >= 0L, "pagerankConverged: tolFp must be non-negative")
+    val e = stage.cut(edges.select(col("src"), col("dst")), "prc_edges")
+    val nodes = stage.cut(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct(), "prc_nodes")
+    val deg = stage.cut(
+      e.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "prc_deg")
+    val dangling = stage.cut(
+      nodes.join(deg, nodes("id") === deg("src"), "left_anti"), "prc_dangling")
+    val hasDangling = dangling.limit(1).count() > 0
+    val nRel = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    var ranks = stage.cut(nodes.crossJoin(nRel)
+      .select(col("id"), (lit(1.0) / col("n_nodes")).as("r")), "prc_ranks_0")
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val cur = ranks
+      val contribs = e.join(cur, e("src") === cur("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"),
+          floor(col("r") / col("odeg") * lit(ContribScale)).cast("long").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("sum_c"))
+      val base = nodes.join(contribs, Seq("id"), "left").crossJoin(nRel)
+      val next0 =
+        if (hasDangling) {
+          val dsum = broadcast(cur.join(dangling, Seq("id"), "left_semi")
+            .agg(coalesce(sum(floor(col("r") * lit(ContribScale)).cast("long")),
+              lit(0L)).as("sum_d")))
+          base.crossJoin(dsum)
+            .select(col("id"),
+              (lit(1 - damping) / col("n_nodes") +
+                lit(damping) * (coalesce(col("sum_c"), lit(0L)).cast("double") /
+                  lit(ContribScale) +
+                  col("sum_d").cast("double") / lit(ContribScale) /
+                    col("n_nodes"))).as("r"))
+        } else {
+          base.select(col("id"),
+            (lit(1 - damping) / col("n_nodes") +
+              lit(damping) * (coalesce(col("sum_c"), lit(0L)).cast("double") /
+                lit(ContribScale))).as("r"))
+        }
+      val next = stage.cut(next0, s"prc_ranks_${i + 1}")
+      val delta = next.alias("a").join(cur.alias("b"), col("a.id") === col("b.id"))
+        .agg(sum(abs(
+          floor(col("a.r") * lit(ContribScale)).cast("long") -
+            floor(col("b.r") * lit(ContribScale)).cast("long"))).as("d"))
+        .head().getLong(0)
+      ranks = next
+      i += 1
+      if (delta <= tolFp) converged = true
+    }
+    ranks.withColumn("iters_run", lit(i))
+  }
+
   /** Personalized PageRank: teleport mass goes ONLY to the `seeds` node
     * set (uniformly), so rank concentrates in the seeds' neighbourhood —
     * the seed-expansion / related-items primitive (grow a labeled set,

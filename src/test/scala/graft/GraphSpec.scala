@@ -133,4 +133,39 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
     assert(run(1) == run(7)) // bit-identical, not just approximately equal
   }
+
+  test("converged pagerank stops early and matches the fixed-round run") {
+    import spark.implicits._
+    val e0 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L))
+      .toDF("src", "dst")
+    val edges = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
+    // loose tolerance: must stop before the 20-round cap
+    val out = Graph.pagerankConverged(edges, maxIters = 20, tolFp = 10_000_000_000_000L)
+    val k = out.select($"iters_run").head().getInt(0)
+    assert(k > 0 && k < 20, s"early stop expected, ran $k")
+    assert(out.select($"iters_run").distinct().count() == 1)
+    // the converged ranks are bit-identical to pagerank unrolled k rounds
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"r").collect()
+        .map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(asMap(out) == asMap(Graph.pagerank(edges, iters = k)))
+    // delta is exact integer math → the stop round is partitioning-stable
+    val k2 = Graph.pagerankConverged(edges.repartition(7), maxIters = 20,
+      tolFp = 10_000_000_000_000L).select($"iters_run").head().getInt(0)
+    assert(k2 == k)
+  }
+
+  test("converged pagerank hits the cap when tolerance is unreachable") {
+    import spark.implicits._
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val edges = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
+    // tolFp = -... is rejected; tolFp = 0 on an asymmetric-delta graph
+    // may never hit — the uniform triangle converges EXACTLY (delta 0)
+    // in one round, so use a line graph where truncation keeps jitter
+    val l0 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val line = l0.unionAll(l0.select($"dst".as("src"), $"src".as("dst")))
+    val out = Graph.pagerankConverged(line, maxIters = 3, tolFp = 0L)
+    val k = out.select($"iters_run").head().getInt(0)
+    assert(k == 3, s"cap expected, got $k") // line graph never reaches delta 0 in 3
+  }
 }
