@@ -22,6 +22,16 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
+      v.doubleValue()
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+      v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "l2_distance" -> (es => L2DistanceExpr(es(0), es(1))),
     "dot_product" -> (es => DotProductExpr(es(0), es(1))),
@@ -41,7 +51,11 @@ object GraftFunctions {
       distinct = false)),
     "repetition_ratio" -> (es => RepetitionRatio(es(0),
       if (es.length > 1) intLit(es(1), "repetition_ratio n") else 3)),
-    "cms_estimate" -> (es => CmsEstimate(es(0), es(1)))
+    "cms_estimate" -> (es => CmsEstimate(es(0), es(1))),
+    "mmr_greedy" -> (es => MmrGreedy(es(0),
+      intLit(es(1), "mmr_greedy k"),
+      if (es.length > 2) doubleLit(es(2), "mmr_greedy lambda") else 0.5)
+      .toAggregateExpression())
   )
 
   def registerAll(spark: SparkSession): Unit =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.expressions.HashEmbed
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.TextFunctions
 
 /** The reference's E3 flagship pipeline (reference `rag.py:169-196`),
   * re-expressed as composable DataFrame stages:
@@ -40,43 +40,32 @@ object Rag {
     * coverage of the query's other aspects.
     *
     * `candidates` is the SMALL retrieval head (top-N of an ANN/KNN stage),
-    * so each greedy step is one narrow pass over N rows with the ≤ k
-    * selected rows broadcast; the checkpoints materialize only those tiny
-    * relations (never the corpus — the scale-bearing stage is the
-    * retrieval upstream). Determinism: score ties break on lowest id;
+    * so the whole greedy loop runs as ONE imperative aggregate
+    * ([[graft.expressions.MmrGreedy]], the VectorSumFp UDAF pattern): the
+    * only distributed work is folding the ≤ N head rows into the
+    * aggregation buffer — one job, versus the former k-step
+    * select/broadcast/localCheckpoint driver loop whose job-launch latency
+    * dominated (never the corpus — the scale-bearing stage is the
+    * retrieval upstream). Determinism: score ties break on lowest id (so
+    * the selection is a pure function of the row set, not buffer order);
     * every arithmetic step is the same left-associated double chain in
-    * the SQL oracle.
+    * the SQL oracle. Requires an integral id.
     * Output: (rnk 1..k, id, dist) in selection order.
     */
   def mmrSelect(candidates: DataFrame, idCol: Column, vecCol: Column,
                 distCol: Column, k: Int, lambda: Double = 0.5): DataFrame = {
-    val cand = candidates
-      .select(idCol.as("id"), vecCol.as("vec"), distCol.as("dist"))
-      .localCheckpoint() // top-N rows only; steps must not re-run retrieval
-    var sel = Vector.empty[DataFrame]
-    (1 to k).foreach { _ =>
-      val withSel = sel.zipWithIndex.foldLeft(cand) { case (df, (sj, j)) =>
-        df.crossJoin(broadcast(
-          sj.select(col("id").as(s"sid_$j"), col("vec").as(s"svec_$j"))))
-      }
-      val notPicked = sel.indices.foldLeft(withSel) { (df, j) =>
-        df.filter(col("id") =!= col(s"sid_$j"))
-      }
-      val sims = sel.indices.map(j =>
-        VectorFunctions.dotComposed(col("vec"), col(s"svec_$j")))
-      val score =
-        if (sims.isEmpty) lit(lambda) * -col("dist")
-        else lit(lambda) * -col("dist") -
-          lit(1 - lambda) * (if (sims.size == 1) sims.head else greatest(sims: _*))
-      val next = notPicked.withColumn("score", score)
-        .orderBy(col("score").desc, col("id")).limit(1)
-        .select(col("id"), col("vec"), col("dist"))
-        .localCheckpoint() // one row
-      sel = sel :+ next
-    }
-    sel.zipWithIndex.map { case (sj, i) =>
-        sj.select(lit((i + 1).toLong).as("rnk"), col("id"), col("dist"))
-      }.reduce(_ unionAll _)
+    val cand = candidates.select(
+      struct(idCol.cast("long").as("id"),
+        vecCol.cast("array<double>").as("vec"),
+        distCol.cast("double").as("dist")).as("c"))
+    val agg = org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.MmrGreedy(
+        org.apache.spark.sql.GraftBridge.expression(col("c")), k, lambda)
+        .toAggregateExpression())
+    cand.agg(agg.as("sel"))
+      .select(explode(col("sel")).as("s"))
+      .select(col("s.rnk").as("rnk"), col("s.id").as("id"),
+        col("s.dist").as("dist"))
   }
 
   /** Ordered context assembly (A2, `rag.py:189`): join the top-k documents

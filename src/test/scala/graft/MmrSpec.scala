@@ -34,6 +34,28 @@ class MmrSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L))
   }
 
+  test("mmr runs as one aggregate pass, not k sequential jobs") {
+    import spark.implicits._
+    val cand = (1L to 30L).map(i =>
+        (i, Array(math.sin(i.toDouble), math.cos(i.toDouble)), i / 30.0))
+      .toDF("id", "vec", "dist")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val out = Rag.mmrSelect(cand, $"id", $"vec", $"dist", k = 10).collect()
+      assert(out.length == 10)
+      Thread.sleep(1000) // listener bus is async; job starts have long fired
+    } finally spark.sparkContext.removeSparkListener(counter)
+    // one aggregate query — a handful of AQE stage jobs at most, never
+    // the former k-step loop's ~2k driver-sequenced jobs
+    assert(jobs.get() <= 4, s"expected a single-pass MMR, saw ${jobs.get()} jobs")
+  }
+
   test("mmr selects exactly k distinct candidates, deterministic on ties") {
     import spark.implicits._
     // all equidistant and mutually orthogonal-ish: ties break on lowest id
