@@ -53,6 +53,104 @@ object VectorStore {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  // ---- crash-safe commit protocol (shared by upsert/delete/compact) ----
+  //
+  // A bucket rewrite never deletes live data in place. The writer:
+  //  1. STAGES the affected buckets into a sibling directory via Spark
+  //     (whose _SUCCESS marker certifies the stage is complete), creating
+  //     an explicit EMPTY bucket dir for any affected bucket the rewrite
+  //     emptied;
+  //  2. writes a _COMMIT intent file into the store root via atomic
+  //     rename (underscore-prefixed → invisible to Spark readers),
+  //     recording the stage suffix and the affected bucket list;
+  //  3. SWAPS each affected bucket with two atomic same-FS renames: the
+  //     old bucket dir moves INTO the stage dir, the staged dir moves to
+  //     its place — a reader never observes a half-written bucket, only
+  //     the complete old or complete new directory;
+  //  4. deletes the stage dir, then the intent file.
+  //
+  // A crash at any point leaves a deterministically recoverable state:
+  // no _COMMIT → at worst an orphan stage to discard (store untouched);
+  // _COMMIT present → the stage was complete, so [[recover]] ROLLS the
+  // commit FORWARD by re-running the idempotent swap (a bucket already
+  // swapped has no staged dir left and is skipped) and cleaning up.
+  // Single-writer-at-a-time is still assumed (one _COMMIT slot); what the
+  // protocol adds is that a crashed writer can no longer lose or tear a
+  // bucket for the readers and writers that come after it.
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import java.util.Comparator
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+  }
+
+  /** Idempotent per-bucket swap: for each affected bucket, park the old
+    * dir inside the stage dir and rename the staged dir into place. Both
+    * renames are atomic same-filesystem moves; a re-run (recovery) skips
+    * buckets whose staged dir is already gone.
+    */
+  private def completeSwap(path: String, tmp: String, affected: Seq[Int]): Unit = {
+    import java.nio.file.{Files, Paths}
+    affected.foreach { b =>
+      val dst = Paths.get(path, s"bucket=$b")
+      val src = Paths.get(tmp, s"bucket=$b")
+      if (Files.exists(src)) {
+        if (Files.exists(dst))
+          Files.move(dst, Paths.get(tmp, s"old_bucket=$b"))
+        Files.move(src, dst)
+      }
+    }
+  }
+
+  /** Steps 2-4 of the protocol: intent, swap, cleanup. `sfx` is the stage
+    * directory's suffix relative to `path` (stage dir = path + sfx).
+    */
+  private def commitSwap(path: String, sfx: String, affected: Seq[Int]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val tmp = path + sfx
+    // any affected bucket the staged rewrite emptied still needs a (now
+    // empty) directory to swap in over the old data
+    affected.foreach { b =>
+      val src = Paths.get(tmp, s"bucket=$b")
+      if (!Files.exists(src)) Files.createDirectories(src)
+    }
+    val intent = Paths.get(path, "_COMMIT")
+    val intentTmp = Paths.get(path, "_COMMIT_STAGING")
+    Files.write(intentTmp, (sfx +: affected.map(_.toString)).asJava)
+    Files.move(intentTmp, intent, StandardCopyOption.ATOMIC_MOVE)
+    completeSwap(path, tmp, affected)
+    deleteRec(Paths.get(tmp))
+    Files.deleteIfExists(intent)
+  }
+
+  /** Recover a store from a crashed writer: roll a logged commit forward
+    * (the _COMMIT intent certifies its stage completed), then discard any
+    * orphan stage directories from writers that died before logging
+    * intent. Idempotent; a no-op on a healthy store. Run before reading
+    * or writing a store whose last writer may have died mid-commit.
+    */
+  def recover(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val intent = Paths.get(path, "_COMMIT")
+    if (Files.exists(intent)) {
+      val lines = Files.readAllLines(intent).asScala.toSeq
+      val tmp = path + lines.head
+      val affected = lines.tail.map(_.toInt)
+      if (Files.exists(Paths.get(tmp))) {
+        completeSwap(path, tmp, affected)
+        deleteRec(Paths.get(tmp))
+      }
+      Files.deleteIfExists(intent)
+    }
+    Files.deleteIfExists(Paths.get(path, "_COMMIT_STAGING"))
+    Seq("__upserting", "__deleting", "__compacting")
+      .foreach(sfx => deleteRec(Paths.get(path + sfx)))
+  }
+
   /** Partition-targeted upsert — the re-embedding migration path: replace
     * the stored vectors of the given ids (and insert unseen ids),
     * rewriting ONLY the bucket partitions that hold an old copy of an
@@ -61,13 +159,12 @@ object VectorStore {
     * to the driver), untouched bucket directories are never read or
     * written — at 100 TB an update wave that lands in 3 of 16 buckets
     * costs 3/16 of a rewrite, not a full-store pass. `df` must carry the
-    * store's data columns (id, vector, carried metadata).
+    * store's data columns (id, vector, carried metadata). Committed via
+    * the crash-safe stage/intent/swap protocol above.
     */
   def upsert(df: DataFrame, vecCol: Column, path: String,
              idName: String = "vec_id", numPlanes: Int = 4,
              dim: Int = 64): Unit = {
-    import java.nio.file.{Files, Paths}
-    import java.util.Comparator
     val spark = df.sparkSession
     val updates = df.withColumn("bucket", Ann.bucketOf(vecCol, numPlanes, dim))
     val store = spark.read.parquet(path)
@@ -79,21 +176,12 @@ object VectorStore {
       store.join(updates.select(col(idName)), Seq(idName), "left_semi")) ++
       bucketsOf(updates)
     if (affected.nonEmpty) {
-      val tmp = path + "__upserting"
+      val sfx = "__upserting"
       store.filter(col("bucket").isin(affected.toSeq: _*))
         .join(updates.select(col(idName)), Seq(idName), "left_anti")
         .unionByName(updates)
-        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-      affected.foreach { b =>
-        val dst = Paths.get(path, s"bucket=$b")
-        val src = Paths.get(tmp, s"bucket=$b")
-        if (Files.exists(dst))
-          Files.walk(dst).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => Files.delete(f))
-        if (Files.exists(src)) Files.move(src, dst)
-      }
-      Files.walk(Paths.get(tmp)).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path + sfx)
+      commitSwap(path, sfx, affected.toSeq.sorted)
     }
   }
 
@@ -104,54 +192,48 @@ object VectorStore {
     * from one metadata-sized aggregation (≤ 2^numPlanes values to the
     * driver), untouched bucket directories are never read or written —
     * the same cost shape as [[upsert]]. A delete wave hitting 3 of 16
-    * buckets costs 3/16 of a rewrite, never a full-store pass.
+    * buckets costs 3/16 of a rewrite, never a full-store pass. Committed
+    * via the crash-safe stage/intent/swap protocol (a fully emptied
+    * bucket swaps in an explicit empty directory).
     */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
              idName: String = "vec_id"): Unit = {
-    import java.nio.file.{Files, Paths}
-    import java.util.Comparator
     val store = spark.read.parquet(path)
     val victims = ids.select(col(idName))
     val affected = store.join(victims, Seq(idName), "left_semi")
       .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
     if (affected.nonEmpty) {
-      val tmp = path + "__deleting"
+      val sfx = "__deleting"
       store.filter(col("bucket").isin(affected.toSeq: _*))
         .join(victims, Seq(idName), "left_anti")
-        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-      affected.foreach { b =>
-        val dst = Paths.get(path, s"bucket=$b")
-        val src = Paths.get(tmp, s"bucket=$b")
-        if (Files.exists(dst))
-          Files.walk(dst).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => Files.delete(f))
-        if (Files.exists(src)) Files.move(src, dst)
-        else Files.createDirectories(dst) // bucket emptied by the delete
-      }
-      Files.walk(Paths.get(tmp)).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path + sfx)
+      commitSwap(path, sfx, affected.toSeq.sorted)
     }
   }
 
   /** Compact a store in place: rewrite every bucket partition into one
     * file per bucket (repartition on the bucket column routes each
     * bucket's rows to a single task, partitionBy keeps the directory
-    * layout), staged to a sibling directory then swapped. Results and
-    * partition pruning are invariant — this is the maintenance pass that
-    * keeps probe cost flat as streaming appends accumulate small files;
-    * per-row work is zero (no re-hash, the bucket is already a column).
+    * layout). Results and partition pruning are invariant — this is the
+    * maintenance pass that keeps probe cost flat as streaming appends
+    * accumulate small files; per-row work is zero (no re-hash, the bucket
+    * is already a column). Committed per bucket via the crash-safe
+    * stage/intent/swap protocol — unlike the former whole-directory swap,
+    * the store path never disappears, and because compaction is
+    * row-identical, even the mid-swap states a crash can expose are
+    * correct stores (some buckets compacted, some not); [[recover]]
+    * finishes the rest.
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import java.util.Comparator
-    val tmp = path + "__compacting"
-    spark.read.parquet(path)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    val p = Paths.get(path)
-    Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(f => Files.delete(f))
-    Files.move(Paths.get(tmp), p)
+    val store = spark.read.parquet(path)
+    val affected = store.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      val sfx = "__compacting"
+      store.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path + sfx)
+      commitSwap(path, sfx, affected)
+    }
   }
 
   /** Partition-pruned L2 top-k against a written store. `multiProbe`

@@ -225,6 +225,74 @@ class ScaleLayoutSpec extends SparkSpec {
       "every surviving re-embedded row must carry the upserted label")
   }
 
+  test("VectorStore: a writer crash mid-commit is rolled forward by recover") {
+    import java.nio.file.{Files => NF, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_crash").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb, col("embedding"), out)
+    val victims = emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"))
+    val expectSurvivors = emb.filter(col("vec_id") % 4 =!= 0).count()
+
+    // reproduce delete's commit protocol by hand, then "crash" mid-swap:
+    // stage the rewrite (step 1) ...
+    val store = spark.read.parquet(out)
+    val affected = store.join(victims, Seq("vec_id"), "left_semi")
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    assert(affected.size >= 2, s"need ≥2 affected buckets, got $affected")
+    val nBefore = store.count() // before the swap invalidates its file list
+    val tmp = out + "__deleting"
+    store.filter(col("bucket").isin(affected: _*))
+      .join(victims, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    affected.foreach { b =>
+      val src = Paths.get(tmp, s"bucket=$b")
+      if (!NF.exists(src)) NF.createDirectories(src)
+    }
+    // ... log the intent (step 2) ...
+    val intentTmp = Paths.get(out, "_COMMIT_STAGING")
+    NF.write(intentTmp, ("__deleting" +: affected.map(_.toString)).asJava)
+    NF.move(intentTmp, Paths.get(out, "_COMMIT"), StandardCopyOption.ATOMIC_MOVE)
+    // ... swap ONLY the first bucket (step 3 dies here)
+    val b0 = affected.head
+    NF.move(Paths.get(out, s"bucket=$b0"), Paths.get(tmp, s"old_bucket=$b0"))
+    NF.move(Paths.get(tmp, s"bucket=$b0"), Paths.get(out, s"bucket=$b0"))
+
+    // torn state: still a readable store, every bucket wholly old or new,
+    // no half-rewritten bucket visible (the _COMMIT marker is invisible
+    // to the parquet reader)
+    val torn = spark.read.parquet(out)
+    assert(torn.filter(col("bucket") === b0 && col("vec_id") % 4 === 0).count() == 0)
+    assert(torn.count() < nBefore && torn.count() > expectSurvivors)
+
+    VectorStore.recover(out)
+    val healed = spark.read.parquet(out)
+    assert(healed.filter(col("vec_id") % 4 === 0).count() == 0,
+      "recover must roll the logged commit forward")
+    assert(healed.count() == expectSurvivors)
+    assert(!NF.exists(Paths.get(out, "_COMMIT")) && !NF.exists(Paths.get(tmp)))
+    // idempotent and a no-op on the healthy store
+    VectorStore.recover(out)
+    assert(spark.read.parquet(out).count() == expectSurvivors)
+  }
+
+  test("VectorStore: an orphan stage with no logged intent is discarded") {
+    import java.nio.file.{Files => NF, Paths}
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_orphan").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb, col("embedding"), out)
+    val n = spark.read.parquet(out).count()
+    // a writer died during staging (before intent): partial junk stage
+    NF.createDirectories(Paths.get(out + "__compacting", "bucket=0"))
+    NF.write(Paths.get(out + "__compacting", "bucket=0", "part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    VectorStore.recover(out)
+    assert(!NF.exists(Paths.get(out + "__compacting")))
+    assert(spark.read.parquet(out).count() == n, "store untouched by rollback")
+  }
+
   test("selective filter + projection reach the parquet scan") {
     val df = Tables.lineitem(spark, sf0001)
       .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
