@@ -57,7 +57,13 @@ object Graph {
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                checkpointEvery: Int = 8,
                stage: Stage = Stage.Local): DataFrame = {
-    val e = stage.cut(edges.select(col("src"), col("dst")), "pr_edges")
+    // pre-partitioned on the per-round join key once: the executor-memory
+    // cut preserves outputPartitioning, so EVERY round's edge⋈rank join
+    // reuses this exchange instead of re-shuffling the full edge relation
+    // (the connectedComponents discipline; Stage.Parquet trades it for
+    // durability, as documented there)
+    val e = stage.cut(edges.select(col("src"), col("dst"))
+      .repartition(col("src")), "pr_edges")
     val nodes = stage.cut(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct(), "pr_nodes")
     val deg = stage.cut(
@@ -122,7 +128,8 @@ object Graph {
                         stage: Stage = Stage.Local): DataFrame = {
     require(maxIters > 0, "pagerankConverged: maxIters must be positive")
     require(tolFp >= 0L, "pagerankConverged: tolFp must be non-negative")
-    val e = stage.cut(edges.select(col("src"), col("dst")), "prc_edges")
+    val e = stage.cut(edges.select(col("src"), col("dst"))
+      .repartition(col("src")), "prc_edges")
     val nodes = stage.cut(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct(), "prc_nodes")
     val deg = stage.cut(
@@ -198,7 +205,8 @@ object Graph {
                            damping: Double = 0.85,
                            checkpointEvery: Int = 8,
                            stage: Stage = Stage.Local): DataFrame = {
-    val e = stage.cut(edges.select(col("src"), col("dst")), "ppr_edges")
+    val e = stage.cut(edges.select(col("src"), col("dst"))
+      .repartition(col("src")), "ppr_edges")
     val nodes = stage.cut(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct(), "ppr_nodes")
     val deg = stage.cut(
