@@ -1917,6 +1917,53 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // PII scrubbing (the redaction pass a shareable corpus needs): plant
+    // a deterministic email + phone per document, redact both with
+    // RE2-safe patterns (identical under Java regex and DuckDB RE2), and
+    // emit audit counts plus an md5 of the scrubbed text — the full
+    // redaction is hash-checked, not sampled. Narrow per-row regex,
+    // codegen'd, zero shuffle at any corpus size.
+    "q_pii_scrub" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com or ("),
+            lpad((col("doc_id") % 800).cast("string"), 3, "0"),
+            lit(") 123-"),
+            lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"))
+            .as("text"))
+      TrainData.piiScrub(docs, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          length(col("clean")).cast("long").as("clean_len"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4-style boilerplate line removal: a planted universal footer and a
+    // 7-way group footer exceed the dfCap=50 document-frequency cap and
+    // drop from every doc; the original text line and a planted 250-way
+    // rare note stay (df 1 and 2/20) — both paths exercised at sf0.01 AND
+    // sf0.1. The boilerplate set is heavy hitters by construction, so it
+    // broadcasts back as a membership filter; the corpus is exploded to
+    // lines exactly once for the df count, never re-shuffled.
+    "q_boilerplate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"),
+            lit("Subscribe to our newsletter"),
+            concat(lit("Group footer "), (col("doc_id") % 7).cast("string")),
+            concat(lit("Rare note "), (col("doc_id") % 250).cast("string")))
+            .as("text"))
+      TrainData.dropBoilerplate(docs, col("doc_id"), col("text"), dfCap = 50)
+        .select(col("id").as("doc_id"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("n_dropped").cast("long").as("n_dropped"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Edit-distance refinement of LSH candidates: the banded minhash
     // pairs (never all-pairs) re-scored with exact levenshtein over each
     // doc's 120-char tail — candidate generation stays O(n/2^H)-bucketed,
@@ -4650,6 +4697,53 @@ object SparkEntry {
            |  CAST(CAST(sum(tf.tf) AS BIGINT) * 1000 // count(*) AS BIGINT) AS lm_fp
            |FROM tok JOIN tf USING (tok)
            |GROUP BY id ORDER BY id""".stripMargin,
+
+      "q_pii_scrub" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    text || ' contact user' || doc_id || '@example.com or (' ||
+          |      lpad(CAST(doc_id % 800 AS VARCHAR), 3, '0') || ') 123-' ||
+          |      lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS t
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, t,
+          |    regexp_replace(
+          |      regexp_replace(t,
+          |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |      '\(\d{3}\) \d{3}-\d{4}', '<PHONE>', 'g') AS clean
+          |  FROM d)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(t,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(t,
+          |    '\(\d{3}\) \d{3}-\d{4}')) AS BIGINT) AS n_phones,
+          |  CAST(length(clean) AS BIGINT) AS clean_len,
+          |  md5(clean) AS clean_md5
+          |FROM c ORDER BY doc_id""".stripMargin,
+
+      "q_boilerplate" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    text || chr(10) || 'Subscribe to our newsletter' || chr(10) ||
+          |      'Group footer ' || (doc_id % 7) || chr(10) ||
+          |      'Rare note ' || (doc_id % 250) AS t
+          |  FROM documents),
+          |lines AS (
+          |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),
+          |boiler AS (
+          |  SELECT coalesce(list(line), []) AS bl FROM (
+          |    SELECT line FROM lines
+          |    GROUP BY line HAVING count(DISTINCT doc_id) >= 50)),
+          |c AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(t, chr(10)),
+          |      x -> NOT list_contains(bl, x)) AS kept,
+          |    len(string_split(t, chr(10))) AS n_lines
+          |  FROM d, boiler)
+          |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+          |  CAST(n_lines - len(kept) AS BIGINT) AS n_dropped,
+          |  md5(array_to_string(kept, chr(10))) AS clean_md5
+          |FROM c ORDER BY doc_id""".stripMargin,
 
       "q_editdist_refine" ->
         s"""WITH $minhashPairsCteSql,

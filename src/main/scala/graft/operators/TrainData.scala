@@ -258,4 +258,58 @@ object TrainData {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(topN)
   }
+
+  /** Default PII patterns: email addresses and US-style phone numbers.
+    * Deliberately RE2-safe (no backreferences, no lookaround) so the same
+    * pattern string runs identically under Java regex (Spark) and RE2
+    * (DuckDB/production scanners).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+
+  /** PII scrubbing — the redaction pass every shareable training corpus
+    * needs: replace email addresses and phone numbers with typed
+    * placeholder tags and keep per-document audit counts (matches found
+    * BEFORE redaction), so the scrub is reviewable and its coverage is a
+    * queryable statistic, not a hope. Purely narrow per-row regex work —
+    * codegen'd, no shuffle, perfectly distributed at any corpus size.
+    * Output: (id, n_emails, n_phones, clean) with emails → `<EMAIL>`,
+    * phones → `<PHONE>`.
+    */
+  def piiScrub(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("id"),
+        size(regexp_extract_all(textCol, lit(EmailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(textCol, lit(PhonePattern), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace(textCol, EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>").as("clean"))
+
+  /** C4-style boilerplate line removal: a line that occurs in at least
+    * `dfCap` DISTINCT documents (nav menus, cookie banners, footers) is
+    * corpus boilerplate; drop it from every document, preserving each
+    * document's remaining line order. Shape at 100 TB: one line-level
+    * document-frequency aggregation, then the boilerplate SET — heavy
+    * hitters by construction, so it is small — broadcasts back over the
+    * corpus as a membership filter inside a narrow per-row array filter;
+    * the corpus itself is never re-shuffled or exploded a second time.
+    * Output: (id, n_kept, n_dropped, clean) with clean = surviving lines
+    * re-joined by newline.
+    */
+  def dropBoilerplate(df: DataFrame, idCol: Column, textCol: Column,
+                      dfCap: Int): DataFrame = {
+    val lines = df.select(idCol.as("id"),
+      explode(split(textCol, "\n")).as("line"))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= dfCap)
+      .agg(coalesce(collect_list(col("line")),
+        array().cast("array<string>")).as("bl"))
+    df.select(idCol.as("id"), split(textCol, "\n").as("ls"))
+      .crossJoin(broadcast(boiler))
+      .select(col("id"),
+        filter(col("ls"), x => !array_contains(col("bl"), x)).as("kept"),
+        size(col("ls")).as("n_lines"))
+      .select(col("id"), size(col("kept")).as("n_kept"),
+        (col("n_lines") - size(col("kept"))).as("n_dropped"),
+        array_join(col("kept"), "\n").as("clean"))
+  }
 }

@@ -229,4 +229,41 @@ class TrainDataSpec extends SparkSpec {
     assert(kept == expected)
     assert(kept.nonEmpty && kept.size < 300, "a weighted sample, not all/none")
   }
+
+  test("piiScrub redacts every email and phone, counts them, leaves the rest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to a.b-c@mail.example.org or (555) 123-4567 today"),
+      (2L, "two mails x@y.io z@w.co, no phone"),
+      (3L, "clean text, nothing to redact"),
+      (4L, "edge (12) 345-6789 is not a phone, nor is user@nodot")
+    ).toDF("id", "text")
+    val out = TrainData.piiScrub(df, $"id", $"text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((1, 1, "write to <EMAIL> or <PHONE> today")))
+    assert(out(2L)._1 == 2 && out(2L)._2 == 0)
+    assert(out(2L)._3 == "two mails <EMAIL> <EMAIL>, no phone")
+    assert(out(3L) == ((0, 0, "clean text, nothing to redact")))
+    assert(out(4L)._1 == 0 && out(4L)._2 == 0, "near-misses must not match")
+  }
+
+  test("dropBoilerplate drops high-df lines and preserves remaining order") {
+    import spark.implicits._
+    val footer = "all rights reserved"
+    val docs = (1L to 60L).map(i =>
+        (i, s"unique head $i\n$footer\nunique tail $i"))
+      .toDF("id", "text")
+    val out = TrainData.dropBoilerplate(docs, $"id", $"text", dfCap = 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out.size == 60)
+    (1L to 60L).foreach { i =>
+      assert(out(i) == ((2, 1, s"unique head $i\nunique tail $i")))
+    }
+    // below the cap nothing drops
+    val loose = TrainData.dropBoilerplate(docs, $"id", $"text", dfCap = 61)
+      .agg(org.apache.spark.sql.functions.sum($"n_dropped")).head().getLong(0)
+    assert(loose == 0L)
+  }
 }
