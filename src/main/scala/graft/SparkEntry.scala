@@ -1964,6 +1964,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The composed corpus-cleaning pipeline — the training-data path end
+    // to end in ONE declared unit: PII scrub → boilerplate line removal →
+    // token-count quality gate → stable hash split, summarized per split
+    // with an order-independent corpus fingerprint (sum of each cleaned
+    // doc's md5-prefix integer), so the oracle hash certifies the FULL
+    // cleaned text of every surviving document, the gate decisions, and
+    // the split assignment together. Each stage keeps its scale shape:
+    // narrow regex scrub, one line-df aggregation + broadcast membership
+    // filter, narrow token count, one final tiny aggregation.
+    "q_clean_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com")),
+            lit("Subscribe to our newsletter"),
+            concat(lit("Group footer "), (col("doc_id") % 7).cast("string")))
+            .as("text"))
+      val scrubbed = TrainData.piiScrub(docs, col("doc_id"), col("text"))
+        .select(col("id"), col("clean").as("text"))
+      val cleaned = TrainData.dropBoilerplate(scrubbed, col("id"), col("text"),
+        dfCap = 50)
+      cleaned
+        .select(col("id"), col("clean"),
+          graft.functions.TextFunctions.tokenCount(col("clean")).as("n_tok"))
+        .filter(col("n_tok") >= 10)
+        .select(col("id"), col("n_tok"),
+          TrainData.hashSplit(col("id")).as("split"),
+          conv(substring(md5(col("clean")), 1, 12), 16, 10).cast("long")
+            .as("fp"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+          sum(col("fp")).as("corpus_fp"))
+        .orderBy(col("split"))
+    }),
+
     // Edit-distance refinement of LSH candidates: the banded minhash
     // pairs (never all-pairs) re-scored with exact levenshtein over each
     // doc's 120-char tail — candidate generation stays O(n/2^H)-bucketed,
@@ -4744,6 +4780,45 @@ object SparkEntry {
           |  CAST(n_lines - len(kept) AS BIGINT) AS n_dropped,
           |  md5(array_to_string(kept, chr(10))) AS clean_md5
           |FROM c ORDER BY doc_id""".stripMargin,
+
+      "q_clean_pipeline" ->
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || doc_id || '@example.com' || chr(10) ||
+           |      'Subscribe to our newsletter' || chr(10) ||
+           |      'Group footer ' || (doc_id % 7) AS t
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id,
+           |    regexp_replace(t,
+           |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+           |      '<EMAIL>', 'g') AS t
+           |  FROM d),
+           |lines AS (
+           |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM sc),
+           |boiler AS (
+           |  SELECT coalesce(list(line), []) AS bl FROM (
+           |    SELECT line FROM lines
+           |    GROUP BY line HAVING count(DISTINCT doc_id) >= 50)),
+           |cl AS (
+           |  SELECT doc_id,
+           |    array_to_string(list_filter(string_split(t, chr(10)),
+           |      x -> NOT list_contains(bl, x)), chr(10)) AS clean
+           |  FROM sc, boiler),
+           |kept AS (
+           |  SELECT doc_id, clean,
+           |    CAST(len(${OracleGen.toksSql("clean")}) AS BIGINT) AS n_tok
+           |  FROM cl
+           |  WHERE len(${OracleGen.toksSql("clean")}) >= 10)
+           |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           |  CAST(sum(CAST(('0x' || substr(md5(clean), 1, 12)) AS BIGINT))
+           |    AS BIGINT) AS corpus_fp
+           |FROM (SELECT *,
+           |        doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 AS b
+           |      FROM kept)
+           |GROUP BY 1 ORDER BY split""".stripMargin,
 
       "q_editdist_refine" ->
         s"""WITH $minhashPairsCteSql,
