@@ -347,6 +347,15 @@ object Dedup {
     * incompatible pairs inside the join; survivors verify with the exact
     * intersection. Shuffles: one df count, one ordered-list build, one
     * prefix equi-join, one verify join — all keyed, all bounded.
+    *
+    * Deliberate shape: the prefix join stays SLIM (ids, sizes, positions)
+    * and the candidate pairs re-join `toks` to fetch shingle arrays for
+    * the verify. Folding those re-joins away by carrying each document's
+    * full array through the prefix join would ship ~|prefix| copies of
+    * every array through the join shuffle — at corpus scale that trade
+    * (array-width × prefix-length shuffle volume for two fewer keyed
+    * joins of one-array-per-doc) is strictly worse, so the re-fetch
+    * shape is the one that survives 100 TB.
     * The shingle materialization goes through `stage` like every other
     * staged operator: [[Stage.Local]] (default) for local runs,
     * [[Stage.Parquet]] for the durable cluster path (DedupSpec asserts
