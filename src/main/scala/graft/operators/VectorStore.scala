@@ -118,6 +118,11 @@ object VectorStore {
       if (!Files.exists(src)) Files.createDirectories(src)
     }
     val intent = Paths.get(path, "_COMMIT")
+    if (Files.exists(intent))
+      throw new IllegalStateException(
+        s"$path has an unfinished commit (stale _COMMIT intent) — a writer " +
+          "crashed mid-swap or is still running; run VectorStore.recover " +
+          "before writing (single-writer-at-a-time store)")
     val intentTmp = Paths.get(path, "_COMMIT_STAGING")
     Files.write(intentTmp, (sfx +: affected.map(_.toString)).asJava)
     Files.move(intentTmp, intent, StandardCopyOption.ATOMIC_MOVE)

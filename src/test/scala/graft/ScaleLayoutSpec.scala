@@ -277,6 +277,22 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == expectSurvivors)
   }
 
+  test("VectorStore: a writer refuses to commit over a stale _COMMIT intent") {
+    import java.nio.file.{Files => NF, Paths}
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_stale").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb, col("embedding"), out)
+    NF.write(Paths.get(out, "_COMMIT"), java.util.List.of("__deleting", "0"))
+    val e = intercept[IllegalStateException] {
+      VectorStore.delete(spark, out, emb.limit(5).select(col("vec_id")))
+    }
+    assert(e.getMessage.contains("recover"))
+    VectorStore.recover(out) // clears the (tmp-less) stale intent
+    VectorStore.delete(spark, out, emb.limit(5).select(col("vec_id")))
+    assert(spark.read.parquet(out).count() == emb.count() - 5)
+  }
+
   test("VectorStore: an orphan stage with no logged intent is discarded") {
     import java.nio.file.{Files => NF, Paths}
     import graft.operators.VectorStore
