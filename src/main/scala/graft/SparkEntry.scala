@@ -327,6 +327,63 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Convergence-stopped Lloyd replay (q_kmeans_converged): unrolls
+    * `maxIters` Lloyd rounds via kmeansCtesSql, then — like
+    * Clustering.lloydConverged — derives the stop round from the data:
+    * per round, the exact fixed-point centroid drift
+    * Σ|trunc(c_i·1e6) − trunc(c_{i-1}·1e6)| over cid-matched centroids
+    * (a changed cluster set poisons the round with Long.Max, mirroring
+    * the Spark side's set-equality requirement), and k = the first round
+    * with drift ≤ tolFp (maxIters if none). Output is round k's
+    * per-cluster summary plus iters_run = k — the stop decision is part
+    * of the hash-checked result.
+    */
+  private def kmeansConvergedOracleSql(k: Int, maxIters: Int,
+                                       tolFp: Long): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ")
+    sb.append(kmeansCtesSql(k, maxIters))
+    for (it <- 1 to maxIters) {
+      val prev = if (it == 1) "seeds" else s"c${it - 1}"
+      sb.append(
+        s""",
+           |dr$it AS (
+           |  SELECT $it AS i,
+           |    CASE WHEN (SELECT count(*) FROM c$it) <>
+           |              (SELECT count(*) FROM $prev)
+           |           OR (SELECT count(*) FROM c$it a
+           |               JOIN $prev b ON a.cid = b.cid) <>
+           |              (SELECT count(*) FROM $prev)
+           |      THEN 9223372036854775807
+           |      ELSE coalesce((SELECT CAST(sum(list_sum(list_transform(
+           |        list_zip(a.cvec, b.cvec),
+           |        p -> abs(CAST(floor(p[1] * 1000000.0) AS BIGINT) -
+           |                 CAST(floor(p[2] * 1000000.0) AS BIGINT)))))
+           |        AS BIGINT)
+           |        FROM c$it a JOIN $prev b ON a.cid = b.cid), 0) END AS d)""".stripMargin)
+    }
+    val dUnion = (1 to maxIters).map(i => s"SELECT i, d FROM dr$i")
+      .mkString(" UNION ALL ")
+    val summaries = (1 to maxIters).map(it =>
+      s"""SELECT $it AS i, CAST(a.cid AS INTEGER) AS cid, count(*) AS n,
+         |    CAST(sum(a.vec_id) AS BIGINT) AS sum_ids, cf.cent_fp
+         |  FROM a$it a JOIN (
+         |    SELECT cid, CAST(list_sum(list_transform(cvec,
+         |      x -> CAST(floor(x * 1000000.0) AS BIGINT))) AS BIGINT) AS cent_fp
+         |    FROM c$it) cf ON a.cid = cf.cid
+         |  GROUP BY a.cid, cf.cent_fp""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    sb.append(
+      s""",
+         |kk AS (SELECT CAST(coalesce(min(i), $maxIters) AS INTEGER) AS kki
+         |       FROM ($dUnion) WHERE d <= $tolFp),
+         |summ AS (
+         |  $summaries)
+         |SELECT cid, n, sum_ids, cent_fp, kk.kki AS iters_run
+         |FROM summ, kk WHERE summ.i = kk.kki ORDER BY cid""".stripMargin)
+    sb.toString
+  }
+
   /** The Lloyd CTE chain alone (no WITH keyword, no final SELECT):
     * `seeds`, then per-iteration d/a/c relations; `a$iters` (vec_id,
     * embedding, cid) and `c$iters` (cid, cvec) are in scope afterwards.
@@ -2601,6 +2658,27 @@ object SparkEntry {
       asg.groupBy(col("cid"))
         .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_ids"))
         .join(checks, Seq("cid"))
+        .orderBy(col("cid"))
+    }),
+
+    // Convergence-STOPPED Lloyd (the q_pagerank_converged pattern for
+    // clustering): rounds run until the exact fixed-point centroid drift
+    // sum|trunc(c'*1e6) - trunc(c*1e6)| is <= 1.1e6 (or 6 rounds). The
+    // drift is an integer over bit-identical doubles, so the stop round
+    // (3 on this data) is deterministic and the oracle re-derives the
+    // SAME round from its unrolled replay; iters_run is hash-checked.
+    "q_kmeans_converged" -> ((s, dir) => {
+      val (asg, cents, k) = graft.operators.Clustering.lloydConverged(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        k = 4, maxIters = 6, tolFp = 1100000L, dim = 64)
+      val checks = cents.select(col("cid"),
+        aggregate(transform(col("cvec"),
+            x => floor(x * lit(1000000.0)).cast("long")),
+          lit(0L), (a, b) => a + b).as("cent_fp"))
+      asg.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_ids"))
+        .join(checks, Seq("cid"))
+        .withColumn("iters_run", lit(k))
         .orderBy(col("cid"))
     }),
 
@@ -5083,6 +5161,9 @@ object SparkEntry {
       "q_pagerank_personalized" -> pagerankPersonalizedOracleSql(iters = 3),
 
       "q_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
+
+      "q_kmeans_converged" ->
+        kmeansConvergedOracleSql(k = 4, maxIters = 6, tolFp = 1100000L),
 
       // replays the unrolled Lloyd CTEs, then per point the same
       // truncated own/other centroid distances (identical double chains

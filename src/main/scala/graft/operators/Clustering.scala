@@ -123,4 +123,51 @@ object Clustering {
     }
     (asg, cents)
   }
+
+  /** Convergence-stopped Lloyd (the [[graft.operators.Graph.pagerankConverged]]
+    * pattern): rounds run until the centroids stop moving — the EXACT
+    * fixed-point L1 drift Σ_cid Σ_dim |trunc(c'·1e6) − trunc(c·1e6)|
+    * drops to ≤ `tolFp` — or until `maxIters`. The drift is an integer
+    * sum of per-slot integers over bit-identical doubles, so the stop
+    * round is deterministic in any partitioning and an unrolled SQL
+    * replay re-derives the SAME round from the data; a round whose
+    * cluster set changed (a centroid dropped out) never counts as
+    * converged. Returns (last assignment, last centroids, rounds run) —
+    * identical to `lloyd(iters = roundsRun)` by construction.
+    *
+    * Cost of the stop decision: the k-row centroid relation materializes
+    * per round (it is the only thing that threads between rounds; k rows
+    * cost nothing at any scale) plus one k-row join + aggregate.
+    */
+  def lloydConverged(emb: DataFrame, idCol: Column, vecCol: Column, k: Int,
+                     maxIters: Int, tolFp: Long, dim: Int,
+                     stage: Stage = Stage.Local): (DataFrame, DataFrame, Int) = {
+    require(maxIters >= 1, "lloydConverged: maxIters must be positive")
+    require(tolFp >= 0L, "lloydConverged: tolFp must be non-negative")
+    val DriftScale = 1000000.0
+    var cents = stage.cut(seeds(emb, idCol, vecCol, k), "kmc_cents_0")
+    var asg: DataFrame = null
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      asg = assign(emb, cents, idCol, vecCol)
+      val next = stage.cut(update(asg, dim), s"kmc_cents_${i + 1}")
+      val prevN = cents.count()
+      val nextN = next.count()
+      val m = next.alias("a").join(cents.alias("b"), col("a.cid") === col("b.cid"))
+        .select(aggregate(
+          zip_with(col("a.cvec"), col("b.cvec"),
+            (x, y) => abs(floor(x * lit(DriftScale)).cast("long") -
+              floor(y * lit(DriftScale)).cast("long"))),
+          lit(0L), (acc, v) => acc + v).as("d"))
+        .agg(coalesce(sum(col("d")), lit(0L)).as("drift"),
+          count(lit(1)).as("n_pairs"))
+        .head()
+      cents = next
+      i += 1
+      if (nextN == prevN && m.getLong(1) == prevN && m.getLong(0) <= tolFp)
+        converged = true
+    }
+    (asg, cents, i)
+  }
 }

@@ -86,6 +86,31 @@ class ClusteringSpec extends SparkSpec {
       "inter sum strictly above intra sum per cluster")
   }
 
+  test("converged lloyd stops early and equals the fixed-round run") {
+    import spark.implicits._
+    // two tight planted blobs: drift collapses after round 1, so a loose
+    // tolerance stops well before the cap
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array.fill(64)(base + (i % 5) * 0.01f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (asg, cents, k) = Clustering.lloydConverged(df, col("vec_id"),
+      col("embedding"), k = 2, maxIters = 10, tolFp = 1000L, dim = 64)
+    assert(k > 0 && k < 10, s"early stop expected, ran $k")
+    val (asgF, centsF) = Clustering.lloyd(df, col("vec_id"), col("embedding"),
+      k = 2, iters = k, dim = 64)
+    def cmap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    def amap(d: org.apache.spark.sql.DataFrame) = d.select($"id", $"cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cmap(cents) == cmap(centsF) && amap(asg) == amap(asgF))
+    // exact integer drift → the stop round is partitioning-stable
+    val (_, _, k2) = Clustering.lloydConverged(df.repartition(7), col("vec_id"),
+      col("embedding"), k = 2, maxIters = 10, tolFp = 1000L, dim = 64)
+    assert(k2 == k)
+  }
+
   test("assignment plan broadcasts centroids and never shuffles vectors") {
     val cents = Clustering.seeds(emb, col("vec_id"), col("embedding"), 4)
     val plan = Clustering.assign(emb, cents, col("vec_id"), col("embedding"))
