@@ -1403,6 +1403,52 @@ object SparkEntry {
         .orderBy(col("distance").asc, col("vec_id").asc)
     }),
 
+    // Crash RECOVERY in the gate: stage a delete through the commit
+    // protocol but "die" right after logging the _COMMIT intent (zero
+    // buckets swapped), then VectorStore.recover rolls the logged commit
+    // forward. The probe must equal a CLEAN delete's — the oracle is the
+    // identical post-delete SQL, so a recovery that lost, duplicated, or
+    // tore a bucket hash-mismatches.
+    "q_vector_store_recover" -> ((s, dir) => {
+      val path = stagedPath("vector_store_rec_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(path, "_GRAFT_RECOVERED").exists()) {
+          import java.nio.file.{Files, Paths, StandardCopyOption}
+          import scala.jdk.CollectionConverters._
+          val emb = Tables.embeddings(s, dir)
+          graft.operators.VectorStore.write(emb, col("embedding"), path)
+          val store = s.read.parquet(path)
+          val victims = emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"))
+          val affected = store.join(victims, Seq("vec_id"), "left_semi")
+            .select(col("bucket")).distinct().collect()
+            .map(_.getInt(0)).toSeq.sorted
+          val tmp = path + "__deleting"
+          store.filter(col("bucket").isin(affected: _*))
+            .join(victims, Seq("vec_id"), "left_anti")
+            .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+          affected.foreach { b =>
+            val src = Paths.get(tmp, s"bucket=$b")
+            if (!Files.exists(src)) Files.createDirectories(src)
+          }
+          val intentTmp = Paths.get(path, "_COMMIT_STAGING")
+          Files.write(intentTmp, ("__deleting" +: affected.map(_.toString)).asJava)
+          Files.move(intentTmp, Paths.get(path, "_COMMIT"),
+            StandardCopyOption.ATOMIC_MOVE)
+          // the writer dies here: intent logged, nothing swapped yet
+          graft.operators.VectorStore.recover(path)
+          new java.io.File(path, "_GRAFT_RECOVERED").createNewFile()
+        }
+      }
+      val probe = graft.operators.VectorStore.queryL2(s, path, "embedding",
+          "vec_id", QueryVec.values, 5)
+        .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
+      val leftoverVictims = broadcast(s.read.parquet(path)
+        .filter(col("vec_id") % 4 === 0)
+        .agg(count(lit(1)).as("n_deleted_left")))
+      probe.crossJoin(leftoverVictims)
+        .orderBy(col("distance").asc, col("vec_id").asc)
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), col("doc_id"), col("text"))
         .select(col("keep_id").as("doc_id"), col("n_dups"))
@@ -4074,6 +4120,21 @@ object SparkEntry {
       // leftover-victims count asserts the tombstoning actually removed
       // every targeted id from ALL partitions
       "q_vector_store_delete" -> {
+        val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+        s"""SELECT vec_id, label, bucket, distance,
+           |  CAST(0 AS BIGINT) AS n_deleted_left
+           |FROM (
+           |  SELECT vec_id, label,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |         ${OracleGen.l2ToQuery("embedding")} AS distance
+           |  FROM embeddings WHERE vec_id % 4 <> 0)
+           |WHERE bucket IN ($probes)
+           |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
+      },
+
+      // the recovered store must be indistinguishable from a clean
+      // delete's — identical post-delete probe SQL
+      "q_vector_store_recover" -> {
         val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
         s"""SELECT vec_id, label, bucket, distance,
            |  CAST(0 AS BIGINT) AS n_deleted_left
