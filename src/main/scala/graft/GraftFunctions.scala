@@ -24,6 +24,9 @@ object GraftFunctions {
 
   private def doubleLit(e: Expression, what: String): Double = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Float, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toDouble
     case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
       v.doubleValue()
     case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>

@@ -4825,8 +4825,15 @@ object SparkEntry {
            |  CAST(CASE magic
            |    WHEN 'png' THEN CAST(('0x' || substr(hx,41,8)) AS BIGINT)
            |    WHEN 'gif' THEN CAST(('0x' || substr(hx,19,2) || substr(hx,17,2)) AS BIGINT)
-           |    WHEN 'bmp' THEN CAST(('0x' || substr(hx,51,2) || substr(hx,49,2) ||
-           |      substr(hx,47,2) || substr(hx,45,2)) AS BIGINT)
+           |    -- BMP biHeight is SIGNED int32 (negative = top-down):
+           |    -- sign-extend and report the magnitude, like the decoder
+           |    WHEN 'bmp' THEN abs(CASE
+           |      WHEN CAST(('0x' || substr(hx,51,2) || substr(hx,49,2) ||
+           |        substr(hx,47,2) || substr(hx,45,2)) AS BIGINT) >= 2147483648
+           |      THEN CAST(('0x' || substr(hx,51,2) || substr(hx,49,2) ||
+           |        substr(hx,47,2) || substr(hx,45,2)) AS BIGINT) - 4294967296
+           |      ELSE CAST(('0x' || substr(hx,51,2) || substr(hx,49,2) ||
+           |        substr(hx,47,2) || substr(hx,45,2)) AS BIGINT) END)
            |    ELSE 0 END AS BIGINT) AS height
            |FROM p ORDER BY doc_id""".stripMargin
       },
@@ -4884,12 +4891,12 @@ object SparkEntry {
           |  SELECT doc_id, t,
           |    regexp_replace(
           |      regexp_replace(t,
-          |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
           |      '\(\d{3}\) \d{3}-\d{4}', '<PHONE>', 'g') AS clean
           |  FROM d)
           |SELECT doc_id,
           |  CAST(len(regexp_extract_all(t,
-          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
           |  CAST(len(regexp_extract_all(t,
           |    '\(\d{3}\) \d{3}-\d{4}')) AS BIGINT) AS n_phones,
           |  CAST(length(clean) AS BIGINT) AS clean_len,
@@ -4930,7 +4937,7 @@ object SparkEntry {
            |sc AS (
            |  SELECT doc_id,
            |    regexp_replace(t,
-           |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+           |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
            |      '<EMAIL>', 'g') AS t
            |  FROM d),
            |lines AS (

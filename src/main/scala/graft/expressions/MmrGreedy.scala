@@ -25,7 +25,13 @@ import org.apache.spark.sql.types._
   * aggregate(zip_with(...)) chain; the first pick (empty selection) scores
   * λ·(−dist) with NO redundancy term. Ties break on lowest id, which also
   * makes the selection a pure function of the row SET — buffer
-  * concatenation order (partitioning, merge order) cannot change it.
+  * concatenation order (partitioning, merge order) cannot change it. Two
+  * preconditions keep that true: rows whose score evaluates to NaN (NaN
+  * dist or vec slot) are SKIPPED — NaN compares false against everything,
+  * so letting it stand as "best" would make the pick buffer-order-
+  * dependent; and ids are assumed unique (the KNN/ANN retrieval-head
+  * shape) — duplicate ids cannot both be selected, but which copy's vec
+  * drives later redundancy terms would follow buffer order.
   *
   * Output: ARRAY<STRUCT<rnk BIGINT, id BIGINT, dist DOUBLE>> in selection
   * order, ≤ k entries (fewer when the head has fewer distinct ids).
@@ -109,8 +115,9 @@ case class MmrGreedy(
               }
               lambda * -dist - (1 - lambda) * maxSim
             }
-          if (bestIdx < 0 || score > bestScore ||
-              (score == bestScore && id < bestId)) {
+          if (!java.lang.Double.isNaN(score) &&
+              (bestIdx < 0 || score > bestScore ||
+                (score == bestScore && id < bestId))) {
             bestIdx = i; bestScore = score; bestId = id
           }
         }

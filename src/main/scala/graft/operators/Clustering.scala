@@ -149,10 +149,10 @@ object Clustering {
     var asg: DataFrame = null
     var i = 0
     var converged = false
+    var prevN = cents.count()
     while (i < maxIters && !converged) {
       asg = assign(emb, cents, idCol, vecCol)
       val next = stage.cut(update(asg, dim), s"kmc_cents_${i + 1}")
-      val prevN = cents.count()
       val nextN = next.count()
       val m = next.alias("a").join(cents.alias("b"), col("a.cid") === col("b.cid"))
         .select(aggregate(
@@ -163,10 +163,11 @@ object Clustering {
         .agg(coalesce(sum(col("d")), lit(0L)).as("drift"),
           count(lit(1)).as("n_pairs"))
         .head()
-      cents = next
-      i += 1
       if (nextN == prevN && m.getLong(1) == prevN && m.getLong(0) <= tolFp)
         converged = true
+      cents = next
+      prevN = nextN
+      i += 1
     }
     (asg, cents, i)
   }

@@ -170,9 +170,10 @@ object Graph {
         }
       val next = stage.cut(next0, s"prc_ranks_${i + 1}")
       val delta = next.alias("a").join(cur.alias("b"), col("a.id") === col("b.id"))
-        .agg(sum(abs(
+        .agg(coalesce(sum(abs(
           floor(col("a.r") * lit(ContribScale)).cast("long") -
-            floor(col("b.r") * lit(ContribScale)).cast("long"))).as("d"))
+            floor(col("b.r") * lit(ContribScale)).cast("long"))),
+          lit(0L)).as("d"))
         .head().getLong(0)
       ranks = next
       i += 1

@@ -259,12 +259,16 @@ object TrainData {
       .limit(topN)
   }
 
-  /** Default PII patterns: email addresses and US-style phone numbers.
-    * Deliberately RE2-safe (no backreferences, no lookaround) so the same
-    * pattern string runs identically under Java regex (Spark) and RE2
+  /** Default PII patterns. The email pattern is the ONE shared constant
+    * ([[graft.functions.TextFunctions.EmailRe]] — also used by redactPii
+    * and emitted verbatim into the oracle SQL), so a future pattern fix
+    * propagates to every scrub path. The phone pattern here is the
+    * parenthesized US form; TextFunctions.PhoneRe covers the dashed form.
+    * Both are deliberately RE2-safe (no backreferences, no lookaround) so
+    * the same string runs identically under Java regex (Spark) and RE2
     * (DuckDB/production scanners).
     */
-  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val EmailPattern: String = graft.functions.TextFunctions.EmailRe
   val PhonePattern = "\\(\\d{3}\\) \\d{3}-\\d{4}"
 
   /** PII scrubbing — the redaction pass every shareable training corpus

@@ -65,8 +65,11 @@ object VectorStore {
   //     recording the stage suffix and the affected bucket list;
   //  3. SWAPS each affected bucket with two atomic same-FS renames: the
   //     old bucket dir moves INTO the stage dir, the staged dir moves to
-  //     its place — a reader never observes a half-written bucket, only
-  //     the complete old or complete new directory;
+  //     its place — a reader never observes a HALF-WRITTEN bucket, only a
+  //     complete old or complete new directory (a reader racing the
+  //     instant between a bucket's two renames can see that bucket
+  //     absent — rename pairs are not jointly atomic; readers that must
+  //     not miss rows serialize against writers like writers do);
   //  4. deletes the stage dir, then the intent file.
   //
   // A crash at any point leaves a deterministically recoverable state:
@@ -77,6 +80,20 @@ object VectorStore {
   // Single-writer-at-a-time is still assumed (one _COMMIT slot); what the
   // protocol adds is that a crashed writer can no longer lose or tear a
   // bucket for the readers and writers that come after it.
+
+  /** Fail fast BEFORE any staging work if the store carries an unfinished
+    * commit. Checked at the START of every writer — a later check (inside
+    * commitSwap) would come after the new stage write had already
+    * overwritten the crashed writer's certified stage directory, making
+    * the prescribed recover() roll the WRONG data forward.
+    */
+  private def requireNoPendingCommit(path: String): Unit = {
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_COMMIT")))
+      throw new IllegalStateException(
+        s"$path has an unfinished commit (stale _COMMIT intent) — a writer " +
+          "crashed mid-swap or is still running; run VectorStore.recover " +
+          "before writing (single-writer-at-a-time store)")
+  }
 
   private def deleteRec(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
@@ -118,6 +135,8 @@ object VectorStore {
       if (!Files.exists(src)) Files.createDirectories(src)
     }
     val intent = Paths.get(path, "_COMMIT")
+    // defense in depth: the writer entry points already refused over a
+    // pending commit BEFORE staging (requireNoPendingCommit)
     if (Files.exists(intent))
       throw new IllegalStateException(
         s"$path has an unfinished commit (stale _COMMIT intent) — a writer " +
@@ -170,6 +189,7 @@ object VectorStore {
   def upsert(df: DataFrame, vecCol: Column, path: String,
              idName: String = "vec_id", numPlanes: Int = 4,
              dim: Int = 64): Unit = {
+    requireNoPendingCommit(path)
     val spark = df.sparkSession
     val updates = df.withColumn("bucket", Ann.bucketOf(vecCol, numPlanes, dim))
     val store = spark.read.parquet(path)
@@ -203,6 +223,7 @@ object VectorStore {
     */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
              idName: String = "vec_id"): Unit = {
+    requireNoPendingCommit(path)
     val store = spark.read.parquet(path)
     val victims = ids.select(col(idName))
     val affected = store.join(victims, Seq(idName), "left_semi")
@@ -230,6 +251,7 @@ object VectorStore {
     * finishes the rest.
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    requireNoPendingCommit(path)
     val store = spark.read.parquet(path)
     val affected = store.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted

@@ -42,6 +42,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3) == Multimodal.MediaMeta(4L, "audio", 100L, "bin", 0L, 0L))
   }
 
+  test("decodeBatch sign-extends a top-down BMP's negative biHeight") {
+    // biHeight = -272 (0xFFFFFEF0 LE): a real top-down bitmap; the decoder
+    // must report the 272-pixel magnitude, not the ~4.29e9 unsigned misread
+    val topDownBmp: Array[Byte] =
+      ("BM".getBytes("US-ASCII") ++
+        Array.fill[Byte](12)(0) ++
+        Array[Byte](40, 0, 0, 0) ++
+        Array(0x00, 0x02, 0x00, 0x00,                   // width 512 (LE)
+          0xF0, 0xFE, 0xFF, 0xFF).map(_.toByte))        // height -272 (LE)
+    val out = Multimodal.decodeBatch(Iterator(
+      Multimodal.MediaRow(9L, "image", topDownBmp))).toSeq
+    assert(out.head == Multimodal.MediaMeta(9L, "image", 26L, "bmp", 512L, 272L))
+    // Int.MinValue height (0x80000000): magnitude still exact via Long
+    val extremeBmp = topDownBmp.clone()
+    extremeBmp(22) = 0x00; extremeBmp(23) = 0x00
+    extremeBmp(24) = 0x00; extremeBmp(25) = 0x80.toByte
+    val ex = Multimodal.decodeBatch(Iterator(
+      Multimodal.MediaRow(10L, "image", extremeBmp))).toSeq
+    assert(ex.head.height == 2147483648L)
+  }
+
   test("Column builders round-trip through the byte parser with payloads") {
     import spark.implicits._
     val df = Seq((1L, 640, 480, "png"), (2L, 300, 200, "gif"),

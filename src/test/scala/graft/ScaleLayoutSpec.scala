@@ -284,10 +284,16 @@ class ScaleLayoutSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf0001)
     VectorStore.write(emb, col("embedding"), out)
     NF.write(Paths.get(out, "_COMMIT"), java.util.List.of("__deleting", "0"))
+    // the crashed writer's certified stage must survive the refusal — the
+    // guard has to fire BEFORE the new writer's stage write would clobber it
+    NF.createDirectories(Paths.get(out + "__deleting"))
+    NF.write(Paths.get(out + "__deleting", "sentinel"), Array[Byte](42))
     val e = intercept[IllegalStateException] {
       VectorStore.delete(spark, out, emb.limit(5).select(col("vec_id")))
     }
     assert(e.getMessage.contains("recover"))
+    assert(NF.exists(Paths.get(out + "__deleting", "sentinel")),
+      "refused writer must not touch the pending stage")
     VectorStore.recover(out) // clears the (tmp-less) stale intent
     VectorStore.delete(spark, out, emb.limit(5).select(col("vec_id")))
     assert(spark.read.parquet(out).count() == emb.count() - 5)
