@@ -3400,6 +3400,51 @@ object SparkEntry {
         "embed_" + Integer.toHexString(dir.hashCode))
     }),
 
+    // Clean-ON-INGEST: the corpus-cleaning ops composed into the
+    // streaming path — per micro-batch, the planted docs are PII-scrubbed
+    // (stateless narrow regex) and boilerplate-filtered against a STATIC
+    // heavy-hitter line set computed batch-side and broadcast under every
+    // micro-batch (the stream-static shape; the set must be static — a
+    // per-batch line-df would make early batches see less boilerplate).
+    // Stateless transforms → the emitted per-doc rows are an
+    // order-independent set the one-pass batch chain oracles exactly.
+    "q_stream_clean" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      def planted(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), concat_ws("\n",
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com")),
+          lit("Subscribe to our newsletter"),
+          concat(lit("Group footer "), (col("doc_id") % 7).cast("string")))
+          .as("text"))
+      def scrub(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"),
+          regexp_replace(col("text"), TrainData.EmailPattern, "<EMAIL>")
+            .as("text"))
+      // static boilerplate set from the full (scrubbed) corpus
+      val bl = broadcast(scrub(planted(Tables.documents(s, dir)))
+        .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+        .groupBy(col("line")).agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 50)
+        .agg(coalesce(collect_list(col("line")),
+          array().cast("array<string>")).as("bl")))
+      val src = s.readStream.schema(Tables.documents(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "documents", "doc_id"))
+      val out = scrub(planted(src))
+        .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+        .crossJoin(bl)
+        .select(col("doc_id"),
+          filter(col("ls"), x => !array_contains(col("bl"), x)).as("kept"),
+          size(col("ls")).as("n_lines"))
+        .select(col("doc_id"), size(col("kept")).cast("long").as("n_kept"),
+          (col("n_lines") - size(col("kept"))).cast("long").as("n_dropped"),
+          md5(array_join(col("kept"), "\n")).as("clean_md5"))
+      graft.streaming.Streaming.drainAppendToParquet(out,
+        "clean_" + Integer.toHexString(dir.hashCode))
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming exact dedup — the core training-data op, incremental:
     // dropDuplicates keeps one state entry per content hash and append
     // mode emits each distinct content exactly once (first arrival). The
@@ -5551,6 +5596,37 @@ object SparkEntry {
 
       "q_stream_dedup" ->
         "SELECT DISTINCT md5(text) AS text_md5 FROM documents",
+
+      // stateless clean-on-ingest: set-equal to the one-pass batch chain
+      "q_stream_clean" ->
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || doc_id || '@example.com' || chr(10) ||
+           |      'Subscribe to our newsletter' || chr(10) ||
+           |      'Group footer ' || (doc_id % 7) AS t
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id,
+           |    regexp_replace(t,
+           |      '${graft.functions.TextFunctions.EmailRe}',
+           |      '<EMAIL>', 'g') AS t
+           |  FROM d),
+           |lines AS (
+           |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM sc),
+           |boiler AS (
+           |  SELECT coalesce(list(line), []) AS bl FROM (
+           |    SELECT line FROM lines
+           |    GROUP BY line HAVING count(DISTINCT doc_id) >= 50)),
+           |c AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(t, chr(10)),
+           |      x -> NOT list_contains(bl, x)) AS kept,
+           |    len(string_split(t, chr(10))) AS n_lines
+           |  FROM sc, boiler)
+           |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+           |  CAST(n_lines - len(kept) AS BIGINT) AS n_dropped,
+           |  md5(array_to_string(kept, chr(10))) AS clean_md5
+           |FROM c ORDER BY doc_id""".stripMargin,
 
       "q_stream_embed" ->
         s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)}
