@@ -425,6 +425,35 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Exact decontamination report oracle, shared verbatim by
+    * q_decontaminate and q_decontaminate_bloom — the bloom variant is
+    * answer-preserving (no false negatives; exact verify join removes
+    * false positives), so one SQL text proves both.
+    */
+  private lazy val decontaminateOracleSql: String =
+    s"""WITH split AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, text,
+       |          doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 AS b
+       |        FROM documents)),
+       |tok AS (SELECT doc_id, split, ${OracleGen.toksSql("text")} AS tk FROM split),
+       |sh0 AS (SELECT doc_id, split,
+       |         unnest(list_distinct(${OracleGen.shinglesOfToks("tk")})) AS sh
+       |       FROM tok),
+       |sh AS (
+       |  SELECT * FROM sh0 WHERE split IN ('test', 'train')
+       |    AND sh NOT IN (
+       |      SELECT sh FROM sh0 WHERE split IN ('test', 'train')
+       |      GROUP BY sh HAVING count(*) > 50)),
+       |pairs AS (
+       |  SELECT t.doc_id AS test_id, tr.doc_id AS train_id, count(*) AS n_shared
+       |  FROM sh t JOIN sh tr ON t.sh = tr.sh
+       |  WHERE t.split = 'test' AND tr.split = 'train'
+       |  GROUP BY 1, 2 HAVING count(*) >= 5)
+       |SELECT test_id, count(*) AS n_train_matches, max(n_shared) AS max_shared
+       |FROM pairs GROUP BY test_id ORDER BY test_id""".stripMargin
+
   /** Unrolled greedy-MMR CTE chain mirroring Rag.mmrSelect (q_mmr): the
     * top-`n` retrieval head, then `k` steps each cross-joining the tiny
     * selected set, scoring λ·(−dist) − (1−λ)·max(dot sims) with the same
@@ -2293,6 +2322,31 @@ object SparkEntry {
         .groupBy(col("test_id"))
         .agg(count(lit(1)).as("n_train_matches"), max(col("n_shared")).as("max_shared"))
         .orderBy(col("test_id"))
+    }),
+
+    // Bloom-prefiltered decontamination: the same report as
+    // q_decontaminate (same oracle SQL — the answer is EXACT), but the
+    // train-side shingle stream is gated by a collected-and-inlined
+    // Spark BloomFilter over the test split's shingles before the
+    // shuffle join. No false negatives, and the exact equi-join removes
+    // false positives, so bloom parameters never affect the result —
+    // only how much of the corpus reaches the shuffle. The plan
+    // assertion proves the might_contain gate actually sits in the
+    // train-side scan pipeline rather than being optimized away.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("split", TrainData.hashSplit(col("doc_id")))
+      val train = docs.filter(col("split") === "train")
+      val test = docs.filter(col("split") === "test")
+      val out = Dedup.crossOverlapBloom(train, test, col("doc_id"), col("text"),
+          minShared = 5, maxDf = 50)
+        .groupBy(col("test_id"))
+        .agg(count(lit(1)).as("n_train_matches"), max(col("n_shared")).as("max_shared"))
+        .orderBy(col("test_id"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("might_contain"),
+        s"bloom prefilter was not planted in the train-side pipeline:\n$plan")
+      out
     }),
 
     // Duplicated-span report (exact substring-level dedup): every doc's
@@ -5663,29 +5717,11 @@ object SparkEntry {
            |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
       },
 
-      "q_decontaminate" ->
-        s"""WITH split AS (
-           |  SELECT doc_id, text,
-           |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-           |  FROM (SELECT doc_id, text,
-           |          doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 AS b
-           |        FROM documents)),
-           |tok AS (SELECT doc_id, split, ${OracleGen.toksSql("text")} AS tk FROM split),
-           |sh0 AS (SELECT doc_id, split,
-           |         unnest(list_distinct(${OracleGen.shinglesOfToks("tk")})) AS sh
-           |       FROM tok),
-           |sh AS (
-           |  SELECT * FROM sh0 WHERE split IN ('test', 'train')
-           |    AND sh NOT IN (
-           |      SELECT sh FROM sh0 WHERE split IN ('test', 'train')
-           |      GROUP BY sh HAVING count(*) > 50)),
-           |pairs AS (
-           |  SELECT t.doc_id AS test_id, tr.doc_id AS train_id, count(*) AS n_shared
-           |  FROM sh t JOIN sh tr ON t.sh = tr.sh
-           |  WHERE t.split = 'test' AND tr.split = 'train'
-           |  GROUP BY 1, 2 HAVING count(*) >= 5)
-           |SELECT test_id, count(*) AS n_train_matches, max(n_shared) AS max_shared
-           |FROM pairs GROUP BY test_id ORDER BY test_id""".stripMargin,
+      "q_decontaminate" -> decontaminateOracleSql,
+
+      // Bloom prefilter + exact verify = the exact answer: the oracle is
+      // the SAME SQL as q_decontaminate by construction.
+      "q_decontaminate_bloom" -> decontaminateOracleSql,
 
       // Same replay with the planted ubiquitous tail — the df>50 guard
       // must drop the corpus-wide shingle on both engines.

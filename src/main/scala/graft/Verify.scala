@@ -30,8 +30,16 @@ object Verify {
     // schedules concurrent jobs fine); the serial dump measured ~3 min at
     // sf0.01, parallel ~4x faster. Each writes to its own directory.
     val nThreads = sys.env.getOrElse("GRAFT_VERIFY_THREADS", "6").toInt
+    // Local-iteration filter: comma-separated query names. Absent (the
+    // driver's invocation) = dump everything.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toSeq
+      case None => SparkEntry.queries.toSeq
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -55,7 +63,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracles = only match {
+      case Some(names) => SparkEntry.oracleSql.view.filterKeys(names).toMap
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -329,6 +329,69 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Bloom-prefiltered EXACT decontamination — answer-identical to
+    * [[crossOverlap]], cheaper at corpus scale. The test split's shingle
+    * set is folded into one Spark `BloomFilter` (distributed
+    * `bloom_filter_agg` over `xxhash64(sh)`, partials OR-merged on
+    * executors), the single serialized filter is collected and inlined
+    * as a foldable `Literal`, and the train-side shingle stream is
+    * gated by codegen'd `might_contain` BEFORE the shuffle join. Blooms
+    * have no false negatives, and the exact equi-join that follows
+    * removes every false positive — so the report matches
+    * [[crossOverlap]] bit for bit while the join shuffle carries only
+    * the matching shingles (plus an fpp-sized sliver) instead of the
+    * whole corpus. At 100 TB this is the decisive shape: the test split
+    * is small and fixed, so a megabyte-scale filter rides to every
+    * corpus scan task and the corpus never shuffles un-pruned. The only
+    * driver materialization is that one scalar filter (`sizeBits`/8
+    * bytes), the same budget class as a broadcast dim.
+    *
+    * The `maxDf` Zipf-head guard applies before the bloom on both sides,
+    * exactly as in [[crossOverlap]], so the pair set it prunes is
+    * unchanged.
+    */
+  def crossOverlapBloom(train: DataFrame, test: DataFrame, idCol: Column,
+                        textCol: Column, shingleN: Int = 3,
+                        minShared: Int = 2, maxDf: Int = Int.MaxValue,
+                        expectedShingles: Long = 1L << 18,
+                        sizeBits: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    def sh(df: DataFrame, side: String) =
+      df.select(idCol.as(side + "_id"),
+        explode(TextFunctions.shingles(textCol, shingleN, distinct = true)).as("sh"))
+    val testSh = sh(test, "test")
+    val trainSh = sh(train, "train")
+    val (t, tr) =
+      if (maxDf == Int.MaxValue) (testSh, trainSh)
+      else {
+        val hot = testSh.select(col("sh")).unionAll(trainSh.select(col("sh")))
+          .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select(col("sh"))
+        (testSh.join(broadcast(hot), Seq("sh"), "left_anti"),
+          trainSh.join(broadcast(hot), Seq("sh"), "left_anti"))
+      }
+    def hashed(c: Column) = GraftBridge.column(
+      XxHash64(Seq(GraftBridge.expression(c)), 42L))
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(GraftBridge.expression(hashed(col("sh"))),
+        Literal(expectedShingles), Literal(sizeBits), 0, 0)
+        .toAggregateExpression()).as("bf")
+    // One serialized filter — bit-OR of executor partials, deterministic.
+    val bf = t.agg(bloomAgg).head.getAs[Array[Byte]](0)
+    val trPruned =
+      if (bf == null) tr.filter(lit(false)) // empty test side: nothing can match
+      else tr.filter(GraftBridge.column(BloomFilterMightContain(
+        Literal(bf, BinaryType), GraftBridge.expression(hashed(col("sh"))))))
+    t.join(trPruned, "sh")
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** EXACT all-pairs shingle-set similarity join at threshold `t`
     * (PPJoin-style prefix filtering) — the deterministic complement to
     * the MinHash/SimHash miners: no probabilistic recall loss, every

@@ -122,6 +122,29 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) == 4L))
   }
 
+  test("crossOverlapBloom matches crossOverlap exactly and plants the might_contain gate") {
+    val split = docs.withColumn("split",
+      graft.operators.TrainData.hashSplit(col("doc_id")))
+    val train = split.filter(col("split") === "train")
+    val test = split.filter(col("split") === "test")
+    val exact = Dedup.crossOverlap(train, test, col("doc_id"), col("text"),
+      minShared = 2, maxDf = 50)
+    val bloom = Dedup.crossOverlapBloom(train, test, col("doc_id"), col("text"),
+      minShared = 2, maxDf = 50)
+    // the bloom gate must actually sit in the plan...
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"))
+    // ...and must not change a single pair or count
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+  }
+
+  test("crossOverlapBloom with an empty test side returns no pairs") {
+    val split = docs.withColumn("split",
+      graft.operators.TrainData.hashSplit(col("doc_id")))
+    val train = split.filter(col("split") === "train")
+    val none = split.filter(lit(false))
+    assert(Dedup.crossOverlapBloom(train, none, col("doc_id"), col("text")).isEmpty)
+  }
+
   test("minhash/simhash hot-bucket cap drops degenerate buckets, keeps real pairs") {
     import spark.implicits._
     // 60 identical boilerplate docs (one degenerate bucket of 60 in every
