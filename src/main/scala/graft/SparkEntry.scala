@@ -666,6 +666,52 @@ object SparkEntry {
         .orderBy(col("label"), col("rn"))
     }),
 
+    // Signed random projection (Johnson–Lindenstrauss): 64-d embeddings
+    // down to 8-d through a fixed ±1 sign matrix both engines derive from
+    // the same integer formula. Projected L2 approximates original L2
+    // within JL distortion at 1/8 the arithmetic and bandwidth — the
+    // first-pass scan shape for 100 TB of vectors. Top-10 in PROJECTED
+    // space; deterministic because the matrix is a compile-time constant,
+    // every chain is left-associated, and ties break on vec_id.
+    "q_rand_proj" -> ((s, dir) => {
+      val qp = VectorFunctions.randProjectQuery(QueryVec.values, 8)
+      val pcols = (0 until 8).map(j =>
+        VectorFunctions.randProjDim(col("embedding"), j, 64).as(s"p$j"))
+      val proj = Tables.embeddings(s, dir)
+        .select(col("vec_id") +: col("label") +: pcols: _*)
+      val pdist = sqrt((0 until 8).map { j =>
+        val dd = col(s"p$j") - lit(qp(j)); dd * dd
+      }.reduceLeft(_ + _)) / lit(math.sqrt(8.0))
+      proj.select(col("vec_id"), col("label"), pdist.as("pdist"))
+        .orderBy(col("pdist"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // Project → candidate → exact rerank: the two-stage ANN every vector
+    // store runs at scale. Stage 1 scans only the 8-d projections
+    // (TakeOrderedAndProject top-50, per-partition heaps); stage 2
+    // reranks the 50 candidates with the exact 64-d distance. The oracle
+    // replays both stages exactly, so the hash certifies the candidate
+    // cut AND the rerank.
+    "knn_rand_proj" -> ((s, dir) => {
+      val qp = VectorFunctions.randProjectQuery(QueryVec.values, 8)
+      val pcols = (0 until 8).map(j =>
+        VectorFunctions.randProjDim(col("embedding"), j, 64).as(s"p$j"))
+      val proj = Tables.embeddings(s, dir)
+        .select(col("vec_id") +: col("label") +: col("embedding") +: pcols: _*)
+      val pdist = sqrt((0 until 8).map { j =>
+        val dd = col(s"p$j") - lit(qp(j)); dd * dd
+      }.reduceLeft(_ + _)) / lit(math.sqrt(8.0))
+      proj.select(col("vec_id"), col("label"), col("embedding"),
+          pdist.as("pdist"))
+        .orderBy(col("pdist"), col("vec_id")).limit(50)
+        .withColumn("distance",
+          VectorFunctions.l2(col("embedding"), typedlit(QueryVec.values)))
+        .select(col("vec_id"), col("label"), col("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+        .limit(10)
+    }),
+
     // ---- Relational surface (north-star beyond the reference; SURVEY.md §2.4/2.8) ----
 
     "q1_pricing" -> ((s, dir) => {
@@ -3726,6 +3772,34 @@ object SparkEntry {
            |         CAST(row_number() OVER (PARTITION BY label ORDER BY distance ASC, vec_id ASC) AS BIGINT) AS rn
            |  FROM (SELECT vec_id, label, $l2 AS distance FROM embeddings)
            |) WHERE rn <= 3 ORDER BY label, rn""".stripMargin,
+
+      "q_rand_proj" ->
+        s"""WITH proj AS (
+           |  SELECT vec_id, label,
+           |${(0 until 8).map(j => s"    (${OracleGen.randProjChain("embedding", j)}) AS p$j").mkString(",\n")}
+           |  FROM embeddings),
+           |qp AS (SELECT
+           |${(0 until 8).map(j => s"    (${OracleGen.randProjQueryChain(j)}) AS q$j").mkString(",\n")})
+           |SELECT vec_id, label,
+           |  sqrt(${(0 until 8).map(j => s"(p$j - q$j) * (p$j - q$j)").mkString(" + ")}) / sqrt(8.0) AS pdist
+           |FROM proj, qp
+           |ORDER BY pdist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      "knn_rand_proj" ->
+        s"""WITH proj AS (
+           |  SELECT vec_id, label, embedding,
+           |${(0 until 8).map(j => s"    (${OracleGen.randProjChain("embedding", j)}) AS p$j").mkString(",\n")}
+           |  FROM embeddings),
+           |qp AS (SELECT
+           |${(0 until 8).map(j => s"    (${OracleGen.randProjQueryChain(j)}) AS q$j").mkString(",\n")}),
+           |cand AS (
+           |  SELECT vec_id, label, embedding,
+           |    sqrt(${(0 until 8).map(j => s"(p$j - q$j) * (p$j - q$j)").mkString(" + ")}) / sqrt(8.0) AS pdist
+           |  FROM proj, qp
+           |  ORDER BY pdist ASC, vec_id ASC LIMIT 50)
+           |SELECT vec_id, label, $l2 AS distance
+           |FROM cand
+           |ORDER BY distance ASC, vec_id ASC LIMIT 10""".stripMargin,
 
       "q1_pricing" ->
         s"""SELECT l_returnflag, l_linestatus,

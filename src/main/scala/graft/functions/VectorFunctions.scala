@@ -74,6 +74,46 @@ object VectorFunctions {
     */
   def dimIs(a: Column, dim: Int): Column = size(a) === lit(dim)
 
+  // ---- signed random projection (Johnson–Lindenstrauss reduction) ----
+
+  /** Deterministic ±1 sign for projection-matrix cell (i, j), both
+    * 0-based — a dense Achlioptas sign matrix derived from a fixed
+    * integer formula, so the SQL oracle (OracleGen.randProjChain)
+    * materializes the identical constant term for term. Distances in the
+    * projected space approximate the originals within JL distortion at
+    * outDim/inDim of the arithmetic and memory bandwidth — the 100 TB
+    * first-pass lever: scan 8-d projections, exact-rerank only a
+    * candidate head.
+    */
+  def randProjSign(i: Int, j: Int): Int =
+    if (((i + 1) * 1315423911L + (j + 1) * 2654435761L) % 4294967296L
+        < 2147483648L) 1 else -1
+
+  /** One projected coordinate: the ±-signed left-associated sum of the
+    * input elements widened to double. Pure built-in arithmetic — stays
+    * inside whole-stage codegen, bit-identical to the oracle's chain
+    * (Catalyst does not reassociate floating-point Add).
+    */
+  def randProjDim(vec: Column, j: Int, inDim: Int): Column =
+    (0 until inDim).map { i =>
+      val e = d(vec(i))
+      if (randProjSign(i, j) > 0) e else -e
+    }.reduceLeft(_ + _)
+
+  /** Full projection as an `ARRAY<DOUBLE>` column. */
+  def randProject(vec: Column, inDim: Int, outDim: Int): Column =
+    array((0 until outDim).map(j => randProjDim(vec, j, inDim)): _*)
+
+  /** Driver-side projection of a constant query vector with the same
+    * left-to-right association the SQL constant chain folds — the
+    * resulting doubles are bit-identical to the oracle's.
+    */
+  def randProjectQuery(q: Seq[Double], outDim: Int): IndexedSeq[Double] =
+    (0 until outDim).map { j =>
+      q.indices.map(i => if (randProjSign(i, j) > 0) q(i) else -q(i))
+        .reduceLeft(_ + _)
+    }
+
   /** Element-wise vector sum aggregate in 1e-12 fixed point — the custom
     * UDAF (TypedImperativeAggregate) surface; order/partitioning-exact.
     */

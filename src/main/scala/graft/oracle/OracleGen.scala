@@ -57,6 +57,29 @@ object OracleGen {
   def cosineToQuery(vecCol: String, dim: Int = QueryVec.dim): String =
     s"(${dotToQuery(vecCol, dim)}) / (sqrt(${normSq(vecCol, dim)}) * sqrt(${queryNormSq(dim)}))"
 
+  /** Signed random-projection chain for output coordinate `j` (0-based),
+    * mirroring VectorFunctions.randProjDim term for term: the ±1 sign
+    * matrix comes from the same integer formula, terms are the casted
+    * elements, association is left-to-right.
+    */
+  def randProjChain(vecCol: String, j: Int, dim: Int = QueryVec.dim): String =
+    (1 to dim).map { k =>
+      val t = elem(vecCol, k)
+      if (graft.functions.VectorFunctions.randProjSign(k - 1, j) > 0) t
+      else s"-($t)"
+    }.mkString(" + ")
+
+  /** The same chain over the deterministic QueryVec's constant terms —
+    * folds to the identical double VectorFunctions.randProjectQuery
+    * computes on the driver.
+    */
+  def randProjQueryChain(j: Int, dim: Int = QueryVec.dim): String =
+    (1 to dim).map { k =>
+      val t = QueryVec.sqlTerm(k)
+      if (graft.functions.VectorFunctions.randProjSign(k - 1, j) > 0) t
+      else s"-($t)"
+    }.mkString(" + ")
+
   /** Dot product between two FLOAT[] columns (for pairwise similarity). */
   def dotCols(a: String, b: String, dim: Int = QueryVec.dim): String =
     chain(dim, k => s"${elem(a, k)} * ${elem(b, k)}")

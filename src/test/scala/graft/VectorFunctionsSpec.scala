@@ -61,4 +61,41 @@ class VectorFunctionsSpec extends SparkSpec {
     val df = Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)).toDF("v")
     assert(df.filter(dimIs($"v", 2)).count() == 1)
   }
+
+  test("random projection: sign matrix is balanced and projection matches driver fold") {
+    import spark.implicits._
+    // roughly half the 64×8 signs should be negative (fixed formula, not random)
+    val neg = (for (i <- 0 until 64; j <- 0 until 8) yield randProjSign(i, j))
+      .count(_ < 0)
+    assert(neg > 64 * 8 / 4 && neg < 64 * 8 * 3 / 4)
+    // projecting a constant vector through the Column chain equals the
+    // driver-side fold bit for bit (same association)
+    val v = (0 until 64).map(i => ((i * 37) % 100) / 100.0 - 0.5)
+    val expected = randProjectQuery(v, 8)
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(randProject($"v", 64, 8)).head.getSeq[Double](0)
+    assert(got == expected)
+  }
+
+  test("random projection preserves L2 within JL distortion on real embeddings") {
+    val emb: Seq[(Long, Seq[Double])] =
+      graft.tables.Tables.embeddings(spark, sf0001)
+        .limit(40).collect().toSeq
+        .map { r =>
+          val i = r.fieldIndex("embedding")
+          (r.getAs[Long]("vec_id"), r.getSeq[Float](i).map(_.toDouble))
+        }
+    def l2d(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    def proj(v: Seq[Double]): Seq[Double] =
+      (0 until 8).map(j => v.indices.map(i =>
+        if (randProjSign(i, j) > 0) v(i) else -v(i)).sum / math.sqrt(8.0))
+    val ratios = for {
+      (ai, av) <- emb; (bi, bv) <- emb if ai < bi
+      orig = l2d(av, bv) if orig > 1e-9
+    } yield l2d(proj(av), proj(bv)) / orig
+    // 8-of-64 JL is coarse; assert the distortion is bounded, not tight
+    assert(ratios.nonEmpty)
+    assert(ratios.count(r => r > 0.2 && r < 3.0).toDouble / ratios.size > 0.95)
+  }
 }
