@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
-import graft.operators.{Ann, Dedup, Knn, Multimodal, Quantize, Rag, TrainData}
+import graft.operators.{Ann, Bpe, Dedup, Knn, Multimodal, Quantize, Rag, TrainData}
 import graft.oracle.OracleGen
 import graft.oracle.OracleGen.QueryVec
 import graft.sources.Mime
@@ -453,6 +453,68 @@ object SparkEntry {
        |  GROUP BY 1, 2 HAVING count(*) >= 5)
        |SELECT test_id, count(*) AS n_train_matches, max(n_shared) AS max_shared
        |FROM pairs GROUP BY test_id ORDER BY test_id""".stripMargin
+
+  /** Unrolled BPE training replay (q_bpe_train / q_bpe_encode): `m` merge
+    * rounds as CTE blocks. Per round t: pair counts over the vocabulary
+    * (p·), the argmax rule (b·, tie-break cnt DESC, l, r), and the greedy
+    * non-overlapping application (pos·..w·) — candidates grouped into
+    * consecutive runs (gaps-and-islands), odd run positions fuse, the
+    * following position is consumed via lag. Run-parity equals the Spark
+    * side's left-to-right fold: overlapping candidates only arise for
+    * lhs==rhs runs, where both semantics fuse alternate pairs, and a
+    * fused token can never re-match as lhs within the pass.
+    * `finalSelect` closes the WITH chain.
+    */
+  private def bpeUnrolledSql(m: Int, finalSelect: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH tok AS (SELECT source, ${OracleGen.toksSql("text")} AS tk FROM documents),
+         |words AS (
+         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY w),
+         |w0 AS (SELECT word, freq,
+         |         list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+         |       FROM words)""".stripMargin)
+    for (t <- 1 to m) {
+      val p = s"w${t - 1}"
+      sb.append(",\n").append(
+        s"""p$t AS (
+           |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+           |        FROM $p WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |b$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
+           |pos$t AS (
+           |  SELECT word, freq, b.l, b.r, syms,
+           |         unnest(range(1, len(syms) + 1)) AS i
+           |  FROM $p, b$t b),
+           |cand$t AS (
+           |  SELECT word, freq, i, syms[i] AS s,
+           |         (i < len(syms) AND syms[i] = l AND syms[i + 1] = r) AS cand
+           |  FROM pos$t),
+           |runs$t AS (
+           |  SELECT *, CASE WHEN cand THEN i - row_number()
+           |      OVER (PARTITION BY word, cand ORDER BY i) ELSE NULL END AS run
+           |  FROM cand$t),
+           |mk$t AS (
+           |  SELECT *, CASE WHEN cand THEN
+           |      row_number() OVER (PARTITION BY word, run ORDER BY i) % 2 = 1
+           |    ELSE FALSE END AS m
+           |  FROM runs$t),
+           |keep$t AS (
+           |  SELECT word, freq, i, s, m,
+           |         lag(m) OVER (PARTITION BY word ORDER BY i) AS consumed,
+           |         lead(s) OVER (PARTITION BY word ORDER BY i) AS nxt
+           |  FROM mk$t),
+           |w$t AS (
+           |  SELECT word, freq,
+           |         list(CASE WHEN m THEN s || nxt ELSE s END ORDER BY i) AS syms
+           |  FROM keep$t WHERE NOT coalesce(consumed, FALSE)
+           |  GROUP BY word, freq)""".stripMargin)
+    }
+    sb.append("\n").append(finalSelect)
+    sb.toString
+  }
 
   /** Unrolled greedy-MMR CTE chain mirroring Rag.mmrSelect (q_mmr): the
     * top-`n` retrieval head, then `k` steps each cross-joining the tiny
@@ -2083,6 +2145,38 @@ object SparkEntry {
     // maximizes over. Narrow self-zip explode + one count aggregation.
     "q_bigrams" -> ((s, dir) => {
       TrainData.bigrams(Tables.documents(s, dir), col("text"), topN = 20)
+    }),
+
+    // FULL distributed BPE tokenizer training (Sennrich 2016): 6 merge
+    // rounds learned from the corpus. The corpus shuffles once into a
+    // word-frequency relation; every round after that is an explode +
+    // keyed aggregation over the VOCABULARY plus a 1-row argmax collect,
+    // and the merge applies as a codegen'd fold over each word's symbol
+    // array. The oracle unrolls the same 6 rounds in SQL (greedy
+    // non-overlapping application via run-parity windows), so the hash
+    // certifies the exact learned rule sequence, counts included.
+    "q_bpe_train" -> ((s, dir) => {
+      val (merges, _) = Bpe.train(Tables.documents(s, dir), col("text"), 6)
+      s.createDataFrame(merges)
+        .select(col("rank"), col("lhs"), col("rhs"), col("cnt"))
+        .orderBy(col("rank"))
+    }),
+
+    // Encode with the learned tokenizer: the final vocabulary relation
+    // carries each word's subword segmentation, so encoding the corpus is
+    // a word-keyed join — no per-document re-segmentation. Output:
+    // per-source word and subword totals (the compression the 6 rules buy).
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (_, vocab) = Bpe.train(docs, col("text"), 6)
+      val enc = vocab.select(col("word"),
+        size(col("syms")).cast("long").as("n_sub"))
+      docs.select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("word"))
+        .join(enc, "word")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+        .orderBy(col("source"))
     }),
 
     // Unigram-LM quality proxy (the classic cheap pretraining filter):
@@ -5042,6 +5136,19 @@ object SparkEntry {
            |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tok))
            |SELECT bigram, count(*) AS n FROM bg
            |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+      "q_bpe_train" -> bpeUnrolledSql(6,
+        (1 to 6).map(t =>
+          s"SELECT CAST($t AS BIGINT) AS rank, l AS lhs, r AS rhs, cnt FROM b$t")
+          .mkString("", "\nUNION ALL\n", "\nORDER BY rank")),
+
+      "q_bpe_encode" -> bpeUnrolledSql(6,
+        s"""SELECT d.source, CAST(count(*) AS BIGINT) AS n_words,
+           |       CAST(sum(e.n_sub) AS BIGINT) AS n_subwords
+           |FROM (SELECT source, unnest(tk) AS word FROM tok) d
+           |JOIN (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub FROM w6) e
+           |  ON d.word = e.word
+           |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
       "q_unigram_lm" ->
         s"""WITH tok AS (
