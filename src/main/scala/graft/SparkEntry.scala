@@ -1519,6 +1519,47 @@ object SparkEntry {
         .orderBy(col("distance").asc, col("vec_id").asc)
     }),
 
+    // Time travel over the versioned store: write v0 (retainHistory),
+    // upsert re-embedded ids (v1), delete every 4th id (v2), compact
+    // (v3); then read EVERY version back through the per-bucket history
+    // resolution and checksum it. The oracle replays each version's row
+    // set relationally, so the hash certifies that historical reads
+    // reconstruct exact states — including v3 == v2 across a compaction
+    // and label/vector changes appearing only from their version on.
+    "q_vector_store_timetravel" -> ((s, dir) => {
+      val path = stagedPath("vector_store_tt_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(path, "_GRAFT_TT").exists()) {
+          val emb = Tables.embeddings(s, dir)
+          graft.operators.VectorStore.write(emb, col("embedding"), path,
+            retainHistory = true)
+          val reemb = emb.filter(col("vec_id") % 3 === 0)
+            .select(col("vec_id"), (col("label") + lit(1000)).as("label"),
+              transform(col("embedding"), x => (x * lit(0.5)).cast("float"))
+                .as("embedding"))
+          graft.operators.VectorStore.upsert(reemb, col("embedding"), path)
+          graft.operators.VectorStore.delete(s, path,
+            emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")))
+          graft.operators.VectorStore.compact(s, path)
+          new java.io.File(path, "_GRAFT_TT").createNewFile()
+        }
+      }
+      require(graft.operators.VectorStore.currentVersion(path) == 3L,
+        "timetravel store must have exactly versions 0..3")
+      (0L to 3L).map { v =>
+        graft.operators.VectorStore.readAsOf(s, path, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("vec_id")).as("sum_id"),
+            sum(col("label")).as("sum_label"),
+            sum(floor(col("embedding")(0).cast("double") * 1000000)
+              .cast("long")).as("emb_fp"))
+          .withColumn("version", lit(v))
+      }.reduce(_.unionByName(_))
+        .select(col("version"), col("n_rows"), col("sum_id"),
+          col("sum_label"), col("emb_fp"))
+        .orderBy(col("version"))
+    }),
+
     "q_vector_store_delete" -> ((s, dir) => {
       val path = stagedPath("vector_store_del_v1", dir)
       this.synchronized {
@@ -1547,7 +1588,7 @@ object SparkEntry {
     // identical post-delete SQL, so a recovery that lost, duplicated, or
     // tore a bucket hash-mismatches.
     "q_vector_store_recover" -> ((s, dir) => {
-      val path = stagedPath("vector_store_rec_v1", dir)
+      val path = stagedPath("vector_store_rec_v2", dir)
       this.synchronized {
         if (!new java.io.File(path, "_GRAFT_RECOVERED").exists()) {
           import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -1568,7 +1609,8 @@ object SparkEntry {
             if (!Files.exists(src)) Files.createDirectories(src)
           }
           val intentTmp = Paths.get(path, "_COMMIT_STAGING")
-          Files.write(intentTmp, ("__deleting" +: affected.map(_.toString)).asJava)
+          Files.write(intentTmp,
+            ("__deleting" +: "-" +: affected.map(_.toString)).asJava)
           Files.move(intentTmp, Paths.get(path, "_COMMIT"),
             StandardCopyOption.ATOMIC_MOVE)
           // the writer dies here: intent logged, nothing swapped yet
@@ -4382,6 +4424,42 @@ object SparkEntry {
            |WHERE bucket IN ($probes)
            |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
       },
+
+      // relational replay of every committed version: v0 = the initial
+      // corpus, v1 = after the %3 re-embed upsert, v2 = after the %4
+      // delete, v3 = compaction (row-identical to v2 by contract)
+      "q_vector_store_timetravel" ->
+        s"""WITH base AS (
+           |  SELECT vec_id, label, CAST(embedding[1] AS DOUBLE) AS e0
+           |  FROM embeddings),
+           |upd AS (
+           |  SELECT vec_id,
+           |    CASE WHEN vec_id % 3 = 0 THEN label + 1000 ELSE label END AS label,
+           |    CASE WHEN vec_id % 3 = 0
+           |         THEN CAST(CAST(CAST(e0 AS FLOAT) AS DOUBLE) * 0.5 AS FLOAT)
+           |         ELSE CAST(e0 AS FLOAT) END AS e0f
+           |  FROM base),
+           |v0 AS (SELECT vec_id, label, e0 FROM base),
+           |v1 AS (SELECT vec_id, label, CAST(e0f AS DOUBLE) AS e0 FROM upd),
+           |v2 AS (SELECT * FROM v1 WHERE vec_id % 4 <> 0),
+           |agg AS (
+           |  SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+           |         sum(vec_id) AS sum_id, sum(label) AS sum_label,
+           |         sum(CAST(floor(e0 * 1000000) AS BIGINT)) AS emb_fp FROM v0
+           |  UNION ALL
+           |  SELECT CAST(1 AS BIGINT), count(*), sum(vec_id), sum(label),
+           |         sum(CAST(floor(e0 * 1000000) AS BIGINT)) FROM v1
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT), count(*), sum(vec_id), sum(label),
+           |         sum(CAST(floor(e0 * 1000000) AS BIGINT)) FROM v2
+           |  UNION ALL
+           |  SELECT CAST(3 AS BIGINT), count(*), sum(vec_id), sum(label),
+           |         sum(CAST(floor(e0 * 1000000) AS BIGINT)) FROM v2)
+           |SELECT version, CAST(n_rows AS BIGINT) AS n_rows,
+           |       CAST(sum_id AS BIGINT) AS sum_id,
+           |       CAST(sum_label AS BIGINT) AS sum_label,
+           |       CAST(emb_fp AS BIGINT) AS emb_fp
+           |FROM agg ORDER BY version""".stripMargin,
 
       // post-delete store == fresh write of the surviving corpus; the
       // leftover-victims count asserts the tombstoning actually removed

@@ -26,11 +26,46 @@ object VectorStore {
 
   /** Write (idCol, vecCol, carry...) partitioned by LSH bucket. Keeps all
     * input columns plus `bucket`.
+    *
+    * `retainHistory = true` turns on TIME TRAVEL for the store: every
+    * subsequent committed rewrite (upsert/delete/compact) advances a
+    * version counter and parks the replaced bucket directories under
+    * `_history/<version>/` instead of deleting them, so [[readAsOf]] /
+    * [[queryL2AsOf]] can reconstruct any committed version exactly. The
+    * initial write is version 0. History cost is proportional to the
+    * buckets each commit actually rewrites (untouched buckets are never
+    * copied — the live dir simply remains the state for every version),
+    * the same per-bucket granularity the commit protocol already has.
     */
   def write(df: DataFrame, vecCol: Column, path: String,
-            numPlanes: Int = 4, dim: Int = 64): Unit =
+            numPlanes: Int = 4, dim: Int = 64,
+            retainHistory: Boolean = false): Unit = {
     df.withColumn("bucket", Ann.bucketOf(vecCol, numPlanes, dim))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    if (retainHistory) {
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(path, "_RETAIN"))
+      writeVersionFile(path, 0L)
+    }
+  }
+
+  // ---- time travel (versioned stores) ----
+
+  private def isVersioned(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_RETAIN"))
+
+  /** Latest committed version of a versioned store. */
+  def currentVersion(path: String): Long =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_VERSION")).trim.toLong
+
+  private def writeVersionFile(path: String, n: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path, "_VERSION_TMP")
+    Files.writeString(tmp, n.toString)
+    Files.move(tmp, Paths.get(path, "_VERSION"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Append new vectors into an existing store, idempotent on `idName`:
     * rows whose id is already present are dropped (anti-join against the
@@ -104,18 +139,34 @@ object VectorStore {
   }
 
   /** Idempotent per-bucket swap: for each affected bucket, park the old
-    * dir inside the stage dir and rename the staged dir into place. Both
-    * renames are atomic same-filesystem moves; a re-run (recovery) skips
-    * buckets whose staged dir is already gone.
+    * dir — into `_history/<version>/` on a versioned store (time travel
+    * retention), into the doomed stage dir otherwise — and rename the
+    * staged dir into place. All renames are atomic same-filesystem
+    * moves; a re-run (recovery) skips buckets whose staged dir is
+    * already gone, and a bucket already parked (history entry present,
+    * live dir gone) just completes its swap-in. A bucket BORN at this
+    * commit parks an explicit empty history dir, recording that it did
+    * not exist before — readAsOf of an earlier version excludes it.
     */
-  private def completeSwap(path: String, tmp: String, affected: Seq[Int]): Unit = {
+  private def completeSwap(path: String, tmp: String, affected: Seq[Int],
+                           history: Option[String]): Unit = {
     import java.nio.file.{Files, Paths}
+    history.foreach(h => Files.createDirectories(Paths.get(h)))
     affected.foreach { b =>
       val dst = Paths.get(path, s"bucket=$b")
       val src = Paths.get(tmp, s"bucket=$b")
       if (Files.exists(src)) {
-        if (Files.exists(dst))
-          Files.move(dst, Paths.get(tmp, s"old_bucket=$b"))
+        history match {
+          case Some(h) =>
+            val park = Paths.get(h, s"bucket=$b")
+            if (!Files.exists(park)) {
+              if (Files.exists(dst)) Files.move(dst, park)
+              else Files.createDirectories(park)
+            }
+          case None =>
+            if (Files.exists(dst))
+              Files.move(dst, Paths.get(tmp, s"old_bucket=$b"))
+        }
         Files.move(src, dst)
       }
     }
@@ -142,10 +193,16 @@ object VectorStore {
         s"$path has an unfinished commit (stale _COMMIT intent) — a writer " +
           "crashed mid-swap or is still running; run VectorStore.recover " +
           "before writing (single-writer-at-a-time store)")
+    // versioned store: this commit's number rides in the intent so a
+    // crashed swap recovers into the SAME history slot
+    val versionOpt = if (isVersioned(path)) Some(currentVersion(path) + 1) else None
+    val vLine = versionOpt.map(n => s"v$n").getOrElse("-")
     val intentTmp = Paths.get(path, "_COMMIT_STAGING")
-    Files.write(intentTmp, (sfx +: affected.map(_.toString)).asJava)
+    Files.write(intentTmp, (sfx +: vLine +: affected.map(_.toString)).asJava)
     Files.move(intentTmp, intent, StandardCopyOption.ATOMIC_MOVE)
-    completeSwap(path, tmp, affected)
+    completeSwap(path, tmp, affected,
+      versionOpt.map(n => s"$path/_history/$n"))
+    versionOpt.foreach(n => writeVersionFile(path, n))
     deleteRec(Paths.get(tmp))
     Files.deleteIfExists(intent)
   }
@@ -163,11 +220,17 @@ object VectorStore {
     if (Files.exists(intent)) {
       val lines = Files.readAllLines(intent).asScala.toSeq
       val tmp = path + lines.head
-      val affected = lines.tail.map(_.toInt)
+      val versionOpt = lines(1) match {
+        case v if v.startsWith("v") => Some(v.tail.toLong)
+        case _ => None
+      }
+      val affected = lines.drop(2).map(_.toInt)
       if (Files.exists(Paths.get(tmp))) {
-        completeSwap(path, tmp, affected)
+        completeSwap(path, tmp, affected,
+          versionOpt.map(n => s"$path/_history/$n"))
         deleteRec(Paths.get(tmp))
       }
+      versionOpt.foreach(n => writeVersionFile(path, n))
       Files.deleteIfExists(intent)
     }
     Files.deleteIfExists(Paths.get(path, "_COMMIT_STAGING"))
@@ -261,6 +324,83 @@ object VectorStore {
         .write.mode("overwrite").partitionBy("bucket").parquet(path + sfx)
       commitSwap(path, sfx, affected)
     }
+  }
+
+  /** Read a versioned store AS OF committed `version` (time travel).
+    *
+    * Per-bucket resolution, no log replay: bucket b's state at version v
+    * is the copy parked by the EARLIEST commit n > v that touched b
+    * (`_history/n/bucket=b` — an empty dir if b was born at n), or the
+    * live directory if no later commit touched it. Each resolved
+    * directory is one pruned parquet scan; the union is over at most
+    * 2^numPlanes branches, so time travel costs the same as reading the
+    * store plus nothing — history is never scanned beyond the buckets
+    * that actually changed after v.
+    *
+    * `buckets` restricts resolution to the given bucket ids (the probe
+    * path) — unprobed buckets are neither resolved nor scanned.
+    */
+  def readAsOf(spark: SparkSession, path: String, version: Long,
+               buckets: Option[Seq[Int]] = None): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    require(isVersioned(path), s"$path is not a versioned store " +
+      "(write(..., retainHistory = true))")
+    val cur = currentVersion(path)
+    require(version >= 0 && version <= cur,
+      s"version $version out of range [0, $cur]")
+    def bucketId(name: String): Int = name.stripPrefix("bucket=").toInt
+    val live = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(f => bucketId(f.getName)).toSet
+    // (bucket, earliest parking commit > version) → that commit's parked dir
+    val histRoot = new java.io.File(path, "_history")
+    val parked = scala.collection.mutable.Map.empty[Int, Long]
+    Option(histRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).foreach { nDir =>
+        val n = nDir.getName.toLong
+        if (n > version)
+          Option(nDir.listFiles()).getOrElse(Array.empty)
+            .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+            .foreach { d =>
+              val b = bucketId(d.getName)
+              if (!parked.get(b).exists(_ <= n)) parked(b) = n
+            }
+      }
+    val all = (live ++ parked.keys).toSeq.sorted
+    val wanted = buckets match {
+      case Some(bs) => all.filter(bs.toSet)
+      case None => all
+    }
+    val frames = wanted.flatMap { b =>
+      val dir =
+        if (parked.contains(b)) Paths.get(path, "_history",
+          parked(b).toString, s"bucket=$b")
+        else Paths.get(path, s"bucket=$b")
+      val hasData = Files.exists(dir) &&
+        Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+          .exists(_.getName.endsWith(".parquet"))
+      if (hasData)
+        Some(spark.read.parquet(dir.toString).withColumn("bucket", lit(b)))
+      else None
+    }
+    if (frames.isEmpty)
+      spark.read.parquet(path).limit(0)
+    else frames.reduce(_.unionByName(_))
+  }
+
+  /** [[queryL2]] against a historical version: probes resolve against
+    * the as-of state and only the probed buckets are resolved/scanned.
+    */
+  def queryL2AsOf(spark: SparkSession, path: String, vecName: String,
+                  idName: String, query: Seq[Double], k: Int, version: Long,
+                  numPlanes: Int = 4, multiProbe: Boolean = true): DataFrame = {
+    val probes =
+      if (multiProbe) Ann.probesOf(query, numPlanes)
+      else Seq(Ann.bucketOfQuery(query, numPlanes))
+    readAsOf(spark, path, version, Some(probes.map(_.toInt)))
+      .withColumn("distance", l2(col(vecName), typedlit(query)))
+      .orderBy(col("distance").asc, col(idName).asc)
+      .limit(k)
   }
 
   /** Partition-pruned L2 top-k against a written store. `multiProbe`

@@ -252,7 +252,7 @@ class ScaleLayoutSpec extends SparkSpec {
     }
     // ... log the intent (step 2) ...
     val intentTmp = Paths.get(out, "_COMMIT_STAGING")
-    NF.write(intentTmp, ("__deleting" +: affected.map(_.toString)).asJava)
+    NF.write(intentTmp, ("__deleting" +: "-" +: affected.map(_.toString)).asJava)
     NF.move(intentTmp, Paths.get(out, "_COMMIT"), StandardCopyOption.ATOMIC_MOVE)
     // ... swap ONLY the first bucket (step 3 dies here)
     val b0 = affected.head
@@ -283,7 +283,7 @@ class ScaleLayoutSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft_vs_stale").toFile.getAbsolutePath + "/store"
     val emb = Tables.embeddings(spark, sf0001)
     VectorStore.write(emb, col("embedding"), out)
-    NF.write(Paths.get(out, "_COMMIT"), java.util.List.of("__deleting", "0"))
+    NF.write(Paths.get(out, "_COMMIT"), java.util.List.of("__deleting", "-", "0"))
     // the crashed writer's certified stage must survive the refusal — the
     // guard has to fire BEFORE the new writer's stage write would clobber it
     NF.createDirectories(Paths.get(out + "__deleting"))
@@ -297,6 +297,89 @@ class ScaleLayoutSpec extends SparkSpec {
     VectorStore.recover(out) // clears the (tmp-less) stale intent
     VectorStore.delete(spark, out, emb.limit(5).select(col("vec_id")))
     assert(spark.read.parquet(out).count() == emb.count() - 5)
+  }
+
+  test("VectorStore time travel: every committed version reads back exactly") {
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_tt").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb, col("embedding"), out, retainHistory = true)
+    assert(VectorStore.currentVersion(out) == 0L)
+    val v0 = VectorStore.readAsOf(spark, out, 0L).count()
+    assert(v0 == emb.count())
+
+    val reemb = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), (col("label") + lit(1000)).as("label"),
+        transform(col("embedding"), x => (x * lit(0.5)).cast("float"))
+          .as("embedding"))
+    VectorStore.upsert(reemb, col("embedding"), out)
+    assert(VectorStore.currentVersion(out) == 1L)
+    VectorStore.delete(spark, out,
+      emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")))
+    assert(VectorStore.currentVersion(out) == 2L)
+    VectorStore.compact(spark, out)
+    assert(VectorStore.currentVersion(out) == 3L)
+
+    // v0 unchanged by all later rewrites: no +1000 labels anywhere
+    val asOf0 = VectorStore.readAsOf(spark, out, 0L)
+    assert(asOf0.count() == v0)
+    assert(asOf0.filter(col("label") >= 1000).count() == 0)
+    // v1 carries the upsert but still has the %4 ids
+    val asOf1 = VectorStore.readAsOf(spark, out, 1L)
+    assert(asOf1.filter(col("label") >= 1000).count() ==
+      emb.filter(col("vec_id") % 3 === 0).count())
+    assert(asOf1.filter(col("vec_id") % 4 === 0).count() > 0)
+    // v2 == v3 == live, row for row (compaction is row-identical)
+    val live = spark.read.parquet(out)
+    Seq(2L, 3L).foreach { v =>
+      val asOf = VectorStore.readAsOf(spark, out, v)
+      assert(asOf.exceptAll(live).isEmpty && live.exceptAll(asOf).isEmpty,
+        s"version $v must equal the live store")
+    }
+    // probed historical query agrees with brute force over the as-of state
+    val probed = VectorStore.queryL2AsOf(spark, out, "embedding", "vec_id",
+      graft.oracle.OracleGen.QueryVec.values, 3, 0L)
+    assert(probed.count() == 3)
+    // out-of-range version refuses
+    intercept[IllegalArgumentException] {
+      VectorStore.readAsOf(spark, out, 4L)
+    }
+  }
+
+  test("VectorStore time travel: a crashed versioned commit recovers into its history slot") {
+    import java.nio.file.{Files => NF, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_ttcrash").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb, col("embedding"), out, retainHistory = true)
+    val victims = emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"))
+    val survivors = emb.filter(col("vec_id") % 4 =!= 0).count()
+
+    // stage a delete by hand and crash before ANY swap (intent logged)
+    val store = spark.read.parquet(out)
+    val affected = store.join(victims, Seq("vec_id"), "left_semi")
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val tmp = out + "__deleting"
+    store.filter(col("bucket").isin(affected: _*))
+      .join(victims, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    affected.foreach { b =>
+      val src = Paths.get(tmp, s"bucket=$b")
+      if (!NF.exists(src)) NF.createDirectories(src)
+    }
+    val intentTmp = Paths.get(out, "_COMMIT_STAGING")
+    NF.write(intentTmp, ("__deleting" +: "v1" +: affected.map(_.toString)).asJava)
+    NF.move(intentTmp, Paths.get(out, "_COMMIT"), StandardCopyOption.ATOMIC_MOVE)
+
+    VectorStore.recover(out)
+    // rolled forward: live = post-delete, version advanced, v0 intact
+    assert(VectorStore.currentVersion(out) == 1L)
+    assert(spark.read.parquet(out).count() == survivors)
+    val asOf0 = VectorStore.readAsOf(spark, out, 0L)
+    assert(asOf0.count() == emb.count(),
+      "pre-delete state must be reachable through the recovered history slot")
+    assert(!NF.exists(Paths.get(out, "_COMMIT")) && !NF.exists(Paths.get(tmp)))
   }
 
   test("VectorStore: an orphan stage with no logged intent is discarded") {
