@@ -3617,6 +3617,76 @@ object SparkEntry {
         "join_" + Integer.toHexString(dir.hashCode))
     }),
 
+    // Stream-stream LEFT OUTER interval join: purchases that saw no error
+    // within the hour emit with NULL error columns — but only once the
+    // watermark proves no match can still arrive, so the tail of the
+    // stream would otherwise sit in state forever. A flush-sentinel file
+    // (one far-future purchase + error pair, event_id = -1, filtered out
+    // of the result) pushes the watermark past every real row; the
+    // drained result then equals the batch left join exactly.
+    "q_stream_left_join" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0, partitions = 4)
+      val schema = Tables.events(s, dir).schema
+      val staged = graft.streaming.Streaming.stageSplitSourceWithFlush(
+        s, dir, "events", "ts", "flushlj",
+        (df, mx) => df.limit(1).select(
+          lit(-1L).as("event_id"),
+          lit(mx + 365L * 24 * 3600 * 1000000000L).as("ts"),
+          lit(-1L).as("user_id"),
+          explode(array(lit("purchase"), lit("error"))).as("event_type"),
+          lit(0.0).as("value"), lit("").as("props")))
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+          timestamp_micros(expr("ts div 1000")).as("p_ts"))
+      val errors = src.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("e_event"),
+          timestamp_micros(expr("ts div 1000")).as("e_ts"))
+      val joined = graft.streaming.Streaming.intervalJoinKeys(
+          purchases, errors, "p_user", "e_user", "p_ts", "e_ts",
+          within = "1 hour", watermarkDelay = "2 hours",
+          joinType = "left_outer")
+        .select(col("p_user").as("user_id"), col("p_event"), col("e_event"),
+          unix_micros(col("p_ts")).as("p_us"), unix_micros(col("e_ts")).as("e_us"))
+      // the sentinel filter must run on the DRAINED result, not in the
+      // stream: as a left-side predicate Catalyst would push it below the
+      // purchase-side EventTimeWatermark node, which then never sees the
+      // sentinel and pins the min-policy watermark forever (measured:
+      // the last watermark-delay's worth of null rows never flushed)
+      graft.streaming.Streaming.drainAppendToParquet(joined,
+          "ljoin_" + Integer.toHexString(dir.hashCode))
+        .filter(col("p_event") =!= -1L)
+    }),
+
+    // At-least-once ingest dedup (dropDuplicatesWithinWatermark): every
+    // event is delivered TWICE — the original and a retransmit one minute
+    // later with the same event_id (the classic at-least-once delivery
+    // shape). The watermarked dedup emits each id exactly once and keeps
+    // state only within the watermark horizon, unlike dropDuplicates
+    // whose state grows forever. Projecting only columns identical
+    // across the two copies makes the output deterministic regardless of
+    // which copy wins the race inside a micro-batch.
+    "q_stream_dedup_wm" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val schema = Tables.events(s, dir).schema
+      val staged = graft.streaming.Streaming.stageSplitSource(s, dir, "events", "ts")
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val once = src.select(col("event_id"), col("user_id"),
+        col("event_type"), timestamp_micros(expr("ts div 1000")).as("ts_t"))
+      val retrans = src.select(col("event_id"), col("user_id"),
+        col("event_type"),
+        (timestamp_micros(expr("ts div 1000")) +
+          expr("INTERVAL 1 MINUTE")).as("ts_t"))
+      val deduped = once.unionByName(retrans)
+        .withWatermark("ts_t", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      graft.streaming.Streaming.drainAppendToParquet(deduped,
+        "dedupwm_" + Integer.toHexString(dir.hashCode))
+    }),
+
     // Streaming ingest-and-embed (the reference's E1 pipeline as a
     // stream): file-source documents → hash-embed (stateless narrow
     // stage, identical code to the batch path) → append drain. One row
@@ -5894,6 +5964,22 @@ object SparkEntry {
           | AND p.event_type = 'purchase' AND e.event_type = 'error'
           | AND epoch_us(e.ts) >= epoch_us(p.ts)
           | AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000""".stripMargin,
+
+      // the flush sentinel makes the streaming left join total: its
+      // result is the plain batch left join, nulls included
+      "q_stream_left_join" ->
+        """SELECT p.user_id AS user_id, p.event_id AS p_event,
+          |  e.event_id AS e_event,
+          |  epoch_us(p.ts) AS p_us, epoch_us(e.ts) AS e_us
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          |  ON e.user_id = p.user_id
+          | AND epoch_us(e.ts) >= epoch_us(p.ts)
+          | AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000""".stripMargin,
+
+      // doubled delivery collapses back to the event set
+      "q_stream_dedup_wm" ->
+        "SELECT event_id, user_id, event_type FROM events",
 
       "q_stream_merge" ->
         """WITH latest AS (

@@ -181,6 +181,68 @@ object Streaming {
     out
   }
 
+  /** stageSplitSource variant that APPENDS FLUSH-SENTINEL FILES: two
+    * extra final micro-batches whose rows carry event times far past the
+    * stream's end, pushing every watermark past all real rows. Outer-join
+    * null emission and watermark-based state eviction only happen once
+    * the watermark passes a row; without the sentinels, rows near the
+    * stream's end would sit in state forever (the drain ends with the
+    * watermark trailing the last batch). TWO sentinel batches because the
+    * watermark computed from batch N's max event time is only APPLIED in
+    * batch N+1 — the first sentinel raises it, the second gives the
+    * engine a batch to evict and emit under it (an AvailableNow drain
+    * does not reliably run a trailing no-data batch; measured: the last
+    * watermark-delay's worth of unmatched rows stayed unflushed with one
+    * sentinel). `mkSentinel(df, maxOrder)` builds the sentinel rows
+    * (same schema as the table) and is called with two different
+    * maxOrder values; the caller must make the rows identifiable and
+    * filter them out of the result.
+    */
+  def stageSplitSourceWithFlush(s: org.apache.spark.sql.SparkSession,
+                                sfDir: String, table: String, orderCol: String,
+                                tag: String,
+                                mkSentinel: (DataFrame, Long) => DataFrame,
+                                splits: Int = 3): String = {
+    import java.nio.file.{Files, Paths}
+    val out = graft.tables.Staging.stagedPath(
+      s"stream_${table}_${tag}_${splits}f_v3", sfDir)
+    this.synchronized {
+      if (!Files.exists(Paths.get(out, "_GRAFT_DONE"))) {
+        val outP = Paths.get(out)
+        Files.createDirectories(outP)
+        val df = s.read.parquet(s"$sfDir/$table.parquet")
+        val mm = df.agg(min(col(orderCol)).cast("long"),
+          max(col(orderCol)).cast("long")).head()
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val width = (mx - mn) / splits + 1
+        val base = System.currentTimeMillis()
+        def writeSplit(i: Int, part: DataFrame): Unit = {
+          import scala.jdk.CollectionConverters._
+          val tmp = Files.createTempDirectory("graft_split").toString
+          part.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = Files.list(Paths.get(tmp)).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written for split $i"))
+          val dst = outP.resolve(f"split-$i%04d.parquet")
+          Files.move(f, dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        }
+        (0 until splits).foreach { i =>
+          val lo = mn + width * i
+          writeSplit(i, df.filter(col(orderCol).cast("long") >= lo &&
+            (if (i == splits - 1) lit(true)
+             else col(orderCol).cast("long") < lo + width)))
+        }
+        (0 until 3).foreach { j =>
+          writeSplit(splits + j, mkSentinel(df, mx + j * 3600L * 1000000000L))
+        }
+        Files.createFile(Paths.get(out, "_GRAFT_DONE"))
+      }
+    }
+    out
+  }
+
   /** Drain a streaming DataFrame to completion through a DISTRIBUTED sink:
     * Trigger.AvailableNow processes everything currently available, and
     * each micro-batch's foreachBatch writes the full Complete-mode state to
@@ -599,13 +661,15 @@ object Streaming {
                        leftKey: String, rightKey: String,
                        leftTs: String, rightTs: String,
                        within: String = "1 hour",
-                       watermarkDelay: String = "2 hours"): DataFrame = {
+                       watermarkDelay: String = "2 hours",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
     l.join(r,
       l(leftKey) === r(rightKey) &&
         r(rightTs) >= l(leftTs) &&
-        r(rightTs) <= l(leftTs) + org.apache.spark.sql.functions.expr(s"INTERVAL $within"))
+        r(rightTs) <= l(leftTs) + org.apache.spark.sql.functions.expr(s"INTERVAL $within"),
+      joinType)
   }
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)
