@@ -2873,6 +2873,22 @@ object SparkEntry {
         .orderBy(col("r").desc, col("id")).limit(20)
     }),
 
+    // Exact triangle count of the part-co-occurrence graph (parts sharing
+    // an order). Degree orientation bounds every out-degree by O(√m), so
+    // the wedge join is O(m^1.5) worst-case — the optimum for exact
+    // counting — and a Zipf-head hub can never make it quadratic. Each
+    // triangle is counted exactly once (only one of its nodes out-points
+    // to the other two under the total order); everything integer-exact.
+    "q_triangles" -> ((s, dir) => {
+      val po = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = po.as("x")
+        .join(po.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.operators.Graph.triangleCount(edges)
+    }),
+
     // Convergence-STOPPED PageRank on the l_partkey ≤ 500 symmetrized
     // subgraph: rounds run until the exact fixed-point L1 delta
     // Σ|trunc(r'·1e15) − trunc(r·1e15)| is ≤ 4e14 (or 10 rounds) — the
@@ -5650,6 +5666,27 @@ object SparkEntry {
           |ORDER BY label, pos""".stripMargin,
 
       "q_pagerank" -> pagerankOracleSql(iters = 3),
+
+      "q_triangles" ->
+        """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |und AS (SELECT DISTINCT x.p AS a, y.p AS b
+          |        FROM po x JOIN po y ON x.o = y.o AND x.p < y.p),
+          |deg AS (SELECT n, count(*) AS d FROM
+          |          (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+          |        GROUP BY n),
+          |dir AS (
+          |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+          |              THEN u.a ELSE u.b END AS u,
+          |         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+          |              THEN u.b ELSE u.a END AS v
+          |  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+          |wedges AS (SELECT x.u, x.v AS p, y.v AS q
+          |           FROM dir x JOIN dir y ON x.u = y.u AND x.v < y.v),
+          |tri AS (SELECT count(*) AS n FROM wedges w
+          |        WHERE EXISTS (SELECT 1 FROM und e WHERE e.a = w.p AND e.b = w.q))
+          |SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+          |       CAST((SELECT count(*) FROM wedges) AS BIGINT) AS n_wedges,
+          |       CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles""".stripMargin,
 
       "q_pagerank_converged" ->
         pagerankConvergedOracleSql(maxIters = 10, tolFp = 400000000000000L),

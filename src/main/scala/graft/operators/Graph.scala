@@ -240,4 +240,52 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle counting by degree orientation — the clustering /
+    * community-density statistic of a co-occurrence graph, computed in
+    * the shape that survives 100 TB of edges.
+    *
+    * `edges` is an undirected edge list; it is canonicalized
+    * ((least, greatest), distinct, loops dropped) first. Each edge is
+    * then ORIENTED from its (degree, id)-smaller endpoint to the larger
+    * one. The classic bound: every out-degree under this orientation is
+    * O(√m), so the wedge join (pairs of out-neighbors of one node) emits
+    * O(m^1.5) candidates worst-case — the optimum for exact counting —
+    * instead of the Σ deg² a random orientation risks on a power-law
+    * graph (one celebrity node would otherwise generate quadratic
+    * wedges). Each triangle is counted exactly once: under a total
+    * order, exactly one of its three nodes has out-edges to both others.
+    * Shuffles: canonical distinct, one degree aggregation, two keyed
+    * joins on the wedge apex, one keyed join closing the wedge. No
+    * cartesian anywhere; everything integer-exact.
+    *
+    * Output: one row (n_edges, n_wedges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val dir = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("v"))
+    val x = dir.select(col("u"), col("v").as("p"))
+    val y = dir.select(col("u"), col("v").as("q"))
+    val wedges = x.join(y, Seq("u")).filter(col("p") < col("q"))
+    val tris = wedges.join(und,
+      wedges("p") === und("a") && wedges("q") === und("b"), "left_semi")
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(tris.agg(count(lit(1)).as("n_triangles"))))
+  }
 }

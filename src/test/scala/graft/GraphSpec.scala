@@ -155,6 +155,29 @@ class GraphSpec extends SparkSpec {
     assert(k2 == k)
   }
 
+  test("triangle count: K4, path, and hub graphs") {
+    import spark.implicits._
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = Graph.triangleCount(edges.toDF("src", "dst")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // K4: 6 edges, 4 triangles
+    val k4 = for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j)
+    assert(tri(k4) == ((6L, 4L, 4L)))
+    // path 1-2-3-4: 3 edges, no triangles
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L)))._3 == 0L)
+    // star hub + one rim edge: exactly 1 triangle, wedges stay linear in
+    // rim size (degree orientation points rim→hub, so the hub is never a
+    // wedge apex over its whole neighborhood)
+    val star = (2L to 30L).map(i => (1L, i)) :+ (2L, 3L)
+    val (e, w, t) = tri(star)
+    assert(e == 30L && t == 1L)
+    assert(w < 60L, s"degree orientation must keep hub wedges bounded, got $w")
+    // duplicate/reversed/self edges canonicalize away
+    assert(tri(Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))) ==
+      ((3L, 1L, 1L)))
+  }
+
   test("converged pagerank hits the cap when tolerance is unreachable") {
     import spark.implicits._
     val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
