@@ -32,11 +32,19 @@ object Bench {
       // failures are reported as -1, never as a (fast-looking) elapsed time
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // Local-iteration filter, mirroring Verify's: comma-separated names.
+    // Absent (the driver's invocation) = bench everything.
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
     // Two passes, per-query min: this box intermittently stalls machine-wide
     // (identical code measured 34 s and 1031 s in round 2) — min-of-2 erases
     // any transient stall that hits a single pass.
-    val pass1 = SparkEntry.queries.map { case (n, fn) => n -> timeOnce(n, fn) }
-    val pass2 = SparkEntry.queries.map { case (n, fn) => n -> timeOnce(n, fn) }
+    val pass1 = selected.map { case (n, fn) => n -> timeOnce(n, fn) }
+    val pass2 = selected.map { case (n, fn) => n -> timeOnce(n, fn) }
     val results = pass1.map { case (n, t1) =>
       val valid = Seq(t1, pass2(n)).filter(_ >= 0)
       n -> (if (valid.isEmpty) -1.0 else valid.min)
@@ -61,9 +69,11 @@ object Bench {
     //      tail is cut, whole chunks survive,
     //  (c) stdout ENDS with one compact summary line (total + slowest
     //      queries) that always fits and always parses.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
+    // a filtered local run must not clobber the committed full artifact
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val entries = results.toSeq.sortBy(_._1)
       .map { case (n, t) => s"\"$n\":${r3(t)}" }

@@ -2873,6 +2873,60 @@ object SparkEntry {
         .orderBy(col("r").desc, col("id")).limit(20)
     }),
 
+    // Recursive-CTE transitive closure (WITH RECURSIVE, new SQL surface
+    // in Spark 4): 3-hop BFS from part 1 over the symmetrized
+    // part-supplier graph — per reached node, its minimum hop distance
+    // and how many levels it appears on. The recursive step dedups its
+    // frontier (SELECT DISTINCT), so each level is bounded by the node
+    // count — enumerating the raw walk multiset instead grows with
+    // degree^depth and is the classic recursive-query scale-killer (6 s
+    // at sf0.1 vs 1 s deduped; unbounded at 100 TB). Both engines run
+    // the semantically identical depth-bounded recursion.
+    "q_transitive_closure" -> ((s, dir) => {
+      val p = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      // pinned: the recursive term re-evaluates its source relation every
+      // level — without the cut, each BFS level re-runs the lineitem scan
+      // + distinct shuffle (3× the dominant cost; at 100 TB, 3 full table
+      // scans for a 3-hop query). Iterate over materialized edges.
+      val edges = p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      edges.createOrReplaceTempView("graft_tc_edges")
+      s.sql("""WITH RECURSIVE reach AS (
+        |  SELECT CAST(2 AS BIGINT) AS id, 0 AS d
+        |  UNION ALL
+        |  SELECT DISTINCT e.dst AS id, r.d + 1 AS d
+        |  FROM reach r JOIN graft_tc_edges e ON e.src = r.id
+        |  WHERE r.d < 3)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist,
+        |       CAST(count(*) AS BIGINT) AS n_levels
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin)
+    }),
+
+    // Pipeline observability (Dataset.observe): metrics accumulated ON
+    // the scan while the job runs — no second pass over the data, the
+    // production shape for row-count/checksum audits of an ingest at
+    // 100 TB (a separate audit query would double the read). The
+    // returned frame is built from the observed metrics; the oracle
+    // recomputes them relationally, proving the observer saw every row.
+    "q_observe_metrics" -> ((s, dir) => {
+      val obs = new org.apache.spark.sql.Observation()
+      val li = Tables.lineitem(s, dir).observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(dec12)).as("sum_qty"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r_flag"))
+      // the action that streams rows past the observe point
+      val nShipped = li.filter(col("l_linestatus") === "F").count()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[java.math.BigDecimal].doubleValue(),
+        m("n_r_flag").asInstanceOf[Long],
+        nShipped))
+        .toDF("n_rows", "sum_qty", "n_r_flag", "n_f_status")
+    }),
+
     // Exact triangle count of the part-co-occurrence graph (parts sharing
     // an order). Degree orientation bounds every out-degree by O(√m), so
     // the wedge join is O(m^1.5) worst-case — the optimum for exact
@@ -5666,6 +5720,28 @@ object SparkEntry {
           |ORDER BY label, pos""".stripMargin,
 
       "q_pagerank" -> pagerankOracleSql(iters = 3),
+
+      "q_transitive_closure" ->
+        """WITH RECURSIVE pp AS (
+          |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          |  FROM lineitem),
+          |edges AS (SELECT src, dst FROM pp UNION ALL SELECT dst, src FROM pp),
+          |reach AS (
+          |  SELECT CAST(2 AS BIGINT) AS id, 0 AS d
+          |  UNION ALL
+          |  SELECT DISTINCT e.dst AS id, r.d + 1 AS d
+          |  FROM reach r JOIN edges e ON e.src = r.id
+          |  WHERE r.d < 3)
+          |SELECT id, CAST(min(d) AS BIGINT) AS dist,
+          |       CAST(count(*) AS BIGINT) AS n_levels
+          |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+      "q_observe_metrics" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r_flag,
+          |  CAST((SELECT count(*) FROM lineitem WHERE l_linestatus = 'F') AS BIGINT) AS n_f_status
+          |FROM lineitem""".stripMargin,
 
       "q_triangles" ->
         """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -367,10 +367,16 @@ object Dedup {
     val (t, tr) =
       if (maxDf == Int.MaxValue) (testSh, trainSh)
       else {
+        // pinned (localCheckpoint): the hot set feeds BOTH the bloom-build
+        // action and the final join pipeline — without the cut, the
+        // corpus-wide shingle-df aggregation (the one full-corpus shuffle
+        // here) would run twice, once per job. The set itself is tiny by
+        // construction (df > maxDf survivors of a Zipf head).
         val hot = testSh.select(col("sh")).unionAll(trainSh.select(col("sh")))
           .groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf)
           .select(col("sh"))
+          .localCheckpoint()
         (testSh.join(broadcast(hot), Seq("sh"), "left_anti"),
           trainSh.join(broadcast(hot), Seq("sh"), "left_anti"))
       }

@@ -371,17 +371,23 @@ object VectorStore {
       case Some(bs) => all.filter(bs.toSet)
       case None => all
     }
-    val frames = wanted.flatMap { b =>
-      val dir =
-        if (parked.contains(b)) Paths.get(path, "_history",
-          parked(b).toString, s"bucket=$b")
-        else Paths.get(path, s"bucket=$b")
+    // one scan per SOURCE ROOT, not per bucket: buckets resolving to the
+    // same root (the live store, or one history version) read in a single
+    // basePath-anchored call, so partition inference restores the bucket
+    // column and the plan has O(#commits) scans instead of O(#buckets)
+    val byRoot = wanted.flatMap { b =>
+      val (root, dir) =
+        if (parked.contains(b))
+          (Paths.get(path, "_history", parked(b).toString),
+            Paths.get(path, "_history", parked(b).toString, s"bucket=$b"))
+        else (Paths.get(path), Paths.get(path, s"bucket=$b"))
       val hasData = Files.exists(dir) &&
         Option(dir.toFile.listFiles()).getOrElse(Array.empty)
           .exists(_.getName.endsWith(".parquet"))
-      if (hasData)
-        Some(spark.read.parquet(dir.toString).withColumn("bucket", lit(b)))
-      else None
+      if (hasData) Some(root.toString -> dir.toString) else None
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+    val frames = byRoot.map { case (root, dirs) =>
+      spark.read.option("basePath", root).parquet(dirs: _*)
     }
     if (frames.isEmpty)
       spark.read.parquet(path).limit(0)

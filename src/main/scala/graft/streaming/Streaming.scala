@@ -205,7 +205,7 @@ object Streaming {
                                 splits: Int = 3): String = {
     import java.nio.file.{Files, Paths}
     val out = graft.tables.Staging.stagedPath(
-      s"stream_${table}_${tag}_${splits}f_v3", sfDir)
+      s"stream_${table}_${tag}_${splits}f_v4", sfDir)
     this.synchronized {
       if (!Files.exists(Paths.get(out, "_GRAFT_DONE"))) {
         val outP = Paths.get(out)
@@ -234,7 +234,7 @@ object Streaming {
             (if (i == splits - 1) lit(true)
              else col(orderCol).cast("long") < lo + width)))
         }
-        (0 until 3).foreach { j =>
+        (0 until 2).foreach { j =>
           writeSplit(splits + j, mkSentinel(df, mx + j * 3600L * 1000000000L))
         }
         Files.createFile(Paths.get(out, "_GRAFT_DONE"))
