@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
-import graft.operators.{Ann, Bpe, Dedup, Knn, Multimodal, Quantize, Rag, TrainData}
+import graft.operators.{Ann, Bpe, Dedup, Knn, Multimodal, Pq, Quantize, Rag, TrainData}
 import graft.oracle.OracleGen
 import graft.oracle.OracleGen.QueryVec
 import graft.sources.Mime
@@ -324,6 +324,98 @@ object SparkEntry {
          |    x -> CAST(floor(x * 1000000.0) AS BIGINT))) AS BIGINT) AS cent_fp
          |  FROM c$iters) cf ON a.cid = cf.cid
          |GROUP BY a.cid, cf.cent_fp ORDER BY a.cid""".stripMargin)
+    sb.toString
+  }
+
+  /** Product-quantization replay (q_pq_knn): per subspace j, the same
+    * unrolled Lloyd CTE chain as kmeansCtesSql but over embedding
+    * positions [j·subDim+1, (j+1)·subDim] (seeds from the sliced lowest
+    * ids, assignment via the offset L2 chain, updates through the
+    * identical 1e-12 fixed-point sums), then the PQ pipeline: encode =
+    * per-subspace argmin against the FINAL centroids ranked by squared
+    * distance with cid tie-break (mirroring Pq.codeFor's struct-min),
+    * qd = the ADC table (squared L2 from the query slice to each
+    * centroid, the exact chain Pq.adcTables folds on the driver), adc =
+    * the codes' table entries summed left-to-right in subspace order,
+    * and the final recall check against the exact top-10.
+    */
+  private def pqOracleSql(m: Int, subDim: Int, k: Int, iters: Int,
+                          shortlist: Int = 50): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ")
+    for (j <- 0 until m) {
+      val lo = j * subDim
+      val p = s"s$j"
+      if (j > 0) sb.append(",\n")
+      sb.append(
+        s"""${p}seeds AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           |    list_transform(range(1, ${subDim + 1}),
+           |      i -> CAST(embedding[CAST(i + $lo AS INTEGER)] AS DOUBLE)) AS cvec
+           |  FROM embeddings ORDER BY vec_id LIMIT $k)""".stripMargin)
+      var prev = s"${p}seeds"
+      for (it <- 1 to iters) {
+        sb.append(
+          s""",
+             |${p}d$it AS (
+             |  SELECT e.vec_id, e.embedding, c.cid,
+             |    ${OracleGen.l2FloatColsOffset("e.embedding", "c.cvec", lo, subDim)} AS dist
+             |  FROM embeddings e CROSS JOIN $prev c),
+             |${p}a$it AS (
+             |  SELECT vec_id, embedding, cid FROM (
+             |    SELECT vec_id, embedding, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |    FROM ${p}d$it) WHERE rn = 1),
+             |${p}c${it}p AS (
+             |  SELECT cid, i AS pos, count(*) AS n,
+             |    CAST(sum(CAST(floor(CAST(embedding[CAST(i + $lo AS INTEGER)] AS DOUBLE)
+             |        * 1000000000000.0) AS BIGINT)) AS BIGINT) AS sum_fp
+             |  FROM ${p}a$it, range(1, ${subDim + 1}) t(i)
+             |  GROUP BY cid, i),
+             |${p}c$it AS (
+             |  SELECT cid,
+             |    list(CAST(sum_fp AS DOUBLE) / 1000000000000.0 / n ORDER BY pos) AS cvec
+             |  FROM ${p}c${it}p GROUP BY cid)""".stripMargin)
+        prev = s"${p}c$it"
+      }
+      sb.append(
+        s""",
+           |${p}enc AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${OracleGen.l2SqFloatColsOffset("e.embedding", "c.cvec", lo, subDim)}, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN ${p}c$iters c) WHERE rn = 1),
+           |${p}qd AS (
+           |  SELECT cid,
+           |    ${OracleGen.l2SqToQueryOffset("cvec", lo, subDim)} AS d
+           |  FROM ${p}c$iters)""".stripMargin)
+    }
+    val encJoins = (1 until m)
+      .map(j => s"JOIN s${j}enc e$j USING (vec_id)").mkString(" ")
+    val qdJoins = (0 until m)
+      .map(j => s"JOIN s${j}qd q$j ON q$j.cid = e$j.cid").mkString(" ")
+    val adcSum = (0 until m).map(j => s"q$j.d").mkString(" + ")
+    sb.append(
+      s""",
+         |adc AS (
+         |  SELECT e0.vec_id, $adcSum AS adc
+         |  FROM s0enc e0 $encJoins $qdJoins),
+         |short AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT $shortlist),
+         |pq10 AS (
+         |  SELECT e.vec_id FROM embeddings e JOIN short USING (vec_id)
+         |  ORDER BY ${OracleGen.l2ToQuery("e.embedding")} ASC, e.vec_id ASC LIMIT 10),
+         |exact AS (
+         |  SELECT vec_id FROM embeddings
+         |  ORDER BY ${OracleGen.l2ToQuery("embedding")} ASC, vec_id ASC LIMIT 10),
+         |hits AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM pq10 JOIN exact USING (vec_id))
+         |SELECT 'pq_adc_m${m}_k${k}_rerank$shortlist' AS method,
+         |  CAST(h.n AS DOUBLE) / 10 AS recall_at_10,
+         |  CAST(0.5 AS DOUBLE) AS min_recall,
+         |  CAST(h.n AS DOUBLE) / 10 >= CAST(0.5 AS DOUBLE) AS recall_ok,
+         |  CAST(32.0 AS DOUBLE) AS compression_x
+         |FROM hits h""".stripMargin)
     sb.toString
   }
 
@@ -3158,6 +3250,41 @@ object SparkEntry {
           (col("n_hits").cast("double") / 10 >= lit(0.5)).as("recall_ok"))
     }),
 
+    // Product-quantization ANN (graft.operators.Pq): train 8 per-subspace
+    // 16-centroid codebooks with the deterministic Lloyd, encode every
+    // vector to 8 one-byte codes (32× compression vs float32), shortlist
+    // by the ADC distance (per-subspace query→centroid tables, summed
+    // over codes — the scan reads codes, not vectors), then exact-rerank
+    // ONLY the 100-row shortlist and check recall@10 against the exact
+    // KNN. This shortlist-then-rerank is the production IVF-PQ shape: at
+    // 100 TB the full-vector read happens for 100 rows, the other 10⁹
+    // rows cost 8 bytes + 8 table lookups each; composes with the IVF
+    // layout (q_ivf_layout) for candidate pruning on top.
+    "q_pq_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val books = Pq.train(emb, col("vec_id"), col("embedding"),
+        m = 8, subDim = 8, k = 16, iters = 2)
+      val coded = Pq.encode(emb, col("embedding"), books, subDim = 8)
+      val dtabs = Pq.adcTables(QueryVec.values, books, subDim = 8)
+      val short = coded.withColumn("adc", Pq.adcColumn(dtabs))
+        .orderBy(col("adc").asc, col("vec_id").asc).limit(100)
+        .select(col("vec_id"))
+      val pq10 = emb.join(short, Seq("vec_id"), "left_semi")
+        .withColumn("distance",
+          VectorFunctions.l2(col("embedding"), typedlit(QueryVec.values)))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      val exact = Knn.knn(emb, col("embedding"), col("vec_id"),
+        QueryVec.values, 10, Knn.L2).select(col("vec_id"))
+      pq10.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit("pq_adc_m8_k16_rerank100").as("method"),
+          (col("n_hits").cast("double") / 10).as("recall_at_10"),
+          lit(0.5).as("min_recall"),
+          (col("n_hits").cast("double") / 10 >= lit(0.5)).as("recall_ok"),
+          lit(32.0).as("compression_x"))
+    }),
+
     // IR evaluation metrics for the batch ANN path: per query, MRR
     // (reciprocal rank of the first exact-top-5 hit) and nDCG@5 of
     // ann_join's ranking against the exact top-5 as relevance. DCG terms
@@ -4879,6 +5006,8 @@ object SparkEntry {
            |  CAST(0.5 AS DOUBLE) AS min_recall,
            |  CAST(h.n AS DOUBLE) / 10 >= CAST(0.5 AS DOUBLE) AS recall_ok
            |FROM hits h""".stripMargin,
+
+      "q_pq_knn" -> pqOracleSql(m = 8, subDim = 8, k = 16, iters = 2, shortlist = 100),
 
       "q_retrieval_metrics" -> {
         val wfp = dcgWeightFp(5)

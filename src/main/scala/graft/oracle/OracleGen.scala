@@ -100,6 +100,38 @@ object OracleGen {
     "sqrt(" + chain(dim,
       k => s"(${elem(a, k)} - ${elem(b, k)}) * (${elem(a, k)} - ${elem(b, k)})") + ")"
 
+  // ---- product quantization (mirrors graft.operators.Pq) ----
+
+  /** L2 distance between subspace `[lo+1, lo+subDim]` of FLOAT[] column
+    * `a` and a subDim-element DOUBLE[] codebook column `b` — the
+    * training-assignment chain of the per-subspace Lloyd.
+    */
+  def l2FloatColsOffset(a: String, b: String, lo: Int, subDim: Int): String =
+    "sqrt(" + (1 to subDim).map { k =>
+      val e = s"CAST($a[${lo + k}] AS DOUBLE)"
+      s"($e - CAST($b[$k] AS DOUBLE)) * ($e - CAST($b[$k] AS DOUBLE))"
+    }.mkString(" + ") + ")"
+
+  /** Squared variant (no sqrt) — the PQ encode argmin and ADC entries
+    * rank by squared distance (monotone, so the argmin and its ties are
+    * identical).
+    */
+  def l2SqFloatColsOffset(a: String, b: String, lo: Int, subDim: Int): String =
+    (1 to subDim).map { k =>
+      val e = s"CAST($a[${lo + k}] AS DOUBLE)"
+      s"($e - CAST($b[$k] AS DOUBLE)) * ($e - CAST($b[$k] AS DOUBLE))"
+    }.mkString(" + ")
+
+  /** Squared L2 from a subDim-element DOUBLE[] codebook column to the
+    * QueryVec's subspace slice — the ADC table entry (Pq.adcTables'
+    * driver chain term for term: (c - q)·(c - q), left-associated).
+    */
+  def l2SqToQueryOffset(cvecCol: String, lo: Int, subDim: Int): String =
+    (1 to subDim).map { k =>
+      val q = QueryVec.sqlTerm(lo + k)
+      s"($cvecCol[$k] - $q) * ($cvecCol[$k] - $q)"
+    }.mkString(" + ")
+
   // ---- hash-embedding oracle (mirrors graft.expressions.HashEmbed) ----
 
   private def hv(t: String, pos: Int): String =
