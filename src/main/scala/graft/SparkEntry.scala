@@ -3471,6 +3471,44 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // Declarative data-quality expectations (graft.operators.DataQuality)
+    // — the admission gate of a training pipeline, over three tables:
+    // all row-level rules per table fuse into ONE scan, uniqueness is a
+    // count-distinct aggregate, referential integrity a broadcast
+    // anti-join. Rule mix is chosen so some PASS and some genuinely FAIL
+    // on this corpus (tax cap, value cap, status set) — the audit must
+    // prove it detects, not just that the data is clean.
+    "q_dq_audit" -> ((s, dir) => {
+      import graft.operators.DataQuality
+      import graft.operators.DataQuality.RowRule
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val ev = Tables.events(s, dir)
+      DataQuality.audit(Seq(
+        DataQuality.rowAudit(li, Seq(
+          RowRule("li_quantity_range",
+            col("l_quantity").isNull ||
+              col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+          RowRule("li_tax_cap",
+            col("l_tax").isNull || col("l_tax") > 0.05),
+          RowRule("li_shipdate_not_null", col("l_shipdate").isNull))),
+        DataQuality.rowAudit(ord, Seq(
+          RowRule("ord_status_accepted",
+            col("o_orderstatus").isNull ||
+              !col("o_orderstatus").isin("O", "F")),
+          RowRule("ord_totalprice_positive",
+            col("o_totalprice").isNull || col("o_totalprice") <= 0.0))),
+        DataQuality.rowAudit(ev, Seq(
+          RowRule("ev_value_cap",
+            col("value").isNull || col("value") > 400.0))),
+        DataQuality.uniqueAudit(ord, "ord_orderkey_unique", col("o_orderkey")),
+        DataQuality.uniqueAudit(ev, "ev_event_id_unique", col("event_id")),
+        DataQuality.fkAudit("li_orderkey_fk", li, col("l_orderkey"),
+          ord, col("o_orderkey")),
+        DataQuality.fkAudit("ev_user_fk", ev, col("user_id"),
+          Tables.customer(s, dir), col("c_custkey"))))
+    }),
+
     // The ANALYZE scale path: HLL-sketch NDV per column (mergeable, no
     // Expand) with a tracked within-5% flag against the exact NDV.
     "q_table_stats_approx" -> ((s, dir) => {
@@ -6044,6 +6082,65 @@ object SparkEntry {
           |  wf AS (PARTITION BY o_custkey ORDER BY o_us ASC, o_orderkey ASC
           |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
           |ORDER BY o_custkey, rn""".stripMargin,
+
+      "q_dq_audit" ->
+        """WITH li AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |    CAST(coalesce(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+          |      OR l_quantity > 50.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_qty,
+          |    CAST(coalesce(sum(CASE WHEN l_tax IS NULL OR l_tax > 0.05
+          |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_tax,
+          |    CAST(coalesce(sum(CASE WHEN l_shipdate IS NULL
+          |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_ship
+          |  FROM lineitem),
+          |ord AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |    CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL
+          |      OR o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END), 0)
+          |      AS BIGINT) AS v_status,
+          |    CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL
+          |      OR o_totalprice <= 0.0 THEN 1 ELSE 0 END), 0)
+          |      AS BIGINT) AS v_price
+          |  FROM orders),
+          |ev AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |    CAST(coalesce(sum(CASE WHEN value IS NULL OR value > 400.0
+          |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_val
+          |  FROM events),
+          |uq_ord AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd FROM orders),
+          |uq_ev AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(count(DISTINCT event_id) AS BIGINT) AS nd FROM events),
+          |fk_li AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS nv,
+          |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n
+          |  FROM lineitem l WHERE NOT EXISTS (
+          |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+          |fk_ev AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS nv,
+          |    (SELECT CAST(count(*) AS BIGINT) FROM events) AS n
+          |  FROM events e WHERE NOT EXISTS (
+          |    SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+          |SELECT * FROM (
+          |  SELECT 'li_quantity_range' AS rule, v_qty AS n_violations,
+          |    n_rows, v_qty = 0 AS pass FROM li
+          |  UNION ALL SELECT 'li_tax_cap', v_tax, n_rows, v_tax = 0 FROM li
+          |  UNION ALL SELECT 'li_shipdate_not_null', v_ship, n_rows,
+          |    v_ship = 0 FROM li
+          |  UNION ALL SELECT 'ord_status_accepted', v_status, n_rows,
+          |    v_status = 0 FROM ord
+          |  UNION ALL SELECT 'ord_totalprice_positive', v_price, n_rows,
+          |    v_price = 0 FROM ord
+          |  UNION ALL SELECT 'ev_value_cap', v_val, n_rows, v_val = 0 FROM ev
+          |  UNION ALL SELECT 'ord_orderkey_unique', n - nd, n,
+          |    n - nd = 0 FROM uq_ord
+          |  UNION ALL SELECT 'ev_event_id_unique', n - nd, n,
+          |    n - nd = 0 FROM uq_ev
+          |  UNION ALL SELECT 'li_orderkey_fk', nv, n, nv = 0 FROM fk_li
+          |  UNION ALL SELECT 'ev_user_fk', nv, n, nv = 0 FROM fk_ev)
+          |ORDER BY rule""".stripMargin,
 
       "q_table_stats" -> {
         def num(c: String) =
