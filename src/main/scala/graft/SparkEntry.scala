@@ -327,6 +327,45 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Label-propagation replay (q_label_prop): unrolls `iters` synchronous
+    * rounds on the symmetrized part co-occurrence graph. Per round: the
+    * vote multiset is every in-neighbor's label plus the node's own
+    * (self-vote), the new label the row_number-1 winner under
+    * (count DESC, label ASC) — the same integer argmax Spark computes as
+    * max(struct(n, -lbl)). All-integer rounds replay exactly.
+    */
+  private def labelPropOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey <= 300),
+        |und AS (
+        |  SELECT DISTINCT x.p AS src, y.p AS dst
+        |  FROM po x JOIN po y ON x.o = y.o WHERE x.p < y.p),
+        |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+        |l0 AS (SELECT id, id AS lbl FROM (SELECT DISTINCT src AS id FROM edges))""".stripMargin)
+    for (it <- 1 to iters) {
+      sb.append(
+        s""",
+           |v$it AS (
+           |  SELECT e.dst AS id, l.lbl FROM edges e JOIN l${it - 1} l ON l.id = e.src
+           |  UNION ALL SELECT id, lbl FROM l${it - 1}),
+           |c$it AS (SELECT id, lbl, count(*) AS n FROM v$it GROUP BY id, lbl),
+           |l$it AS (
+           |  SELECT id, lbl FROM (
+           |    SELECT id, lbl,
+           |      row_number() OVER (PARTITION BY id ORDER BY n DESC, lbl ASC) AS rn
+           |    FROM c$it) WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+         |FROM l$iters GROUP BY lbl
+         |ORDER BY n_members DESC, community ASC LIMIT 20""".stripMargin)
+    sb.toString
+  }
+
   /** Product-quantization replay (q_pq_knn): per subspace j, the same
     * unrolled Lloyd CTE chain as kmeansCtesSql but over embedding
     * positions [j·subDim+1, (j+1)·subDim] (seeds from the sliced lowest
@@ -3052,6 +3091,31 @@ object SparkEntry {
       graft.operators.Graph.pagerankConverged(edges, maxIters = 10,
           tolFp = 400000000000000L)
         .orderBy(col("r").desc, col("id")).limit(20)
+    }),
+
+    // Label-propagation community detection (Graph.labelPropagation) on
+    // the part CO-OCCURRENCE graph (parts sharing an order, the
+    // q_triangles relation — unipartite; LPA on the bipartite
+    // part–supplier graph degenerates into the 2-coloring oscillation):
+    // 3 synchronous rounds of adopt-the-most-frequent-neighbor-label
+    // with self-vote damping and smallest-label tie-break (fully
+    // integer, so every round replays exactly in SQL). Output: the 20
+    // largest communities. Complements connected components
+    // (reachability) with density-based structure — the
+    // corpus-organization primitive for source clustering.
+    "q_label_prop" -> ((s, dir) => {
+      val po = Tables.lineitem(s, dir)
+        .filter(col("l_partkey") <= 300)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = po.as("x").join(po.as("y"), Seq("o"))
+        .filter(col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+      val edges = und.unionAll(
+        und.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.labelPropagation(edges, iters = 3)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+        .select(col("lbl").as("community"), col("n_members"))
+        .orderBy(col("n_members").desc, col("community").asc).limit(20)
     }),
 
     // PageRank over the DIRECTED part→supplier graph: every supplier node
@@ -5933,6 +5997,7 @@ object SparkEntry {
 
       "q_pagerank_converged" ->
         pagerankConvergedOracleSql(maxIters = 10, tolFp = 400000000000000L),
+      "q_label_prop" -> labelPropOracleSql(iters = 3),
       "q_pagerank_dangling" -> pagerankDanglingOracleSql(iters = 3),
       "q_pagerank_personalized" -> pagerankPersonalizedOracleSql(iters = 3),
 

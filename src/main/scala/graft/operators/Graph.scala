@@ -288,4 +288,47 @@ object Graph {
       .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
       .crossJoin(broadcast(tris.agg(count(lit(1)).as("n_triangles"))))
   }
+
+  /** Label-propagation community detection (Raghavan et al. 2007), the
+    * modularity-free community operator that complements connected
+    * components (Dedup.connectedComponents finds REACHABILITY classes;
+    * LPA finds DENSITY classes inside one component): every node starts
+    * as its own label, and each synchronous round adopts the most
+    * frequent label among its neighbors plus its own current label (the
+    * self-vote damps the 2-cycle oscillation synchronous LPA exhibits on
+    * bipartite graphs), ties to the SMALLEST label — which makes every
+    * round, and therefore the fixed-round result, fully deterministic in
+    * any partitioning (plain integer counts, integer tie-break; the SQL
+    * oracle replays rounds verbatim).
+    *
+    * Scale shape per round: one equi-join of the edge relation with the
+    * n-row label relation (shuffle on src), one (id, label) count, one
+    * per-id argmax — the same message-passing round as [[pagerank]],
+    * with the label relation cut per round (it feeds both the join and
+    * the self-vote union, so it would otherwise be computed twice).
+    *
+    * Input cols `src`, `dst` (directed; symmetrize first for undirected
+    * semantics). Output: (id, label) after `iters` rounds.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       stage: Stage = Stage.Local): DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one round")
+    val e = stage.cut(edges.select(col("src"), col("dst"))
+      .repartition(col("src")), "lpa_edges")
+    var labels = stage.cut(
+      e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+        .distinct().select(col("id"), col("id").as("lbl")), "lpa_l0")
+    for (it <- 1 to iters) {
+      val votes = e.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+        .unionAll(labels)
+      val next = votes.groupBy(col("id"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("lbl"))
+      labels = stage.cut(next, s"lpa_l$it")
+    }
+    labels
+  }
 }

@@ -178,6 +178,32 @@ class GraphSpec extends SparkSpec {
       ((3L, 1L, 1L)))
   }
 
+  test("label propagation finds the two cliques of a barbell graph") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {10,11,12} joined by one bridge 3–10
+    val e0 = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("src", "dst")
+    val edges = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
+    val out = Graph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 6)
+    // each clique converges to one label, and the cliques stay distinct
+    assert(Set(out(1L), out(2L)).size == 1)
+    assert(Set(out(10L), out(11L), out(12L)).size == 1)
+    assert(out(1L) != out(11L))
+  }
+
+  test("label propagation is deterministic across repartitionings") {
+    import spark.implicits._
+    val e0 = (1L to 40L).flatMap { i =>
+      Seq((i, (i % 20) + 1), (i, ((i * 7) % 20) + 1))
+    }.filter { case (a, b) => a != b }.toDF("src", "dst")
+    val edges = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
+    def run(parts: Int) = Graph.labelPropagation(edges.repartition(parts),
+      iters = 3).orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(2) == run(13))
+  }
+
   test("converged pagerank hits the cap when tolerance is unreachable") {
     import spark.implicits._
     val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
