@@ -2362,6 +2362,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Bigram-LM fluency (TrainData.bigramLmScore): average conditional
+    // bigram likelihood in exact integer fixed point — the curation
+    // signal unigram frequency misses (shuffled text keeps its unigram
+    // score, loses this one). No log anywhere, so the score itself is
+    // hash-checked, not a tolerance band.
+    "q_bigram_lm" -> ((s, dir) => {
+      TrainData.bigramLmScore(Tables.documents(s, dir), col("doc_id"),
+          col("text"))
+        .orderBy(col("id"))
+    }),
+
     // PII scrubbing (the redaction pass a shareable corpus needs): plant
     // a deterministic email + phone per document, redact both with
     // RE2-safe patterns (identical under Java regex and DuckDB RE2), and
@@ -5608,6 +5619,25 @@ object SparkEntry {
            |  CAST(CAST(sum(tf.tf) AS BIGINT) * 1000 // count(*) AS BIGINT) AS lm_fp
            |FROM tok JOIN tf USING (tok)
            |GROUP BY id ORDER BY id""".stripMargin,
+
+      "q_bigram_lm" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id AS id, ${OracleGen.toksSql("text")} AS tk
+           |  FROM documents),
+           |pr AS (
+           |  SELECT id,
+           |    unnest(list_transform(range(0, len(tk) - 1), i -> tk[i+1])) AS w1,
+           |    unnest(list_transform(range(0, len(tk) - 1),
+           |      i -> tk[i+1] || ' ' || tk[i+2])) AS bg
+           |  FROM tok WHERE len(tk) >= 2),
+           |c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY w1),
+           |c12 AS (SELECT bg, count(*) AS c12 FROM pr GROUP BY bg),
+           |scored AS (
+           |  SELECT pr.id, CAST(c12.c12 * 1000000 // c1.c1 AS BIGINT) AS p_fp
+           |  FROM pr JOIN c12 USING (bg) JOIN c1 USING (w1))
+           |SELECT id, count(*) AS n_pairs, CAST(sum(p_fp) AS BIGINT) AS sum_p_fp,
+           |  CAST(CAST(sum(p_fp) AS BIGINT) // count(*) AS BIGINT) AS bigram_lm_fp
+           |FROM scored GROUP BY id ORDER BY id""".stripMargin,
 
       "q_pii_scrub" ->
         """WITH d AS (

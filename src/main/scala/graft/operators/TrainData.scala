@@ -239,6 +239,41 @@ object TrainData {
       .withColumn("lm_fp", expr("sum_tf * 1000 DIV n_tok"))
   }
 
+  /** Bigram-LM fluency scorer — the conditional twin of
+    * [[unigramLmScore]]: per document, the average corpus-conditional
+    * bigram likelihood c(w₁w₂)/c(w₁·) in 1e-6 fixed point (integer
+    * division end to end — no log, no float association, exact in any
+    * partitioning). Unigram frequency scores WHAT words a document uses;
+    * this scores whether they follow each other the way the corpus does
+    * — shuffled or garbled text keeps its unigram score and loses this
+    * one, which is why curation stacks run both.
+    *
+    * Shape: one narrow self-zip per document (no materialized n-gram
+    * blowup), two count aggregations (bigram table, bigram-prefix
+    * table), two equi-joins back, one per-doc aggregation. The Zipf head
+    * of both count tables is absorbed by map-side partial aggregation.
+    * Output: (id, n_pairs, sum_p_fp, bigram_lm_fp) per document with ≥ 2
+    * tokens.
+    */
+  def bigramLmScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    import graft.functions.TextFunctions
+    val tks = df.select(idCol.as("id"), TextFunctions.tokens(textCol).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pairs = tks.select(col("id"),
+      explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c12 = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    pairs.join(c12, "bg").join(c1, "w1")
+      .withColumn("p_fp", expr("c12 * 1000000 DIV c1"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("p_fp")).as("sum_p_fp"))
+      .withColumn("bigram_lm_fp", expr("sum_p_fp DIV n_pairs"))
+  }
+
   /** Adjacent-token-pair (bigram) frequencies — the merge-candidate
     * statistic of a BPE-training round (the highest-count adjacent pair
     * is the next merge). One narrow zip of each token list with its own

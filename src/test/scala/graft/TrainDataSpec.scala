@@ -199,6 +199,26 @@ class TrainDataSpec extends SparkSpec {
     assert(out(3L)._3 < out(1L)._3 && out(3L)._3 < out(2L)._3)
   }
 
+  test("bigramLmScore: fluent pairs score high, shuffled text drops") {
+    import spark.implicits._
+    // corpus bigrams: "the cat"=2, "cat sat"=2, "cat the"=1;
+    // prefix counts: the·=2, cat·=3
+    val docs = Seq(
+      (1L, "the cat sat"),      // p(cat|the)=2/2, p(sat|cat)=2/3 -> (1000000 + 666666)/2
+      (2L, "the cat sat"),
+      (3L, "cat the cat")       // p(the|cat)=1/3, p(cat|the)=2/2 -> (333333 + 1000000)/2
+    ).toDF("id", "t")
+    val out = TrainData.bigramLmScore(docs, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 1666666L, 833333L)))
+    assert(out(1L) == out(2L))
+    assert(out(3L) == ((2L, 1333333L, 666666L)))
+    // the fluency property: the corpus-frequent word order outscores the
+    // shuffled one even though both use exactly the same words
+    assert(out(3L)._3 < out(1L)._3)
+  }
+
   test("hash buckets and folds match unbounded math past the Long wrap point") {
     import spark.implicits._
     // id * 2654435761 overflows Long for ids >= ~3.47e9 (ANSI mode would
