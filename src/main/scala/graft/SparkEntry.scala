@@ -378,10 +378,11 @@ object SparkEntry {
     * the codes' table entries summed left-to-right in subspace order,
     * and the final recall check against the exact top-10.
     */
-  private def pqOracleSql(m: Int, subDim: Int, k: Int, iters: Int,
-                          shortlist: Int = 50): String = {
+  /** The per-subspace PQ CTE block (training, final-centroid encode,
+    * ADC tables) shared by q_pq_knn and q_ivf_pq.
+    */
+  private def pqCtesSql(m: Int, subDim: Int, k: Int, iters: Int): String = {
     val sb = new StringBuilder
-    sb.append("WITH ")
     for (j <- 0 until m) {
       val lo = j * subDim
       val p = s"s$j"
@@ -439,23 +440,74 @@ object SparkEntry {
       s""",
          |adc AS (
          |  SELECT e0.vec_id, $adcSum AS adc
-         |  FROM s0enc e0 $encJoins $qdJoins),
-         |short AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT $shortlist),
-         |pq10 AS (
-         |  SELECT e.vec_id FROM embeddings e JOIN short USING (vec_id)
-         |  ORDER BY ${OracleGen.l2ToQuery("e.embedding")} ASC, e.vec_id ASC LIMIT 10),
-         |exact AS (
-         |  SELECT vec_id FROM embeddings
-         |  ORDER BY ${OracleGen.l2ToQuery("embedding")} ASC, vec_id ASC LIMIT 10),
-         |hits AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n FROM pq10 JOIN exact USING (vec_id))
-         |SELECT 'pq_adc_m${m}_k${k}_rerank$shortlist' AS method,
-         |  CAST(h.n AS DOUBLE) / 10 AS recall_at_10,
-         |  CAST(0.5 AS DOUBLE) AS min_recall,
-         |  CAST(h.n AS DOUBLE) / 10 >= CAST(0.5 AS DOUBLE) AS recall_ok,
-         |  CAST(32.0 AS DOUBLE) AS compression_x
-         |FROM hits h""".stripMargin)
+         |  FROM s0enc e0 $encJoins $qdJoins)""".stripMargin)
     sb.toString
+  }
+
+  private def pqOracleSql(m: Int, subDim: Int, k: Int, iters: Int,
+                          shortlist: Int = 50): String =
+    s"""WITH ${pqCtesSql(m, subDim, k, iters)},
+       |short AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT $shortlist),
+       |pq10 AS (
+       |  SELECT e.vec_id FROM embeddings e JOIN short USING (vec_id)
+       |  ORDER BY ${OracleGen.l2ToQuery("e.embedding")} ASC, e.vec_id ASC LIMIT 10),
+       |exact AS (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY ${OracleGen.l2ToQuery("embedding")} ASC, vec_id ASC LIMIT 10),
+       |hits AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM pq10 JOIN exact USING (vec_id))
+       |SELECT 'pq_adc_m${m}_k${k}_rerank$shortlist' AS method,
+       |  CAST(h.n AS DOUBLE) / 10 AS recall_at_10,
+       |  CAST(0.5 AS DOUBLE) AS min_recall,
+       |  CAST(h.n AS DOUBLE) / 10 >= CAST(0.5 AS DOUBLE) AS recall_ok,
+       |  CAST(32.0 AS DOUBLE) AS compression_x
+       |FROM hits h""".stripMargin
+
+  /** IVF-PQ replay (q_ivf_pq): the pqCtesSql block for codes + ADC, the
+    * static-centroid cell assignment of ivfProbeOracleSql for the IVF
+    * prune, shortlist restricted to the probed cells, exact rerank of
+    * the shortlist, recall + candidate count against the full exact
+    * top-10.
+    */
+  private def ivfPqOracleSql(m: Int, subDim: Int, k: Int, iters: Int,
+                             nlist: Int, nprobe: Int,
+                             shortlist: Int): String = {
+    val probes = Ann.ivfProbes(QueryVec.values, nlist, nprobe)
+    val dCols = (0 until nlist)
+      .map(j => s"    ${OracleGen.l2ToCentroid("embedding", j, 64)} AS d$j")
+      .mkString(",\n")
+    val caseArms = (0 until nlist - 1)
+      .map(j => s"WHEN d$j = mind THEN $j").mkString(" ")
+    s"""WITH ${pqCtesSql(m, subDim, k, iters)},
+       |dists AS (
+       |  SELECT vec_id, embedding,
+       |$dCols
+       |  FROM embeddings),
+       |cellsf AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id,
+       |      CASE $caseArms ELSE ${nlist - 1} END AS cell
+       |    FROM (SELECT *, least(${(0 until nlist).map("d" + _).mkString(", ")}) AS mind
+       |          FROM dists))
+       |  WHERE cell IN (${probes.mkString(", ")})),
+       |ncand AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM cellsf),
+       |short AS (
+       |  SELECT vec_id FROM adc JOIN cellsf USING (vec_id)
+       |  ORDER BY adc ASC, vec_id ASC LIMIT $shortlist),
+       |pq10 AS (
+       |  SELECT e.vec_id FROM embeddings e JOIN short USING (vec_id)
+       |  ORDER BY ${OracleGen.l2ToQuery("e.embedding")} ASC, e.vec_id ASC LIMIT 10),
+       |exact AS (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY ${OracleGen.l2ToQuery("embedding")} ASC, vec_id ASC LIMIT 10),
+       |hits AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM pq10 JOIN exact USING (vec_id))
+       |SELECT 'ivf_pq_nprobe${nprobe}_m${m}_k${k}_rerank$shortlist' AS method,
+       |  CAST(h.n AS DOUBLE) / 10 AS recall_at_10,
+       |  CAST(0.3 AS DOUBLE) AS min_recall,
+       |  CAST(h.n AS DOUBLE) / 10 >= CAST(0.3 AS DOUBLE) AS recall_ok,
+       |  nc.nc AS n_candidates
+       |FROM hits h CROSS JOIN ncand nc""".stripMargin
   }
 
   /** Convergence-stopped Lloyd replay (q_kmeans_converged): unrolls
@@ -3337,8 +3389,9 @@ object SparkEntry {
     // layout (q_ivf_layout) for candidate pruning on top.
     "q_pq_knn" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val books = Pq.train(emb, col("vec_id"), col("embedding"),
-        m = 8, subDim = 8, k = 16, iters = 2)
+      val books = Pq.trainStaged(emb, col("vec_id"), col("embedding"),
+        m = 8, subDim = 8, k = 16, iters = 2,
+        stagedPath("pq_books_m8s8k16i2_v1", dir))
       val coded = Pq.encode(emb, col("embedding"), books, subDim = 8)
       val dtabs = Pq.adcTables(QueryVec.values, books, subDim = 8)
       val short = coded.withColumn("adc", Pq.adcColumn(dtabs))
@@ -3358,6 +3411,45 @@ object SparkEntry {
           lit(0.5).as("min_recall"),
           (col("n_hits").cast("double") / 10 >= lit(0.5)).as("recall_ok"),
           lit(32.0).as("compression_x"))
+    }),
+
+    // IVF-PQ — the full production ANN pipeline in one query: IVF cell
+    // pruning (scan only the nprobe nearest cells of the static coarse
+    // quantizer — the q_ivf_layout partition scheme) × PQ compression
+    // (ADC over one-byte codes inside the probed cells) × exact rerank
+    // of the shortlist. At 100 TB: partition pruning cuts the scan to
+    // nprobe/nlist of the store, the surviving scan reads 8-byte codes
+    // instead of 256-byte vectors, and full vectors load for 100 rows.
+    // n_candidates (how many rows survived the prune) is part of the
+    // hash-checked result.
+    "q_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val books = Pq.trainStaged(emb, col("vec_id"), col("embedding"),
+        m = 8, subDim = 8, k = 16, iters = 2,
+        stagedPath("pq_books_m8s8k16i2_v1", dir))
+      val probes = Ann.ivfProbes(QueryVec.values, nlist = 8, nprobe = 3)
+      val cand = Pq.encode(emb, col("embedding"), books, subDim = 8)
+        .withColumn("cell", Ann.cellOf(col("embedding"), 8, 64))
+        .filter(col("cell").isin(probes: _*))
+      val dtabs = Pq.adcTables(QueryVec.values, books, subDim = 8)
+      val short = cand.withColumn("adc", Pq.adcColumn(dtabs))
+        .orderBy(col("adc").asc, col("vec_id").asc).limit(100)
+        .select(col("vec_id"))
+      val pq10 = emb.join(short, Seq("vec_id"), "left_semi")
+        .withColumn("distance",
+          VectorFunctions.l2(col("embedding"), typedlit(QueryVec.values)))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      val exact = Knn.knn(emb, col("embedding"), col("vec_id"),
+        QueryVec.values, 10, Knn.L2).select(col("vec_id"))
+      pq10.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .select(lit("ivf_pq_nprobe3_m8_k16_rerank100").as("method"),
+          (col("n_hits").cast("double") / 10).as("recall_at_10"),
+          lit(0.3).as("min_recall"),
+          (col("n_hits").cast("double") / 10 >= lit(0.3)).as("recall_ok"),
+          col("n_candidates"))
     }),
 
     // IR evaluation metrics for the batch ANN path: per query, MRR
@@ -5121,6 +5213,9 @@ object SparkEntry {
            |FROM hits h""".stripMargin,
 
       "q_pq_knn" -> pqOracleSql(m = 8, subDim = 8, k = 16, iters = 2, shortlist = 100),
+
+      "q_ivf_pq" -> ivfPqOracleSql(m = 8, subDim = 8, k = 16, iters = 2,
+        nlist = 8, nprobe = 3, shortlist = 100),
 
       "q_retrieval_metrics" -> {
         val wfp = dcgWeightFp(5)

@@ -100,6 +100,41 @@ object Pq {
     }
   }
 
+  private val bookCache =
+    new scala.collection.concurrent.TrieMap[String, IndexedSeq[Codebook]]
+
+  /** [[train]] with the index-build discipline: the finished codebook
+    * relation (m × k tiny rows) is published once per (source, config)
+    * under a staged path and every consumer — including other queries in
+    * the same run — loads the published copy instead of retraining.
+    * Doubles round-trip parquet bit-exactly, so a loaded codebook is
+    * indistinguishable from a freshly trained one.
+    */
+  def trainStaged(emb: DataFrame, idCol: Column, vecCol: Column, m: Int,
+                  subDim: Int, k: Int, iters: Int,
+                  path: String): IndexedSeq[Codebook] =
+    bookCache.getOrElseUpdate(path, {
+      import java.nio.file.{Files, Paths}
+      val spark = emb.sparkSession
+      this.synchronized {
+        if (!Files.exists(Paths.get(path, "_GRAFT_DONE"))) {
+          val books = train(emb, idCol, vecCol, m, subDim, k, iters)
+          import spark.implicits._
+          books.flatMap(b => b.cents.map { case (cid, cv) => (b.sub, cid, cv) })
+            .toDF("sub", "cid", "cvec")
+            .coalesce(1).write.mode("overwrite").parquet(path)
+          Files.createFile(Paths.get(path, "_GRAFT_DONE"))
+        }
+      }
+      val rows = spark.read.parquet(path).orderBy(col("sub"), col("cid"))
+        .collect()
+      (0 until m).map { j =>
+        Codebook(j, rows.filter(_.getInt(0) == j)
+          .map(r => (r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+          .toIndexedSeq)
+      }
+    })
+
   /** PQ code for one subspace: argmin over the ≤ k inlined centroids of
     * the squared L2 to the subvector, ties to the lowest cid. A pure
     * narrow expression — the codebook rides into codegen as literals.

@@ -69,6 +69,21 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq composition: every shortlisted row is in a probed cell") {
+    import graft.operators.Ann
+    val probes = Ann.ivfProbes(QueryVec.values, 8, 2)
+    val dtabs = Pq.adcTables(QueryVec.values, books, SubDim)
+    val short = Pq.encode(emb, col("embedding"), books, SubDim)
+      .withColumn("cell", Ann.cellOf(col("embedding"), 8, 64))
+      .filter(col("cell").isin(probes: _*))
+      .withColumn("adc", Pq.adcColumn(dtabs))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(20)
+    val cells = short.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(probes.toSet))
+    assert(short.count() > 0)
+  }
+
   test("adc approximates true distance: shortlist-rerank beats floor") {
     val dtabs = Pq.adcTables(QueryVec.values, books, SubDim)
     val short = Pq.encode(emb, col("embedding"), books, SubDim)
