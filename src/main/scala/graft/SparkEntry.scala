@@ -4153,6 +4153,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Audit-ON-INGEST (Streaming.drainBatchAudit): the data-quality
+    // expectations run per micro-batch — one fused aggregate per batch,
+    // no second read — and the per-batch ledger (batch, rule,
+    // violations, rows) is the hash-checked output. The production
+    // quarantine gate: a batch whose violation rate spikes is caught
+    // before it lands. Batches are the deterministic event_id range
+    // splits, so the oracle replays each batch's counts relationally.
+    "q_stream_dq" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      import graft.operators.DataQuality.RowRule
+      val src = s.readStream.schema(Tables.events(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir,
+          "events", "event_id"))
+      graft.streaming.Streaming.drainBatchAudit(src, Seq(
+          RowRule("ev_type_accepted", col("event_type").isNull ||
+            !col("event_type").isin("click", "view", "purchase", "signup")),
+          RowRule("ev_user_not_null", col("user_id").isNull),
+          RowRule("ev_value_cap", col("value").isNull || col("value") > 400.0)),
+          "dq_" + Integer.toHexString(dir.hashCode))
+        .select(col("b"), col("rule"), col("n_violations"),
+          col("n_rows"), col("pass"))
+        .orderBy(col("b"), col("rule"))
+    }),
+
     // Streaming exact dedup — the core training-data op, incremental:
     // dropDuplicates keeps one state entry per content hash and append
     // mode emits each distinct content exactly once (first arrival). The
@@ -4633,6 +4658,35 @@ object SparkEntry {
       // A doc is rejected iff it band-hits the reference at est >= 0.5,
       // OR an EARLIER-batch ACCEPTED doc; same-batch docs never screen
       // each other (absorption happens after the whole batch).
+      "q_stream_dq" ->
+        """WITH mm AS (
+          |  SELECT CAST(min(event_id) AS BIGINT) AS mn,
+          |    (CAST(max(event_id) AS BIGINT) - CAST(min(event_id) AS BIGINT))
+          |      // 3 + 1 AS w
+          |  FROM events),
+          |ba AS (
+          |  SELECT (CAST(event_id AS BIGINT) - mm.mn) // mm.w AS b,
+          |    event_type, user_id, value
+          |  FROM events CROSS JOIN mm),
+          |agg AS (
+          |  SELECT b, CAST(count(*) AS BIGINT) AS n_rows,
+          |    CAST(coalesce(sum(CASE WHEN event_type IS NULL OR event_type
+          |      NOT IN ('click', 'view', 'purchase', 'signup')
+          |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_type,
+          |    CAST(coalesce(sum(CASE WHEN user_id IS NULL
+          |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_user,
+          |    CAST(coalesce(sum(CASE WHEN value IS NULL OR value > 400.0
+          |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_val
+          |  FROM ba GROUP BY b)
+          |SELECT * FROM (
+          |  SELECT b, 'ev_type_accepted' AS rule, v_type AS n_violations,
+          |    n_rows, v_type = 0 AS pass FROM agg
+          |  UNION ALL SELECT b, 'ev_user_not_null', v_user, n_rows,
+          |    v_user = 0 FROM agg
+          |  UNION ALL SELECT b, 'ev_value_cap', v_val, n_rows,
+          |    v_val = 0 FROM agg)
+          |ORDER BY b, rule""".stripMargin,
+
       "q_stream_dedup_absorb" -> {
         val sim = (a: String, b: String) =>
           s"CAST(${OracleGen.sigMatchCount(a, b, 8)} AS DOUBLE) / 8 >= 0.5"

@@ -94,7 +94,10 @@ object Streaming {
                        table: String, orderCol: String,
                        splits: Int = 3): String = {
     import java.nio.file.{Files, Paths}
-    val out = graft.tables.Staging.stagedPath(s"stream_${table}_${splits}f_v1", sfDir)
+    // the cache key carries the ORDER column too: the same table split by
+    // a different column is a different source (range boundaries differ)
+    val out = graft.tables.Staging.stagedPath(
+      s"stream_${table}_${orderCol}_${splits}f_v1", sfDir)
     this.synchronized {
       if (!Files.exists(Paths.get(out, "_GRAFT_DONE"))) {
         val outP = Paths.get(out)
@@ -332,6 +335,40 @@ object Streaming {
         .write.mode("append").parquet(out)
     val q = stream.writeStream
       .outputMode(mode)
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.read.parquet(out)
+  }
+
+  /** Audit-ON-INGEST: every micro-batch runs the fused row-rule audit
+    * ([[graft.operators.DataQuality.rowAudit]] — all rules in one
+    * aggregate over the batch, no second read) and appends its per-batch
+    * report stamped with the micro-batch id. The result is the
+    * data-quality ledger of the ingest: per batch and rule, how many
+    * rows arrived and how many broke the rule — the shape a production
+    * pipeline alerts on (a batch whose violation rate spikes is
+    * quarantined BEFORE it lands). Per-batch counts are pure relational
+    * aggregates of that batch's rows, so a range-split batch replay
+    * oracles them exactly.
+    */
+  def drainBatchAudit(stream: DataFrame,
+                      rules: Seq[graft.operators.DataQuality.RowRule],
+                      name: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
+    val p = Paths.get(out)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, bid) => graft.operators.DataQuality.rowAudit(batch, rules)
+        .withColumn("b", lit(bid))
+        .write.mode("append").parquet(out)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
       .foreachBatch(writeBatch)
       .trigger(Trigger.AvailableNow())
       .start()
