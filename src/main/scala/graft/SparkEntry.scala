@@ -2414,6 +2414,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Lexical diversity (TrainData.lexicalDiversity): Gini–Simpson index
+    // in exact integer fixed point — the log-free entropy surrogate.
+    // Catches the one-token-repeated pathology that keeps its LM scores
+    // (a corpus-frequent token repeated 500× scores HIGH on unigram
+    // likelihood and near 0 here).
+    "q_lexical_diversity" -> ((s, dir) => {
+      TrainData.lexicalDiversity(Tables.documents(s, dir), col("doc_id"),
+          col("text"))
+        .orderBy(col("id"))
+    }),
+
     // Bigram-LM fluency (TrainData.bigramLmScore): average conditional
     // bigram likelihood in exact integer fixed point — the curation
     // signal unigram frequency misses (shuffled text keeps its unigram
@@ -2789,6 +2800,24 @@ object SparkEntry {
         WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT count(*) FROM orders_v)
               > (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders_v)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
+    // Correlated LATERAL subquery (SQL:1999 lateral derived table, new
+    // declarative surface): per nation, its top-3 customers by account
+    // balance — the subquery references the outer row. Catalyst
+    // decorrelates this into the per-group window plan (no per-row
+    // re-execution), so the declarative form costs the same as the
+    // hand-written row_number query at any scale.
+    "q_lateral_topk" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("graft_nation_v")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer_v")
+      s.sql("""
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM graft_nation_v n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM graft_customer_v
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3) c
+        ORDER BY n.n_name ASC, c.c_acctbal DESC, c.c_custkey ASC""")
     }),
 
     // Sessionization: per-user sessions under a 30-minute gap timeout —
@@ -5769,6 +5798,21 @@ object SparkEntry {
            |FROM tok JOIN tf USING (tok)
            |GROUP BY id ORDER BY id""".stripMargin,
 
+      "q_lexical_diversity" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id AS id, unnest(${OracleGen.toksSql("text")}) AS tok
+           |  FROM documents),
+           |tc AS (SELECT id, tok, count(*) AS c FROM tok GROUP BY id, tok),
+           |agg AS (
+           |  SELECT id, CAST(sum(c) AS BIGINT) AS n_tok,
+           |    CAST(count(*) AS BIGINT) AS n_types,
+           |    CAST(sum(c * c) AS BIGINT) AS sumsq
+           |  FROM tc GROUP BY id)
+           |SELECT id, n_tok, n_types,
+           |  CAST((n_tok * n_tok - sumsq) * 1000000 // (n_tok * n_tok)
+           |    AS BIGINT) AS gini_fp
+           |FROM agg ORDER BY id""".stripMargin,
+
       "q_bigram_lm" ->
         s"""WITH tok AS (
            |  SELECT doc_id AS id, ${OracleGen.toksSql("text")} AS tk
@@ -6761,6 +6805,14 @@ object SparkEntry {
           |       coalesce(h.sum_cents, 0) AS sum_cents
           |FROM spine s LEFT JOIN hourly h USING (hour_bucket)
           |ORDER BY hour_bucket""".stripMargin,
+
+      "q_lateral_topk" ->
+        """SELECT n.n_name, c.c_custkey, c.c_acctbal
+          |FROM nation n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+          |         WHERE c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3) c
+          |ORDER BY n.n_name ASC, c.c_acctbal DESC, c.c_custkey ASC""".stripMargin,
 
       "q_sql_scalar_subquery" ->
         """SELECT o_orderstatus, count(*) AS n,

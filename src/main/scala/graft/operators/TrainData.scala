@@ -274,6 +274,30 @@ object TrainData {
       .withColumn("bigram_lm_fp", expr("sum_p_fp DIV n_pairs"))
   }
 
+  /** Lexical diversity per document as the Gini–Simpson index
+    * 1 − Σᵢ(cᵢ/n)², computed entirely in integers:
+    * gini_fp = (n² − Σcᵢ²)·10⁶ DIV n² — the log-free diversity score
+    * (Shannon entropy needs `log`, which is not correctly rounded across
+    * engines; Gini–Simpson ranks the same pathologies). Near 0 = one
+    * token repeated (the SEO-spam / boilerplate signature even when the
+    * repeated token is corpus-frequent, so unigram/bigram LM scores stay
+    * high); near 1 = every token distinct. Two keyed aggregations, no
+    * join. n ≤ ~3M tokens/doc before n²·10⁶ overflows Long — far beyond
+    * any chunked training document.
+    * Output: (id, n_tok, n_types, gini_fp) for non-empty documents.
+    */
+  def lexicalDiversity(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    import graft.functions.TextFunctions
+    df.select(idCol.as("id"), explode(TextFunctions.tokens(textCol)).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .withColumn("gini_fp",
+        expr("(n_tok * n_tok - sumsq) * 1000000 DIV (n_tok * n_tok)"))
+      .select(col("id"), col("n_tok"), col("n_types"), col("gini_fp"))
+  }
+
   /** Adjacent-token-pair (bigram) frequencies — the merge-candidate
     * statistic of a BPE-training round (the highest-count adjacent pair
     * is the next merge). One narrow zip of each token list with its own
