@@ -63,13 +63,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val oracles = only match {
-      case Some(names) => SparkEntry.oracleSql.view.filterKeys(names).toMap
-      case None => SparkEntry.oracleSql
+    // A filtered local run must not truncate the full oracle map a prior
+    // complete dump left in outDir (the driver's DuckDB compare reads
+    // oracle_sql.json); mirror the Bench guard by writing the filtered
+    // subset under a different name.
+    val (oracles, oracleFile) = only match {
+      case Some(names) =>
+        (SparkEntry.oracleSql.view.filterKeys(names).toMap,
+          "oracle_sql.partial.json")
+      case None => (SparkEntry.oracleSql, "oracle_sql.json")
     }
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

@@ -261,32 +261,43 @@ object Graph {
     *
     * Output: one row (n_edges, n_wedges, n_triangles).
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val und = edges
+  def triangleCount(edges: DataFrame, stage: Stage = Stage.Local): DataFrame = {
+    // The canonical edge list is consumed three times (degree agg, wedge
+    // build, wedge closure) and the oriented list twice (both sides of
+    // the wedge self-join); without a lineage cut each consumer
+    // recomputes the whole upstream plan — at sf0.1 that re-ran the
+    // co-occurrence self-join four times and the O(m^1.5) wedge join
+    // twice. Cut both once.
+    val und = stage.cut(edges
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+      .distinct(), "tri_und")
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val withDeg = und
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
-    val dir = withDeg.select(
+    val dir = stage.cut(withDeg.select(
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")), col("a"))
         .otherwise(col("b")).as("u"),
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")), col("b"))
-        .otherwise(col("a")).as("v"))
+        .otherwise(col("a")).as("v")), "tri_dir")
     val x = dir.select(col("u"), col("v").as("p"))
     val y = dir.select(col("u"), col("v").as("q"))
     val wedges = x.join(y, Seq("u")).filter(col("p") < col("q"))
-    val tris = wedges.join(und,
-      wedges("p") === und("a") && wedges("q") === und("b"), "left_semi")
-    und.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
-      .crossJoin(broadcast(tris.agg(count(lit(1)).as("n_triangles"))))
+    // one pass over the wedges: a left join against the (distinct)
+    // canonical edges marks each wedge closed/open, and a single
+    // aggregate produces both counts — the former left_semi + two
+    // separate counts ran the wedge join twice for the same numbers
+    val closed = wedges.join(
+      und.select(col("a").as("p"), col("b").as("q"), lit(1).as("_closed")),
+      Seq("p", "q"), "left")
+    val wt = closed.agg(count(lit(1)).as("n_wedges"),
+      count(col("_closed")).as("n_triangles"))
+    und.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(wt))
   }
 
   /** Label-propagation community detection (Raghavan et al. 2007), the

@@ -13,9 +13,10 @@ import graft.functions.VectorFunctions
   * The vector space is split into `m` contiguous subspaces of `subDim`
   * dims; each subspace gets its own tiny codebook (k centroids trained
   * with the deterministic Lloyd of [[Clustering]] on the sliced
-  * subvectors). A vector is stored as `m` small codes — here 4 codes ×
-  * (k=4 ⇒ 2 bits) against 64 float32s, a 64× byte-level compression at
-  * one byte per code — and query-time distance is the asymmetric
+  * subvectors). A vector is stored as `m` small codes — one byte per
+  * code, so `m` bytes against `4·dim` bytes of float32 (the shipped
+  * m=8, k=16 over dim=64 is 8 bytes vs 256: 32×) — and query-time
+  * distance is the asymmetric
   * distance computation (ADC): per subspace, a k-entry table of exact
   * squared distances from the query subvector to each centroid, and the
   * approximate distance of a stored vector is the sum of its codes'

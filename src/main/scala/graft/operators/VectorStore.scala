@@ -82,10 +82,30 @@ object VectorStore {
   def append(df: DataFrame, vecCol: Column, path: String,
              idName: String = "vec_id", numPlanes: Int = 4,
              dim: Int = 64): Unit = {
-    val existing = df.sparkSession.read.parquet(path).select(col(idName))
-    df.withColumn("bucket", Ann.bucketOf(vecCol, numPlanes, dim))
+    requireNoPendingCommit(path)
+    val spark = df.sparkSession
+    val existing = spark.read.parquet(path).select(col(idName))
+    val fresh = df.withColumn("bucket", Ann.bucketOf(vecCol, numPlanes, dim))
       .join(existing, Seq(idName), "left_anti")
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    if (isVersioned(path)) {
+      // A versioned store must never gain rows outside the commit
+      // protocol: a raw dynamic-partition append would surface the new
+      // rows in every historical version and leave currentVersion
+      // behind. Stage the affected buckets (old rows + appended rows)
+      // and swap them in as a numbered commit, like upsert/delete.
+      val store = spark.read.parquet(path)
+      val affected = fresh.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (affected.nonEmpty) {
+        val sfx = "__appending"
+        store.filter(col("bucket").isin(affected.toSeq: _*))
+          .unionByName(fresh)
+          .write.mode("overwrite").partitionBy("bucket").parquet(path + sfx)
+        commitSwap(path, sfx, affected.toSeq.sorted)
+      }
+    } else {
+      fresh.write.mode("append").partitionBy("bucket").parquet(path)
+    }
   }
 
   // ---- crash-safe commit protocol (shared by upsert/delete/compact) ----
@@ -220,11 +240,24 @@ object VectorStore {
     if (Files.exists(intent)) {
       val lines = Files.readAllLines(intent).asScala.toSeq
       val tmp = path + lines.head
-      val versionOpt = lines(1) match {
-        case v if v.startsWith("v") => Some(v.tail.toLong)
-        case _ => None
+      // Three intent layouts exist in the wild: current versioned
+      // ("v<N>" then buckets), current unversioned ("-" then buckets), and
+      // the pre-versioning legacy format whose second line is already the
+      // first bucket id. Misreading a legacy bucket line as a version
+      // marker would silently drop that bucket from the swap list, so an
+      // unrecognized layout refuses rather than partially applies.
+      val (versionOpt, affected) = lines.tail match {
+        case v +: rest if v.startsWith("v") && v.tail.nonEmpty &&
+            v.tail.forall(_.isDigit) =>
+          (Some(v.tail.toLong), rest.map(_.toInt))
+        case "-" +: rest => (None, rest.map(_.toInt))
+        case rest if rest.forall(s => s.nonEmpty && s.forall(_.isDigit)) =>
+          (None, rest.map(_.toInt)) // legacy intent: no version line
+        case _ => throw new IllegalStateException(
+          s"$path/_COMMIT has an unrecognized intent layout — refusing to " +
+            "recover (a partial roll-forward could drop a bucket); inspect " +
+            "the intent file and stage directory by hand")
       }
-      val affected = lines.drop(2).map(_.toInt)
       if (Files.exists(Paths.get(tmp))) {
         completeSwap(path, tmp, affected,
           versionOpt.map(n => s"$path/_history/$n"))
@@ -234,7 +267,7 @@ object VectorStore {
       Files.deleteIfExists(intent)
     }
     Files.deleteIfExists(Paths.get(path, "_COMMIT_STAGING"))
-    Seq("__upserting", "__deleting", "__compacting")
+    Seq("__upserting", "__deleting", "__compacting", "__appending")
       .foreach(sfx => deleteRec(Paths.get(path + sfx)))
   }
 

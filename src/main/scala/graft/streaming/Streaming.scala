@@ -97,12 +97,12 @@ object Streaming {
     // the cache key carries the ORDER column too: the same table split by
     // a different column is a different source (range boundaries differ)
     val out = graft.tables.Staging.stagedPath(
-      s"stream_${table}_${orderCol}_${splits}f_v1", sfDir)
+      s"stream_${table}_${orderCol}_${splits}f_v2", sfDir)
     this.synchronized {
       if (!Files.exists(Paths.get(out, "_GRAFT_DONE"))) {
         val outP = Paths.get(out)
         Files.createDirectories(outP)
-        val df = s.read.parquet(s"$sfDir/$table.parquet")
+        val df = graft.tables.Tables.tableNormalized(s, sfDir, table)
         val mm = df.agg(min(col(orderCol)).cast("long"),
           max(col(orderCol)).cast("long")).head()
         val (mn, mx) = (mm.getLong(0), mm.getLong(1))
@@ -146,12 +146,12 @@ object Streaming {
                                lateIdCol: String, splits: Int = 3): String = {
     import java.nio.file.{Files, Paths}
     val out = graft.tables.Staging.stagedPath(
-      s"stream_${table}_late_${splits}f_v1", sfDir)
+      s"stream_${table}_late_${splits}f_v2", sfDir)
     this.synchronized {
       if (!Files.exists(Paths.get(out, "_GRAFT_DONE"))) {
         val outP = Paths.get(out)
         Files.createDirectories(outP)
-        val df = s.read.parquet(s"$sfDir/$table.parquet")
+        val df = graft.tables.Tables.tableNormalized(s, sfDir, table)
         val mm = df.agg(min(col(orderCol)).cast("long"),
           max(col(orderCol)).cast("long")).head()
         val (mn, mx) = (mm.getLong(0), mm.getLong(1))
@@ -208,12 +208,12 @@ object Streaming {
                                 splits: Int = 3): String = {
     import java.nio.file.{Files, Paths}
     val out = graft.tables.Staging.stagedPath(
-      s"stream_${table}_${tag}_${splits}f_v4", sfDir)
+      s"stream_${table}_${tag}_${splits}f_v5", sfDir)
     this.synchronized {
       if (!Files.exists(Paths.get(out, "_GRAFT_DONE"))) {
         val outP = Paths.get(out)
         Files.createDirectories(outP)
-        val df = s.read.parquet(s"$sfDir/$table.parquet")
+        val df = graft.tables.Tables.tableNormalized(s, sfDir, table)
         val mm = df.agg(min(col(orderCol)).cast("long"),
           max(col(orderCol)).cast("long")).head()
         val (mn, mx) = (mm.getLong(0), mm.getLong(1))
@@ -363,17 +363,22 @@ object Streaming {
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
+    // foreachBatch is at-least-once: a retried micro-batch must replace
+    // its own ledger rows, not append duplicates. Each batch overwrites a
+    // directory keyed by its batch id (the id is deterministic across
+    // retries), which makes the sink idempotent per batch.
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, bid) => graft.operators.DataQuality.rowAudit(batch, rules)
         .withColumn("b", lit(bid))
-        .write.mode("append").parquet(out)
+        .write.mode("overwrite").parquet(s"$out/bid_$bid")
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch(writeBatch)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    stream.sparkSession.read.parquet(out)
+    stream.sparkSession.read
+      .option("recursiveFileLookup", "true").parquet(out)
   }
 
   /** Streaming near-dup ingest gate: every micro-batch of (id, text)

@@ -46,9 +46,34 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "events")
+  /** `events` with `ts` ALWAYS exposed as BIGINT epoch-nanoseconds,
+    * whatever the parquet writer chose physically. Generations of the
+    * driver testdata have shipped `ts` as TIMESTAMP(NANOS) (readable only
+    * as long via nanosAsLong), as TIMESTAMP(MICROS) naive
+    * (TIMESTAMP_NTZ), and could ship instant-semantics TIMESTAMP; the
+    * engine's event-time arithmetic (`ts div 1000` → micros) and the
+    * DuckDB oracle's `epoch_us(ts)` agree under every variant only if
+    * this reader pins one logical type. Session timezone is UTC in every
+    * entry point, so the NTZ reinterpretation is exact.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** [[table]], but routed through any type-normalizing reader the table
+    * has (currently just [[events]]'s ts pinning) — for staging code that
+    * derives layouts from a table by name.
+    */
+  def tableNormalized(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir) else table(spark, sfDir, name)
 
   /** Products CSV reader — same shape the reference bulk-loads via COPY
     * (`products_import.py:18-20`). Header skipped, RFC-4180 quoting.

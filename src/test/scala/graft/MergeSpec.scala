@@ -72,14 +72,14 @@ class MergeSpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     val s = graft.streaming.Streaming.streamSession(spark)
     val src = graft.streaming.Streaming.stageSplitSource(s, sf0001, "events", "ts")
-    val schema = s.read.parquet(s"$sf0001/events.parquet").schema
+    val schema = graft.tables.Tables.events(s, sf0001).schema
     val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(src)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
     val snap = graft.streaming.Streaming.drainMergeSnapshot(stream,
       sys.props("java.io.tmpdir") + "/graft_test_merge_snap",
       keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
-    val expected = s.read.parquet(s"$sf0001/events.parquet")
+    val expected = graft.tables.Tables.events(s, sf0001)
       .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc)))
       .filter(col("rn") === 1)

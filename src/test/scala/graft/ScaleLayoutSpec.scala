@@ -277,6 +277,77 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == expectSurvivors)
   }
 
+  test("VectorStore: recover rolls forward a legacy (pre-version-line) intent whole") {
+    import java.nio.file.{Files => NF, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_legacy").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb, col("embedding"), out)
+    val victims = emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"))
+    val expectSurvivors = emb.filter(col("vec_id") % 4 =!= 0).count()
+    val store = spark.read.parquet(out)
+    val affected = store.join(victims, Seq("vec_id"), "left_semi")
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    assert(affected.size >= 2, s"need ≥2 affected buckets, got $affected")
+    val tmp = out + "__deleting"
+    store.filter(col("bucket").isin(affected: _*))
+      .join(victims, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    affected.foreach { b =>
+      val src = Paths.get(tmp, s"bucket=$b")
+      if (!NF.exists(src)) NF.createDirectories(src)
+    }
+    // legacy intent layout: no version line — the second line is already
+    // the first affected bucket id. recover() must treat every line after
+    // the suffix as a bucket, not eat the first one as a version marker.
+    val intentTmp = Paths.get(out, "_COMMIT_STAGING")
+    NF.write(intentTmp, ("__deleting" +: affected.map(_.toString)).asJava)
+    NF.move(intentTmp, Paths.get(out, "_COMMIT"), StandardCopyOption.ATOMIC_MOVE)
+
+    VectorStore.recover(out)
+    val healed = spark.read.parquet(out)
+    assert(healed.filter(col("vec_id") % 4 === 0).count() == 0,
+      "legacy recover must swap EVERY affected bucket, including the first")
+    assert(healed.count() == expectSurvivors)
+    assert(!NF.exists(Paths.get(out, "_COMMIT")) && !NF.exists(Paths.get(tmp)))
+  }
+
+  test("VectorStore: recover refuses an unrecognized intent layout") {
+    import java.nio.file.{Files => NF, Paths}
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_badintent").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb, col("embedding"), out)
+    NF.createDirectories(Paths.get(out + "__deleting"))
+    NF.write(Paths.get(out, "_COMMIT"),
+      java.util.List.of("__deleting", "garbage-line", "3"))
+    val e = intercept[IllegalStateException] { VectorStore.recover(out) }
+    assert(e.getMessage.contains("unrecognized"))
+    assert(NF.exists(Paths.get(out, "_COMMIT")),
+      "a refused recover must leave the intent in place for inspection")
+    NF.delete(Paths.get(out, "_COMMIT"))
+  }
+
+  test("VectorStore: append on a versioned store is a numbered commit (time travel intact)") {
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_vapp").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    VectorStore.write(half, col("embedding"), out, retainHistory = true)
+    assert(VectorStore.currentVersion(out) == 0L)
+    val v0Count = half.count()
+    VectorStore.append(emb.filter(col("vec_id") % 2 === 1), col("embedding"), out)
+    assert(VectorStore.currentVersion(out) == 1L,
+      "append on a versioned store must advance the version")
+    assert(spark.read.parquet(out).count() == emb.count())
+    // the pre-append version must NOT contain the appended rows
+    val v0 = VectorStore.readAsOf(spark, out, 0L)
+    assert(v0.count() == v0Count,
+      "appended rows must not leak into the historical version")
+    assert(v0.filter(col("vec_id") % 2 === 1).count() == 0)
+  }
+
   test("VectorStore: a writer refuses to commit over a stale _COMMIT intent") {
     import java.nio.file.{Files => NF, Paths}
     import graft.operators.VectorStore
