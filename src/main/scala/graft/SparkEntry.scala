@@ -127,6 +127,81 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled replay of TrainData.lrQualityTrain: one CTE pair
+    * (hard-sigmoid scores → gradient sums → weight row) per gradient
+    * step, all integer fixed-point with every division dividend offset
+    * to non-negative (truncation = floor in both engines — the same
+    * identity the Scala side's Math.floorDiv satisfies).
+    */
+  private def lrQualityOracleSql(steps: Int, lrNum: Long = 1L,
+                                 lrDen: Long = 2L): String = {
+    import graft.operators.TrainData.{LrWClamp, LrZOffset, LrKOffset}
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, lang, ${OracleGen.toksSql("text")} AS tk
+         |  FROM documents),
+         |fr AS (
+         |  SELECT id,
+         |    CAST(len(tk) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(tk,
+         |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS stop,
+         |    CAST(coalesce(list_sum(list_transform(tk, t -> len(t))), 0)
+         |      AS BIGINT) AS sum_len,
+         |    CASE WHEN lang = 'en' THEN CAST(1000 AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM tok),
+         |f AS (
+         |  SELECT id, y,
+         |    LEAST(n_tok, 200) * 5 AS f1,
+         |    CASE WHEN n_tok > 0 THEN stop * 1000 // n_tok ELSE 0 END AS f2,
+         |    LEAST(CASE WHEN n_tok > 0 THEN sum_len * 1000 // n_tok ELSE 0 END,
+         |      20000) // 20 AS f3
+         |  FROM fr),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         |wt0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         |               CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""".stripMargin)
+    def pExpr(w: String) =
+      s"LEAST(GREATEST(($w.w0*1000 + $w.w1*f.f1 + $w.w2*f.f2 + $w.w3*f.f3 + " +
+        s"$LrZOffset) // 4000 - ${LrZOffset / 4000} + 500, 0), 1000)"
+    for (k <- 1 to steps) {
+      val fs = Seq("1000", "f1", "f2", "f3")
+      sb.append(
+        s""",
+           |p$k AS (
+           |  SELECT f.y, f.f1, f.f2, f.f3, ${pExpr("w")} AS p
+           |  FROM f, wt${k - 1} w),
+           |g$k AS (
+           |  SELECT ${fs.zipWithIndex.map { case (fx, j) =>
+                 s"CAST(sum((p - y) * $fx) AS BIGINT) AS g$j" }.mkString(", ")}
+           |  FROM p$k),
+           |wt$k AS (
+           |  SELECT ${(0 to 3).map { j =>
+                 val b = s"(nn.n * ${1000L * lrDen})"
+                 s"CAST(LEAST(GREATEST(w.w$j - ((g.g$j * $lrNum + $LrKOffset * $b) " +
+                   s"// $b - $LrKOffset), -$LrWClamp), $LrWClamp) AS BIGINT) AS w$j"
+               }.mkString(",\n    ")}
+           |  FROM wt${k - 1} w, g$k g, nn)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |pf AS (
+         |  SELECT f.y, ${pExpr("w")} AS p
+         |  FROM f, wt$steps w)
+         |SELECT
+         |  (SELECT w0 FROM wt$steps) AS w0_fp,
+         |  (SELECT w1 FROM wt$steps) AS w1_fp,
+         |  (SELECT w2 FROM wt$steps) AS w2_fp,
+         |  (SELECT w3 FROM wt$steps) AS w3_fp,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN (p >= 500) = (y = 1000) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CAST(sum(CASE WHEN (p >= 500) = (y = 1000) THEN 1 ELSE 0 END) * 1000
+         |    // count(*) AS BIGINT) AS acc_fp
+         |FROM pf""".stripMargin)
+    sb.toString
+  }
+
   /** ann_join's probe IN-list: the query bucket XOR every mask of ≤2 of
     * 5 bits — generated from the same Ann.probeMasks the Spark side uses.
     */
@@ -2434,6 +2509,65 @@ object SparkEntry {
       TrainData.bigramLmScore(Tables.documents(s, dir), col("doc_id"),
           col("text"))
         .orderBy(col("id"))
+    }),
+
+    // Model-based quality filtering (TrainData.lrQualityTrain): a
+    // logistic-regression quality classifier trained IN THE ENGINE by 3
+    // full-batch gradient steps — hard-sigmoid link and integer
+    // fixed-point throughout, so the trained weights and accuracy are
+    // hash-checked against the oracle's unrolled replay, not a
+    // tolerance band. Label: lang='en'; features: saturated length,
+    // stopword density, mean token length.
+    "q_lr_quality" -> ((s, dir) => {
+      TrainData.lrQualityTrain(Tables.documents(s, dir), col("doc_id"),
+        col("text"), col("lang") === "en", steps = 3)
+    }),
+
+    // Shard-manifest export planner: the WebDataset/Arrow-shard layout
+    // step of a corpus export — documents route to 8 shards by the
+    // seedless multiplicative hash (stable under corpus growth), the
+    // manifest is per-shard row/token/byte totals plus id bounds. One
+    // narrow projection + one 8-group aggregation at any corpus size;
+    // the manifest IS the export plan (each shard = one writer task).
+    "q_shard_manifest" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select((TrainData.hashBucket(col("doc_id")) % 8).cast("long").as("shard"),
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          col("n_chars"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("shard"))
+    }),
+
+    // Corpus drift by source: truncated chi-square of each source's
+    // token distribution against the corpus over the top-20 vocabulary,
+    // in exact integer fixed point (expected counts fp3-truncated, no
+    // libm) — the distribution-shift monitor a multi-source ingest
+    // pipeline alerts on. Missing (source, token) pairs contribute their
+    // full expected mass via the vocab×source grid (sources × 20 rows —
+    // broadcast-sized by construction).
+    "q_source_drift" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("s_tot"))
+      val corpusTot = srcTot.agg(sum(col("s_tot")).as("c_tot"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok").asc).limit(20)
+      val obs = toks.join(broadcast(vocab.select(col("tok"))), "tok")
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("obs"))
+      val grid = srcTot.crossJoin(broadcast(vocab))
+        .join(obs, Seq("source", "tok"), "left")
+        .crossJoin(broadcast(corpusTot))
+        .withColumn("exp_fp", expr("tf * s_tot * 1000L DIV c_tot"))
+        .withColumn("o_fp", coalesce(col("obs"), lit(0L)) * lit(1000L))
+        .withColumn("chi_fp", expr(
+          "CASE WHEN exp_fp > 0 THEN (o_fp - exp_fp) * (o_fp - exp_fp) DIV (exp_fp * 1000L) ELSE 0L END"))
+      grid.groupBy(col("source"))
+        .agg(max(col("s_tot")).as("n_toks"), sum(col("chi_fp")).as("chi2_fp"))
+        .orderBy(col("source"))
     }),
 
     // PII scrubbing (the redaction pass a shareable corpus needs): plant
@@ -5831,6 +5965,49 @@ object SparkEntry {
            |SELECT id, count(*) AS n_pairs, CAST(sum(p_fp) AS BIGINT) AS sum_p_fp,
            |  CAST(CAST(sum(p_fp) AS BIGINT) // count(*) AS BIGINT) AS bigram_lm_fp
            |FROM scored GROUP BY id ORDER BY id""".stripMargin,
+
+      "q_lr_quality" -> lrQualityOracleSql(steps = 3),
+
+      "q_shard_manifest" ->
+        s"""WITH t AS (
+           |  SELECT doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 % 8
+           |      AS shard,
+           |    doc_id,
+           |    CAST(len(${OracleGen.toksSql("text")}) AS BIGINT) AS n_tokens,
+           |    n_chars
+           |  FROM documents)
+           |SELECT CAST(shard AS BIGINT) AS shard,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(min(doc_id) AS BIGINT) AS min_id,
+           |  CAST(max(doc_id) AS BIGINT) AS max_id
+           |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+
+      "q_source_drift" ->
+        s"""WITH tok AS (
+           |  SELECT source, unnest(${OracleGen.toksSql("text")}) AS tok
+           |  FROM documents),
+           |st AS (SELECT source, CAST(count(*) AS BIGINT) AS s_tot
+           |       FROM tok GROUP BY source),
+           |ct AS (SELECT CAST(sum(s_tot) AS BIGINT) AS c_tot FROM st),
+           |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf
+           |          FROM tok GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 20),
+           |obs AS (
+           |  SELECT t.source, t.tok, CAST(count(*) AS BIGINT) AS obs
+           |  FROM tok t JOIN vocab v USING (tok)
+           |  GROUP BY t.source, t.tok),
+           |grid AS (
+           |  SELECT st.source, st.s_tot,
+           |    CAST(v.tf * st.s_tot * 1000 // ct.c_tot AS BIGINT) AS exp_fp,
+           |    CAST(coalesce(o.obs, 0) * 1000 AS BIGINT) AS o_fp
+           |  FROM st CROSS JOIN vocab v CROSS JOIN ct
+           |  LEFT JOIN obs o ON o.source = st.source AND o.tok = v.tok)
+           |SELECT source, CAST(max(s_tot) AS BIGINT) AS n_toks,
+           |  CAST(sum(CASE WHEN exp_fp > 0
+           |    THEN (o_fp - exp_fp) * (o_fp - exp_fp) // (exp_fp * 1000)
+           |    ELSE 0 END) AS BIGINT) AS chi2_fp
+           |FROM grid GROUP BY source ORDER BY source""".stripMargin,
 
       "q_pii_scrub" ->
         """WITH d AS (

@@ -375,4 +375,96 @@ object TrainData {
         (col("n_lines") - size(col("kept"))).as("n_dropped"),
         array_join(col("kept"), "\n").as("clean"))
   }
+
+  /** Weight clamp bound for [[lrQualityTrain]] (fp3: ±8.0). */
+  val LrWClamp = 8000L
+  /** Hard-sigmoid offset making every division dividend non-negative
+    * (|z_fp6| ≤ 4·LrWClamp·1000 = 3.2e7 < 4e7; 4e7 is a multiple of the
+    * 4000 divisor so the shift is exact).
+    */
+  val LrZOffset = 40000000L
+  /** Offset constant for the floor-division-via-truncation identity in
+    * the weight update (K·b dominates any |gradient·lrNum| here).
+    */
+  val LrKOffset = 10000000L
+
+  /** Model-based quality filtering: a tiny logistic-regression quality
+    * classifier TRAINED IN THE ENGINE by full-batch gradient descent —
+    * the filtering stage (à la C4/CCNet quality classifiers) that comes
+    * after heuristic scoring in a large-scale corpus pipeline. Entirely
+    * integer fixed-point, so training is bit-replayable by the SQL
+    * oracle:
+    *
+    *  - features per document, each in fp3 [0, 1000]: bias, saturated
+    *    token count (cap 200), stopword density, capped mean token
+    *    length (cap 20 chars);
+    *  - hard-sigmoid link p = clamp(z/4 + 1/2, 0, 1) instead of the
+    *    libm sigmoid — exp() is not exactly-rounded and would diverge
+    *    between engines at the last ulp; the hard-sigmoid is pure
+    *    integer arithmetic (all divisions offset to non-negative
+    *    dividends, where truncation = floor in every engine);
+    *  - full-batch gradient g_j = Σ (p − y)·x_j (exact integer in any
+    *    partitioning/order), update w ← clamp(w − ⌊g·lrNum / (n·1000·
+    *    lrDen)⌋, ±8.0), weights carried as fp3 longs.
+    *
+    * Scale shape: features are a narrow projection computed once and
+    * staged ([[Stage]]); each step is ONE aggregation over n rows
+    * producing 4 longs to the driver (the k-means centroid-collect
+    * discipline — the model is driver-sized, the data never is). Steps
+    * are a fixed unroll, the oracle replays each exactly.
+    *
+    * Output row: (w0_fp..w3_fp, n_docs, n_correct, acc_fp) at the final
+    * weights, n_correct counting sign-agreement of p ≥ 1/2 with y.
+    */
+  def lrQualityTrain(df: DataFrame, idCol: Column, textCol: Column,
+                     labelCol: Column, steps: Int = 3,
+                     lrNum: Long = 1L, lrDen: Long = 2L,
+                     stage: Stage = Stage.Local): DataFrame = {
+    require(steps > 0 && lrNum > 0 && lrDen > 0,
+      "lrQualityTrain: steps and learning rate must be positive")
+    val toks = TextFunctions.tokens(textCol)
+    val stopList = Seq("the", "a", "of", "and", "to", "in")
+    val feats = stage.cut(df.select(
+        idCol.as("id"),
+        size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => t.isin(stopList.map(_.asInstanceOf[Any]): _*)))
+          .cast("long").as("stop"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        when(labelCol, lit(1000L)).otherwise(lit(0L)).as("y"))
+      .selectExpr("id", "y",
+        "least(n_tok, 200L) * 5L AS f1",
+        "CASE WHEN n_tok > 0 THEN stop * 1000L DIV n_tok ELSE 0L END AS f2",
+        """least(CASE WHEN n_tok > 0 THEN sum_len * 1000L DIV n_tok
+          |      ELSE 0L END, 20000L) DIV 20L AS f3""".stripMargin),
+      "lrq_feats")
+    val n = feats.count()
+    require(n > 0, "lrQualityTrain: empty corpus")
+    var w = Array(0L, 0L, 0L, 0L)
+    def withP(ws: Array[Long]): DataFrame = feats
+      .withColumn("z", lit(ws(0)) * lit(1000L) + lit(ws(1)) * col("f1") +
+        lit(ws(2)) * col("f2") + lit(ws(3)) * col("f3"))
+      .withColumn("p", expr(
+        s"least(greatest((z + $LrZOffset) DIV 4000L - ${LrZOffset / 4000} + 500L, 0L), 1000L)"))
+    for (_ <- 0 until steps) {
+      val g = withP(w)
+        .agg(sum((col("p") - col("y")) * lit(1000L)).as("g0"),
+          sum((col("p") - col("y")) * col("f1")).as("g1"),
+          sum((col("p") - col("y")) * col("f2")).as("g2"),
+          sum((col("p") - col("y")) * col("f3")).as("g3"))
+        .head()
+      val b = n * 1000L * lrDen
+      w = w.indices.map { j =>
+        val step = Math.floorDiv(g.getLong(j) * lrNum, b)
+        Math.max(-LrWClamp, Math.min(LrWClamp, w(j) - step))
+      }.toArray
+    }
+    withP(w)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when((col("p") >= 500L) === (col("y") === 1000L), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(lit(w(0)).as("w0_fp"), lit(w(1)).as("w1_fp"),
+        lit(w(2)).as("w2_fp"), lit(w(3)).as("w3_fp"),
+        col("n_docs"), col("n_correct"),
+        expr("n_correct * 1000L DIV n_docs").as("acc_fp"))
+  }
 }

@@ -286,4 +286,36 @@ class TrainDataSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum($"n_dropped")).head().getLong(0)
     assert(loose == 0L)
   }
+
+  test("lrQualityTrain separates a linearly-separable corpus and is partition-invariant") {
+    import spark.implicits._
+    // long stopword-rich docs labeled positive, short stopword-free ones
+    // negative — separable on the length + stopword-density features
+    val docs = ((1L to 40L).map(i =>
+        (i, ("the of and to in a word" + s" filler$i") * 12, true)) ++
+      (41L to 80L).map(i => (i, s"zx$i qq yy", false)))
+      .toDF("id", "text", "label")
+    val out = TrainData.lrQualityTrain(docs, $"id", $"text", $"label",
+      steps = 3).head()
+    val acc = out.getAs[Long]("acc_fp")
+    assert(acc == 1000L, s"separable corpus must classify perfectly, got $acc")
+    // weights must match bit-for-bit under a different partitioning (the
+    // gradient is an exact integer sum in any order)
+    val out2 = TrainData.lrQualityTrain(docs.repartition(7), $"id", $"text",
+      $"label", steps = 3).head()
+    assert((0 until 4).forall(j => out.getLong(j) == out2.getLong(j)))
+    assert(out.getAs[Long]("n_correct") == out2.getAs[Long]("n_correct"))
+  }
+
+  test("lrQualityTrain step count changes the weights (training actually iterates)") {
+    import spark.implicits._
+    val docs = ((1L to 20L).map(i => (i, "the of and common words here", true)) ++
+      (21L to 40L).map(i => (i, s"rare$i", false))).toDF("id", "text", "label")
+    val w1 = TrainData.lrQualityTrain(docs, $"id", $"text", $"label", steps = 1)
+      .head()
+    val w3 = TrainData.lrQualityTrain(docs, $"id", $"text", $"label", steps = 3)
+      .head()
+    assert((0 until 4).exists(j => w1.getLong(j) != w3.getLong(j)),
+      "more gradient steps must move the weights")
+  }
 }
