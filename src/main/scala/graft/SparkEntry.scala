@@ -4131,6 +4131,31 @@ object SparkEntry {
         .orderBy(col("hour_bucket"))
     }),
 
+    // Checkpoint recovery of DEDUP STATE: every event is delivered twice
+    // in consecutive micro-batches (stageSplitSourceWithRetrans), the
+    // query is killed between first and second deliveries and resumed
+    // from the checkpoint. The exactly-once oracle is the falsifier: a
+    // from-scratch rerun would lose the state store, re-admit the
+    // straddling duplicates, and hash-mismatch. Watermark 400h > the
+    // 10-day split width keeps every first-delivery's state alive until
+    // its retransmission arrives.
+    "q_stream_restart_dedup" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val srcDir = graft.streaming.Streaming.stageSplitSourceWithRetrans(
+        s, dir, "events", "ts")
+      val schema = Tables.events(s, dir).schema
+      val mk = () => s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("ts_t"))
+        .withWatermark("ts_t", "400 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      graft.streaming.Streaming.drainAppendWithRestart(mk,
+        "restartdd_" + Integer.toHexString(dir.hashCode))
+    }),
+
     // Streaming session windows (session_window, 30-min gap): one row per
     // (user, session), session end = last event + gap. Batch-oracled like
     // q_stream_hourly (the oracle is lag-based sessionization SQL).
@@ -6783,6 +6808,11 @@ object SparkEntry {
 
       // doubled delivery collapses back to the event set
       "q_stream_dedup_wm" ->
+        "SELECT event_id, user_id, event_type FROM events",
+
+      // exactly-once across a kill/restart: the doubled delivery must
+      // collapse back to the plain event set via RECOVERED dedup state
+      "q_stream_restart_dedup" ->
         "SELECT event_id, user_id, event_type FROM events",
 
       "q_stream_merge" ->

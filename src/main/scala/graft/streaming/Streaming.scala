@@ -131,6 +131,60 @@ object Streaming {
     out
   }
 
+  /** stageSplitSource variant that PLANTS RETRANSMISSIONS ONE BATCH
+    * LATE: file k holds range-split k PLUS a full identical copy of
+    * split k−1 (and a final file holds the last split's copy), so with
+    * `maxFilesPerTrigger=1` every row is delivered twice in CONSECUTIVE
+    * micro-batches — duplicates always straddle a batch boundary. This
+    * is the input that makes checkpoint recovery of dedup state
+    * falsifiable: kill the query between a row's first and second
+    * delivery and the retransmitted copy is only dropped if the state
+    * store genuinely resumed (a from-scratch rerun would re-admit it —
+    * and then fail the exactly-once oracle). Deterministic: the copy
+    * sets are pure `orderCol` range predicates.
+    */
+  def stageSplitSourceWithRetrans(s: org.apache.spark.sql.SparkSession,
+                                  sfDir: String, table: String,
+                                  orderCol: String,
+                                  splits: Int = 3): String = {
+    import java.nio.file.{Files, Paths}
+    val out = graft.tables.Staging.stagedPath(
+      s"stream_${table}_retrans_${splits}f_v1", sfDir)
+    this.synchronized {
+      if (!Files.exists(Paths.get(out, "_GRAFT_DONE"))) {
+        val outP = Paths.get(out)
+        Files.createDirectories(outP)
+        val df = graft.tables.Tables.tableNormalized(s, sfDir, table)
+        val mm = df.agg(min(col(orderCol)).cast("long"),
+          max(col(orderCol)).cast("long")).head()
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val width = (mx - mn) / splits + 1
+        def slice(i: Int) = df.filter(col(orderCol).cast("long") >= mn + width * i &&
+          (if (i == splits - 1) lit(true)
+           else col(orderCol).cast("long") < mn + width * (i + 1)))
+        val base = System.currentTimeMillis()
+        (0 to splits).foreach { k =>
+          val part =
+            if (k == 0) slice(0)
+            else if (k == splits) slice(splits - 1)
+            else slice(k).unionAll(slice(k - 1))
+          val tmp = Files.createTempDirectory("graft_split").toString
+          part.coalesce(1).write.mode("overwrite").parquet(tmp)
+          import scala.jdk.CollectionConverters._
+          val f = Files.list(Paths.get(tmp)).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written for file $k"))
+          val dst = outP.resolve(f"split-$k%04d.parquet")
+          Files.move(f, dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(base + k * 2000L))
+        }
+        Files.createFile(Paths.get(out, "_GRAFT_DONE"))
+      }
+    }
+    out
+  }
+
   /** stageSplitSource variant that PLANTS LATE DATA: rows of the first
     * `orderCol` range with `lateIdCol % 5 == 0` are withheld from their
     * in-order file and delivered as one final out-of-order file. With
@@ -650,6 +704,66 @@ object Streaming {
     require(commits.contains(0L) && commits.contains(failAtBatch),
       s"checkpoint commit log must span the failure: ${commits.sorted.mkString(",")}")
     recovered
+  }
+
+  /** [[drainWithRestart]] for APPEND-mode stateful queries (dedup and
+    * other emit-once operators): the sink accumulates one
+    * batch-id-keyed directory per micro-batch (overwrite — idempotent
+    * under the retry the restart itself causes), the query is killed at
+    * `failAtBatch` and resumed from the checkpoint, and the drained
+    * result is the union of all batch directories. The commit-log audit
+    * rules out a silent from-scratch rerun; the CONTENT proof is the
+    * caller's oracle — with a retransmission-planted source
+    * ([[stageSplitSourceWithRetrans]]) a rerun that lost its dedup
+    * state would re-admit the straddling duplicates and fail the
+    * exactly-once compare.
+    */
+  def drainAppendWithRestart(mkStream: () => DataFrame, name: String,
+                             failAtBatch: Long = 1L): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    def reset(dir: String): Unit = {
+      val p = Paths.get(dir)
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+    }
+    val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
+    val ckpt = checkpointDir(name)
+    reset(out); reset(ckpt)
+    @volatile var planted = false
+    def run(plantFailure: Boolean): Unit = {
+      val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (batch, bid) => {
+          if (plantFailure && bid >= failAtBatch) {
+            planted = true
+            throw new RuntimeException(s"planted failure at micro-batch $bid")
+          }
+          batch.write.mode("overwrite").parquet(s"$out/bid_$bid")
+        }
+      val q = mkStream().writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(writeBatch)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException
+          if plantFailure && planted => () // the planned kill
+      }
+    }
+    run(plantFailure = true)
+    require(planted,
+      s"source produced fewer than ${failAtBatch + 1} micro-batches — " +
+        "the restart proof needs a failure strictly mid-stream")
+    run(plantFailure = false)
+    val commits = Option(new java.io.File(ckpt, "commits").list())
+      .getOrElse(Array.empty[String]).filter(_.forall(_.isDigit)).map(_.toLong)
+    require(commits.contains(0L) && commits.contains(failAtBatch),
+      s"checkpoint commit log must span the failure: ${commits.sorted.mkString(",")}")
+    mkStream().sparkSession.read
+      .option("recursiveFileLookup", "true").parquet(out)
   }
 
   /** Stable checkpoint directory for a named drain (exposed so specs can
