@@ -2542,6 +2542,28 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // Deterministic token-budget sampling (TrainData.tokenBudgetSample):
+    // the exact hash-order prefix of the corpus that first reaches 2000
+    // training tokens — two-level prefix sum (256 fixed hash buckets +
+    // bucket-partitioned windows), so no global sort at any corpus size.
+    // Declared output: per-source kept-doc counts and token totals.
+    "q_token_budget" -> ((s, dir) => {
+      TrainData.tokenBudgetSample(Tables.documents(s, dir), col("doc_id"),
+          col("text"), budget = 2000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tok_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // N-gram novelty (TrainData.noveltyScore): per-doc fraction of
+    // distinct 3-gram shingles occurring in no other document — the
+    // originality/memorization screen complementing the near-dup family.
+    "q_novelty" -> ((s, dir) => {
+      TrainData.noveltyScore(Tables.documents(s, dir), col("doc_id"),
+          col("text"))
+        .orderBy(col("id"))
+    }),
+
     // Corpus drift by source: truncated chi-square of each source's
     // token distribution against the corpus over the top-20 vocabulary,
     // in exact integer fixed point (expected counts fp3-truncated, no
@@ -6008,6 +6030,42 @@ object SparkEntry {
            |  CAST(min(doc_id) AS BIGINT) AS min_id,
            |  CAST(max(doc_id) AS BIGINT) AS max_id
            |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+
+      "q_token_budget" ->
+        s"""WITH d AS (
+           |  SELECT doc_id AS id, source,
+           |    CAST(len(${OracleGen.toksSql("text")}) AS BIGINT) AS nt,
+           |    md5(CAST(doc_id AS VARCHAR)) AS rk,
+           |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bk
+           |  FROM documents),
+           |pb AS (SELECT bk, CAST(sum(nt) AS BIGINT) AS btoks FROM d GROUP BY bk),
+           |offs AS (
+           |  SELECT a.bk, CAST(coalesce(sum(b.btoks), 0) AS BIGINT) AS boff
+           |  FROM pb a LEFT JOIN pb b ON b.bk < a.bk GROUP BY a.bk),
+           |c AS (
+           |  SELECT d.source, d.nt,
+           |    o.boff + coalesce(sum(d.nt) OVER (PARTITION BY d.bk
+           |      ORDER BY d.rk, d.id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           |  FROM d JOIN offs o USING (bk))
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           |  CAST(sum(nt) AS BIGINT) AS tok_kept
+           |FROM c WHERE cum < 2000 GROUP BY source ORDER BY source""".stripMargin,
+
+      "q_novelty" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id AS id, ${OracleGen.toksSql("text")} AS tk
+           |  FROM documents),
+           |sh AS (
+           |  SELECT id, unnest(list_distinct(${OracleGen.shinglesOfToks("tk")})) AS sh
+           |  FROM tok),
+           |dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh)
+           |SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000
+           |    // count(*) AS BIGINT) AS novelty_fp
+           |FROM sh JOIN dfreq USING (sh)
+           |GROUP BY id ORDER BY id""".stripMargin,
 
       "q_source_drift" ->
         s"""WITH tok AS (

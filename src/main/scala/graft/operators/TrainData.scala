@@ -376,6 +376,69 @@ object TrainData {
         array_join(col("kept"), "\n").as("clean"))
   }
 
+  /** Deterministic token-budget sampling: keep documents in seedless
+    * md5-hash order until the running token total reaches `budget` — the
+    * "give me exactly N training tokens" cut every run configuration
+    * needs, stable under corpus growth (a doc's rank never changes) and
+    * re-partitioning.
+    *
+    * The global prefix sum is two-level, never a global sort: documents
+    * bucket by their hash's first two hex chars (256 fixed buckets),
+    * per-bucket token totals aggregate to a 256-row relation whose
+    * exclusive prefix offsets come from a broadcast triangular self-join
+    * (bounded 256² — no unpartitioned window anywhere), and the
+    * within-bucket running sum is a window PARTITIONED by bucket. A doc
+    * is kept iff its exclusive global cumulative is below the budget, so
+    * the kept set is the exact hash-order prefix that first reaches it.
+    *
+    * Output: the surviving rows of `df` plus (n_tokens, cum_before).
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: Column, textCol: Column,
+                        budget: Long): DataFrame = {
+    require(budget > 0, "tokenBudgetSample: budget must be positive")
+    val base = df
+      .withColumn("_tbs_id", idCol)
+      .withColumn("n_tokens", TextFunctions.tokenCount(textCol))
+      .withColumn("_tbs_rk", md5(idCol.cast("string")))
+      .withColumn("_tbs_bk", substring(col("_tbs_rk"), 1, 2))
+    val perB = base.groupBy(col("_tbs_bk")).agg(sum(col("n_tokens")).as("_tbs_btoks"))
+    val offs = perB.alias("a")
+      .join(broadcast(perB.alias("b")), col("b._tbs_bk") < col("a._tbs_bk"), "left")
+      .groupBy(col("a._tbs_bk").as("_tbs_bk"))
+      .agg(coalesce(sum(col("b._tbs_btoks")), lit(0L)).as("_tbs_off"))
+    val w = Window.partitionBy(col("_tbs_bk"))
+      .orderBy(col("_tbs_rk").asc, col("_tbs_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offs), "_tbs_bk")
+      .withColumn("cum_before",
+        col("_tbs_off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .drop("_tbs_id", "_tbs_rk", "_tbs_bk", "_tbs_off")
+  }
+
+  /** N-gram novelty: the fraction (fp3) of a document's DISTINCT 3-gram
+    * shingles that occur in no other document — high novelty marks
+    * original content, near-zero marks template/boilerplate-dominated
+    * docs; the complement of near-dup signals, and a useful memorization
+    * screen. Exact integer arithmetic (count ratios), so hash-checkable.
+    *
+    * Scale shape: one shingle-level document-frequency aggregation
+    * (two-level, like [[vocab]] — partial counts absorb within-doc
+    * repeats before the shuffle) and one join back on the shingle key;
+    * the corpus is never self-joined pairwise.
+    */
+  def noveltyScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val sh = df.select(idCol.as("id"),
+        explode(TextFunctions.shingles(textCol, 3, distinct = true)).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("id"), col("n_shingles"), col("n_unique"),
+        expr("n_unique * 1000L DIV n_shingles").as("novelty_fp"))
+  }
+
   /** Weight clamp bound for [[lrQualityTrain]] (fp3: ±8.0). */
   val LrWClamp = 8000L
   /** Hard-sigmoid offset making every division dividend non-negative
