@@ -2529,9 +2529,11 @@ object SparkEntry {
     // manifest is per-shard row/token/byte totals plus id bounds. One
     // narrow projection + one 8-group aggregation at any corpus size;
     // the manifest IS the export plan (each shard = one writer task).
+    // Routing hashes DIRECTLY into 8 (TrainData.shardOf), not through
+    // the [0,100) bucket — 100 % 8 ≠ 0 would skew shards 0-3 by ~8%.
     "q_shard_manifest" -> ((s, dir) => {
       Tables.documents(s, dir)
-        .select((TrainData.hashBucket(col("doc_id")) % 8).cast("long").as("shard"),
+        .select(TrainData.shardOf(col("doc_id"), 8).cast("long").as("shard"),
           col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"),
           col("n_chars"))
@@ -4158,20 +4160,25 @@ object SparkEntry {
     // query is killed between first and second deliveries and resumed
     // from the checkpoint. The exactly-once oracle is the falsifier: a
     // from-scratch rerun would lose the state store, re-admit the
-    // straddling duplicates, and hash-mismatch. Watermark 400h > the
-    // 10-day split width keeps every first-delivery's state alive until
-    // its retransmission arrives.
+    // straddling duplicates, and hash-mismatch. The watermark delay is
+    // SIZED FROM THE STAGED SPLIT WIDTH (state must outlive exactly one
+    // micro-batch, which needs delay > width/2; we use 2·width + 1h),
+    // not a constant — the width is (max ts − min ts)/3 of whatever
+    // events table the driver generated, so a wider-spanned testdata
+    // generation widens the watermark with it instead of silently
+    // evicting dedup state before the retransmission lands.
     "q_stream_restart_dedup" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
-      val srcDir = graft.streaming.Streaming.stageSplitSourceWithRetrans(
-        s, dir, "events", "ts")
+      val (srcDir, widthNanos) = graft.streaming.Streaming
+        .stageSplitSourceWithRetrans(s, dir, "events", "ts")
+      val delayHours = 2L * widthNanos / 3600000000000L + 1L
       val schema = Tables.events(s, dir).schema
       val mk = () => s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           timestamp_micros(expr("ts div 1000")).as("ts_t"))
-        .withWatermark("ts_t", "400 hours")
+        .withWatermark("ts_t", s"$delayHours hours")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("user_id"), col("event_type"))
       graft.streaming.Streaming.drainAppendWithRestart(mk,
@@ -6017,7 +6024,7 @@ object SparkEntry {
 
       "q_shard_manifest" ->
         s"""WITH t AS (
-           |  SELECT doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 100 % 8
+           |  SELECT doc_id * CAST(2654435761 AS BIGINT) % 4294967296 % 8
            |      AS shard,
            |    doc_id,
            |    CAST(len(${OracleGen.toksSql("text")}) AS BIGINT) AS n_tokens,

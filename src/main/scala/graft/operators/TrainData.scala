@@ -70,6 +70,20 @@ object TrainData {
   def hashBucket(idCol: Column): Column =
     pmod(knuth32(idCol), lit(100L))
 
+  /** Direct shard assignment in [0, shards) from the 32-bit hash — for
+    * EXPORT ROUTING (shard manifests), where balance matters: hashing
+    * into [0,100) first and then mod-8 would give shards 0-3 a 13/100
+    * slice of the hash space and shards 4-7 a 12/100 slice (100 % 8 ≠ 0),
+    * a systematic ~8% writer-task imbalance. Requires a power-of-two
+    * shard count so 2^32 divides evenly and every shard owns exactly
+    * 2^32/shards of the hash space.
+    */
+  def shardOf(idCol: Column, shards: Int): Column = {
+    require(shards > 0 && (shards & (shards - 1)) == 0,
+      s"shards must be a power of two for an even hash-space split, got $shards")
+    pmod(knuth32(idCol), lit(shards.toLong))
+  }
+
   /** Stable train/val/test assignment: 80/10/10 by hash bucket of the id.
     * A sample's split never changes when the corpus grows — the invariant
     * that keeps held-out data held out across pipeline re-runs.

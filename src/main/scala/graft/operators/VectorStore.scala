@@ -78,6 +78,17 @@ object VectorStore {
     * store prune exactly like against a fresh write; periodic compaction
     * (rewrite of a bucket's small files) is an orthogonal maintenance
     * pass that never changes results.
+    *
+    * Committed via the same stage/intent/swap protocol as upsert/delete/
+    * compact — on versioned stores because a raw dynamic-partition append
+    * would surface the new rows in every historical version and leave
+    * currentVersion behind, and on UNVERSIONED stores because a crash
+    * mid-append would otherwise strand partial row files with no _COMMIT
+    * intent for [[recover]] to heal (the one mutating entry point outside
+    * the protocol would be the one that can tear). Cost is a rewrite of
+    * the affected buckets rather than a pure row append — the price every
+    * other writer already pays for atomicity, bounded by the buckets the
+    * batch actually lands in.
     */
   def append(df: DataFrame, vecCol: Column, path: String,
              idName: String = "vec_id", numPlanes: Int = 4,
@@ -85,26 +96,23 @@ object VectorStore {
     requireNoPendingCommit(path)
     val spark = df.sparkSession
     val existing = spark.read.parquet(path).select(col(idName))
+    // Materialize the admitted rows ONCE (lineage cut, cf. Stage.Local)
+    // before anything reads them: `fresh` feeds both the affected-bucket
+    // list and the staged write, and recomputing a nondeterministic
+    // caller df between the two could stage a bucket that is missing
+    // from the swap list (or vice versa).
     val fresh = df.withColumn("bucket", Ann.bucketOf(vecCol, numPlanes, dim))
       .join(existing, Seq(idName), "left_anti")
-    if (isVersioned(path)) {
-      // A versioned store must never gain rows outside the commit
-      // protocol: a raw dynamic-partition append would surface the new
-      // rows in every historical version and leave currentVersion
-      // behind. Stage the affected buckets (old rows + appended rows)
-      // and swap them in as a numbered commit, like upsert/delete.
+      .localCheckpoint()
+    val affected = fresh.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (affected.nonEmpty) {
       val store = spark.read.parquet(path)
-      val affected = fresh.select(col("bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (affected.nonEmpty) {
-        val sfx = "__appending"
-        store.filter(col("bucket").isin(affected.toSeq: _*))
-          .unionByName(fresh)
-          .write.mode("overwrite").partitionBy("bucket").parquet(path + sfx)
-        commitSwap(path, sfx, affected.toSeq.sorted)
-      }
-    } else {
-      fresh.write.mode("append").partitionBy("bucket").parquet(path)
+      val sfx = "__appending"
+      store.filter(col("bucket").isin(affected.toSeq: _*))
+        .unionByName(fresh)
+        .write.mode("overwrite").partitionBy("bucket").parquet(path + sfx)
+      commitSwap(path, sfx, affected.toSeq.sorted)
     }
   }
 

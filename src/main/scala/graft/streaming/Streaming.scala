@@ -142,14 +142,25 @@ object Streaming {
     * store genuinely resumed (a from-scratch rerun would re-admit it —
     * and then fail the exactly-once oracle). Deterministic: the copy
     * sets are pure `orderCol` range predicates.
+    *
+    * Returns (stagedDir, splitWidth) where splitWidth is the `orderCol`
+    * range width of one split IN THE COLUMN'S OWN UNIT (nanos for the
+    * events `ts`). The caller MUST size its dedup watermark from this
+    * width rather than a constant: state for a first delivery has to
+    * survive exactly one more micro-batch (the retransmission), which
+    * needs watermarkDelay > width/2 (eviction fires when
+    * t + delay < maxEventTime − delay) — and the width is a property of
+    * the driver-generated data, not of the query. The width is persisted
+    * next to the staged files (`_GRAFT_WIDTH`) so cached stagings return
+    * the same value without recomputing the min/max scan.
     */
   def stageSplitSourceWithRetrans(s: org.apache.spark.sql.SparkSession,
                                   sfDir: String, table: String,
                                   orderCol: String,
-                                  splits: Int = 3): String = {
+                                  splits: Int = 3): (String, Long) = {
     import java.nio.file.{Files, Paths}
     val out = graft.tables.Staging.stagedPath(
-      s"stream_${table}_retrans_${splits}f_v1", sfDir)
+      s"stream_${table}_retrans_${splits}f_v2", sfDir)
     this.synchronized {
       if (!Files.exists(Paths.get(out, "_GRAFT_DONE"))) {
         val outP = Paths.get(out)
@@ -179,10 +190,12 @@ object Streaming {
           Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(base + k * 2000L))
         }
+        Files.writeString(Paths.get(out, "_GRAFT_WIDTH"), width.toString)
         Files.createFile(Paths.get(out, "_GRAFT_DONE"))
       }
     }
-    out
+    val width = Files.readString(Paths.get(out, "_GRAFT_WIDTH")).trim.toLong
+    (out, width)
   }
 
   /** stageSplitSource variant that PLANTS LATE DATA: rows of the first
