@@ -311,8 +311,22 @@ object Dedup {
     def sh(df: DataFrame, side: String) =
       df.select(idCol.as(side + "_id"),
         explode(TextFunctions.shingles(textCol, shingleN, distinct = true)).as("sh"))
-    val testSh = sh(test, "test")
-    val trainSh = sh(train, "train")
+    crossOverlapFromShingles(sh(train, "train"), sh(test, "test"),
+      minShared, maxDf)
+  }
+
+  /** [[crossOverlap]] over PRE-BUILT exploded shingle relations —
+    * `trainSh` = (train_id, sh), `testSh` = (test_id, sh) — so a staged
+    * per-document shingle artifact (built once per corpus, cf.
+    * SparkEntry's doc-shingle stage) feeds decontamination without
+    * re-tokenizing the text. The document-frequency cap is still
+    * computed HERE, over train∪test: df is a property of which corpus
+    * slice participates, not of the documents, so it cannot ride in a
+    * corpus-level artifact without changing the guard's semantics.
+    */
+  def crossOverlapFromShingles(trainSh: DataFrame, testSh: DataFrame,
+                               minShared: Int = 2,
+                               maxDf: Int = Int.MaxValue): DataFrame = {
     val (t, tr) =
       if (maxDf == Int.MaxValue) (testSh, trainSh)
       else {
@@ -355,15 +369,26 @@ object Dedup {
                         minShared: Int = 2, maxDf: Int = Int.MaxValue,
                         expectedShingles: Long = 1L << 18,
                         sizeBits: Long = 1L << 22): DataFrame = {
+    def sh(df: DataFrame, side: String) =
+      df.select(idCol.as(side + "_id"),
+        explode(TextFunctions.shingles(textCol, shingleN, distinct = true)).as("sh"))
+    crossOverlapBloomFromShingles(sh(train, "train"), sh(test, "test"),
+      minShared, maxDf, expectedShingles, sizeBits)
+  }
+
+  /** [[crossOverlapBloom]] over pre-built exploded shingle relations —
+    * same contract as [[crossOverlapFromShingles]] (staged-artifact
+    * consumers skip re-tokenization; the df cap stays per-call).
+    */
+  def crossOverlapBloomFromShingles(trainSh: DataFrame, testSh: DataFrame,
+                                    minShared: Int = 2,
+                                    maxDf: Int = Int.MaxValue,
+                                    expectedShingles: Long = 1L << 18,
+                                    sizeBits: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
-    def sh(df: DataFrame, side: String) =
-      df.select(idCol.as(side + "_id"),
-        explode(TextFunctions.shingles(textCol, shingleN, distinct = true)).as("sh"))
-    val testSh = sh(test, "test")
-    val trainSh = sh(train, "train")
     val (t, tr) =
       if (maxDf == Int.MaxValue) (testSh, trainSh)
       else {
@@ -440,6 +465,19 @@ object Dedup {
     val toks = stage.cut(df.select(idCol.as("id"),
       TextFunctions.shingles(textCol, shingleN, distinct = true).as("tk")),
       "ppj_shingles")
+    prefixJaccardJoinFromToks(toks, threshold)
+  }
+
+  /** [[prefixJaccardJoin]] over a PRE-MATERIALIZED (id, tk) relation of
+    * per-document distinct shingle arrays. `toks` MUST already be staged
+    * or lineage-cut (parquet stage, localCheckpoint) — it is consumed by
+    * three separate pipelines (df count, prefix build, verify re-fetch),
+    * and an unmaterialized input would re-run its derivation per
+    * consumer, exactly the recomputation the staged-shingle artifact
+    * exists to avoid.
+    */
+  def prefixJaccardJoinFromToks(toks: DataFrame,
+                                threshold: Double): DataFrame = {
     val ex = toks.select(col("id"), explode(col("tk")).as("tok"))
     val dfs = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ordered = ex.join(dfs, "tok")

@@ -441,9 +441,16 @@ object TrainData {
     * repeats before the shuffle) and one join back on the shingle key;
     * the corpus is never self-joined pairwise.
     */
-  def noveltyScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val sh = df.select(idCol.as("id"),
-        explode(TextFunctions.shingles(textCol, 3, distinct = true)).as("sh"))
+  def noveltyScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    noveltyFromShingles(df.select(idCol.as("id"),
+      explode(TextFunctions.shingles(textCol, 3, distinct = true)).as("sh")))
+
+  /** [[noveltyScore]] over a pre-built exploded (id, sh) shingle relation
+    * (the staged doc-shingle artifact path — skips re-tokenization). The
+    * document-frequency aggregation stays here: df is relative to the
+    * corpus slice being scored, not a property of the artifact.
+    */
+  def noveltyFromShingles(sh: DataFrame): DataFrame = {
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     sh.join(dfreq, "sh")
       .groupBy(col("id"))
