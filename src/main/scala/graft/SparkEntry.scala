@@ -133,12 +133,28 @@ object SparkEntry {
     * to non-negative (truncation = floor in both engines — the same
     * identity the Scala side's Math.floorDiv satisfies).
     */
-  private def lrQualityOracleSql(steps: Int, lrNum: Long = 1L,
-                                 lrDen: Long = 2L): String = {
-    import graft.operators.TrainData.{LrWClamp, LrZOffset, LrKOffset}
+  /** fp3 hard-sigmoid probability of weight relation `$w` applied to
+    * feature relation alias `f` — the SQL twin of TrainData's p
+    * expression (shared by the training replay and downstream scoring).
+    */
+  private def lrPSql(w: String): String = {
+    import graft.operators.TrainData.LrZOffset
+    s"LEAST(GREATEST(($w.w0*1000 + $w.w1*f.f1 + $w.w2*f.f2 + $w.w3*f.f3 + " +
+      s"$LrZOffset) // 4000 - ${LrZOffset / 4000} + 500, 0), 1000)"
+  }
+
+  /** CTE chain (no WITH keyword) replaying TrainData.lrQualityTrain's
+    * full-batch gradient descent on the documents table — leaves
+    * `f` (id, y, f1..f3) and `wt$steps` (w0..w3, the trained weights) in
+    * scope. Shared by the q_lr_quality oracle and any oracle that SCORES
+    * with the trained model (q_corpus_build's quality-filter stage).
+    */
+  private def lrWeightsCteSql(steps: Int, lrNum: Long = 1L,
+                              lrDen: Long = 2L): String = {
+    import graft.operators.TrainData.{LrWClamp, LrKOffset}
     val sb = new StringBuilder
     sb.append(
-      s"""WITH tok AS (
+      s"""tok AS (
          |  SELECT doc_id AS id, lang, ${OracleGen.toksSql("text")} AS tk
          |  FROM documents),
          |fr AS (
@@ -161,9 +177,7 @@ object SparkEntry {
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
          |wt0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
          |               CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""".stripMargin)
-    def pExpr(w: String) =
-      s"LEAST(GREATEST(($w.w0*1000 + $w.w1*f.f1 + $w.w2*f.f2 + $w.w3*f.f3 + " +
-        s"$LrZOffset) // 4000 - ${LrZOffset / 4000} + 500, 0), 1000)"
+    def pExpr(w: String) = lrPSql(w)
     for (k <- 1 to steps) {
       val fs = Seq("1000", "f1", "f2", "f3")
       sb.append(
@@ -183,24 +197,26 @@ object SparkEntry {
                }.mkString(",\n    ")}
            |  FROM wt${k - 1} w, g$k g, nn)""".stripMargin)
     }
-    sb.append(
-      s""",
-         |pf AS (
-         |  SELECT f.y, ${pExpr("w")} AS p
-         |  FROM f, wt$steps w)
-         |SELECT
-         |  (SELECT w0 FROM wt$steps) AS w0_fp,
-         |  (SELECT w1 FROM wt$steps) AS w1_fp,
-         |  (SELECT w2 FROM wt$steps) AS w2_fp,
-         |  (SELECT w3 FROM wt$steps) AS w3_fp,
-         |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN (p >= 500) = (y = 1000) THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_correct,
-         |  CAST(sum(CASE WHEN (p >= 500) = (y = 1000) THEN 1 ELSE 0 END) * 1000
-         |    // count(*) AS BIGINT) AS acc_fp
-         |FROM pf""".stripMargin)
     sb.toString
   }
+
+  private def lrQualityOracleSql(steps: Int, lrNum: Long = 1L,
+                                 lrDen: Long = 2L): String =
+    s"""WITH ${lrWeightsCteSql(steps, lrNum, lrDen)},
+       |pf AS (
+       |  SELECT f.y, ${lrPSql("w")} AS p
+       |  FROM f, wt$steps w)
+       |SELECT
+       |  (SELECT w0 FROM wt$steps) AS w0_fp,
+       |  (SELECT w1 FROM wt$steps) AS w1_fp,
+       |  (SELECT w2 FROM wt$steps) AS w2_fp,
+       |  (SELECT w3 FROM wt$steps) AS w3_fp,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN (p >= 500) = (y = 1000) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN (p >= 500) = (y = 1000) THEN 1 ELSE 0 END) * 1000
+       |    // count(*) AS BIGINT) AS acc_fp
+       |FROM pf""".stripMargin
 
   /** ann_join's probe IN-list: the query bucket XOR every mask of ≤2 of
     * 5 bits — generated from the same Ann.probeMasks the Spark side uses.

@@ -500,27 +500,54 @@ object TrainData {
     * Output row: (w0_fp..w3_fp, n_docs, n_correct, acc_fp) at the final
     * weights, n_correct counting sign-agreement of p ≥ 1/2 with y.
     */
+  /** The LR quality classifier's fp3 feature projection — (id, f1, f2,
+    * f3[, y]) — shared by [[lrQualityTrain]] (with the label) and
+    * [[lrQualityScore]] (without), so a model trained on one corpus
+    * scores another with bit-identical feature math.
+    */
+  private def lrFeatureFrame(df: DataFrame, idCol: Column, textCol: Column,
+                             labelCol: Option[Column]): DataFrame = {
+    val toks = TextFunctions.tokens(textCol)
+    val stopList = Seq("the", "a", "of", "and", "to", "in")
+    df.select(Seq(
+        idCol.as("id"),
+        size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => t.isin(stopList.map(_.asInstanceOf[Any]): _*)))
+          .cast("long").as("stop"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_len")) ++
+        labelCol.map(l => when(l, lit(1000L)).otherwise(lit(0L)).as("y")): _*)
+      .selectExpr(Seq("id") ++ labelCol.map(_ => "y") ++ Seq(
+        "least(n_tok, 200L) * 5L AS f1",
+        "CASE WHEN n_tok > 0 THEN stop * 1000L DIV n_tok ELSE 0L END AS f2",
+        """least(CASE WHEN n_tok > 0 THEN sum_len * 1000L DIV n_tok
+          |      ELSE 0L END, 20000L) DIV 20L AS f3""".stripMargin): _*)
+  }
+
+  /** Apply a trained LR quality model: (id, p_fp) with p_fp the fp3
+    * hard-sigmoid probability — the FILTERING half of the model-based
+    * quality stage ([[lrQualityTrain]] is the training half; weights are
+    * four fp3 scalars, broadcast-class by construction). Integer-exact,
+    * same link as training, so keep/drop decisions replay in SQL.
+    */
+  def lrQualityScore(df: DataFrame, idCol: Column, textCol: Column,
+                     w: Seq[Long]): DataFrame = {
+    require(w.length == 4, s"lrQualityScore: 4 weights expected, got ${w.length}")
+    lrFeatureFrame(df, idCol, textCol, None)
+      .withColumn("z", lit(w(0)) * lit(1000L) + lit(w(1)) * col("f1") +
+        lit(w(2)) * col("f2") + lit(w(3)) * col("f3"))
+      .withColumn("p_fp", expr(
+        s"least(greatest((z + $LrZOffset) DIV 4000L - ${LrZOffset / 4000} + 500L, 0L), 1000L)"))
+      .select(col("id"), col("p_fp"))
+  }
+
   def lrQualityTrain(df: DataFrame, idCol: Column, textCol: Column,
                      labelCol: Column, steps: Int = 3,
                      lrNum: Long = 1L, lrDen: Long = 2L,
                      stage: Stage = Stage.Local): DataFrame = {
     require(steps > 0 && lrNum > 0 && lrDen > 0,
       "lrQualityTrain: steps and learning rate must be positive")
-    val toks = TextFunctions.tokens(textCol)
-    val stopList = Seq("the", "a", "of", "and", "to", "in")
-    val feats = stage.cut(df.select(
-        idCol.as("id"),
-        size(toks).cast("long").as("n_tok"),
-        size(filter(toks, t => t.isin(stopList.map(_.asInstanceOf[Any]): _*)))
-          .cast("long").as("stop"),
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
-        when(labelCol, lit(1000L)).otherwise(lit(0L)).as("y"))
-      .selectExpr("id", "y",
-        "least(n_tok, 200L) * 5L AS f1",
-        "CASE WHEN n_tok > 0 THEN stop * 1000L DIV n_tok ELSE 0L END AS f2",
-        """least(CASE WHEN n_tok > 0 THEN sum_len * 1000L DIV n_tok
-          |      ELSE 0L END, 20000L) DIV 20L AS f3""".stripMargin),
-      "lrq_feats")
+    val feats = stage.cut(
+      lrFeatureFrame(df, idCol, textCol, Some(labelCol)), "lrq_feats")
     val n = feats.count()
     require(n > 0, "lrQualityTrain: empty corpus")
     var w = Array(0L, 0L, 0L, 0L)
