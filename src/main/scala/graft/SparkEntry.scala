@@ -2221,6 +2221,105 @@ object SparkEntry {
         .orderBy(col("shard"), col("bin"))
     }),
 
+    // The FULL corpus-build mega-pipeline — every stage of a real
+    // training-data run composed into ONE declared query whose final
+    // shard manifest is hash-oracled: polluted corpus → quality gates →
+    // exact dedup (min-id keeper per content hash) → NEAR-dedup apply
+    // (capped MinHash+LSH pairs → connected components → keep cluster
+    // keepers only) → stable hash split (group-safe by construction:
+    // survivors are their cluster's keeper, so a cluster can never
+    // straddle splits) → decontamination (train docs sharing ≥5
+    // df-capped shingles with the test split are dropped) → model-based
+    // quality filter (the q_lr_quality classifier trained IN THE ENGINE,
+    // its integer weights applied to every surviving train doc, keep
+    // score strictly above the surviving corpus's mean — a RELATIVE
+    // cutoff, exact in integers as p·n > Σp: the trained model here is a
+    // majority-class-leaning scorer whose absolute probabilities sit
+    // below ½, and real pipelines prune by score percentile anyway) →
+    // 512-token sequence packing → per-shard export manifest.
+    // Proves the operators COMPOSE, not just pass in isolation; the
+    // oracle replays the entire chain (including the LR training) in SQL.
+    // Scale shape: each stage is the already-audited operator — narrow
+    // gates, one content-hash shuffle, banded LSH (never all-pairs),
+    // fixed-point CC on the tiny pair graph, one shingle-keyed decon
+    // join, broadcast-class weights, one pack window per shard.
+    "q_corpus_build" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      // PLANTED CONTAMINATION: docs in split-hash buckets {0,1} (train
+      // side) and {90,91} (test side) carry a shared 8-token leak suffix
+      // whose 6 interior 3-gram shingles exceed minShared=5 — so the
+      // decon stage provably drops the train members (an empty contam
+      // set would make a mis-wired decon stage invisible to the oracle).
+      // Keying the family off the split hash itself guarantees members
+      // on BOTH sides of the split at any corpus size; ~4% of docs keeps
+      // the family under the df-50 cap at verification scale.
+      val lb = TrainData.hashBucket(col("doc_id"))
+      val base = d.select(col("doc_id").as("id"),
+        when(lb < 2 || (lb >= 90 && lb < 92),
+          concat(col("text"),
+            lit(" leak alpha beta gamma delta epsilon zeta eta")))
+          .otherwise(col("text")).as("text"))
+      val corpus = base
+        .unionAll(base.filter(col("id") % 10 === 0)
+          .select((col("id") + 100000).as("id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+        .unionAll(base.filter(col("id") % 7 === 0)
+          .select((col("id") + 200000).as("id"), col("text")))
+      val gated = corpus.filter(
+        TextAnalysis.langId(col("text")) =!= "und" &&
+          TextAnalysis.qualityScore(col("text")) >= 0.3 &&
+          TextFunctions.repetitionRatio(col("text"), 3) < 0.3)
+      // pinned: consumed by the pair miner, the keeper filter, the
+      // decon shingle sides and the feature scorer
+      val deduped = gated.groupBy(md5(col("text")).as("ck"))
+        .agg(min(col("id")).as("id"), max(col("text")).as("text"))
+        .select(col("id"), col("text"))
+        .localCheckpoint()
+      val pairs = Dedup.minhashPairs(deduped, col("id"), col("text"),
+          maxBucket = 50)
+        .select(col("a_id"), col("b_id"))
+      val nonKeepers = Dedup.connectedComponents(pairs)
+        .filter(col("comp") =!= col("id")).select(col("id"))
+      val kept = deduped.join(nonKeepers, Seq("id"), "left_anti")
+        .withColumn("split", TrainData.hashSplit(col("id")))
+      val train = kept.filter(col("split") === "train")
+        .select(col("id"), col("text"))
+      val test = kept.filter(col("split") === "test")
+        .select(col("id"), col("text"))
+      def shSide(df: DataFrame, side: String) =
+        df.select(col("id").as(side + "_id"),
+          explode(TextFunctions.shingles(col("text"), 3, distinct = true))
+            .as("sh"))
+      val contaminated = Dedup.crossOverlapFromShingles(
+          shSide(train, "train"), shSide(test, "test"),
+          minShared = 5, maxDf = 50)
+        .select(col("train_id").as("id")).distinct()
+      val decon = train.join(contaminated, Seq("id"), "left_anti")
+      // trained weights: four fp3 scalars off the driver — model
+      // broadcast, the same budget class as any dimension table
+      val wRow = TrainData.lrQualityTrain(d, col("doc_id"), col("text"),
+        col("lang") === "en", steps = 3).head()
+      val weights = (0 to 3).map(wRow.getLong)
+      // (id, p_fp) only — pinned because the score feeds both the mean
+      // aggregate and the filter
+      val scored = TrainData.lrQualityScore(decon, col("id"), col("text"),
+        weights).localCheckpoint()
+      val scStats = scored.agg(count(lit(1)).as("n_sc"),
+        sum(col("p_fp")).as("sum_sc"))
+      val qual = decon.join(
+        scored.crossJoin(broadcast(scStats))
+          .filter(col("p_fp") * col("n_sc") > col("sum_sc"))
+          .select(col("id")),
+        Seq("id"), "left_semi")
+      TrainData.packSequences(qual, col("id"), col("text"),
+          seqLen = 512L, shards = 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_tokens")).as("sum_tokens"),
+          min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
+        .orderBy(col("shard"))
+    }),
+
     // BPE-ish sub-word token counting, aggregated per source.
     "q_token_bpe" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -5808,6 +5907,120 @@ object SparkEntry {
            |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
            |  min(id) AS min_id, max(id) AS max_id
            |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+      },
+
+      "q_corpus_build" -> {
+        val stop = "len(list_filter(tk, t -> t IN ('the','a','of','and','to','in')))"
+        val knuth = "CAST(2654435761 AS BIGINT) % 4294967296"
+        s"""WITH RECURSIVE ${lrWeightsCteSql(3)},
+           |base AS (
+           |  SELECT doc_id AS id,
+           |    CASE WHEN doc_id * $knuth % 100 < 2
+           |           OR (doc_id * $knuth % 100 >= 90
+           |               AND doc_id * $knuth % 100 < 92)
+           |      THEN text || ' leak alpha beta gamma delta epsilon zeta eta'
+           |      ELSE text END AS text
+           |  FROM documents),
+           |corpus AS (
+           |  SELECT id, text FROM base
+           |  UNION ALL
+           |  SELECT id + 100000 AS id, text || ' ' || text AS text
+           |  FROM base WHERE id % 10 = 0
+           |  UNION ALL
+           |  SELECT id + 200000 AS id, text FROM base WHERE id % 7 = 0),
+           |gated AS (
+           |  SELECT id, text FROM (
+           |    SELECT id, text, tk, ${OracleGen.shinglesOfToks("tk")} AS sh
+           |    FROM (SELECT id, text, ${OracleGen.toksSql("text")} AS tk FROM corpus))
+           |  WHERE ($LangIdCaseSql) <> 'und'
+           |    AND ((least(CAST(len(tk) AS DOUBLE), 60.0) / 60.0) * 0.7 +
+           |         (CASE WHEN len(tk) > 0
+           |               THEN CAST($stop AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+           |               ELSE 0.0 END) * 0.3) >= 0.3
+           |    AND (1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+           |         / CAST(len(sh) AS DOUBLE)) < 0.3),
+           |dedup AS (
+           |  SELECT min(id) AS id, max(text) AS text
+           |  FROM gated GROUP BY md5(text)),
+           |${minhashSigBandsCte("nd", "SELECT id, text FROM dedup")},
+           |ndpairs AS (
+           |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           |  FROM ndbands a JOIN ndbands b
+           |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.id < b.id),
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM ndpairs
+           |  UNION SELECT b_id, a_id FROM ndpairs),
+           |reach AS (
+           |  SELECT src AS id, dst AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+           |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+           |kept AS (
+           |  SELECT d.id, d.text,
+           |    CASE WHEN d.id * $knuth % 100 < 80 THEN 'train'
+           |         WHEN d.id * $knuth % 100 < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM dedup d LEFT JOIN comp c ON d.id = c.id
+           |  WHERE c.comp IS NULL OR c.comp = d.id),
+           |ksh0 AS (
+           |  SELECT id, split,
+           |    unnest(list_distinct(${OracleGen.shinglesOfToks("ktk")})) AS sh
+           |  FROM (SELECT id, split, ${OracleGen.toksSql("text")} AS ktk
+           |        FROM kept WHERE split IN ('train', 'test'))),
+           |ksh AS (
+           |  SELECT * FROM ksh0 WHERE sh NOT IN (
+           |    SELECT sh FROM ksh0 GROUP BY sh HAVING count(*) > 50)),
+           |contam AS (
+           |  SELECT DISTINCT tr_id AS id FROM (
+           |    SELECT t.id AS t_id, tr.id AS tr_id
+           |    FROM ksh t JOIN ksh tr ON t.sh = tr.sh
+           |    WHERE t.split = 'test' AND tr.split = 'train'
+           |    GROUP BY 1, 2 HAVING count(*) >= 5)),
+           |decon AS (
+           |  SELECT id, text FROM kept
+           |  WHERE split = 'train' AND id NOT IN (SELECT id FROM contam)),
+           |sfr AS (
+           |  SELECT id,
+           |    CAST(len(stk) AS BIGINT) AS n_tok,
+           |    CAST(len(list_filter(stk,
+           |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS stop,
+           |    CAST(coalesce(list_sum(list_transform(stk, t -> len(t))), 0)
+           |      AS BIGINT) AS sum_len
+           |  FROM (SELECT id, ${OracleGen.toksSql("text")} AS stk FROM decon)),
+           |sfe AS (
+           |  SELECT id,
+           |    LEAST(n_tok, 200) * 5 AS f1,
+           |    CASE WHEN n_tok > 0 THEN stop * 1000 // n_tok ELSE 0 END AS f2,
+           |    LEAST(CASE WHEN n_tok > 0 THEN sum_len * 1000 // n_tok ELSE 0 END,
+           |      20000) // 20 AS f3
+           |  FROM sfr),
+           |scored AS (
+           |  SELECT f.id, ${lrPSql("w")} AS p FROM sfe f, wt3 w),
+           |scstats AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_sc,
+           |    CAST(sum(p) AS BIGINT) AS sum_sc FROM scored),
+           |keptq AS (
+           |  SELECT k.id FROM scored k, scstats a WHERE k.p * a.n_sc > a.sum_sc),
+           |pt AS (
+           |  SELECT id, id * $knuth % 100 % 4 AS shard,
+           |    CAST(len(${OracleGen.toksSql("text")}) AS BIGINT) AS n_tokens
+           |  FROM (SELECT d.id, d.text FROM decon d JOIN keptq k ON d.id = k.id)),
+           |pc AS (
+           |  SELECT shard, id, n_tokens,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM pt),
+           |pk AS (
+           |  SELECT shard, (cum - n_tokens) // 512 AS bin, count(*) AS n_docs,
+           |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |    min(id) AS min_id, max(id) AS max_id
+           |  FROM pc GROUP BY shard, bin)
+           |SELECT CAST(shard AS BIGINT) AS shard,
+           |  CAST(count(*) AS BIGINT) AS n_bins,
+           |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           |  CAST(sum(sum_tokens) AS BIGINT) AS sum_tokens,
+           |  min(min_id) AS min_id, max(max_id) AS max_id
+           |FROM pk GROUP BY shard ORDER BY shard""".stripMargin
       },
 
       "q_token_bpe" ->
