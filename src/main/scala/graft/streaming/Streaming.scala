@@ -55,7 +55,7 @@ object Streaming {
     * keeps concurrent batch queries on the same session unaffected.
     */
   def streamSession(s: org.apache.spark.sql.SparkSession,
-                    partitions: Int = 8): org.apache.spark.sql.SparkSession = {
+                    partitions: Int = 4): org.apache.spark.sql.SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     s2
