@@ -92,7 +92,7 @@ object VectorStore {
     */
   def append(df: DataFrame, vecCol: Column, path: String,
              idName: String = "vec_id", numPlanes: Int = 4,
-             dim: Int = 64): Unit = {
+             dim: Int = 64): Unit = withWriterLock(path) {
     requireNoPendingCommit(path)
     val spark = df.sparkSession
     val existing = spark.read.parquet(path).select(col(idName))
@@ -156,6 +156,36 @@ object VectorStore {
         s"$path has an unfinished commit (stale _COMMIT intent) — a writer " +
           "crashed mid-swap or is still running; run VectorStore.recover " +
           "before writing (single-writer-at-a-time store)")
+  }
+
+  /** WRITER EXCLUSION: the single-writer-at-a-time assumption the commit
+    * protocol documents, now ENFORCED. Every mutating entry point
+    * (append/upsert/delete/compact) runs under an exclusive `_WRITER_LOCK`
+    * acquired with an atomic create-if-absent; a second writer REFUSES
+    * immediately (no queueing — the caller owns retry policy, and a
+    * refused writer has done zero staging work). The lock body carries
+    * pid + timestamp for diagnostics only. A writer that dies with the
+    * lock held leaves a stale lock exactly like it leaves a stale
+    * _COMMIT; [[recover]] clears both — the one heal path for every
+    * crashed-writer artifact. Underscore prefix keeps it invisible to
+    * Spark readers, like every other protocol file.
+    */
+  private def withWriterLock[T](path: String)(body: => T): T = {
+    import java.nio.file.{Files, Paths}
+    val lock = Paths.get(path, "_WRITER_LOCK")
+    try Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"$path is being written by another writer (_WRITER_LOCK held) — " +
+            "refusing (single-writer-at-a-time store); retry after it " +
+            "finishes, or run VectorStore.recover if its holder crashed")
+    }
+    try {
+      Files.writeString(lock,
+        s"${ProcessHandle.current.pid}@${System.currentTimeMillis}")
+      body
+    } finally Files.deleteIfExists(lock)
   }
 
   private def deleteRec(p: java.nio.file.Path): Unit = {
@@ -275,6 +305,11 @@ object VectorStore {
       Files.deleteIfExists(intent)
     }
     Files.deleteIfExists(Paths.get(path, "_COMMIT_STAGING"))
+    // a writer that died lock-in-hand left a stale _WRITER_LOCK — the
+    // same class of artifact as a stale stage dir; recovery clears it
+    // (recover() itself runs under the caller's no-concurrent-writer
+    // discipline, as before)
+    Files.deleteIfExists(Paths.get(path, "_WRITER_LOCK"))
     Seq("__upserting", "__deleting", "__compacting", "__appending")
       .foreach(sfx => deleteRec(Paths.get(path + sfx)))
   }
@@ -292,7 +327,7 @@ object VectorStore {
     */
   def upsert(df: DataFrame, vecCol: Column, path: String,
              idName: String = "vec_id", numPlanes: Int = 4,
-             dim: Int = 64): Unit = {
+             dim: Int = 64): Unit = withWriterLock(path) {
     requireNoPendingCommit(path)
     val spark = df.sparkSession
     val updates = df.withColumn("bucket", Ann.bucketOf(vecCol, numPlanes, dim))
@@ -326,7 +361,7 @@ object VectorStore {
     * bucket swaps in an explicit empty directory).
     */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
-             idName: String = "vec_id"): Unit = {
+             idName: String = "vec_id"): Unit = withWriterLock(path) {
     requireNoPendingCommit(path)
     val store = spark.read.parquet(path)
     val victims = ids.select(col(idName))
@@ -354,7 +389,7 @@ object VectorStore {
     * correct stores (some buckets compacted, some not); [[recover]]
     * finishes the rest.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit = withWriterLock(path) {
     requireNoPendingCommit(path)
     val store = spark.read.parquet(path)
     val affected = store.select(col("bucket")).distinct()

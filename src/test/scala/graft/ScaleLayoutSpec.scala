@@ -225,6 +225,66 @@ class ScaleLayoutSpec extends SparkSpec {
       "every surviving re-embedded row must carry the upserted label")
   }
 
+  test("VectorStore: concurrent writers are excluded — loser refuses, no corruption") {
+    import graft.operators.VectorStore
+    import java.nio.file.{Files => NF, Paths}
+    val out = Files.createTempDirectory("graft_vs_lock").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb.filter(col("vec_id") % 4 === 0), col("embedding"), out)
+
+    // 1. a held lock makes every mutating entry point REFUSE (not queue):
+    //    simulate a concurrent writer by holding _WRITER_LOCK exactly as
+    //    one would — atomic create-if-absent
+    NF.createFile(Paths.get(out, "_WRITER_LOCK"))
+    val before = spark.read.parquet(out).count()
+    for ((label, op) <- Seq[(String, () => Unit)](
+        ("append", () => VectorStore.append(
+          emb.filter(col("vec_id") % 4 === 1), col("embedding"), out)),
+        ("upsert", () => VectorStore.upsert(
+          emb.filter(col("vec_id") % 4 === 0), col("embedding"), out)),
+        ("delete", () => VectorStore.delete(spark, out,
+          emb.filter(col("vec_id") % 8 === 0).select(col("vec_id")))),
+        ("compact", () => VectorStore.compact(spark, out)))) {
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("_WRITER_LOCK"), s"$label: ${e.getMessage}")
+    }
+    // the refused writers did zero staging work and changed nothing
+    assert(spark.read.parquet(out).count() == before)
+    assert(!NF.exists(Paths.get(out + "__appending")) &&
+      !NF.exists(Paths.get(out + "__upserting")) &&
+      !NF.exists(Paths.get(out + "__deleting")) &&
+      !NF.exists(Paths.get(out + "__compacting")))
+
+    // 2. the stale lock of a crashed holder heals through the one recovery
+    //    path, like every other crashed-writer artifact
+    VectorStore.recover(out)
+    assert(!NF.exists(Paths.get(out, "_WRITER_LOCK")))
+
+    // 3. two genuinely racing writers of disjoint id sets: the lock
+    //    serializes them — each retries on refusal, both land, and the
+    //    final store is exactly the union (no torn bucket, no lost batch)
+    val sets = Seq(1, 2).map(r => emb.filter(col("vec_id") % 4 === r))
+    val threads = sets.map { df =>
+      new Thread(() => {
+        var done = false
+        var tries = 0
+        while (!done && tries < 60) {
+          try { VectorStore.append(df, col("embedding"), out); done = true }
+          catch { case _: IllegalStateException =>
+            tries += 1; Thread.sleep(100) }
+        }
+        assert(done, "writer starved out after 60 retries")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val ids = spark.read.parquet(out).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val expected = emb.filter(col("vec_id") % 4 < 3).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == expected)
+    assert(!NF.exists(Paths.get(out, "_WRITER_LOCK")), "lock must be released")
+  }
+
   test("VectorStore: a writer crash mid-commit is rolled forward by recover") {
     import java.nio.file.{Files => NF, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
