@@ -3882,6 +3882,48 @@ object SparkEntry {
         .orderBy(col("method"))
     }),
 
+    // ANN recall under CLUSTER SKEW — the regime real embedding
+    // distributions live in (q_ann_recall's corpus is uniform-ish, which
+    // flatters every bucketing). The corpus is re-centered into 16 tight
+    // clusters (hash-derived centers dominate a 0.05-scaled residual);
+    // the query's entire nearest cluster then hashes to ONE bucket that
+    // is NOT the query's own bucket, so single-probe LSH demonstrably
+    // collapses (ceiling ≤ 0.3 asserted; measured 0.0) while multi-probe
+    // (single-bit flips reach the cluster's bucket) and IVF nprobe=4
+    // hold the 0.8 floor. This is why multi-probe/IVF are the scale
+    // path: clustered data makes single-probe recall a coin flip on
+    // which side of a hyperplane a cluster fell.
+    "q_ann_recall_skewed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cl = emb.select(col("vec_id"), col("label"),
+        transform(sequence(lit(0), lit(63)), i =>
+          ((((col("label") * 73 + i * 37) % 19) - 9).cast("double") * lit(0.3) +
+            element_at(col("embedding"), i + 1).cast("double") * lit(0.05))
+            .cast("float")).as("embedding"))
+      val exact = Knn.knn(cl, col("embedding"), col("vec_id"),
+        QueryVec.values, 10, Knn.L2).select(col("vec_id"))
+      def row(method: String, bound: Double, kind: String,
+              approx: DataFrame): DataFrame = {
+        val rec = approx.join(exact, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select((col("n_hits").cast("double") / 10).as("recall_at_10"))
+        rec.select(lit(method).as("method"), col("recall_at_10"),
+          lit(bound).as("bound"), lit(kind).as("kind"),
+          (if (kind == "ceiling") col("recall_at_10") <= lit(bound)
+           else col("recall_at_10") >= lit(bound)).as("recall_ok"))
+      }
+      row("lsh_single", 0.3, "ceiling",
+          Ann.annLsh(cl, col("embedding"), col("vec_id"), QueryVec.values,
+            10, numPlanes = 4).select(col("vec_id")))
+        .unionAll(row("lsh_multi", 0.8, "floor",
+          Ann.annLshMulti(cl, col("embedding"), col("vec_id"), QueryVec.values,
+            10, numPlanes = 4).select(col("vec_id"))))
+        .unionAll(row("ivf_nprobe4", 0.8, "floor",
+          Ann.annIvf(cl, col("embedding"), col("vec_id"), QueryVec.values,
+            k = 10, nlist = 8, nprobe = 4).select(col("vec_id"))))
+        .orderBy(col("method"))
+    }),
+
     // Range (band) join: orders priced into tier bands via a non-equi join
     // against a tiny broadcast dimension — BroadcastNestedLoop, no shuffle
     // of the fact side.
@@ -5735,6 +5777,70 @@ object SparkEntry {
            |    x -> CAST(floor(x * 1000000000000.0) AS BIGINT))) AS BIGINT) AS emb_fp
            |FROM src s JOIN m_emb e ON e.id = s.id
            |ORDER BY doc_id""".stripMargin,
+
+      "q_ann_recall_skewed" -> {
+        val l2 = OracleGen.l2ToQuery("embedding")
+        val singleBucket = Ann.bucketOfQuery(QueryVec.values, 4)
+        val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+        val nlist = 8
+        val ivfProbes = Ann.ivfProbes(QueryVec.values, nlist, 4).mkString(", ")
+        val dCols = (0 until nlist)
+          .map(j => s"    ${OracleGen.l2ToCentroid("embedding", j, 64)} AS d$j")
+          .mkString(",\n")
+        val caseArms = (0 until nlist - 1)
+          .map(j => s"WHEN d$j = mind THEN $j").mkString(" ")
+        s"""WITH cl AS (
+           |  SELECT vec_id, label,
+           |    list_transform(range(0, 64), i ->
+           |      CAST((((label * 73 + i * 37) % 19) - 9) * 0.3 +
+           |           CAST(embedding[i + 1] AS DOUBLE) * 0.05 AS FLOAT))
+           |      AS embedding
+           |  FROM embeddings),
+           |exact_l2 AS (
+           |  SELECT vec_id FROM cl ORDER BY $l2 ASC, vec_id ASC LIMIT 10),
+           |lshs AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |           $l2 AS distance
+           |    FROM cl)
+           |  WHERE bucket = $singleBucket ORDER BY distance ASC, vec_id ASC LIMIT 10),
+           |lshm AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |           $l2 AS distance
+           |    FROM cl)
+           |  WHERE bucket IN ($probes) ORDER BY distance ASC, vec_id ASC LIMIT 10),
+           |dists AS (
+           |  SELECT vec_id, embedding,
+           |$dCols
+           |  FROM cl),
+           |cells AS (
+           |  SELECT vec_id, embedding,
+           |    CASE $caseArms ELSE ${nlist - 1} END AS cell
+           |  FROM (SELECT *, least(${(0 until nlist).map("d" + _).mkString(", ")}) AS mind
+           |        FROM dists)),
+           |ivf AS (
+           |  SELECT vec_id FROM cells WHERE cell IN ($ivfProbes)
+           |  ORDER BY $l2 ASC, vec_id ASC LIMIT 10),
+           |r AS (
+           |  SELECT 'lsh_single' AS method,
+           |    CAST((SELECT count(*) FROM lshs
+           |          WHERE vec_id IN (SELECT vec_id FROM exact_l2)) AS DOUBLE) / 10
+           |      AS recall_at_10,
+           |    CAST(0.3 AS DOUBLE) AS bound, 'ceiling' AS kind
+           |  UNION ALL SELECT 'lsh_multi',
+           |    CAST((SELECT count(*) FROM lshm
+           |          WHERE vec_id IN (SELECT vec_id FROM exact_l2)) AS DOUBLE) / 10,
+           |    CAST(0.8 AS DOUBLE), 'floor'
+           |  UNION ALL SELECT 'ivf_nprobe4',
+           |    CAST((SELECT count(*) FROM ivf
+           |          WHERE vec_id IN (SELECT vec_id FROM exact_l2)) AS DOUBLE) / 10,
+           |    CAST(0.8 AS DOUBLE), 'floor')
+           |SELECT method, recall_at_10, bound, kind,
+           |  CASE WHEN kind = 'ceiling' THEN recall_at_10 <= bound
+           |       ELSE recall_at_10 >= bound END AS recall_ok
+           |FROM r ORDER BY method""".stripMargin
+      },
 
       "q_ann_recall" -> {
         val l2 = OracleGen.l2ToQuery("embedding")
