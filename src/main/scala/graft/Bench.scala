@@ -71,8 +71,23 @@ object Bench {
     //      queries) that always fits and always parses.
     // a filtered local run must not clobber the committed full artifact
     if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (full + "\n").getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+          (full + "\n").getBytes("UTF-8"))
+        // ALSO archive per-round (BENCH_FULL.json alone is overwritten
+        // each round, which loses per-query regression history): the
+        // round number is inferred as max driver-committed BENCH_r{N}
+        // artifact + 1 — the driver writes BENCH_r{N}.json only AFTER
+        // this run, so the current round is always one past the archive.
+        val rnd = Option(new java.io.File(".").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+            .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          .sorted.lastOption.map(_ + 1).getOrElse(1)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"BENCH_FULL_r$rnd%02d.json"),
+          (full + "\n").getBytes("UTF-8"))
+      }
       catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val entries = results.toSeq.sortBy(_._1)

@@ -35,7 +35,7 @@ object ScaleBench {
 
   val Queries: Seq[String] = Seq(
     "dedup_prefix_jaccard", "dedup_minhash", "q_novelty",
-    "q_decontaminate_bloom", "ann_join", "q_pagerank")
+    "q_decontaminate_bloom", "ann_join", "q_pagerank", "q_corpus_build")
 
   val MaxRatio = 15.0
 
@@ -224,8 +224,12 @@ object ScaleBench {
 
     // (query, scale) -> (passes, finalPlan)
     def runOnce(name: String, dir: String): (Double, String) = {
-      val df = SparkEntry.queries(name)(spark, dir)
+      // the declaration call is INSIDE the timed region (as in Bench):
+      // pipeline queries run eager stages — staged layouts, lineage
+      // cuts, in-engine training — at declaration, and excluding them
+      // would time only the final aggregation of a mega-query
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
       df.count()
       val t = (System.nanoTime() - t0) / 1e9
       (t, df.queryExecution.executedPlan.toString)
