@@ -2711,8 +2711,7 @@ object SparkEntry {
     // distinct 3-gram shingles occurring in no other document — the
     // originality/memorization screen complementing the near-dup family.
     "q_novelty" -> ((s, dir) => {
-      TrainData.noveltyFromShingles(docShingles(s, dir)
-          .select(col("id"), explode(col("tk")).as("sh")))
+      TrainData.noveltyFromShingleArrays(docShingles(s, dir))
         .orderBy(col("id"))
     }),
 

@@ -367,8 +367,8 @@ object Dedup {
   def crossOverlapBloom(train: DataFrame, test: DataFrame, idCol: Column,
                         textCol: Column, shingleN: Int = 3,
                         minShared: Int = 2, maxDf: Int = Int.MaxValue,
-                        expectedShingles: Long = 1L << 18,
-                        sizeBits: Long = 1L << 22): DataFrame = {
+                        expectedShingles: Long = 0L,
+                        sizeBits: Long = 0L): DataFrame = {
     def sh(df: DataFrame, side: String) =
       df.select(idCol.as(side + "_id"),
         explode(TextFunctions.shingles(textCol, shingleN, distinct = true)).as("sh"))
@@ -379,12 +379,24 @@ object Dedup {
   /** [[crossOverlapBloom]] over pre-built exploded shingle relations —
     * same contract as [[crossOverlapFromShingles]] (staged-artifact
     * consumers skip re-tokenization; the df cap stays per-call).
+    *
+    * `expectedShingles`/`sizeBits` = 0 (default) AUTO-SIZES the filter
+    * from the test side's measured distinct-shingle count (one extra
+    * small aggregation over the SMALL side — the test split, fixed by
+    * pipeline role), at ~10 bits per item (~1% fpp). A fixed-size
+    * filter silently saturates when the test split outgrows it — fpp
+    * goes to 1, the might_contain gate passes everything, and the
+    * "pruned" join quietly carries the full corpus again (caught by the
+    * 100× scale harness: 18 s → 67 s the moment the corpus overran the
+    * old 2^18 default). Answers are identical either way (blooms have
+    * no false negatives and the exact join removes false positives) —
+    * sizing only decides whether the prune still prunes.
     */
   def crossOverlapBloomFromShingles(trainSh: DataFrame, testSh: DataFrame,
                                     minShared: Int = 2,
                                     maxDf: Int = Int.MaxValue,
-                                    expectedShingles: Long = 1L << 18,
-                                    sizeBits: Long = 1L << 22): DataFrame = {
+                                    expectedShingles: Long = 0L,
+                                    sizeBits: Long = 0L): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -407,9 +419,15 @@ object Dedup {
       }
     def hashed(c: Column) = GraftBridge.column(
       XxHash64(Seq(GraftBridge.expression(c)), 42L))
+    val expected =
+      if (expectedShingles > 0) expectedShingles
+      else math.max(1L, t.select(col("sh")).distinct().count())
+    val bits =
+      if (sizeBits > 0) sizeBits
+      else math.max(1L << 20, expected * 10)
     val bloomAgg = GraftBridge.column(
       new BloomFilterAggregate(GraftBridge.expression(hashed(col("sh"))),
-        Literal(expectedShingles), Literal(sizeBits), 0, 0)
+        Literal(expected), Literal(bits), 0, 0)
         .toAggregateExpression()).as("bf")
     // One serialized filter — bit-OR of executor partials, deterministic.
     val bf = t.agg(bloomAgg).head.getAs[Array[Byte]](0)

