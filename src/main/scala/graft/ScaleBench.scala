@@ -44,6 +44,7 @@ object ScaleBench {
   val Queries: Seq[(String, Seq[Long])] = Seq(
     "dedup_prefix_jaccard" -> Seq(1L, 10L),
     "dedup_minhash" -> Seq(1L, 10L, 100L),
+    "dedup_clusters" -> Seq(1L, 10L),
     "q_novelty" -> Seq(1L, 10L, 100L),
     "q_decontaminate_bloom" -> Seq(1L, 10L, 100L),
     "ann_join" -> Seq(1L, 10L, 100L),
