@@ -3881,6 +3881,19 @@ object SparkEntry {
         .orderBy(col("method"))
     }),
 
+    // Margin-criterion bitext mining (Ann.bitextMine): cross-"language"
+    // parallel-pair candidates (label parity splits the corpus into the
+    // two embedding sides) scored by cosine RELATIVE to both local
+    // neighbourhoods — the published fix for absolute-threshold mining
+    // breaking in dense regions. Integer fixed point end to end, so the
+    // mined pair list hash-replays in SQL.
+    "q_bitext_mine" -> ((s, dir) => {
+      Ann.bitextMine(Tables.embeddings(s, dir), col("vec_id"),
+          col("embedding"), col("label") % 2 === 0,
+          k = 4, marginFpMin = 1050L)
+        .orderBy(col("a_id"))
+    }),
+
     // ANN recall under CLUSTER SKEW — the regime real embedding
     // distributions live in (q_ann_recall's corpus is uniform-ish, which
     // flatters every bucketing). The corpus is re-centered into 16 tight
@@ -5776,6 +5789,40 @@ object SparkEntry {
            |    x -> CAST(floor(x * 1000000000000.0) AS BIGINT))) AS BIGINT) AS emb_fp
            |FROM src s JOIN m_emb e ON e.id = s.id
            |ORDER BY doc_id""".stripMargin,
+
+      "q_bitext_mine" ->
+        s"""WITH sides AS (
+           |  SELECT vec_id, embedding, label,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket
+           |  FROM embeddings),
+           |cand AS (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    CAST(floor((${OracleGen.cosineCols("a.embedding", "b.embedding")})
+           |      * 1000000) AS BIGINT) AS cos_fp
+           |  FROM sides a JOIN sides b ON a.bucket = b.bucket
+           |  WHERE a.label % 2 = 0 AND b.label % 2 = 1),
+           |pos AS (SELECT * FROM cand WHERE cos_fp >= 0),
+           |ra AS (
+           |  SELECT *, row_number() OVER (PARTITION BY a_id
+           |    ORDER BY cos_fp DESC, b_id) AS rn_a FROM pos),
+           |rb AS (
+           |  SELECT *, row_number() OVER (PARTITION BY b_id
+           |    ORDER BY cos_fp DESC, a_id) AS rn_b FROM pos),
+           |avga AS (
+           |  SELECT a_id, CAST(sum(cos_fp) // count(*) AS BIGINT) AS avg_a
+           |  FROM ra WHERE rn_a <= 4 GROUP BY a_id),
+           |avgb AS (
+           |  SELECT b_id, CAST(sum(cos_fp) // count(*) AS BIGINT) AS avg_b
+           |  FROM rb WHERE rn_b <= 4 GROUP BY b_id),
+           |m AS (
+           |  SELECT t.a_id, t.b_id, t.cos_fp,
+           |    CAST((avg_a + avg_b) // 2 AS BIGINT) AS denom
+           |  FROM (SELECT a_id, b_id, cos_fp FROM ra WHERE rn_a = 1) t
+           |  JOIN avga USING (a_id) JOIN avgb USING (b_id))
+           |SELECT a_id, b_id, cos_fp,
+           |  CAST(cos_fp * 1000 // denom AS BIGINT) AS margin_fp
+           |FROM m WHERE denom > 0 AND cos_fp * 1000 // denom >= 1050
+           |ORDER BY a_id""".stripMargin,
 
       "q_ann_recall_skewed" -> {
         val l2 = OracleGen.l2ToQuery("embedding")

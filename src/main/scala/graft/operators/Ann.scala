@@ -247,6 +247,70 @@ object Ann {
       .select(col("anchor_id"), col("neg_id"), col("cos_sim"))
   }
 
+  /** Margin-criterion parallel-pair mining (the LASER/CCMatrix bitext
+    * shape): for every vector on side A, its best side-B neighbour is
+    * kept only when its similarity stands OUT of both local
+    * neighbourhoods — margin = cos(a, best) / mean(top-`k` candidate
+    * cosines of a and of best). An absolute cosine threshold can't
+    * separate translations from topically-similar text (dense regions
+    * score everything high); the margin normalizes by local density,
+    * which is the published fix.
+    *
+    * All scoring is integer fixed point (cos_fp = ⌊cos·1e6⌋ per pair —
+    * the one float→int step, on a per-row double both engines compute
+    * bit-identically) and negative-cosine candidates are dropped UP
+    * FRONT, so every later division has a non-negative numerator and
+    * floor == truncate on both engines — the report hash-replays in SQL.
+    *
+    * Scale shape: candidates are same-LSH-bucket pairs only (equi-join,
+    * no cartesian); the neighbourhood stats are two windows partitioned
+    * by well-spread vector ids; the candidate relation is pinned once
+    * (localCheckpoint — it feeds both windows; the cluster path would
+    * stage it, cf. Stage.Parquet).
+    *
+    * Output: (a_id, b_id, cos_fp, margin_fp) for a-side best pairs with
+    * margin_fp ≥ `marginFpMin` (1000 = margin 1.0), ordered by a_id.
+    */
+  def bitextMine(df: DataFrame, idCol: Column, vecCol: Column,
+                 aSide: Column, k: Int = 4, marginFpMin: Long = 1050L,
+                 numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sides = df.select(idCol.as("id"), vecCol.as("vec"),
+      norm(vecCol).as("nrm"), bucketOf(vecCol, numPlanes, dim).as("bucket"),
+      aSide.as("is_a"))
+    val a = sides.filter(col("is_a")).select(col("id").as("a_id"),
+      col("vec").as("a_vec"), col("nrm").as("a_norm"), col("bucket"))
+    val b = sides.filter(!col("is_a")).select(col("id").as("b_id"),
+      col("vec").as("b_vec"), col("nrm").as("b_norm"),
+      col("bucket").as("b_bucket"))
+    val cand = a.join(b, col("bucket") === col("b_bucket"))
+      .select(col("a_id"), col("b_id"),
+        floor(dot(col("a_vec"), col("b_vec")) /
+          (col("a_norm") * col("b_norm")) * lit(1000000.0))
+          .cast("long").as("cos_fp"))
+      .filter(col("cos_fp") >= 0L)
+      .localCheckpoint()
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_fp").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos_fp").desc, col("a_id"))
+    val ra = cand.withColumn("rn_a", row_number().over(wa))
+    val avgA = ra.filter(col("rn_a") <= k).groupBy(col("a_id"))
+      .agg(sum(col("cos_fp")).as("s_a"), count(lit(1)).as("n_a"))
+      .select(col("a_id"), expr("s_a DIV n_a").as("avg_a"))
+    val avgB = cand.withColumn("rn_b", row_number().over(wb))
+      .filter(col("rn_b") <= k).groupBy(col("b_id"))
+      .agg(sum(col("cos_fp")).as("s_b"), count(lit(1)).as("n_b"))
+      .select(col("b_id"), expr("s_b DIV n_b").as("avg_b"))
+    ra.filter(col("rn_a") === 1)
+      .join(avgA, "a_id").join(avgB, "b_id")
+      .withColumn("denom", expr("(avg_a + avg_b) DIV 2"))
+      .filter(col("denom") > 0L)
+      .withColumn("margin_fp", expr("cos_fp * 1000L DIV denom"))
+      .filter(col("margin_fp") >= marginFpMin)
+      .select(col("a_id"), col("b_id"), col("cos_fp"), col("margin_fp"))
+  }
+
   /** Exact top similar pairs by cosine — brute force for modest n (the
     * oracle-checkable baseline and the recall reference for the bucketed
     * variant above; never the declared path at scale).

@@ -117,4 +117,30 @@ class AnnSpec extends SparkSpec {
     val sims = pairs.map(_.getDouble(2))
     assert(sims.sameElements(sims.sorted.reverse))
   }
+
+  test("bitextMine: margin invariants, one best pair per anchor, no cartesian") {
+    val mined = Ann.bitextMine(emb, col("vec_id"), col("embedding"),
+      col("label") % 2 === 0, k = 4, marginFpMin = 0L)
+    val plan = mined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "candidates must come from the bucket equi-join only")
+    val rows = mined.collect()
+    assert(rows.nonEmpty)
+    // one best pair per a-side anchor
+    val aIds = rows.map(_.getAs[Long]("a_id"))
+    assert(aIds.distinct.length == aIds.length)
+    // sides are disjoint by construction (label parity)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => labels(r.getAs[Long]("a_id")) % 2 == 0 &&
+      labels(r.getAs[Long]("b_id")) % 2 == 1))
+    // margins are positive (non-negative cosines over positive denoms)
+    // and the criterion DISCRIMINATES both ways: some pairs clear the
+    // declared query's 1.05 floor (mutual stand-outs), some sit below it
+    // (margin < 1 is the non-mutual case — b's own neighbourhood holds
+    // better partners than a, exactly what the criterion filters out)
+    val margins = rows.map(_.getAs[Long]("margin_fp"))
+    assert(margins.forall(_ > 0L))
+    assert(margins.exists(_ >= 1050L) && margins.exists(_ < 1050L))
+  }
 }
