@@ -72,20 +72,39 @@ object Bench {
     // a filtered local run must not clobber the committed full artifact
     if (only.isEmpty)
       try {
-        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        // artifacts belong at the REPO ROOT, not wherever sbt happened to
+        // launch from — resolve it by walking up to build.sbt so the
+        // archive numbering below can't be fooled by an unusual cwd
+        // (which would find no BENCH_r* files and silently misnumber).
+        val root = {
+          var d = new java.io.File(".").getCanonicalFile
+          while (d != null && !new java.io.File(d, "build.sbt").exists())
+            d = d.getParentFile
+          if (d == null) new java.io.File(".").getCanonicalFile else d
+        }
+        java.nio.file.Files.write(
+          new java.io.File(root, "BENCH_FULL.json").toPath,
           (full + "\n").getBytes("UTF-8"))
         // ALSO archive per-round (BENCH_FULL.json alone is overwritten
         // each round, which loses per-query regression history): the
         // round number is inferred as max driver-committed BENCH_r{N}
         // artifact + 1 — the driver writes BENCH_r{N}.json only AFTER
         // this run, so the current round is always one past the archive.
-        val rnd = Option(new java.io.File(".").listFiles())
+        // An existing archive is NEVER overwritten: a second full run in
+        // the same round appends a .2/.3 suffix instead of clobbering
+        // the regression history the archive exists to preserve.
+        val rnd = Option(root.listFiles())
           .getOrElse(Array.empty[java.io.File])
           .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
             .findFirstMatchIn(f.getName).map(_.group(1).toInt))
           .sorted.lastOption.map(_ + 1).getOrElse(1)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(f"BENCH_FULL_r$rnd%02d.json"),
+        var target = new java.io.File(root, f"BENCH_FULL_r$rnd%02d.json")
+        var k = 2
+        while (target.exists()) {
+          target = new java.io.File(root, f"BENCH_FULL_r$rnd%02d.$k.json")
+          k += 1
+        }
+        java.nio.file.Files.write(target.toPath,
           (full + "\n").getBytes("UTF-8"))
       }
       catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }

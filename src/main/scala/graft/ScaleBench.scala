@@ -123,16 +123,36 @@ object ScaleBench {
 
   def genDir(s: SparkSession, dir: String, scale: Long,
              withLineitem: Boolean = true): Unit = {
-    val done = java.nio.file.Paths.get(dir, "_GRAFT_DONE")
-    if (java.nio.file.Files.exists(done)) return
-    genDocuments(s, 5000L * scale)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    genEmbeddings(s, 2000L * scale)
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    if (withLineitem)
+    import java.nio.file.{Files, Paths}
+    val done = Paths.get(dir, "_GRAFT_DONE")
+    // The marker records WHICH tables the completed generation wrote, so
+    // a later caller that needs a table the cached dir lacks (the first
+    // lineitem-consuming query at a scale previously generated without
+    // lineitem) regenerates the missing table instead of short-circuiting
+    // into a missing-parquet failure. A legacy empty marker claims only
+    // the always-generated pair.
+    val have: Set[String] =
+      if (!Files.exists(done)) Set.empty
+      else {
+        val body = new String(Files.readAllBytes(done), "UTF-8").trim
+        if (body.isEmpty) Set("documents", "embeddings")
+        else body.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      }
+    val need = Set("documents", "embeddings") ++
+      (if (withLineitem) Set("lineitem") else Set.empty[String])
+    val missing = need -- have
+    if (missing.isEmpty) return
+    if (missing("documents"))
+      genDocuments(s, 5000L * scale)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    if (missing("embeddings"))
+      genEmbeddings(s, 2000L * scale)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    if (missing("lineitem"))
       genLineitem(s, 600000L * scale, 20000L * scale, 1000L * scale)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    java.nio.file.Files.createFile(done)
+    Files.write(done,
+      (have ++ need).toSeq.sorted.mkString(",").getBytes("UTF-8"))
   }
 
   // ---- plan normalization: equality modulo ids, paths and sizes ----

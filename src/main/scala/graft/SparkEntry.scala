@@ -418,6 +418,33 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Per-order fan-out cap for the part co-occurrence pair build
+    * (q_triangles / q_label_prop): an order carrying n distinct parts
+    * emits C(n,2) pairs, so ONE degenerate container key (a 10⁴-part
+    * bulk order) would turn the po⋈po self-join quadratic at scale —
+    * the same hazard the LSH band joins kill with maxBucket. Orders
+    * over the cap are dropped WHOLE (deterministic; the oracle replays
+    * the cut with a HAVING clause) — a container that degenerate is
+    * bulk noise, not co-occurrence signal. 64 is ~10× the largest real
+    * order in the TPC-H-shaped data (≤ 7 lines), so at test scale the
+    * cap drops nothing; GraphSpec plants a hot order to prove the cut.
+    */
+  private val CoOccurMaxOrderParts = 64
+
+  /** Capped co-occurrence pairs (src < dst, one row per sharing order)
+    * from a distinct (o, p) relation. Both consumers key every join on
+    * o — no broadcast of the keep set needed, it rides the same
+    * partitioning.
+    */
+  private def coOccurPairs(po: DataFrame): DataFrame = {
+    val keep = po.groupBy(col("o")).agg(count(lit(1)).as("np"))
+      .filter(col("np") <= CoOccurMaxOrderParts).select(col("o"))
+    val capped = po.join(keep, Seq("o"), "left_semi")
+    capped.as("x")
+      .join(capped.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+  }
+
   /** Label-propagation replay (q_label_prop): unrolls `iters` synchronous
     * rounds on the symmetrized part co-occurrence graph. Per round: the
     * vote multiset is every in-neighbor's label plus the node's own
@@ -428,9 +455,12 @@ object SparkEntry {
   private def labelPropOracleSql(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH po AS (
+      s"""WITH po0 AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem WHERE l_partkey <= 300),
+        |keep AS (SELECT o FROM po0 GROUP BY o
+        |         HAVING count(*) <= $CoOccurMaxOrderParts),
+        |po AS (SELECT po0.o, po0.p FROM po0 JOIN keep ON keep.o = po0.o),
         |und AS (
         |  SELECT DISTINCT x.p AS src, y.p AS dst
         |  FROM po x JOIN po y ON x.o = y.o WHERE x.p < y.p),
@@ -1866,6 +1896,61 @@ object SparkEntry {
       }.reduce(_.unionByName(_))
         .select(col("version"), col("n_rows"), col("sum_id"),
           col("sum_label"), col("emb_fp"))
+        .orderBy(col("version"))
+    }),
+
+    // History-retention GC on the versioned store: the timetravel
+    // lifecycle (v0 write → v1 upsert → v2 delete → v3 compact) followed
+    // by retain(keep = 2) — the retention floor advances durably to 2,
+    // then _history/1 and _history/2 are reclaimed while _history/3
+    // (which every retained version still resolves through) survives.
+    // Proof obligations, all oracle-hashed: versions ≥ floor still
+    // reconstruct EXACTLY after the GC (same checksums the timetravel
+    // query pins), versions < floor REFUSE (they can no longer silently
+    // read a partially-reclaimed state), and the history footprint
+    // actually shrank to the single dir the retained range needs.
+    "q_vector_store_retain" -> ((s, dir) => {
+      val path = stagedPath("vector_store_retain_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(path, "_GRAFT_RETAINED").exists()) {
+          val emb = Tables.embeddings(s, dir)
+          graft.operators.VectorStore.write(emb, col("embedding"), path,
+            retainHistory = true)
+          val reemb = emb.filter(col("vec_id") % 3 === 0)
+            .select(col("vec_id"), (col("label") + lit(1000)).as("label"),
+              transform(col("embedding"), x => (x * lit(0.5)).cast("float"))
+                .as("embedding"))
+          graft.operators.VectorStore.upsert(reemb, col("embedding"), path)
+          graft.operators.VectorStore.delete(s, path,
+            emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")))
+          graft.operators.VectorStore.compact(s, path)
+          graft.operators.VectorStore.retain(path, keep = 2)
+          new java.io.File(path, "_GRAFT_RETAINED").createNewFile()
+        }
+      }
+      val floorV = graft.operators.VectorStore.retentionFloor(path)
+      val refused = (0L until floorV).count { v =>
+        try { graft.operators.VectorStore.readAsOf(s, path, v); false }
+        catch { case _: IllegalArgumentException => true }
+      }
+      val histDirs = Option(new java.io.File(path, "_history").listFiles())
+        .getOrElse(Array.empty)
+        .count(d => d.isDirectory && d.getName.forall(_.isDigit))
+      (floorV to 3L).map { v =>
+        graft.operators.VectorStore.readAsOf(s, path, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("vec_id")).as("sum_id"),
+            sum(col("label")).as("sum_label"),
+            sum(floor(col("embedding")(0).cast("double") * 1000000)
+              .cast("long")).as("emb_fp"))
+          .withColumn("version", lit(v))
+      }.reduce(_.unionByName(_))
+        .withColumn("retain_floor", lit(floorV))
+        .withColumn("n_refused_below_floor", lit(refused.toLong))
+        .withColumn("n_history_dirs", lit(histDirs.toLong))
+        .select(col("version"), col("n_rows"), col("sum_id"),
+          col("sum_label"), col("emb_fp"), col("retain_floor"),
+          col("n_refused_below_floor"), col("n_history_dirs"))
         .orderBy(col("version"))
     }),
 
@@ -3462,17 +3547,17 @@ object SparkEntry {
     // Exact triangle count of the part-co-occurrence graph (parts sharing
     // an order). Degree orientation bounds every out-degree by O(√m), so
     // the wedge join is O(m^1.5) worst-case — the optimum for exact
-    // counting — and a Zipf-head hub can never make it quadratic. Each
-    // triangle is counted exactly once (only one of its nodes out-points
-    // to the other two under the total order); everything integer-exact.
+    // counting — and a Zipf-head hub can never make it quadratic. The
+    // pair BUILD is fan-out-capped per order (see coOccurPairs) so a
+    // degenerate container key can't make the po⋈po self-join quadratic
+    // either. Each triangle is counted exactly once (only one of its
+    // nodes out-points to the other two under the total order);
+    // everything integer-exact.
     "q_triangles" -> ((s, dir) => {
       val po = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val edges = po.as("x")
-        .join(po.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst"))
-      graft.operators.Graph.triangleCount(edges)
+      graft.operators.Graph.triangleCount(coOccurPairs(po))
     }),
 
     // Convergence-STOPPED PageRank on the l_partkey ≤ 500 symmetrized
@@ -3508,9 +3593,7 @@ object SparkEntry {
       val po = Tables.lineitem(s, dir)
         .filter(col("l_partkey") <= 300)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val und = po.as("x").join(po.as("y"), Seq("o"))
-        .filter(col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+      val und = coOccurPairs(po).distinct()
       val edges = und.unionAll(
         und.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.Graph.labelPropagation(edges, iters = 3)
@@ -5410,6 +5493,38 @@ object SparkEntry {
            |       CAST(emb_fp AS BIGINT) AS emb_fp
            |FROM agg ORDER BY version""".stripMargin,
 
+      // retained versions (2, 3) both equal the post-delete row set (the
+      // v3 compact is row-identical); floor/refused/history-dir counts
+      // are protocol constants of the keep=2 lifecycle
+      "q_vector_store_retain" ->
+        s"""WITH base AS (
+           |  SELECT vec_id, label, CAST(embedding[1] AS DOUBLE) AS e0
+           |  FROM embeddings),
+           |upd AS (
+           |  SELECT vec_id,
+           |    CASE WHEN vec_id % 3 = 0 THEN label + 1000 ELSE label END AS label,
+           |    CASE WHEN vec_id % 3 = 0
+           |         THEN CAST(CAST(CAST(e0 AS FLOAT) AS DOUBLE) * 0.5 AS FLOAT)
+           |         ELSE CAST(e0 AS FLOAT) END AS e0f
+           |  FROM base),
+           |v2 AS (SELECT vec_id, label, CAST(e0f AS DOUBLE) AS e0
+           |       FROM upd WHERE vec_id % 4 <> 0),
+           |agg AS (
+           |  SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_rows,
+           |         sum(vec_id) AS sum_id, sum(label) AS sum_label,
+           |         sum(CAST(floor(e0 * 1000000) AS BIGINT)) AS emb_fp FROM v2
+           |  UNION ALL
+           |  SELECT CAST(3 AS BIGINT), count(*), sum(vec_id), sum(label),
+           |         sum(CAST(floor(e0 * 1000000) AS BIGINT)) FROM v2)
+           |SELECT version, CAST(n_rows AS BIGINT) AS n_rows,
+           |       CAST(sum_id AS BIGINT) AS sum_id,
+           |       CAST(sum_label AS BIGINT) AS sum_label,
+           |       CAST(emb_fp AS BIGINT) AS emb_fp,
+           |       CAST(2 AS BIGINT) AS retain_floor,
+           |       CAST(2 AS BIGINT) AS n_refused_below_floor,
+           |       CAST(1 AS BIGINT) AS n_history_dirs
+           |FROM agg ORDER BY version""".stripMargin,
+
       // post-delete store == fresh write of the surviving corpus; the
       // leftover-victims count asserts the tombstoning actually removed
       // every targeted id from ALL partitions
@@ -6883,7 +6998,10 @@ object SparkEntry {
           |FROM lineitem""".stripMargin,
 
       "q_triangles" ->
-        """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        s"""WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |keep AS (SELECT o FROM po0 GROUP BY o
+          |         HAVING count(*) <= $CoOccurMaxOrderParts),
+          |po AS (SELECT po0.o, po0.p FROM po0 JOIN keep ON keep.o = po0.o),
           |und AS (SELECT DISTINCT x.p AS a, y.p AS b
           |        FROM po x JOIN po y ON x.o = y.o AND x.p < y.p),
           |deg AS (SELECT n, count(*) AS d FROM

@@ -425,6 +425,25 @@ object Dedup {
     val bits =
       if (sizeBits > 0) sizeBits
       else math.max(1L << 20, expected * 10)
+    // BloomFilterAggregate silently clamps its sizing literals to the
+    // session caps spark.sql.optimizer.runtime.bloomFilter.maxNumItems
+    // (default 4M) / .maxNumBits (default 2^26 ≈ 67M bits): past ~6.7M
+    // distinct test-side shingles the requested size would be cut and
+    // the filter would saturate again — the exact silent failure the
+    // auto-sizing exists to kill. Raise the caps to the requested size
+    // (never lower them) so the built filter IS the sized filter at
+    // every scale, and log the bump so it is loud.
+    val conf = t.sparkSession.conf
+    def raiseCap(key: String, need: Long): Unit = {
+      val cur = scala.util.Try(conf.get(key).toLong).getOrElse(Long.MaxValue)
+      if (cur < need) {
+        conf.set(key, need.toString)
+        System.err.println(s"[graft] raising $key $cur -> $need " +
+          "(bloom would have been clamped into saturation)")
+      }
+    }
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expected)
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
     val bloomAgg = GraftBridge.column(
       new BloomFilterAggregate(GraftBridge.expression(hashed(col("sh"))),
         Literal(expected), Literal(bits), 0, 0)

@@ -399,8 +399,9 @@ object TrainData {
     * The global prefix sum is two-level, never a global sort: documents
     * bucket by their hash's first two hex chars (256 fixed buckets),
     * per-bucket token totals aggregate to a 256-row relation whose
-    * exclusive prefix offsets come from a broadcast triangular self-join
-    * (bounded 256² — no unpartitioned window anywhere), and the
+    * exclusive prefix offsets come from an ordered running-sum window
+    * over that relation (unpartitioned, but over a CONSTANT 256-row
+    * metadata relation — never the data), and the
     * within-bucket running sum is a window PARTITIONED by bucket. A doc
     * is kept iff its exclusive global cumulative is below the budget, so
     * the kept set is the exact hash-order prefix that first reaches it.
@@ -416,10 +417,11 @@ object TrainData {
       .withColumn("_tbs_rk", md5(idCol.cast("string")))
       .withColumn("_tbs_bk", substring(col("_tbs_rk"), 1, 2))
     val perB = base.groupBy(col("_tbs_bk")).agg(sum(col("n_tokens")).as("_tbs_btoks"))
-    val offs = perB.alias("a")
-      .join(broadcast(perB.alias("b")), col("b._tbs_bk") < col("a._tbs_bk"), "left")
-      .groupBy(col("a._tbs_bk").as("_tbs_bk"))
-      .agg(coalesce(sum(col("b._tbs_btoks")), lit(0L)).as("_tbs_off"))
+    val wb = Window.orderBy(col("_tbs_bk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perB
+      .withColumn("_tbs_off", coalesce(sum(col("_tbs_btoks")).over(wb), lit(0L)))
+      .select(col("_tbs_bk"), col("_tbs_off"))
     val w = Window.partitionBy(col("_tbs_bk"))
       .orderBy(col("_tbs_rk").asc, col("_tbs_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

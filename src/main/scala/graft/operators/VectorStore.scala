@@ -67,6 +67,60 @@ object VectorStore {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Oldest version still reconstructable (0 until [[retain]] first runs). */
+  def retentionFloor(path: String): Long = {
+    val f = java.nio.file.Paths.get(path, "_RETAIN_FLOOR")
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim.toLong
+    else 0L
+  }
+
+  private def writeFloorFile(path: String, n: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path, "_RETAIN_FLOOR_TMP")
+    Files.writeString(tmp, n.toString)
+    Files.move(tmp, Paths.get(path, "_RETAIN_FLOOR"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delete every `_history/<n>` with n ≤ floor. Only called AFTER the
+    * floor file durably points past those commits, so a crash mid-delete
+    * leaves directories no read path can reach; [[recover]] and the next
+    * [[retain]] finish the job.
+    */
+  private def gcHistory(path: String, floor: Long): Unit = {
+    val histRoot = new java.io.File(path, "_history")
+    Option(histRoot.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.forall(_.isDigit))
+      .filter(_.getName.toLong <= floor)
+      .foreach(d => deleteRec(d.toPath))
+  }
+
+  /** HISTORY RETENTION GC: keep the newest `keep` versions reconstructable
+    * ([cur − keep + 1, cur]) and reclaim the history older versions pin —
+    * without this, a continuously-ingesting versioned store's `_history/`
+    * grows without bound (every rewritten bucket copy is kept forever).
+    *
+    * Reading version v needs exactly the parked commits n > v (readAsOf's
+    * earliest-parking rule), so with floor = cur − keep + 1 every
+    * `_history/<n>` with n ≤ floor is unreachable from any retained
+    * version and is deleted whole. Crash-safe in the same
+    * durable-intent-first style as the commit protocol: the floor file
+    * advances via atomic rename BEFORE any deletion, [[readAsOf]] refuses
+    * versions below the durable floor, so a crash mid-GC can only leave
+    * directories no read path consults — recover()/the next retain
+    * finishes deleting them. The floor never moves backward.
+    */
+  def retain(path: String, keep: Long): Unit = withWriterLock(path) {
+    requireNoPendingCommit(path)
+    require(keep >= 1, s"retain: keep must be ≥ 1, got $keep")
+    require(isVersioned(path), s"$path is not a versioned store " +
+      "(write(..., retainHistory = true))")
+    val floor = math.max(0L, currentVersion(path) - keep + 1)
+    if (floor > retentionFloor(path)) writeFloorFile(path, floor)
+    gcHistory(path, retentionFloor(path))
+  }
+
   /** Append new vectors into an existing store, idempotent on `idName`:
     * rows whose id is already present are dropped (anti-join against the
     * store's id projection — a column-pruned scan that never touches the
@@ -306,12 +360,36 @@ object VectorStore {
     }
     Files.deleteIfExists(Paths.get(path, "_COMMIT_STAGING"))
     // a writer that died lock-in-hand left a stale _WRITER_LOCK — the
-    // same class of artifact as a stale stage dir; recovery clears it
-    // (recover() itself runs under the caller's no-concurrent-writer
-    // discipline, as before)
-    Files.deleteIfExists(Paths.get(path, "_WRITER_LOCK"))
+    // same class of artifact as a stale stage dir; recovery clears it.
+    // Staleness is CHECKED, not assumed: the lock body carries the
+    // holder's pid, and a pid that is still alive (same-host best
+    // effort — ProcessHandle cannot see across hosts) means the holder
+    // is merely slow, not crashed; clearing would let a second writer
+    // in mid-commit and defeat the exclusion. A lock with no parseable
+    // pid (legacy/empty body, or written by a remote host) is treated
+    // as stale, as before.
+    val lock = Paths.get(path, "_WRITER_LOCK")
+    if (Files.exists(lock)) {
+      val holderPid = scala.util.Try(
+        new String(Files.readAllBytes(lock), "UTF-8")
+          .takeWhile(_ != '@').trim.toLong).toOption
+      val holderAlive = holderPid.exists { p =>
+        val h = ProcessHandle.of(p)
+        h.isPresent && h.get.isAlive
+      }
+      if (holderAlive) throw new IllegalStateException(
+        s"$path/_WRITER_LOCK is held by LIVE process ${holderPid.get} — " +
+          "refusing to clear it (the writer may be slow, not crashed); " +
+          "wait for it to finish or stop it before running recover")
+      Files.deleteIfExists(lock)
+    }
     Seq("__upserting", "__deleting", "__compacting", "__appending")
       .foreach(sfx => deleteRec(Paths.get(path + sfx)))
+    // a retain() that died mid-GC advanced the floor durably but may have
+    // left partially-deleted (already unreachable) history dirs — finish
+    // reclaiming them
+    val floor = retentionFloor(path)
+    if (floor > 0) gcHistory(path, floor)
   }
 
   /** Partition-targeted upsert — the re-embedding migration path: replace
@@ -422,8 +500,10 @@ object VectorStore {
     require(isVersioned(path), s"$path is not a versioned store " +
       "(write(..., retainHistory = true))")
     val cur = currentVersion(path)
-    require(version >= 0 && version <= cur,
-      s"version $version out of range [0, $cur]")
+    val floor = retentionFloor(path)
+    require(version >= floor && version <= cur,
+      s"version $version out of retained range [$floor, $cur]" +
+        (if (floor > 0) " (older history reclaimed by retain)" else ""))
     def bucketId(name: String): Int = name.stripPrefix("bucket=").toInt
     val live = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))

@@ -178,6 +178,28 @@ class GraphSpec extends SparkSpec {
       ((3L, 1L, 1L)))
   }
 
+  test("q_triangles: a degenerate hot order is dropped whole by the fan-out cap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hot_order").toString
+    // order 1: triangle {1,2,3}; order 2: lone edge {4,5};
+    // order 500: EXACTLY 64 parts — the cap boundary, must be KEPT;
+    // order 999: 101 parts — over the cap, must contribute NOTHING
+    // (uncapped it alone would add C(101,2)=5050 edges and C(101,3)
+    // triangles — the quadratic container-key failure mode).
+    val rows =
+      Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L)) ++
+        (0 until 64).map(i => (500L, 1000L + i)) ++
+        (0 until 101).map(i => (999L, 5000L + i))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q_triangles")(spark, dir).head()
+    val (edges, tris) = (r.getLong(0), r.getLong(2))
+    // kept: 3 (order 1) + 1 (order 2) + C(64,2)=2016 (order 500)
+    assert(edges == 3L + 1L + 2016L, s"hot order leaked into edges: $edges")
+    // kept: 1 (order 1) + C(64,3)=41664 (order 500)
+    assert(tris == 1L + 41664L, s"hot order leaked into triangles: $tris")
+  }
+
   test("label propagation finds the two cliques of a barbell graph") {
     import spark.implicits._
     // two triangles {1,2,3} and {10,11,12} joined by one bridge 3–10

@@ -389,6 +389,67 @@ class ScaleLayoutSpec extends SparkSpec {
     NF.delete(Paths.get(out, "_COMMIT"))
   }
 
+  test("VectorStore: retain keeps newest versions exact, refuses older, reclaims history") {
+    import java.nio.file.{Files => NF, Paths}
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_retain").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb, col("embedding"), out, retainHistory = true) // v0
+    val reemb = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), (col("label") + lit(1000)).as("label"),
+        transform(col("embedding"), x => (x * lit(0.5)).cast("float")).as("embedding"))
+    VectorStore.upsert(reemb, col("embedding"), out) // v1
+    VectorStore.delete(spark, out,
+      emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"))) // v2
+    assert(VectorStore.currentVersion(out) == 2L)
+    def idsAt(v: Long): Set[(Long, Int)] =
+      VectorStore.readAsOf(spark, out, v).select(col("vec_id"), col("label"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val (v1Before, v2Before) = (idsAt(1L), idsAt(2L))
+
+    VectorStore.retain(out, keep = 2) // floor = 1
+    assert(VectorStore.retentionFloor(out) == 1L)
+    // _history/1 (≤ floor) reclaimed, _history/2 (> floor) kept
+    assert(!NF.exists(Paths.get(out, "_history", "1")))
+    assert(NF.exists(Paths.get(out, "_history", "2")))
+    // retained versions reconstruct EXACTLY what they did before the GC
+    assert(idsAt(1L) == v1Before && idsAt(2L) == v2Before)
+    // below the floor: refuse, never read a partially-reclaimed state
+    val e = intercept[IllegalArgumentException] {
+      VectorStore.readAsOf(spark, out, 0L)
+    }
+    assert(e.getMessage.contains("retained range"))
+    // the floor never moves backward: a looser retain is a no-op
+    VectorStore.retain(out, keep = 10)
+    assert(VectorStore.retentionFloor(out) == 1L)
+    assert(idsAt(1L) == v1Before)
+    assert(!NF.exists(Paths.get(out, "_WRITER_LOCK")), "lock must be released")
+  }
+
+  test("VectorStore: a retain crash mid-GC is finished by recover") {
+    import java.nio.file.{Files => NF, Paths}
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_retaincrash").toFile.getAbsolutePath + "/store"
+    val emb = Tables.embeddings(spark, sf0001)
+    VectorStore.write(emb, col("embedding"), out, retainHistory = true) // v0
+    VectorStore.delete(spark, out,
+      emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"))) // v1
+    VectorStore.compact(spark, out) // v2
+    assert(VectorStore.currentVersion(out) == 2L)
+    // simulate retain(keep=1) dying right after the durable floor advance
+    // (floor file written, zero history dirs deleted yet)
+    NF.writeString(Paths.get(out, "_RETAIN_FLOOR"), "2")
+    assert(NF.exists(Paths.get(out, "_history", "1")))
+    VectorStore.recover(out)
+    assert(!NF.exists(Paths.get(out, "_history", "1")),
+      "recover must finish the interrupted history GC")
+    assert(NF.exists(Paths.get(out, "_history")))
+    // the one retained version still reads exactly
+    assert(VectorStore.readAsOf(spark, out, 2L).count() ==
+      emb.filter(col("vec_id") % 4 =!= 0).count())
+    intercept[IllegalArgumentException] { VectorStore.readAsOf(spark, out, 1L) }
+  }
+
   test("VectorStore: append on a versioned store is a numbered commit (time travel intact)") {
     import graft.operators.VectorStore
     val out = Files.createTempDirectory("graft_vs_vapp").toFile.getAbsolutePath + "/store"
