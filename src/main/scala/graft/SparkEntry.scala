@@ -445,6 +445,100 @@ object SparkEntry {
       .select(col("x.p").as("src"), col("y.p").as("dst"))
   }
 
+  /** Hierarchical graph-ANN replay (q_graph_ann_recall): BOTH navigable
+    * graphs (coarse 1/sampleMod layer and base layer — per-(node,
+    * adjacent-bucket) top-edgesPerBucket edges), the coarse walk from
+    * per-bucket min-id seeds, the base walk seeded by the coarse
+    * results ∪ the query's probe-bucket min-ids, every hop's frontier,
+    * and the final top-k against the exact scan — all unrolled, so the
+    * recall AND the distinct visited-set size (the sub-scan proof)
+    * hash-replay.
+    */
+  private def graphAnnOracleSql(edgesPerBucket: Int, beam: Int, hops: Int,
+                                k: Int, sampleMod: Int,
+                                floor: Double): String = {
+    val l2q = OracleGen.l2ToQuery("embedding")
+    val l2pair = OracleGen.l2FloatCols("x.embedding", "y.embedding")
+    val masks = Ann.probeMasks(4, 2).mkString(", ")
+    val entryProbes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+    // MATERIALIZED: each graph CTE is referenced 2×hops times (both
+    // traversal directions per hop); without the hint DuckDB may
+    // re-inline the whole O(n²/2^H) edge build per reference
+    def graphCte(name: String, nodesCte: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT x.id AS src, y.id AS dst,
+         |      row_number() OVER (PARTITION BY x.id, y.bucket
+         |        ORDER BY $l2pair ASC, y.id ASC) AS rn
+         |    FROM $nodesCte x JOIN $nodesCte y
+         |      ON x.id <> y.id AND xor(x.bucket, y.bucket) IN ($masks))
+         |  WHERE rn <= $edgesPerBucket)""".stripMargin
+    // one walk layer: {p}_v0 → hops × (frontier, candidates, union)
+    def walk(sb: StringBuilder, p: String, graph: String): Unit =
+      for (t <- 1 to hops) {
+        val (v0, v1, f0, c1) =
+          (s"${p}_v${t - 1}", s"${p}_v$t", s"${p}_f${t - 1}", s"${p}_c$t")
+        sb.append(
+          s""",
+             |$f0 AS MATERIALIZED (SELECT id FROM $v0
+             |  ORDER BY distance ASC, id ASC LIMIT $beam),
+             |$c1 AS MATERIALIZED (
+             |  SELECT DISTINCT id FROM (
+             |    SELECT g.dst AS id FROM $f0 f JOIN $graph g ON g.src = f.id
+             |    UNION ALL
+             |    SELECT g.src AS id FROM $f0 f JOIN $graph g ON g.dst = f.id)
+             |  WHERE id NOT IN (SELECT id FROM $v0)),
+             |$v1 AS MATERIALIZED (
+             |  SELECT * FROM $v0
+             |  UNION ALL
+             |  SELECT vec_id AS id, $l2q AS distance FROM embeddings
+             |  WHERE vec_id IN (SELECT id FROM $c1))""".stripMargin)
+      }
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH nodes AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding,
+         |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket
+         |  FROM embeddings),
+         |cnodes AS MATERIALIZED (SELECT * FROM nodes WHERE id % $sampleMod = 0),
+         |${graphCte("cgraph", "cnodes")},
+         |${graphCte("graph", "nodes")},
+         |cseeds AS (SELECT min(id) AS id FROM cnodes GROUP BY bucket),
+         |a_v0 AS MATERIALIZED (
+         |  SELECT vec_id AS id, $l2q AS distance FROM embeddings
+         |  WHERE vec_id IN (SELECT id FROM cseeds))""".stripMargin)
+    walk(sb, "a", "cgraph")
+    sb.append(
+      s""",
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT id FROM (SELECT id FROM a_v$hops
+         |      ORDER BY distance ASC, id ASC LIMIT $beam)
+         |    UNION ALL
+         |    SELECT min(id) AS id FROM nodes
+         |    WHERE bucket IN ($entryProbes) GROUP BY bucket)),
+         |b_v0 AS MATERIALIZED (
+         |  SELECT vec_id AS id, $l2q AS distance FROM embeddings
+         |  WHERE vec_id IN (SELECT id FROM e0))""".stripMargin)
+    walk(sb, "b", "graph")
+    sb.append(
+      s"""
+         |, vis AS MATERIALIZED (SELECT DISTINCT id, distance FROM
+         |    (SELECT * FROM a_v$hops UNION ALL SELECT * FROM b_v$hops)),
+         |ann AS (SELECT id FROM vis ORDER BY distance ASC, id ASC LIMIT $k),
+         |exact AS (SELECT vec_id AS id FROM embeddings
+         |          ORDER BY $l2q ASC, vec_id ASC LIMIT $k),
+         |h AS (SELECT count(*) AS n_hits FROM ann
+         |      WHERE id IN (SELECT id FROM exact))
+         |SELECT 'graph_beam' AS method,
+         |  CAST(n_hits AS DOUBLE) / $k AS recall_at_10,
+         |  CAST($floor AS DOUBLE) AS min_recall,
+         |  (CAST(n_hits AS DOUBLE) / $k >= $floor) AS recall_ok,
+         |  CAST((SELECT count(*) FROM vis) AS BIGINT) AS n_scored
+         |FROM h""".stripMargin)
+    sb.toString
+  }
+
   /** Label-propagation replay (q_label_prop): unrolls `iters` synchronous
     * rounds on the symmetrized part co-occurrence graph. Per round: the
     * vote multiset is every in-neighbor's label plus the node's own
@@ -2038,6 +2132,25 @@ object SparkEntry {
     // sampling pass would execute the whole embed a second time.
     "q_embed_docs" -> ((s, dir) => {
       Rag.embedCorpus(Tables.documents(s, dir), col("text"))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("val"))
+    }),
+
+    // The same embed stage routed through the BATCHED-inference boundary
+    // (reference rag.py:27,49 — model.encode over a list IS a batch
+    // call): mapPartitions buffers rows into fixed-size batches and
+    // makes one scorer call per batch, the signature real serving
+    // wrappers expose. The stand-in scorer is the deterministic
+    // hash-embedding, so the oracle is IDENTICAL to q_embed_docs' —
+    // certifying the batched path computes exactly what the codegen'd
+    // expression path does; a real model slots in behind the same trait
+    // with zero plan change (still one narrow stage — RagSpec asserts
+    // the plan has no exchange).
+    "q_embed_batched" -> ((s, dir) => {
+      graft.operators.BatchedInference.embedBatched(
+          Tables.documents(s, dir), "doc_id", "text",
+          new graft.operators.BatchedInference.HashEmbedScorer(64),
+          batchSize = 256)
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("val"))
     }),
@@ -3964,6 +4077,37 @@ object SparkEntry {
         .orderBy(col("method"))
     }),
 
+    // Graph-ANN (NSW-family, single navigable layer — the distributed
+    // re-formulation of the HNSW index the reference's Chroma store
+    // builds implicitly on add, email_fetching.py:27,54-57): a staged
+    // neighbour graph (per-node top-degree among ≤1-bit-bucket-apart
+    // candidates — bucketed equi-join, never all-pairs) plus
+    // deterministic beam search seeded with one start per LSH bucket.
+    // The oracle replays the WHOLE mechanism — graph construction,
+    // every hop's frontier, the final top-k — so recall_at_10 AND the
+    // visited-set size are hash-checked, not asserted: n_scored ≪
+    // |corpus| certifies the query never scanned the table, and the
+    // recall floor documents the contract.
+    "q_graph_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val visited = Ann.graphAnnHierarchical(emb, col("vec_id"),
+        col("embedding"), QueryVec.values, sampleMod = 16, beam = 16,
+        hops = 6, edgesPerBucket = 3)
+      val ann = visited.orderBy(col("distance").asc, col("id").asc)
+        .limit(10).select(col("id"))
+      val exact = Knn.knn(emb, col("embedding"), col("vec_id"),
+        QueryVec.values, 10, Knn.L2).select(col("vec_id").as("id"))
+      val hits = ann.join(exact, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val scanned = visited.agg(count(lit(1)).as("n_scored"))
+      hits.crossJoin(scanned)
+        .select(lit("graph_beam").as("method"),
+          (col("n_hits").cast("double") / 10).as("recall_at_10"),
+          lit(0.8).as("min_recall"),
+          (col("n_hits").cast("double") / 10 >= lit(0.8)).as("recall_ok"),
+          col("n_scored"))
+    }),
+
     // Margin-criterion bitext mining (Ann.bitextMine): cross-"language"
     // parallel-pair candidates (label parity splits the corpus into the
     // two embedding sides) scored by cosine RELATIVE to both local
@@ -5610,6 +5754,13 @@ object SparkEntry {
            |SELECT id AS doc_id, i AS pos, emb[CAST(i AS INTEGER)] AS val
            |FROM d_emb, range(1, 65) t(i) ORDER BY doc_id, pos""".stripMargin,
 
+      // the batched path must be indistinguishable from the expression
+      // path — identical oracle to q_embed_docs
+      "q_embed_batched" ->
+        s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)}
+           |SELECT id AS doc_id, i AS pos, emb[CAST(i AS INTEGER)] AS val
+           |FROM d_emb, range(1, 65) t(i) ORDER BY doc_id, pos""".stripMargin,
+
       "q_rag_topk" ->
         s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},
            |${OracleGen.embedCte("q", s"(SELECT '$RagQuery' AS text)", "0", "text", 64)},
@@ -5904,6 +6055,10 @@ object SparkEntry {
            |    x -> CAST(floor(x * 1000000000000.0) AS BIGINT))) AS BIGINT) AS emb_fp
            |FROM src s JOIN m_emb e ON e.id = s.id
            |ORDER BY doc_id""".stripMargin,
+
+      "q_graph_ann_recall" ->
+        graphAnnOracleSql(edgesPerBucket = 3, beam = 16, hops = 6, k = 10,
+          sampleMod = 16, floor = 0.8),
 
       "q_bitext_mine" ->
         s"""WITH sides AS (

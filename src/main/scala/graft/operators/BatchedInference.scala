@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The batched model-inference boundary, made explicit and pluggable.
+  *
+  * The reference embeds with `model.encode(texts)` over a Python LIST —
+  * one batched model call per ingest chunk (reference `rag.py:27,49`;
+  * Chroma's implicit add-time embedding, `email_fetching.py:54-57`, is
+  * the same call hidden in the store). In this engine the deterministic
+  * [[graft.expressions.HashEmbed]] expression covers the oracle-checked
+  * path; THIS object is the seam a real model plugs into: a
+  * `mapPartitions` stage that buffers rows into fixed-size batches and
+  * makes ONE scorer call per batch — the iterator→iterator shape
+  * [[Multimodal.decodeBatch]] also uses, and the signature ONNX/Torch
+  * serving wrappers expose (per-row model calls are the classic
+  * inference anti-pattern; batch amortizes weight access / JNI / RPC).
+  *
+  * Scale: the stage is NARROW — no shuffle, batch memory bounded by
+  * `batchSize`, parallelism = input partitions, so it distributes like
+  * any projection. A real scorer (loading weights once per executor via
+  * lazy/transient state) slots in behind [[BatchScorer]] with zero plan
+  * change; `q_embed_batched` pins the plan and the results against the
+  * expression path's oracle.
+  */
+object BatchedInference {
+
+  /** The pluggable model contract: a whole batch of texts in, one
+    * vector per text out (same order), called once per batch. Must be
+    * serializable — it ships to executors; heavyweight state (weights,
+    * sessions) belongs in a `@transient lazy val` inside the impl so
+    * each executor materializes it once.
+    */
+  trait BatchScorer extends Serializable {
+    def dim: Int
+    def score(texts: Array[String]): Array[Array[Double]]
+  }
+
+  /** Deterministic stand-in model: the engine's hash-embedding applied
+    * batch-at-a-time — bit-identical to the [[graft.expressions.HashEmbed]]
+    * expression, so the DuckDB oracle replays the batched path exactly.
+    */
+  final class HashEmbedScorer(val dim: Int) extends BatchScorer {
+    def score(texts: Array[String]): Array[Array[Double]] =
+      texts.map(t => graft.expressions.HashEmbed.embed(t, dim))
+  }
+
+  /** (id, text) → (id, embedding) through `scorer`, one call per
+    * ≤`batchSize` rows. Output column is `embedding` ARRAY<DOUBLE>.
+    */
+  def embedBatched(df: DataFrame, idName: String, textName: String,
+                   scorer: BatchScorer, batchSize: Int = 256): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be ≥ 1, got $batchSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idName).cast("long"), col(textName).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val vecs = scorer.score(batch.iterator.map(_._2).toArray)
+          batch.iterator.zip(vecs.iterator)
+            .map { case ((id, _), v) => (id, v) }
+        }
+      }
+      .toDF(idName, "embedding")
+  }
+}

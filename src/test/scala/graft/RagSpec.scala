@@ -30,6 +30,27 @@ class RagSpec extends SparkSpec {
     assert(ctx == "first\n\nsecond\n\nthird")
   }
 
+  test("embedBatched: batch-call path equals the expression path, no shuffle") {
+    import graft.tables.Tables
+    import graft.operators.BatchedInference
+    val docs = Tables.documents(spark, sf0001)
+    val viaExpr = Rag.embedCorpus(docs, col("text"))
+      .select(col("doc_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // batchSize 7 forces many batches per partition plus a remainder tail
+    val batched = BatchedInference.embedBatched(docs, "doc_id", "text",
+      new BatchedInference.HashEmbedScorer(64), batchSize = 7)
+    val viaBatch = batched.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaBatch == viaExpr,
+      "batched scorer must be bit-identical to the HashEmbed expression")
+    // the inference stage is narrow — a shuffle here would mean the
+    // boundary broke the one-stage plan real models rely on
+    assert(!planNodes(batched).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "batched inference must stay one narrow stage")
+  }
+
   test("ragQuery takes advisory path for niche_advice intent (rag.py:187-191)") {
     import graft.tables.Tables
     val corpus = Rag.embedCorpus(Tables.documents(spark, sf0001), col("text"))
