@@ -1059,6 +1059,69 @@ object SparkEntry {
     *    are computed fresh as a DELTA and unioned on, the same
     *    fixed-corpus + fresh-batch split Dedup.incrementalPairs uses.
     */
+  /** Shared DuckDB mirror of Conversation.deriveTurns + resolveTurns:
+    * the arithmetic turn derivation (every 5th doc, 8 conversations,
+    * follow-up ≡ 10 (mod 15)) and the one-window follow-up resolution.
+    * Ends with `conv_resolved(conv_id, turn_no, is_followup,
+    * resolved_query)`.
+    */
+  private lazy val ConvCtes: String =
+    s"""conv_turns AS (
+       |  SELECT CAST((doc_id // 5) % 8 AS BIGINT) AS conv_id,
+       |    CAST((doc_id // 5) // 8 + 1 AS BIGINT) AS turn_no,
+       |    CASE WHEN doc_id % 15 = 10
+       |      THEN 'what about ' || array_to_string(tk[3:4], ' ')
+       |      ELSE array_to_string(tk[1:8], ' ') END AS utterance
+       |  FROM (SELECT doc_id, ${OracleGen.toksSql("text")} AS tk FROM documents)
+       |  WHERE doc_id % 5 = 0),
+       |conv_resolved AS (
+       |  SELECT conv_id, turn_no, is_followup,
+       |    CASE WHEN is_followup AND prev_anchor IS NOT NULL
+       |      THEN prev_anchor || ' ' || utterance
+       |      ELSE utterance END AS resolved_query
+       |  FROM (
+       |    SELECT conv_id, turn_no, utterance,
+       |      len(${OracleGen.toksSql("utterance")}) <= 4 AS is_followup,
+       |      last_value(CASE WHEN len(${OracleGen.toksSql("utterance")}) > 4
+       |          THEN utterance END IGNORE NULLS)
+       |        OVER (PARTITION BY conv_id ORDER BY turn_no
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_anchor
+       |    FROM conv_turns))""".stripMargin
+
+  /** ConvCtes + the per-turn inverted-index retrieval replay
+    * (Conversation.retrieveForTurns, uncapped df): ends with
+    * `conv_ranked(conv_id, turn_no, is_followup, doc_id, score_fp,
+    * rank)`.
+    */
+  private lazy val ConvRagCtes: String =
+    s"""$ConvCtes,
+       |conv_terms AS (
+       |  SELECT DISTINCT conv_id, turn_no, is_followup, tok FROM (
+       |    SELECT conv_id, turn_no, is_followup,
+       |      unnest(${OracleGen.toksSql("resolved_query")}) AS tok
+       |    FROM conv_resolved)),
+       |conv_postings AS (
+       |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(${OracleGen.toksSql("text")}) AS tok FROM documents)
+       |  GROUP BY tok, doc_id),
+       |conv_idf AS (
+       |  SELECT tok,
+       |    (1000000 * (2*n_docs - 2*df + 1)) // (2*df + 1) AS idf_fp
+       |  FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |        FROM conv_postings GROUP BY tok)
+       |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)),
+       |conv_ranked AS (
+       |  SELECT conv_id, turn_no, is_followup, doc_id, score_fp,
+       |    CAST(row_number() OVER (PARTITION BY conv_id, turn_no
+       |      ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT t.conv_id, t.turn_no, t.is_followup, p.doc_id,
+       |      CAST(sum(p.tf * i.idf_fp) AS BIGINT) AS score_fp
+       |    FROM conv_postings p
+       |      JOIN conv_idf i USING (tok)
+       |      JOIN conv_terms t USING (tok)
+       |    GROUP BY 1, 2, 3, 4))""".stripMargin
+
   private def docShingles(s: SparkSession, dir: String): DataFrame = {
     val stage = stagedPath("doc_shingles3_v1", dir)
     this.synchronized {
@@ -5003,6 +5066,60 @@ object SparkEntry {
       val stats = graft.streaming.Streaming.runningUserStatsExact(ev).toDF()
       graft.streaming.Streaming.drainUpdateToParquet(stats,
         "userstats_" + Integer.toHexString(dir.hashCode), Seq("user_id"))
+    }),
+
+    // Multi-turn conversation state (rag.py:169-196's chat loop made
+    // stateful): every 5th doc is a turn in one of 8 conversations;
+    // short elliptical turns are follow-ups that inherit the most recent
+    // anchor's terms. Resolution is ONE window pass per conversation.
+    "q_conversation_resolve" -> ((s, dir) => {
+      graft.operators.Conversation.resolveTurns(
+          graft.operators.Conversation.deriveTurns(Tables.documents(s, dir)))
+        .select(col("conv_id"), col("turn_no"), col("is_followup"),
+          col("resolved_query"))
+        .orderBy(col("conv_id"), col("turn_no"))
+    }),
+
+    // Follow-up-aware retrieval for EVERY turn as one inverted-index
+    // equi-join (turn terms ⋈ postings on token, integer tf·idf, window
+    // top-5 per turn) — never a per-turn loop.
+    "q_conversation_rag" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val resolved = graft.operators.Conversation.resolveTurns(
+        graft.operators.Conversation.deriveTurns(docs))
+      graft.operators.Conversation.retrieveForTurns(resolved, docs, k = 5)
+        .orderBy(col("conv_id"), col("turn_no"), col("rank"))
+    }),
+
+    // Per-turn ordered context assembly (A2 per turn): top-3 docs joined
+    // back to text, concatenated in rank order — the context the M2
+    // generation stage would consume at each turn of the conversation.
+    "q_conversation_context" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val resolved = graft.operators.Conversation.resolveTurns(
+        graft.operators.Conversation.deriveTurns(docs))
+      val topk = graft.operators.Conversation.retrieveForTurns(resolved, docs, k = 3)
+      graft.operators.Conversation.assemblePerTurn(topk, docs)
+        .orderBy(col("conv_id"), col("turn_no"))
+    }),
+
+    // Streaming twin of q_conversation_resolve: live conversation state
+    // via flatMapGroupsWithState keyed by conv_id (last anchor utterance,
+    // O(1) per conversation). Turn derivation is stateless arithmetic so
+    // the SAME deriveTurns runs on the readStream; the converged Append
+    // output must equal the batch window resolution.
+    "q_stream_conversation" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      import s.implicits._
+      val src = s.readStream.schema(Tables.documents(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir, "documents", "doc_id"))
+      val turns = graft.operators.Conversation.deriveTurns(src)
+        .as[graft.streaming.Streaming.TurnC]
+      val resolved = graft.streaming.Streaming.resolveConversation(turns).toDF()
+      graft.streaming.Streaming.drainAppendToParquet(resolved,
+          "conv_" + Integer.toHexString(dir.hashCode))
+        .orderBy(col("conv_id"), col("turn_no"))
     })
   )
 
@@ -7640,6 +7757,34 @@ object SparkEntry {
         """SELECT user_id, count(*) AS n_events,
           |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM events GROUP BY user_id""".stripMargin,
+
+      "q_conversation_resolve" ->
+        s"""WITH $ConvCtes
+           |SELECT conv_id, turn_no, is_followup, resolved_query
+           |FROM conv_resolved ORDER BY conv_id, turn_no""".stripMargin,
+
+      "q_conversation_rag" ->
+        s"""WITH $ConvRagCtes
+           |SELECT conv_id, turn_no, is_followup, rank, doc_id, score_fp
+           |FROM conv_ranked WHERE rank <= 5
+           |ORDER BY conv_id, turn_no, rank""".stripMargin,
+
+      "q_conversation_context" ->
+        s"""WITH $ConvRagCtes
+           |SELECT conv_id, turn_no, is_followup,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  string_agg(text, chr(10) || chr(10) ORDER BY rank) AS context
+           |FROM (SELECT * FROM conv_ranked WHERE rank <= 3) r
+           |  JOIN documents USING (doc_id)
+           |GROUP BY conv_id, turn_no, is_followup
+           |ORDER BY conv_id, turn_no""".stripMargin,
+
+      // The streaming resolver must CONVERGE to the batch window
+      // resolution — same oracle as q_conversation_resolve.
+      "q_stream_conversation" ->
+        s"""WITH $ConvCtes
+           |SELECT conv_id, turn_no, is_followup, resolved_query
+           |FROM conv_resolved ORDER BY conv_id, turn_no""".stripMargin,
 
       "q_stream_vector_ingest" -> {
         val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")

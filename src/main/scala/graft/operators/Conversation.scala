@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Multi-turn conversation state — the follow-up-aware context carry-over
+  * of the reference's interactive chat loop (reference `rag.py:169-196`:
+  * `start_conversation()` reads ONE query, classifies, retrieves, answers;
+  * a real deployment loops, and a follow-up turn like "what about the
+  * cheaper one?" cannot be retrieved standalone — it inherits the
+  * entities of the conversation's last substantive turn).
+  *
+  * Engine formulation (batch): a conversation log is rows
+  * (conv_id, turn_no, utterance). Resolution is ONE window pass — no
+  * join, no per-turn driver loop:
+  *   - a turn is a FOLLOW-UP iff its token count ≤ maxFollowTokens
+  *     (elliptical turns are short; anchors carry their own entities);
+  *   - the carry-over source is the most recent PRECEDING anchor turn in
+  *     the same conversation: `last(anchor, ignoreNulls) OVER
+  *     (PARTITION BY conv_id ORDER BY turn_no ROWS UNBOUNDED
+  *     PRECEDING TO 1 PRECEDING)`;
+  *   - resolved query = anchor terms ++ own terms (follow-up with an
+  *     available anchor), else the utterance itself.
+  *
+  * Per-turn retrieval is then ONE distributed inverted-index equi-join
+  * (turn terms ⋈ corpus postings on token), never a per-turn loop and
+  * never a cartesian: scores are exact integer tf·idf fixed-point
+  * (Retrieval.bm25's idf), top-k per turn via a window.
+  *
+  * Scale: conversations shard by conv_id (the window partitions cleanly;
+  * a conversation is small by nature). The retrieval join's guard is the
+  * document-frequency cap `maxDf` — stop-words with huge posting lists
+  * are dropped BEFORE the join (the driver corpus's 31-token vocabulary
+  * is df-dense, so the declared queries run uncapped; ConversationSpec
+  * exercises the cap). The streaming twin keeps one (turn_no, utterance)
+  * pair per live conversation via flatMapGroupsWithState — state is O(1)
+  * per conversation, evictable by timeout in production.
+  */
+object Conversation {
+
+  /** Deterministic conversation log derived from `documents`: every 5th
+    * doc is a turn, rotated across `nConvs` conversations. Stateless
+    * arithmetic only (no window): conv_id = (doc_id/5) % nConvs,
+    * turn_no = (doc_id/5) DIV nConvs + 1 — dense per conversation and
+    * ordered by doc_id, so the SAME derivation runs unchanged in a
+    * streaming source. Every third turn (doc_id ≡ 10 (mod 15)) is an
+    * elliptical follow-up ("what about <tok3> <tok4>"); anchors are the
+    * doc's first 8 tokens.
+    */
+  def deriveTurns(docs: DataFrame, nConvs: Int = 8): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val slot = expr("doc_id DIV 5")
+    docs.filter(col("doc_id") % 5 === 0)
+      .select(
+        pmod(slot, lit(nConvs)).cast("long").as("conv_id"),
+        (expr(s"(doc_id DIV 5) DIV $nConvs") + 1).cast("long").as("turn_no"),
+        when(pmod(col("doc_id"), lit(15)) === 10,
+          concat_ws(" ", lit("what about"), array_join(slice(toks, 3, 2), " ")))
+          .otherwise(array_join(slice(toks, 1, 8), " ")).as("utterance"))
+  }
+
+  /** Follow-up resolution: adds `is_followup` and `resolved_query`.
+    * One window pass per conversation; first-turn follow-ups (no
+    * preceding anchor) resolve to themselves.
+    */
+  def resolveTurns(turns: DataFrame, maxFollowTokens: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_no"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .withColumn("is_followup",
+        size(TextFunctions.tokens(col("utterance"))) <= maxFollowTokens)
+      .withColumn("prev_anchor",
+        last(when(!col("is_followup"), col("utterance")), ignoreNulls = true).over(w))
+      .withColumn("resolved_query",
+        when(col("is_followup") && col("prev_anchor").isNotNull,
+          concat_ws(" ", col("prev_anchor"), col("utterance")))
+          .otherwise(col("utterance")))
+      .drop("prev_anchor")
+  }
+
+  /** Batched per-turn lexical retrieval over `docs`: explode each turn's
+    * DISTINCT resolved terms, join corpus postings (doc_id, tok, tf) on
+    * token, score = Σ tf·idf_fp (idf_fp = Retrieval.bm25's exact integer
+    * Robertson idf over the doc corpus), top-`k` docs per turn.
+    * `maxDf` drops tokens whose posting list exceeds it BEFORE the join —
+    * the hot-token/stop-word scale guard.
+    * Output: (conv_id, turn_no, is_followup, rank, doc_id, score_fp).
+    */
+  def retrieveForTurns(resolved: DataFrame, docs: DataFrame, k: Int,
+                       maxDf: Long = Long.MaxValue): DataFrame = {
+    val terms = resolved.select(col("conv_id"), col("turn_no"), col("is_followup"),
+        explode(array_distinct(TextFunctions.tokens(col("resolved_query")))).as("tok"))
+    val toks = docs.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("tk"))
+    val nDocs = toks.agg(count(lit(1)).as("n_docs"))
+    val postings = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_fp",
+        expr("(1000000L * (2L*n_docs - 2L*df + 1L)) DIV (2L*df + 1L)"))
+      .select(col("tok"), col("idf_fp"))
+    val scored = postings.join(broadcast(dfreq), "tok")
+      .join(terms, "tok")
+      .groupBy(col("conv_id"), col("turn_no"), col("is_followup"), col("doc_id"))
+      .agg(sum(col("tf") * col("idf_fp")).as("score_fp"))
+    val w = Window.partitionBy(col("conv_id"), col("turn_no"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("conv_id"), col("turn_no"), col("is_followup"),
+        col("rank"), col("doc_id"), col("score_fp"))
+  }
+
+  /** Per-turn ordered context assembly (A2 per conversation turn,
+    * reference `rag.py:189`): join the per-turn top-k back to the doc
+    * texts and concatenate in rank order. Output one row per turn:
+    * (conv_id, turn_no, is_followup, n_docs, context).
+    */
+  def assemblePerTurn(topk: DataFrame, docs: DataFrame): DataFrame =
+    topk.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(col("conv_id"), col("turn_no"), col("is_followup"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("rank").as("r"), col("text").as("t")))),
+            x => x.getField("t")),
+          "\n\n").as("context"))
+}

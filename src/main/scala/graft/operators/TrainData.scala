@@ -416,7 +416,12 @@ object TrainData {
       .withColumn("n_tokens", TextFunctions.tokenCount(textCol))
       .withColumn("_tbs_rk", md5(idCol.cast("string")))
       .withColumn("_tbs_bk", substring(col("_tbs_rk"), 1, 2))
+    // limit(256) is a no-op (the bucket key is two hex chars, ≤ 256
+    // groups) that makes the boundedness PROVABLE in the physical plan:
+    // the unpartitioned running-sum window below demonstrably sorts a
+    // ≤ 256-row metadata relation, never the data.
     val perB = base.groupBy(col("_tbs_bk")).agg(sum(col("n_tokens")).as("_tbs_btoks"))
+      .limit(256)
     val wb = Window.orderBy(col("_tbs_bk").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = perB

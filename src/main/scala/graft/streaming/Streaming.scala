@@ -841,6 +841,50 @@ object Streaming {
       joinType)
   }
 
+  case class TurnC(conv_id: Long, turn_no: Long, utterance: String)
+  case class ResolvedTurnC(conv_id: Long, turn_no: Long, is_followup: Boolean,
+                           resolved_query: String)
+  case class ConvStateC(anchor_turn: Long, anchor: String)
+
+  /** Streaming twin of Conversation.resolveTurns: follow-up resolution as
+    * LIVE conversation state — flatMapGroupsWithState keyed by conv_id
+    * holds the last anchor utterance (O(1) per live conversation;
+    * production would add a timeout to evict idle conversations). Each
+    * arriving turn resolves against the newest anchor with a SMALLER
+    * turn_no (batch rows are sorted per group — the group iterator's
+    * order is undefined — and the strictly-preceding check keeps the
+    * semantics identical to the batch window's `ROWS ... 1 PRECEDING`
+    * even if a retransmission replays an old turn after a newer anchor).
+    * Append mode: every turn is emitted exactly once, with the SAME
+    * resolution the one-pass batch window computes, provided the source
+    * delivers each conversation's turns in order across micro-batches
+    * (stageSplitSource's range splits do).
+    */
+  def resolveConversation(turns: Dataset[TurnC],
+                          maxFollowTokens: Int = 4): Dataset[ResolvedTurnC] = {
+    import turns.sparkSession.implicits._
+    turns.groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvStateC, ResolvedTurnC](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (convId: Long, rows: Iterator[TurnC], state: GroupState[ConvStateC]) =>
+          var st = state.getOption.getOrElse(ConvStateC(-1L, null))
+          val out = rows.toSeq.sortBy(_.turn_no).map { t =>
+            val nToks = t.utterance.toLowerCase(java.util.Locale.ROOT).trim
+              .split("\\s+").count(_.nonEmpty)
+            val isF = nToks <= maxFollowTokens
+            val resolved =
+              if (isF && st.anchor != null && st.anchor_turn < t.turn_no)
+                st.anchor + " " + t.utterance
+              else t.utterance
+            if (!isF && t.turn_no > st.anchor_turn)
+              st = ConvStateC(t.turn_no, t.utterance)
+            ResolvedTurnC(convId, t.turn_no, isF, resolved)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 
