@@ -23,11 +23,17 @@ def norm(v):
 def rows_key(rows):
     return sorted(tuple(repr(x) for x in r) for r in rows)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # An empty oracle map is a broken dump, not a green round (round 11's
+    # driver artifact shipped as {} and read as silently green).
+    if not oracle:
+        print("FAIL: oracle_sql.json is EMPTY — refusing to report green")
+        return 1
+    results = {}
     n_ok = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -41,10 +47,12 @@ def main(sf_dir, out_dir):
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error {str(e)[:300]}")
+            results[name] = {"status": "error", "detail": str(e)[:300]}
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            results[name] = {"status": "cols_mismatch"}
             n_fail += 1
             continue
         type_diffs = [
@@ -53,12 +61,14 @@ def main(sf_dir, out_dir):
             if got_types[got_cols.index(c)] != exp_types[exp_cols.index(c)]]
         if type_diffs:
             print(f"FAIL {name}: TYPE mismatch (col, spark, oracle): {type_diffs}")
+            results[name] = {"status": "type_mismatch", "detail": repr(type_diffs)}
             n_fail += 1
             continue
         # duplicate column names would make index() silently misalign
         # values (both duplicates map to the first index)
         if len(set(got_cols)) != len(got_cols) or len(set(exp_cols)) != len(exp_cols):
             print(f"FAIL {name}: duplicate column names spark={got_cols} oracle={exp_cols}")
+            results[name] = {"status": "dup_cols"}
             n_fail += 1
             continue
         # reorder got rows into oracle column order
@@ -66,10 +76,12 @@ def main(sf_dir, out_dir):
         got2 = [tuple(r[i] for i in idx) for r in got]
         if len(got2) != len(exp):
             print(f"FAIL {name}: rows spark={len(got2)} oracle={len(exp)}")
+            results[name] = {"status": "rows_mismatch", "spark_rows": len(got2), "oracle_rows": len(exp)}
             n_fail += 1
             continue
         if rows_key(got2) == rows_key(exp):
             print(f"OK   {name}: {len(exp)} rows exact")
+            results[name] = {"status": "ok", "rows": len(exp)}
             n_ok += 1
         else:
             # find first diff for diagnostics
@@ -80,8 +92,14 @@ def main(sf_dir, out_dir):
                 for a, b in zip(sorted(got2, key=repr), sorted(exp, key=repr)))
             tag = "APPROX-ONLY" if approx else "MISMATCH"
             print(f"FAIL {name}: {tag}; first diffs: {diffs}")
+            results[name] = {"status": tag.lower(), "detail": repr(diffs)[:300]}
             n_fail += 1
     print(f"== {n_ok} ok / {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"n_ok": n_ok, "n_fail": n_fail, "sf_dir": sf_dir,
+                       "queries": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 def _close(x, y):
@@ -92,4 +110,5 @@ def _close(x, y):
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    sys.exit(main(sf, out))
+    jout = sys.argv[3] if len(sys.argv) > 3 else None
+    sys.exit(main(sf, out, jout))

@@ -39,18 +39,29 @@ object Verify {
       case None => SparkEntry.queries.toSeq
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val futures = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
+            failed.add(name)
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
       })
     }
     futures.foreach(_.get())
     pool.shutdown()
+    // An incomplete dump must be loud: round 11's correctness artifact
+    // shipped EMPTY and read as indistinguishable from green. Summary
+    // line + done-marker + nonzero exit make partial output unambiguous
+    // both to a human log reader and to any wrapper checking exit/marker.
+    import scala.jdk.CollectionConverters._
+    val nFail = failed.size()
+    System.err.println(
+      s"[verify] dumped ${selected.size - nFail}/${selected.size} queries" +
+        (if (nFail > 0) s"; FAILED: ${failed.asScala.mkString(",")}" else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -75,7 +86,13 @@ object Verify {
     }
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    if (oracles.isEmpty)
+      sys.error("[verify] oracle map is EMPTY — refusing to write an " +
+        "empty oracle_sql.json (would read as a silently-green round)")
     Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
+    Files.writeString(Paths.get(s"$outDir/_VERIFY_DONE"),
+      s"""{"queries":${selected.size},"failed":$nFail,"oracles":${oracles.size}}""")
     spark.stop()
+    if (nFail > 0) sys.exit(1)
   }
 }
