@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 /** Measured scale proof (BENCH_SCALE.json): runs the heavy dedup / ANN /
   * graph queries on SELF-GENERATED corpora at 1× and 10× the sf0.1 row
@@ -48,8 +49,12 @@ object ScaleBench {
     "q_decontaminate_bloom" -> Seq(1L, 10L, 100L),
     "ann_join" -> Seq(1L, 10L, 100L),
     "q_pagerank" -> Seq(1L, 10L, 100L),
+    "q_triangles" -> Seq(1L, 10L, 100L),
     "q_corpus_build" -> Seq(1L, 10L, 100L),
     "q_conversation_rag" -> Seq(1L, 10L, 100L))
+
+  /** Queries that read the generated lineitem (the graph family). */
+  val LineitemConsumers: Set[String] = Set("q_pagerank", "q_triangles")
 
   /** Growth bound per decade of data: ≤ 15× at 10× (1.5× super-linear
     * headroom for fixed overheads), ≤ 150× at 100×.
@@ -107,19 +112,26 @@ object ScaleBench {
           .cast("float")))
       .select(col("vec_id"), col("embedding"), col("label"))
 
-  /** lineitem columns q_pagerank consumes (l_partkey, l_suppkey) — a
-    * bipartite part–supplier multigraph whose node sets scale with the
-    * corpus (parts 20k·S, suppliers 1k·S, edges 600k·S) and whose
-    * degree distribution is Zipf-skewed by the same squared-hash trick,
-    * so the per-edge fixed-point meets realistic hubs.
+  /** lineitem columns the graph queries consume — q_pagerank reads
+    * (l_partkey, l_suppkey): a bipartite part–supplier multigraph whose
+    * node sets scale with the corpus (parts 20k·S, suppliers 1k·S,
+    * edges 600k·S) and whose degree distribution is Zipf-skewed by the
+    * same squared-hash trick, so the per-edge fixed-point meets
+    * realistic hubs. q_triangles additionally reads l_orderkey: 6 lines
+    * per order (TPC-H's shape), so each order contributes ≤ C(6,2)
+    * co-occurrence pairs and the order count scales with the corpus.
     */
   def genLineitem(s: SparkSession, rows: Long, parts: Long, supps: Long): DataFrame =
     s.range(rows).select(col("id"))
       .withColumn("hp", pmod(xxhash64(col("id"), lit(11)), lit(parts)))
       .withColumn("hs", pmod(xxhash64(col("id"), lit(13)), lit(supps)))
       .select(
-        ((col("hp") * col("hp")) / lit(parts)).as("l_partkey"),
-        ((col("hs") * col("hs")) / lit(supps)).as("l_suppkey"))
+        // floor() everywhere: Column./ on integers is DOUBLE division,
+        // which would make every line its own "order" and turn the
+        // squared-hash map injective (no Zipf collisions at all)
+        floor(col("id") / lit(6)).cast("long").as("l_orderkey"),
+        floor((col("hp") * col("hp")) / lit(parts)).cast("long").as("l_partkey"),
+        floor((col("hs") * col("hs")) / lit(supps)).cast("long").as("l_suppkey"))
 
   def genDir(s: SparkSession, dir: String, scale: Long,
              withLineitem: Boolean = true): Unit = {
@@ -138,8 +150,11 @@ object ScaleBench {
         if (body.isEmpty) Set("documents", "embeddings")
         else body.split(",").map(_.trim).filter(_.nonEmpty).toSet
       }
+    // "lineitem.v2": the token carries a schema version — v2 added
+    // l_orderkey for the co-occurrence family, so a dir cached with the
+    // two-column v1 lineitem regenerates instead of failing its readers
     val need = Set("documents", "embeddings") ++
-      (if (withLineitem) Set("lineitem") else Set.empty[String])
+      (if (withLineitem) Set("lineitem.v2") else Set.empty[String])
     val missing = need -- have
     if (missing.isEmpty) return
     if (missing("documents"))
@@ -148,11 +163,127 @@ object ScaleBench {
     if (missing("embeddings"))
       genEmbeddings(s, 2000L * scale)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    if (missing("lineitem"))
+    if (missing("lineitem.v2"))
       genLineitem(s, 600000L * scale, 20000L * scale, 1000L * scale)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     Files.write(done,
       (have ++ need).toSeq.sorted.mkString(",").getBytes("UTF-8"))
+  }
+
+  // ---- streaming scale family ----------------------------------------
+
+  /** Events per staged split file (one micro-batch with
+    * maxFilesPerTrigger=1) and split files at 1×. A scale-S stream is
+    * S× MORE micro-batches at the SAME per-batch volume — the
+    * production scale-up (10× total volume = 10× duration at constant
+    * rate), and the regime where watermark-bounded state must stay
+    * flat: eviction runs every batch, so peak state is a function of
+    * the horizon (splits within the watermark delay), not of how long
+    * the stream has been running.
+    */
+  val StreamRowsPerSplit = 5000L
+  val StreamSplitsAt1x = 4
+  /** Event-time width of one split (60 s) and the watermark delay
+    * (30 s): each batch's watermark passes the previous split's range,
+    * so in-horizon state is ≤ ~2 splits at any scale.
+    */
+  val StreamSplitSecs = 60L
+  val StreamWatermark = "30 seconds"
+
+  /** Stage `splits` single-file parquet splits of synthetic events
+    * (ts TIMESTAMP strictly increasing across splits, user, v) with
+    * strictly increasing mtimes, so the file source replays them as
+    * `splits` ordered micro-batches. Cached per dir via marker.
+    */
+  def genStreamDir(s: SparkSession, dir: String, splits: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    val outP = Paths.get(dir)
+    if (Files.exists(outP.resolve("_GRAFT_DONE"))) return
+    Files.createDirectories(outP)
+    val usPerRow = StreamSplitSecs * 1000000L / StreamRowsPerSplit
+    val base = System.currentTimeMillis()
+    (0 until splits).foreach { i =>
+      val tmp = Files.createTempDirectory("graft_stream_scale").toString
+      s.range(i * StreamRowsPerSplit, (i + 1) * StreamRowsPerSplit)
+        .select(
+          timestamp_micros(col("id") * usPerRow).as("ts"),
+          pmod(xxhash64(col("id"), lit(5)), lit(1000)).as("user"),
+          pmod(xxhash64(col("id"), lit(7)), lit(100)).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part for stream split $i"))
+      val dst = outP.resolve(f"split-$i%04d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+    }
+    Files.createFile(outP.resolve("_GRAFT_DONE"))
+  }
+
+  private def streamEvents(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** The three state-holding shapes the verdict asked to measure:
+    * watermark-finalized windowed counts, watermark-bounded streaming
+    * dedup (every row a distinct key — worst case for dedup state),
+    * and a stream-stream interval self-join (both sides' state
+    * watermark-bounded). Each returns an APPEND-mode frame.
+    */
+  def streamFamily(s: SparkSession, dir: String): Seq[(String, DataFrame)] = Seq(
+    "stream_window" -> streamEvents(s, dir)
+      .withWatermark("ts", StreamWatermark)
+      .groupBy(window(col("ts"), "10 seconds"), col("v"))
+      .agg(count(lit(1)).as("n")),
+    "stream_dedup" -> streamEvents(s, dir)
+      .withWatermark("ts", StreamWatermark)
+      .dropDuplicates("user", "ts"),
+    "stream_interval_join" -> {
+      val l = streamEvents(s, dir).withWatermark("ts", StreamWatermark)
+        .select(col("ts").as("lts"), col("user"), col("v").as("lv"))
+      val r = streamEvents(s, dir).withWatermark("ts", StreamWatermark)
+        .select(col("ts").as("rts"), col("user").as("ruser"), col("v").as("rv"))
+      l.join(r, col("user") === col("ruser") &&
+        col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr("INTERVAL 2 seconds"))
+    })
+
+  /** Run one streaming query to completion (AvailableNow over the
+    * staged splits, fresh checkpoint) and return
+    * (seconds, batches, peakStateRows, outRows).
+    */
+  def runStream(df: DataFrame, ckpt: String): (Double, Long, Long, Long) = {
+    import java.nio.file.{Files, Paths, Path}
+    def rmTree(p: Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    rmTree(Paths.get(ckpt))
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: Dataset[Row], _: Long) => { rows.addAndGet(b.count()); () })
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val t = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    val peakState = progress
+      .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+      .foldLeft(0L)(math.max)
+    (t, progress.count(_.numInputRows > 0).toLong, peakState, rows.get())
   }
 
   // ---- plan normalization: equality modulo ids, paths and sizes ----
@@ -179,7 +310,9 @@ object ScaleBench {
       .replaceAll("WholeStageCodegen \\(\\d+\\)", "WholeStageCodegen")
       .replaceAll("\\(\\d+\\)", "(n)")
       .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
-      .replaceAll("Scan ExistingRDD\\[.*", "Scan ExistingRDD")
+      // keep the column list: it is what distinguishes one cut relation
+      // from another (and from base-table scans) in topologyPlan
+      .replaceAll("Scan ExistingRDD ?\\[([^\\]]*)\\].*", "Scan ExistingRDD[$1]")
       .replaceAll("[ \t]+", " ")
 
   /** Reduce a normalized plan to its JOIN TOPOLOGY fingerprint: equi-join
@@ -209,6 +342,21 @@ object ScaleBench {
       .map(_.replaceAll("^(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", "EquiJoin")
         .replaceAll(", Build(Right|Left)", "")
         .replaceAll(", false$", ""))
+      // A lineage cut's MATERIALIZATION is durability policy, not
+      // topology: Stage.Local surfaces as `Scan ExistingRDD[cols]`,
+      // Stage.Parquet as `FileScan parquet [cols] ...` over the staged
+      // path — and the parquet variant column-prunes where the RDD one
+      // needs a Project (a bare count reads `Scan[]` from parquet but
+      // `Project ∘ Scan[a,b]` from memory). An operator that swaps one
+      // for the other as data grows (q_triangles goes durable past its
+      // row threshold) has the same join/aggregate structure — like
+      // AQE's broadcast↔shuffle swap, the swap must not fail the scale
+      // check. So scans collapse to a bare `Scan` and Project lines
+      // (pure column ops, never a scale hazard) are dropped; joins,
+      // aggregates, filters and their keys remain the fingerprint.
+      .map(_.replaceAll("^FileScan parquet \\[[^\\]]*\\].*$", "Scan")
+        .replaceAll("^Scan ExistingRDD ?\\[[^\\]]*\\]$", "Scan"))
+      .filterNot(l => l == "Project" || l.startsWith("Project "))
       .mkString("\n")
 
   /** Operators whose presence in a plan is a scale defect. A
@@ -252,10 +400,22 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Dev iteration filter: SPARK_GRAFT_SCALE_ONLY="q_a,q_b" restricts
+    // the batch family; SPARK_GRAFT_SCALE_MAX=10 drops larger decades.
+    // The committed BENCH_SCALE.json is always a full unfiltered run —
+    // the headline "value" is only meaningful over the whole family.
+    val onlyFilter = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val maxScale = sys.env.get("SPARK_GRAFT_SCALE_MAX").map(_.toLong)
+    val Queries = ScaleBench.Queries
+      .filter(q => onlyFilter.forall(_.contains(q._1)))
+      .map { case (n, scs) =>
+        n -> scs.filter(sc => maxScale.forall(sc <= _)) }
+
     val allScales = Queries.flatMap(_._2).distinct.sorted
     val dirs = allScales.map(sc => sc -> s"$baseDir/x$sc").toMap
-    // lineitem only exists where a query reads it (pagerank's scales)
-    val lineitemScales = Queries.filter(_._1 == "q_pagerank")
+    // lineitem only exists where a query reads it (the graph family)
+    val lineitemScales = Queries.filter(q => LineitemConsumers(q._1))
       .flatMap(_._2).toSet
     allScales.foreach { sc =>
       val t0 = System.nanoTime()
@@ -303,6 +463,40 @@ object ScaleBench {
       (name, qScales, per, ratios, ratioViolations, topoSame, unsafe)
     }
 
+    // ---- streaming family: S× batches at constant per-batch volume ----
+    val streamScales = Seq(1, 10)
+    val streamDirs = streamScales.map(sc =>
+      sc -> s"$baseDir/stream_x$sc").toMap
+    val streamNames = Seq("stream_window", "stream_dedup",
+        "stream_interval_join")
+      .filter(n => onlyFilter.forall(_.contains(n)))
+    if (streamNames.nonEmpty)
+      streamScales.foreach(sc =>
+        genStreamDir(spark, streamDirs(sc), StreamSplitsAt1x * sc))
+    // (name, scale) -> (t, batches, peakState, rows); min-of-2 on time,
+    // max on state (the claim is about the worst batch either pass saw)
+    val streamResults = streamNames.map { name =>
+      val per = streamScales.map { sc =>
+        def once() = runStream(
+          streamFamily(spark, streamDirs(sc)).toMap.apply(name),
+          s"$baseDir/ckpt_${name}_x$sc")
+        val (ta, ba, sa, ra) = once()
+        val (tb, bb, sb, rb) = once()
+        if (ra != rb)
+          System.err.println(s"[scale] $name x$sc NONDETERMINISTIC rows $ra vs $rb")
+        System.err.println(
+          f"[scale] $name x$sc: $ta%.2f / $tb%.2f s, ${math.max(ba, bb)} batches, peak state ${math.max(sa, sb)}")
+        sc -> ((math.min(ta, tb), math.max(ba, bb), math.max(sa, sb), ra))
+      }.toMap
+      // state bound: peak state must be ~flat as batch count grows 10×
+      // (horizon-bounded, not history-bounded); 3× allows watermark lag
+      // jitter. Time bound: same 1.5×-of-linear as the batch family.
+      val tRatio = per(10)._1 / math.max(per(1)._1, 1e-3)
+      val stRatio = per(10)._3.toDouble / math.max(per(1)._3.toDouble, 1.0)
+      (name, per, tRatio, stRatio,
+        tRatio > maxRatio(10) || stRatio > 3.0)
+    }
+
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val qJson = results.map { case (n, qScales, per, ratios, _, same, unsafe) =>
       val ts = qScales.map(sc => s""""t$sc":${r3(per(sc)._2)}""").mkString(",")
@@ -315,17 +509,28 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     // headline: worst ratio NORMALIZED to its scale's linear growth
     // (ratio/scale — 1.0 = perfectly linear, bound 1.5)
-    val worstNorm = results.flatMap { case (_, _, _, ratios, _, _, _) =>
-      ratios.map { case (sc, r) => r / sc } }.max
+    val worstNorm = (results.flatMap { case (_, _, _, ratios, _, _, _) =>
+      ratios.map { case (sc, r) => r / sc } } :+ 0.0).max
     val allSame = results.forall(_._6)
     val anyUnsafe = results.exists(_._7.nonEmpty)
+    val sJson = streamResults.map { case (n, per, tRatio, stRatio, _) =>
+      val fields = streamScales.map { sc =>
+        val (t, b, st, rows) = per(sc)
+        s""""t$sc":${r3(t)},"batches$sc":$b,"peak_state$sc":$st,"rows$sc":$rows"""
+      }.mkString(",")
+      s""""$n":{$fields,"ratio10":${r3(tRatio)},"state_ratio10":${r3(stRatio)}}"""
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_growth_vs_linear_max","value":${r3(worstNorm)},""" +
         s""""unit":"x_linear","max_allowed":1.5,""" +
         s""""all_topologies_identical":$allSame,""" +
         s""""any_unsafe_ops":$anyUnsafe,""" +
         s""""rows_per_scale":{"documents":5000,"embeddings":2000,"lineitem":600000},""" +
-        s""""scales":[${allScales.mkString(",")}],"queries":$qJson}"""
+        s""""stream_rows_per_batch":$StreamRowsPerSplit,""" +
+        s""""stream_batches_per_scale":$StreamSplitsAt1x,""" +
+        s""""stream_state_bound":3.0,""" +
+        s""""scales":[${allScales.mkString(",")}],"queries":$qJson,""" +
+        s""""streaming":$sJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (json + "\n").getBytes("UTF-8"))
     println(json)
@@ -333,12 +538,16 @@ object ScaleBench {
     val badRatio = results.filter(_._5.nonEmpty)
     val badTopo = results.filter(!_._6)
     val badUnsafe = results.filter(_._7.nonEmpty)
-    if (badRatio.nonEmpty || badTopo.nonEmpty || badUnsafe.nonEmpty) {
+    val badStream = streamResults.filter(_._5)
+    if (badRatio.nonEmpty || badTopo.nonEmpty || badUnsafe.nonEmpty ||
+        badStream.nonEmpty) {
       System.err.println("[scale] VIOLATIONS:" +
         badRatio.map(b => s" ratio:${b._1}=" +
           b._5.map { case (sc, r) => s"x$sc:${r3(r)}" }.mkString("/")).mkString +
         badTopo.map(b => s" topology:${b._1}").mkString +
-        badUnsafe.map(b => s" unsafe:${b._1}=${b._7.mkString("/")}").mkString)
+        badUnsafe.map(b => s" unsafe:${b._1}=${b._7.mkString("/")}").mkString +
+        badStream.map(b =>
+          s" stream:${b._1}=t${r3(b._3)}/state${r3(b._4)}").mkString)
       sys.exit(1)
     }
   }

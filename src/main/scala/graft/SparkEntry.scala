@@ -1088,10 +1088,20 @@ object SparkEntry {
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_anchor
        |    FROM conv_turns))""".stripMargin
 
+  /** Posting-list truncation for the declared conversation-retrieval
+    * queries (Conversation.retrieveForTurns `maxPostings`): every token
+    * keeps its 1000 highest-impact postings (tf DESC, doc_id). At the
+    * oracle scales every df ≤ 1000 so the cut keeps everything and the
+    * compare stays exact; at ScaleBench's growing corpora it is what
+    * keeps the terms⋈postings join linear (37× at 10× data without it).
+    */
+  private val ConvMaxPostings = 1000L
+
   /** ConvCtes + the per-turn inverted-index retrieval replay
-    * (Conversation.retrieveForTurns, uncapped df): ends with
-    * `conv_ranked(conv_id, turn_no, is_followup, doc_id, score_fp,
-    * rank)`.
+    * (Conversation.retrieveForTurns: uncapped df, posting lists
+    * truncated to ConvMaxPostings by (tf DESC, doc_id) — idf over the
+    * FULL df): ends with `conv_ranked(conv_id, turn_no, is_followup,
+    * doc_id, score_fp, rank)`.
     */
   private lazy val ConvRagCtes: String =
     s"""$ConvCtes,
@@ -1104,6 +1114,12 @@ object SparkEntry {
        |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
        |    SELECT doc_id, unnest(${OracleGen.toksSql("text")}) AS tok FROM documents)
        |  GROUP BY tok, doc_id),
+       |conv_plist AS (
+       |  SELECT tok, doc_id, tf FROM (
+       |    SELECT tok, doc_id, tf,
+       |      row_number() OVER (PARTITION BY tok
+       |        ORDER BY tf DESC, doc_id) AS pr
+       |    FROM conv_postings) WHERE pr <= $ConvMaxPostings),
        |conv_idf AS (
        |  SELECT tok,
        |    (1000000 * (2*n_docs - 2*df + 1)) // (2*df + 1) AS idf_fp
@@ -1117,7 +1133,7 @@ object SparkEntry {
        |  FROM (
        |    SELECT t.conv_id, t.turn_no, t.is_followup, p.doc_id,
        |      CAST(sum(p.tf * i.idf_fp) AS BIGINT) AS score_fp
-       |    FROM conv_postings p
+       |    FROM conv_plist p
        |      JOIN conv_idf i USING (tok)
        |      JOIN conv_terms t USING (tok)
        |    GROUP BY 1, 2, 3, 4))""".stripMargin
@@ -3729,11 +3745,25 @@ object SparkEntry {
     // either. Each triangle is counted exactly once (only one of its
     // nodes out-points to the other two under the total order);
     // everything integer-exact.
+    // Lineage-cut durability is chosen by input size: the executor-memory
+    // cut (localCheckpoint) is fastest at test scale, but the canonical
+    // edge relation grows with the corpus (~15 pairs per order) and
+    // pinning 10⁸ edge rows deserialized in executor memory is exactly
+    // what dies first on a big corpus — ScaleBench's 100× decade OOMed
+    // there. Past the threshold the cuts land in a parquet stage
+    // (Stage.Parquet: spillable, lineage-free, restartable — the
+    // cluster-durability path Stage.scala documents); same operator
+    // topology, different materialization.
     "q_triangles" -> ((s, dir) => {
-      val po = Tables.lineitem(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val po = li
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      graft.operators.Graph.triangleCount(coOccurPairs(po))
+      val stage =
+        if (li.count() <= 1000000L) graft.operators.Stage.Local
+        else graft.operators.Stage.Parquet(
+          java.nio.file.Files.createTempDirectory("graft_tri_stage").toString)
+      graft.operators.Graph.triangleCount(coOccurPairs(po), stage)
     }),
 
     // Convergence-STOPPED PageRank on the l_partkey ≤ 500 symmetrized
@@ -5087,7 +5117,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val resolved = graft.operators.Conversation.resolveTurns(
         graft.operators.Conversation.deriveTurns(docs))
-      graft.operators.Conversation.retrieveForTurns(resolved, docs, k = 5)
+      graft.operators.Conversation.retrieveForTurns(resolved, docs, k = 5,
+          maxPostings = ConvMaxPostings)
         .orderBy(col("conv_id"), col("turn_no"), col("rank"))
     }),
 
@@ -5098,7 +5129,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val resolved = graft.operators.Conversation.resolveTurns(
         graft.operators.Conversation.deriveTurns(docs))
-      val topk = graft.operators.Conversation.retrieveForTurns(resolved, docs, k = 3)
+      val topk = graft.operators.Conversation.retrieveForTurns(resolved, docs,
+        k = 3, maxPostings = ConvMaxPostings)
       graft.operators.Conversation.assemblePerTurn(topk, docs)
         .orderBy(col("conv_id"), col("turn_no"))
     }),

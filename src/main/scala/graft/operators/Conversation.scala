@@ -31,13 +31,15 @@ import graft.functions.TextFunctions
   * (Retrieval.bm25's idf), top-k per turn via a window.
   *
   * Scale: conversations shard by conv_id (the window partitions cleanly;
-  * a conversation is small by nature). The retrieval join's guard is the
-  * document-frequency cap `maxDf` — stop-words with huge posting lists
-  * are dropped BEFORE the join (the driver corpus's 31-token vocabulary
-  * is df-dense, so the declared queries run uncapped; ConversationSpec
-  * exercises the cap). The streaming twin keeps one (turn_no, utterance)
-  * pair per live conversation via flatMapGroupsWithState — state is O(1)
-  * per conversation, evictable by timeout in production.
+  * a conversation is small by nature). The retrieval join has two
+  * guards: the document-frequency cap `maxDf` (stop-words with huge
+  * posting lists drop BEFORE the join) and the impact-ordered posting
+  * truncation `maxPostings` (each surviving token keeps its top-N
+  * entries by tf — the guard that keeps the join LINEAR when both the
+  * turn set and the corpus grow together; see retrieveForTurns). The
+  * streaming twin keeps one (turn_no, utterance) pair per live
+  * conversation via flatMapGroupsWithState — state is O(1) per
+  * conversation, evictable by timeout in production.
   */
 object Conversation {
 
@@ -85,12 +87,24 @@ object Conversation {
     * DISTINCT resolved terms, join corpus postings (doc_id, tok, tf) on
     * token, score = Σ tf·idf_fp (idf_fp = Retrieval.bm25's exact integer
     * Robertson idf over the doc corpus), top-`k` docs per turn.
-    * `maxDf` drops tokens whose posting list exceeds it BEFORE the join —
-    * the hot-token/stop-word scale guard.
+    *
+    * TWO scale guards, and both are needed because BOTH join sides grow
+    * with the corpus (turns derive from docs): `maxDf` drops stop-word
+    * tokens entirely, and `maxPostings` truncates every surviving
+    * token's posting list to its `maxPostings` highest-impact entries
+    * (tf DESC, doc_id — deterministic, SQL-replayable) BEFORE the join.
+    * Without the truncation the join emits Σ terms(tok)·df(tok) rows,
+    * which is QUADRATIC in corpus scale (ScaleBench measured 37× time
+    * at 10× data); with it the join is ≤ |terms|·maxPostings — linear.
+    * This is classic impact-ordered posting truncation (the WAND-family
+    * index layout): a doc outside a token's top-N by tf can only enter
+    * the turn's top-k through its OTHER terms, which it still can. idf
+    * stays exact over the full df (computed before truncation).
     * Output: (conv_id, turn_no, is_followup, rank, doc_id, score_fp).
     */
   def retrieveForTurns(resolved: DataFrame, docs: DataFrame, k: Int,
-                       maxDf: Long = Long.MaxValue): DataFrame = {
+                       maxDf: Long = Long.MaxValue,
+                       maxPostings: Long = Long.MaxValue): DataFrame = {
     val terms = resolved.select(col("conv_id"), col("turn_no"), col("is_followup"),
         explode(array_distinct(TextFunctions.tokens(col("resolved_query")))).as("tok"))
     val toks = docs.select(col("doc_id"),
@@ -105,7 +119,15 @@ object Conversation {
       .withColumn("idf_fp",
         expr("(1000000L * (2L*n_docs - 2L*df + 1L)) DIV (2L*df + 1L)"))
       .select(col("tok"), col("idf_fp"))
-    val scored = postings.join(broadcast(dfreq), "tok")
+    val plist =
+      if (maxPostings == Long.MaxValue) postings
+      else {
+        val pw = Window.partitionBy(col("tok"))
+          .orderBy(col("tf").desc, col("doc_id"))
+        postings.withColumn("_pr", row_number().over(pw))
+          .filter(col("_pr") <= maxPostings).drop("_pr")
+      }
+    val scored = plist.join(broadcast(dfreq), "tok")
       .join(terms, "tok")
       .groupBy(col("conv_id"), col("turn_no"), col("is_followup"), col("doc_id"))
       .agg(sum(col("tf") * col("idf_fp")).as("score_fp"))

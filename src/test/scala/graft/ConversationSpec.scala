@@ -66,6 +66,31 @@ class ConversationSpec extends SparkSpec {
     assert(uncapped.orderBy(col("rank")).first().getAs[Long]("doc_id") === 3L)
   }
 
+  test("retrieveForTurns maxPostings keeps each token's top-N by (tf desc, doc_id) and stays exact for surviving docs") {
+    val resolved = turnsDf(Seq((1L, 1L, "term")))
+      .withColumn("is_followup", lit(false))
+      .withColumn("resolved_query", col("utterance"))
+    // tf per doc: doc1=3, doc2=2, doc3=2, doc4=1 — maxPostings=2 must keep
+    // docs 1 and 2 (tf desc, then doc_id breaks the 2-vs-2 tie)
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "term term term"), Row(2L, "term term x"),
+          Row(3L, "term term y"), Row(4L, "term z"))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val got = Conversation.retrieveForTurns(resolved, docs, k = 10,
+        maxPostings = 2)
+      .orderBy(col("rank")).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    // scores of survivors match the untruncated run exactly (idf is over
+    // the FULL df, so truncation only removes tail docs, never rescoring)
+    val full = Conversation.retrieveForTurns(resolved, docs, k = 10)
+      .orderBy(col("rank")).collect()
+    assert(full.take(2).map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("score_fp"))).toSeq ===
+      got.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_fp"))).toSeq)
+  }
+
   test("stateful resolver (fMGWS twin) agrees with the batch window on the derived corpus") {
     import spark.implicits._
     val turns = Conversation.deriveTurns(
