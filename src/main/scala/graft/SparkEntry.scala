@@ -1723,6 +1723,19 @@ object SparkEntry {
         col("embedding"), 20)
     }),
 
+    // Semantic dedup, the SemDeDup shape: deterministic k-means scopes
+    // the candidate pairs (O(Σ n_c²), never O(n²)); within a cluster the
+    // higher id of any pair with cosine ≥ 0.30 is a duplicate. Over-cap
+    // clusters (the hot-bucket hazard: k-means collapsing mass onto one
+    // centroid) are excluded WHOLE and flagged, never silently sampled.
+    // Output is the per-cluster audit; every Lloyd round, every compared
+    // cosine and the keep set are replayed by the oracle.
+    "dedup_semantic" -> ((s, dir) => {
+      Dedup.semanticDedup(Tables.embeddings(s, dir), col("vec_id"),
+        col("embedding"), k = 4, iters = 2, dim = 64,
+        tauFp = 300000L, maxCluster = 400L)
+    }),
+
     // Contrastive hard-negative mining: per anchor, the 2 most-similar
     // same-LSH-bucket vectors with cosine in the mid band [0.2, 0.8) —
     // the training pairs that actually carry gradient for embedding
@@ -5623,6 +5636,41 @@ object SparkEntry {
            |FROM sides a JOIN sides b
            |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |ORDER BY cos_sim DESC, a_id ASC, b_id ASC LIMIT 20""".stripMargin,
+
+      "dedup_semantic" ->
+        s"""WITH ${kmeansCtesSql(4, 2)},
+           |asg AS (SELECT vec_id AS id, embedding, cid FROM a2),
+           |sizes AS (SELECT cid, count(*) AS n FROM asg GROUP BY cid),
+           |scoped AS (
+           |  SELECT a.id, a.embedding, a.cid FROM asg a
+           |  JOIN sizes s ON a.cid = s.cid AND s.n <= 400),
+           |pairs AS (
+           |  SELECT * FROM (
+           |    SELECT x.cid AS cid, x.id AS xid, y.id AS yid,
+           |      CAST(floor((${OracleGen.cosineCols("x.embedding", "y.embedding")})
+           |        * 1000000.0) AS BIGINT) AS cos_fp
+           |    FROM scoped x JOIN scoped y
+           |      ON x.cid = y.cid AND x.id < y.id)
+           |  WHERE cos_fp >= 300000),
+           |dups AS (
+           |  SELECT cid, yid AS dup_id, max(cos_fp) AS best_fp
+           |  FROM pairs GROUP BY cid, yid),
+           |dupagg AS (
+           |  SELECT cid, count(*) AS n_dup,
+           |    CAST(sum(best_fp) AS BIGINT) AS sim_fp
+           |  FROM dups GROUP BY cid),
+           |kept AS (
+           |  SELECT a.cid, CAST(sum(a.id) AS BIGINT) AS sum_kept_ids
+           |  FROM asg a WHERE a.id NOT IN (SELECT dup_id FROM dups)
+           |  GROUP BY a.cid)
+           |SELECT CAST(s.cid AS INTEGER) AS cid, s.n, s.n > 400 AS capped,
+           |  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+           |  CAST(coalesce(k.sum_kept_ids, 0) AS BIGINT) AS sum_kept_ids,
+           |  CAST(coalesce(d.sim_fp, 0) AS BIGINT) AS sim_fp
+           |FROM sizes s
+           |LEFT JOIN dupagg d ON s.cid = d.cid
+           |LEFT JOIN kept k ON s.cid = k.cid
+           |ORDER BY cid""".stripMargin,
 
       "q_hard_negatives" ->
         s"""WITH sides AS (

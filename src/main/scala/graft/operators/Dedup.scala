@@ -684,4 +684,67 @@ object Dedup {
           (size(col("a_sh")) + size(col("b_sh"))
             - size(array_intersect(col("a_sh"), col("b_sh"))))).as("jaccard"))
   }
+
+  /** Semantic (embedding-space) dedup, the SemDeDup shape: k-means the
+    * corpus (deterministic Lloyd — [[Clustering.lloyd]]), then compare
+    * pairs ONLY within a cluster and mark the higher id of any pair
+    * whose cosine ≥ τ as a duplicate ("keep first" — a deterministic,
+    * transitively consistent proxy for the paper's keep-farthest-from-
+    * centroid rule; both drop the same pair count).
+    *
+    * Scale shape — this is the op's entire reason to exist: clustering
+    * cuts candidate generation from O(n²) to Σ_c n_c², and the cluster
+    * count k is the knob that bounds n_c (at 100 TB: k ~ n/⟨target
+    * cluster size⟩, the paper's regime). The residual hazard is the
+    * same hot-bucket skew the LSH band joins face: ONE degenerate
+    * cluster (k-means collapsing mass onto a centroid) re-creates the
+    * quadratic. `maxCluster` applies the maxBucket discipline:
+    * over-cap clusters are excluded from pairing WHOLE and flagged
+    * (`capped`), never silently truncated — a cluster that degenerate
+    * needs a bigger k or the lexical miners, not a quiet sample. The
+    * intra-cluster join is a cid-keyed equi-join; the assignment
+    * relation is lineage-cut once (`stage`) so the self-join reads the
+    * materialized assignment instead of re-running Lloyd twice.
+    *
+    * Output (one row per cluster, the audit a corpus-build consumes):
+    * (cid, n, capped, n_dup, sum_kept_ids, sim_fp = Σ floor(cos·1e6)
+    * over the counted dup pairs — pins every compared cosine).
+    */
+  def semanticDedup(emb: DataFrame, idCol: Column, vecCol: Column,
+                    k: Int, iters: Int, dim: Int, tauFp: Long,
+                    maxCluster: Long = 100000L,
+                    stage: Stage = Stage.Local): DataFrame = {
+    val (asg0, _) = Clustering.lloyd(emb, idCol, vecCol, k, iters, dim)
+    val asg = stage.cut(asg0.select(col("id"), col("vec"), col("cid")),
+      "semdedup_asg")
+    val sizes = asg.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .withColumn("capped", col("n") > maxCluster)
+    val scoped = asg.join(
+      sizes.filter(!col("capped")).select(col("cid")), Seq("cid"), "left_semi")
+    val pairs = scoped.as("x")
+      .join(scoped.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .withColumn("cos_fp",
+        floor(graft.functions.VectorFunctions.cosine(
+          col("x.vec"), col("y.vec")) * lit(1000000.0)).cast("long"))
+      .filter(col("cos_fp") >= tauFp)
+    // a doc may exceed τ against several earlier keepers — count it once,
+    // and pin its strongest cosine so sim_fp is order-independent
+    val dups = pairs
+      .groupBy(col("y.cid").as("cid"), col("y.id").as("dup_id"))
+      .agg(max(col("cos_fp")).as("best_fp"))
+    val dupAgg = dups.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_dup"), sum(col("best_fp")).as("sim_fp"))
+    val keptAgg = asg.join(dups.select(col("dup_id")),
+        asg("id") === col("dup_id"), "left_anti")
+      .groupBy(col("cid")).agg(sum(col("id")).as("sum_kept_ids"))
+    sizes
+      .join(dupAgg, Seq("cid"), "left")
+      .join(keptAgg, Seq("cid"), "left")
+      .select(col("cid"), col("n"), col("capped"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("sum_kept_ids"), lit(0L)).as("sum_kept_ids"),
+        coalesce(col("sim_fp"), lit(0L)).as("sim_fp"))
+      .orderBy(col("cid"))
+  }
 }

@@ -340,4 +340,43 @@ class DedupSpec extends SparkSpec {
     // short docs below w fall back to the whole-doc window
     assert(r(5L) === ((1L, 1L, 1000L)) && r(6L) === ((1L, 1L, 1000L)))
   }
+
+  // two well-separated direction groups, seeds (ids 0, 1) one per group so
+  // 2-means recovers them exactly; each group plants one near-dup
+  // (cos ≈ 0.9999) and one distinct member (cos ≈ 0.8 < τ = 0.9)
+  private lazy val semCorpus = {
+    import spark.implicits._
+    Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0f, 0f, 1f, 0f),
+      2L -> Array(0.999f, 0.01f, 0f, 0f),
+      3L -> Array(0f, 0.01f, 0.999f, 0f),
+      4L -> Array(0.8f, 0.6f, 0f, 0f),
+      5L -> Array(0f, 0.6f, 0.8f, 0f)
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("semantic dedup drops in-cluster near-dups, keeps first, no cartesian") {
+    val out = Dedup.semanticDedup(semCorpus, col("vec_id"), col("embedding"),
+      k = 2, iters = 2, dim = 4, tauFp = 900000L)
+    val rows = out.collect().map(r => r.getInt(0) ->
+      ((r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))).toMap
+    // cid 0 = {0, 2, 4}: 2 is a near-dup of 0; 4 survives (cos ≈ 0.8)
+    assert(rows(0) === ((3L, false, 1L, 4L)))
+    // cid 1 = {1, 3, 5}: 3 is a near-dup of 1; 5 survives
+    assert(rows(1) === ((3L, false, 1L, 6L)))
+    // the intra-cluster pairing is a cid-keyed equi-join, never all-pairs
+    assert(!flattenPlan(out.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
+  test("semantic dedup excludes over-cap clusters whole and flags them") {
+    val out = Dedup.semanticDedup(semCorpus, col("vec_id"), col("embedding"),
+      k = 2, iters = 2, dim = 4, tauFp = 900000L, maxCluster = 2L)
+    val rows = out.collect().map(r => r.getInt(0) ->
+      ((r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))).toMap
+    // both clusters have 3 > 2 members: capped, nothing dropped
+    assert(rows(0) === ((3L, true, 0L, 6L)))
+    assert(rows(1) === ((3L, true, 0L, 9L)))
+  }
 }
