@@ -2951,6 +2951,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // CCNet-style perplexity bucketing (TrainData.perplexityBuckets):
+    // every doc scored against the reference LM trained on the trusted
+    // slice (lang='en'), corpus split into tail/middle/head thirds via
+    // HISTOGRAM quantiles (256 equal-width cells, cumulative over the
+    // fixed-cardinality cell relation) — no global sort anywhere. Low
+    // score = far from reference = high perplexity = tail.
+    "q_perplexity_buckets" -> ((s, dir) => {
+      TrainData.perplexityBuckets(Tables.documents(s, dir), col("doc_id"),
+        col("text"), col("lang") === "en")
+    }),
+
     // Model-based quality filtering (TrainData.lrQualityTrain): a
     // logistic-regression quality classifier trained IN THE ENGINE by 3
     // full-batch gradient steps — hard-sigmoid link and integer
@@ -6870,6 +6881,42 @@ object SparkEntry {
            |  CAST(CAST(sum(tf.tf) AS BIGINT) * 1000 // count(*) AS BIGINT) AS lm_fp
            |FROM tok JOIN tf USING (tok)
            |GROUP BY id ORDER BY id""".stripMargin,
+
+      "q_perplexity_buckets" ->
+        s"""WITH base AS (
+           |  SELECT doc_id AS id, text, lang = 'en' AS is_ref FROM documents),
+           |tok AS (
+           |  SELECT id, is_ref, unnest(${OracleGen.toksSql("text")}) AS tok
+           |  FROM base),
+           |reftf AS (
+           |  SELECT tok, count(*) AS tf FROM tok WHERE is_ref GROUP BY tok),
+           |scored AS (
+           |  SELECT id,
+           |    CAST(CAST(sum(coalesce(tf, 0) + 1) AS BIGINT) * 1000
+           |      // count(*) AS BIGINT) AS score_fp
+           |  FROM tok LEFT JOIN reftf USING (tok) GROUP BY id),
+           |mx AS (SELECT max(score_fp) AS mx, count(*) AS n_total FROM scored),
+           |binned AS (
+           |  SELECT id, score_fp,
+           |    CAST(score_fp * 256 // (mx + 1) AS BIGINT) AS bin
+           |  FROM scored, mx),
+           |cum AS (
+           |  SELECT bin, count(*) AS c,
+           |    sum(count(*)) OVER (ORDER BY bin
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM binned GROUP BY bin),
+           |cuts AS (
+           |  SELECT min(CASE WHEN cum * 3 >= n_total THEN bin END) AS b33,
+           |    min(CASE WHEN cum * 3 >= n_total * 2 THEN bin END) AS b66
+           |  FROM cum, mx)
+           |SELECT
+           |  CASE WHEN bin <= b33 THEN 'tail'
+           |       WHEN bin <= b66 THEN 'middle' ELSE 'head' END AS bucket,
+           |  count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS sum_ids,
+           |  CAST(sum(score_fp) AS BIGINT) AS sum_score_fp,
+           |  min(score_fp) AS min_score, max(score_fp) AS max_score
+           |FROM binned, cuts
+           |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
       "q_lexical_diversity" ->
         s"""WITH tok AS (

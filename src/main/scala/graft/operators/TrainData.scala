@@ -93,6 +93,71 @@ object TrainData {
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
 
+  /** CCNet-style perplexity bucketing: score every document against a
+    * reference LM trained on the trusted slice (`refPred`, CCNet's
+    * Wikipedia stand-in), then split the corpus into tail/middle/head
+    * thirds by score — the standard "keep the head, audit the tail"
+    * curation gate. The score is the log-free fixed-point surrogate the
+    * LM family already uses: per doc, mean add-one-smoothed reference
+    * term frequency (`⌊Σ(ref_tf+1)·1000 / n_tok⌋` — OOV tokens
+    * contribute exactly 1), so LOW score = far from the reference =
+    * high perplexity = tail.
+    *
+    * The tertile thresholds are HISTOGRAM quantiles, not a global sort:
+    * scores bin into `bins` equal-width cells of [0, max] (max is a
+    * 1-row broadcast), the cumulative count over the ≤`bins`-row cell
+    * relation (partition-less window over a fixed-cardinality relation —
+    * the house pattern) yields the smallest bins b33/b66 whose cumulative
+    * mass reaches ⌈N/3⌉/⌈2N/3⌉, and bucket assignment is a broadcast
+    * comparison. Ties share a bin, so the thirds are approximate the way
+    * production histogram-quantiles are — and exactly replayable.
+    *
+    * Scale shape: token explode → one shuffle for the reference TF table
+    * (Zipf head absorbed by partial aggregation) → equi-join back → one
+    * per-doc aggregation; everything after the per-doc score relation is
+    * bounded (histogram cells) or 1-row broadcasts. No global sort, no
+    * per-corpus window.
+    *
+    * Output (one row per non-empty bucket): (bucket, n_docs, sum_ids,
+    * sum_score_fp, min_score, max_score).
+    */
+  def perplexityBuckets(df: DataFrame, idCol: Column, textCol: Column,
+                        refPred: Column, bins: Int = 256): DataFrame = {
+    val base = df.select(idCol.as("id"), textCol.as("text"),
+      refPred.as("is_ref"))
+    val toks = base.select(col("id"), col("is_ref"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val refTf = toks.filter(col("is_ref"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val scored = toks.join(refTf, Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("tf"), lit(0L)) + lit(1L)).as("sum_tf1"))
+      .withColumn("score_fp", expr("sum_tf1 * 1000 DIV n_tok"))
+    val mx = scored.agg(max(col("score_fp")).as("mx"),
+      count(lit(1)).as("n_total"))
+    val binned = scored.crossJoin(broadcast(mx))
+      .withColumn("bin", expr(s"(score_fp * $bins) DIV (mx + 1)"))
+    val cum = binned.groupBy(col("bin"), col("n_total"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cuts = cum.agg(
+      min(when(col("cum") * 3 >= col("n_total"), col("bin"))).as("b33"),
+      min(when(col("cum") * 3 >= col("n_total") * 2, col("bin"))).as("b66"))
+    binned.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("bin") <= col("b33"), "tail")
+          .when(col("bin") <= col("b66"), "middle")
+          .otherwise("head"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("sum_ids"),
+        sum(col("score_fp")).as("sum_score_fp"),
+        min(col("score_fp")).as("min_score"),
+        max(col("score_fp")).as("max_score"))
+      .orderBy(col("bucket"))
+  }
+
   /** Temperature-based source mixing (α = 1/2): distribute a sampling
     * `budget` across sources proportionally to cnt^α instead of cnt —
     * the standard rebalancing that keeps head sources (e.g. English at

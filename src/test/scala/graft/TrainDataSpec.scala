@@ -318,4 +318,33 @@ class TrainDataSpec extends SparkSpec {
     assert((0 until 4).exists(j => w1.getLong(j) != w3.getLong(j)),
       "more gradient steps must move the weights")
   }
+
+  test("perplexityBuckets: reference-like docs head, gibberish tail") {
+    import spark.implicits._
+    // reference slice = ids 0-2 ("the the the", ref_tf(the)=9). Scores:
+    // ref-pure docs (9+1)*1000, half-OOV (10+1)/2*1000, all-OOV 1*1000.
+    val docs = Seq(
+      (0L, "the the the", true), (1L, "the the the", true),
+      (2L, "the the the", true),
+      (3L, "the zz", false), (4L, "the qq", false), (5L, "the ww", false),
+      (6L, "zz yy xx", false), (7L, "aa bb cc", false),
+      (8L, "dd ee ff", false)).toDF("id", "text", "ref")
+    val out = TrainData.perplexityBuckets(docs, $"id", $"text", $"ref")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    // head = the ref-pure docs, middle = half-OOV, tail = gibberish;
+    // thirds land exactly because scores split 10000 / 5500 / 1000
+    assert(out("head") === ((3L, 3L, 10000L, 10000L)))
+    assert(out("middle") === ((3L, 12L, 5500L, 5500L)))
+    assert(out("tail") === ((3L, 21L, 1000L, 1000L)))
+  }
+
+  test("perplexityBuckets: partition-invariant and total over the corpus") {
+    val a = TrainData.perplexityBuckets(docs, col("doc_id"), col("text"),
+      col("lang") === "en").collect()
+    val b = TrainData.perplexityBuckets(docs.repartition(7), col("doc_id"),
+      col("text"), col("lang") === "en").collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    assert(a.map(_.getLong(1)).sum == docs.count())
+  }
 }
