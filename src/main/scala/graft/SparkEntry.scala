@@ -3269,6 +3269,17 @@ object SparkEntry {
     // a 200-doc budget split ∝ √cnt flattens the en head toward the
     // tail languages (the multilingual-mix rebalance). Quotas exact
     // integers, selection by md5-hash rank — fully deterministic.
+    // UniMax-style budget waterfill (TrainData.unimaxAlloc): uniform
+    // across sources under a 2-epoch per-source cap, small sources taken
+    // whole and their unused share provably re-spent (Σ alloc = budget;
+    // sourceMix's temperature quota just truncates). Integer waterfill
+    // over the fixed-cardinality per-source relation — one corpus
+    // aggregation, then tiny windows + 1-row broadcasts.
+    "q_unimax_mix" -> ((s, dir) => {
+      TrainData.unimaxAlloc(Tables.documents(s, dir), col("source"),
+        budget = 600L, epochsCap = 2)
+    }),
+
     "q_source_mix" -> ((s, dir) => {
       TrainData.sourceMix(Tables.documents(s, dir), col("lang"),
           col("doc_id"), budget = 200L)
@@ -8085,6 +8096,44 @@ object SparkEntry {
           |      FROM documents)
           |WHERE b < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
           |GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_unimax_mix" ->
+        s"""WITH cnts AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    CAST(count(*) * 2 AS BIGINT) AS capacity
+           |  FROM documents GROUP BY source),
+           |ranked AS (
+           |  SELECT *,
+           |    CAST(row_number() OVER (ORDER BY capacity, source) AS BIGINT) AS j,
+           |    CAST(coalesce(sum(capacity) OVER (ORDER BY capacity, source
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS prefix
+           |  FROM cnts),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_src,
+           |  CAST(sum(capacity) AS BIGINT) AS cap_total FROM ranked),
+           |flagged AS (
+           |  SELECT r.*, t.n_src, t.cap_total,
+           |    capacity * (t.n_src - j + 1) <= 600 - prefix AS capped
+           |  FROM ranked r, tot t),
+           |ca AS (
+           |  SELECT CAST(sum(CASE WHEN capped THEN capacity ELSE 0 END)
+           |      AS BIGINT) AS capped_cap,
+           |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_capped
+           |  FROM flagged),
+           |alloced AS (
+           |  SELECT f.source, f.n_docs, f.capacity, f.capped,
+           |    CAST(CASE WHEN f.capped THEN f.capacity
+           |      ELSE (600 - c.capped_cap) // (f.n_src - c.n_capped) +
+           |        (CASE WHEN f.j - c.n_capped <=
+           |           (600 - c.capped_cap) % (f.n_src - c.n_capped)
+           |         THEN 1 ELSE 0 END)
+           |      END AS BIGINT) AS alloc,
+           |    f.cap_total < 600 AS underfilled
+           |  FROM flagged f, ca c)
+           |SELECT source, n_docs, capacity, capped, alloc,
+           |  CAST(alloc * 1000 // n_docs AS BIGINT) AS epochs_fp, underfilled
+           |FROM alloced ORDER BY source""".stripMargin,
 
       "q_source_mix" ->
         """WITH cnts AS (

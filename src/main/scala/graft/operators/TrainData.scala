@@ -138,8 +138,13 @@ object TrainData {
       count(lit(1)).as("n_total"))
     val binned = scored.crossJoin(broadcast(mx))
       .withColumn("bin", expr(s"(score_fp * $bins) DIV (mx + 1)"))
+    // limit(bins) is a no-op (bin ∈ [0, bins) by construction: score ≤ mx
+    // ⇒ score·bins DIV (mx+1) < bins) that makes the boundedness PROVABLE
+    // in the physical plan: the unpartitioned cumulative window below
+    // demonstrably sorts a ≤`bins`-row cell relation, never the corpus.
     val cum = binned.groupBy(col("bin"), col("n_total"))
       .agg(count(lit(1)).as("c"))
+      .limit(bins)
       .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val cuts = cum.agg(
@@ -188,6 +193,77 @@ object TrainData {
     ranked.join(broadcast(quota), "source")
       .filter(col("rk") <= col("n_target"))
       .select(col("source"), col("id"), col("rk"), col("cnt"), col("n_target"))
+  }
+
+  /** UniMax-style budget allocation (waterfill with an epoch cap): given
+    * a total training budget of `budget` docs and per-source corpus
+    * sizes, allocate as UNIFORMLY across sources as the cap allows —
+    * each source holds at most `epochsCap` passes over its data
+    * (capacity = n·cap), small sources are taken whole (capped), and
+    * their unused share redistributes to the rest. This is the mixing
+    * rule that fixes [[sourceMix]]'s silent under-fill: a temperature
+    * quota larger than a tail source's size just truncates, while the
+    * waterfill provably re-spends the remainder (total alloc = budget
+    * whenever Σ capacity ≥ budget, flagged `underfilled` otherwise).
+    *
+    * Exact integer waterfill on the per-source relation: sources sorted
+    * by capacity ascending (rank j of L), a source is capped iff
+    * c_j·(L−j+1) ≤ budget − prefix_j (monotone in j), uncapped sources
+    * get ⌊(budget − Σ capped capacity)/m⌋ with the remainder granted to
+    * the first `rem` uncapped sources in capacity order — fully
+    * deterministic, replayable in any engine.
+    *
+    * Scale shape: ONE corpus-wide count aggregation; everything after is
+    * windows and aggregates over the ≤|sources| relation (fixed
+    * cardinality — the house pattern) plus 1-row broadcasts. Output per
+    * source: (source, n_docs, capacity, capped, alloc, epochs_fp,
+    * underfilled).
+    */
+  def unimaxAlloc(df: DataFrame, sourceCol: Column, budget: Long,
+                  epochsCap: Int = 2, maxSources: Int = 1024): DataFrame = {
+    val cnts = df.groupBy(sourceCol.as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("capacity", col("n_docs") * lit(epochsCap.toLong))
+    // A mixing table is a curated handful of sources, but the bound is
+    // semantic, not structural — so it is ENFORCED, not assumed: `tot`
+    // counts the un-truncated relation and raise_error()s past
+    // `maxSources` (every output row crossJoins it, so the error cannot
+    // be planned away), and only then does limit(maxSources) make the
+    // boundedness of the unpartitioned rank/prefix windows provable in
+    // the physical plan (a ≤`maxSources`-row sort, never the corpus).
+    val tot = cnts.agg(count(lit(1)).as("n_src0"),
+        sum(col("capacity")).as("cap_total"))
+      .withColumn("n_src",
+        when(col("n_src0") > maxSources, raise_error(concat(
+          lit(s"unimaxAlloc: more than $maxSources sources ("),
+          col("n_src0"), lit(") — raise maxSources"))))
+          .otherwise(col("n_src0")))
+      .drop("n_src0")
+    val w = Window.orderBy(col("capacity"), col("source"))
+    val ranked = cnts.limit(maxSources)
+      .withColumn("j", row_number().over(w).cast("long"))
+      .withColumn("prefix", coalesce(sum(col("capacity")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val flagged = ranked.crossJoin(broadcast(tot))
+      .withColumn("capped",
+        col("capacity") * (col("n_src") - col("j") + 1) <=
+          lit(budget) - col("prefix"))
+    val cappedAgg = flagged.agg(
+      sum(when(col("capped"), col("capacity")).otherwise(0L)).as("capped_cap"),
+      sum(when(col("capped"), 1L).otherwise(0L)).as("n_capped"))
+    flagged.crossJoin(broadcast(cappedAgg))
+      .withColumn("m", col("n_src") - col("n_capped"))
+      .withColumn("pool", lit(budget) - col("capped_cap"))
+      .withColumn("alloc",
+        when(col("capped"), col("capacity"))
+          .otherwise(expr("pool DIV m") +
+            when(col("j") - col("n_capped") <= expr("pool % m"), 1L)
+              .otherwise(0L)))
+      .withColumn("epochs_fp", expr("alloc * 1000 DIV n_docs"))
+      .withColumn("underfilled", col("cap_total") < lit(budget))
+      .select(col("source"), col("n_docs"), col("capacity"), col("capped"),
+        col("alloc"), col("epochs_fp"), col("underfilled"))
+      .orderBy(col("source"))
   }
 
   /** Deterministic stratified sampling: keep `pct(class)` percent of rows

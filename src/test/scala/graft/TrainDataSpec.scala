@@ -319,6 +319,39 @@ class TrainDataSpec extends SparkSpec {
       "more gradient steps must move the weights")
   }
 
+  test("unimaxAlloc: waterfill takes small sources whole, re-spends their share") {
+    import spark.implicits._
+    // capacities (2 epochs): a=4, b=10, c=100; budget 30 → a and b capped
+    // (4·3 ≤ 30, 10·2 ≤ 26), c gets the re-spent pool 30−14 = 16
+    val docs = ((1L to 2L).map(i => (i, "a")) ++ (1L to 5L).map(i => (i, "b")) ++
+      (1L to 50L).map(i => (i, "c"))).toDF("id", "source")
+    val out = TrainData.unimaxAlloc(docs, $"source", budget = 30L, epochsCap = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out("a") === ((true, 4L, 2000L, false)))
+    assert(out("b") === ((true, 10L, 2000L, false)))
+    assert(out("c") === ((false, 16L, 320L, false)))
+    // the budget is exactly spent — the property sourceMix's quota loses
+    assert(out.values.map(_._2).sum == 30L)
+  }
+
+  test("unimaxAlloc: over-capacity budget flags underfilled; remainder spreads in order") {
+    import spark.implicits._
+    val docs = ((1L to 2L).map(i => (i, "a")) ++ (1L to 5L).map(i => (i, "b")) ++
+      (1L to 50L).map(i => (i, "c"))).toDF("id", "source")
+    val over = TrainData.unimaxAlloc(docs, $"source", budget = 200L, epochsCap = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(4), r.getBoolean(6)))).toMap
+    assert(over("a") === ((4L, true)) && over("b") === ((10L, true)) &&
+      over("c") === ((100L, true)))
+    // equal capacities, budget 25 over 3×20: share 8, remainder 1 to the
+    // first source in (capacity, source) order
+    val eq = ((1L to 10L).map(i => (i, "d")) ++ (1L to 10L).map(i => (i, "e")) ++
+      (1L to 10L).map(i => (i, "f"))).toDF("id", "source")
+    val r = TrainData.unimaxAlloc(eq, $"source", budget = 25L, epochsCap = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(r === Map("d" -> 9L, "e" -> 8L, "f" -> 8L))
+  }
+
   test("perplexityBuckets: reference-like docs head, gibberish tail") {
     import spark.implicits._
     // reference slice = ids 0-2 ("the the the", ref_tf(the)=9). Scores:
