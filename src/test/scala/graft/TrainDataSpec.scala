@@ -352,6 +352,35 @@ class TrainDataSpec extends SparkSpec {
     assert(r === Map("d" -> 9L, "e" -> 8L, "f" -> 8L))
   }
 
+  test("unimaxAlloc invariants hold over a sweep of budgets, caps, profiles") {
+    import spark.implicits._
+    val profiles = Seq(
+      Seq("a" -> 1, "b" -> 1, "c" -> 1),
+      Seq("a" -> 3, "b" -> 7, "c" -> 20, "d" -> 100),
+      Seq("a" -> 50, "b" -> 50),
+      Seq("solo" -> 10),
+      (0 until 12).map(i => s"s$i" -> (i + 1)))
+    for (p <- profiles; budget <- Seq(1L, 5L, 17L, 60L, 1000L); cap <- Seq(1, 3)) {
+      val ctx = s"profile=$p budget=$budget cap=$cap"
+      val docs = p.flatMap { case (s, n) => (1 to n).map(i => (i.toLong, s)) }
+        .toDF("id", "source")
+      val rows = TrainData.unimaxAlloc(docs, $"source", budget, cap).collect()
+      val capTotal = p.map(_._2.toLong * cap).sum
+      // exact spend up to capacity; never over-allocate a source
+      assert(rows.map(_.getLong(4)).sum == math.min(budget, capTotal), ctx)
+      rows.foreach(r => assert(r.getLong(4) >= 0 &&
+        r.getLong(4) <= r.getLong(2), ctx))
+      val un = rows.filter(!_.getBoolean(3)).map(_.getLong(4))
+      // uncapped sources share uniformly (within the integer remainder)
+      if (un.nonEmpty) assert(un.max - un.min <= 1, ctx)
+      // waterfill order: every capped capacity fits under the water line
+      val cappedCaps = rows.filter(_.getBoolean(3)).map(_.getLong(2))
+      if (un.nonEmpty && cappedCaps.nonEmpty)
+        assert(cappedCaps.max <= un.min, ctx)
+      assert(rows.forall(_.getBoolean(6) == (capTotal < budget)), ctx)
+    }
+  }
+
   test("perplexityBuckets: reference-like docs head, gibberish tail") {
     import spark.implicits._
     // reference slice = ids 0-2 ("the the the", ref_tf(the)=9). Scores:
