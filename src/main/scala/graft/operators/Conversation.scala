@@ -104,14 +104,21 @@ object Conversation {
     */
   def retrieveForTurns(resolved: DataFrame, docs: DataFrame, k: Int,
                        maxDf: Long = Long.MaxValue,
-                       maxPostings: Long = Long.MaxValue): DataFrame = {
+                       maxPostings: Long = Long.MaxValue,
+                       stage: Stage = Stage.Local): DataFrame = {
     val terms = resolved.select(col("conv_id"), col("turn_no"), col("is_followup"),
         explode(array_distinct(TextFunctions.tokens(col("resolved_query")))).as("tok"))
     val toks = docs.select(col("doc_id"),
       TextFunctions.tokens(col("text")).as("tk"))
     val nDocs = toks.agg(count(lit(1)).as("n_docs"))
-    val postings = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
-      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    // the postings index feeds BOTH consumers below (df table + posting
+    // lists); without a cut each branch re-runs the corpus tokenize +
+    // explode + (tok, doc) aggregation — the expensive half of the whole
+    // query, twice. Build the index once, read it twice.
+    val postings = stage.cut(
+      toks.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf")),
+      "conv_postings")
     val dfreq = postings.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
