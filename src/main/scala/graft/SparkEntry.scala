@@ -3265,10 +3265,6 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
-    // Temperature mixing (α = 1/2) of the skewed language distribution:
-    // a 200-doc budget split ∝ √cnt flattens the en head toward the
-    // tail languages (the multilingual-mix rebalance). Quotas exact
-    // integers, selection by md5-hash rank — fully deterministic.
     // UniMax-style budget waterfill (TrainData.unimaxAlloc): uniform
     // across sources under a 2-epoch per-source cap, small sources taken
     // whole and their unused share provably re-spent (Σ alloc = budget;
@@ -3280,6 +3276,10 @@ object SparkEntry {
         budget = 600L, epochsCap = 2)
     }),
 
+    // Temperature mixing (α = 1/2) of the skewed language distribution:
+    // a 200-doc budget split ∝ √cnt flattens the en head toward the
+    // tail languages (the multilingual-mix rebalance). Quotas exact
+    // integers, selection by md5-hash rank — fully deterministic.
     "q_source_mix" -> ((s, dir) => {
       TrainData.sourceMix(Tables.documents(s, dir), col("lang"),
           col("doc_id"), budget = 200L)
@@ -6920,14 +6920,23 @@ object SparkEntry {
            |  SELECT min(CASE WHEN cum * 3 >= n_total THEN bin END) AS b33,
            |    min(CASE WHEN cum * 3 >= n_total * 2 THEN bin END) AS b66
            |  FROM cum, mx)
-           |SELECT
-           |  CASE WHEN bin <= b33 THEN 'tail'
-           |       WHEN bin <= b66 THEN 'middle' ELSE 'head' END AS bucket,
-           |  count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS sum_ids,
-           |  CAST(sum(score_fp) AS BIGINT) AS sum_score_fp,
-           |  min(score_fp) AS min_score, max(score_fp) AS max_score
-           |FROM binned, cuts
-           |GROUP BY 1 ORDER BY bucket""".stripMargin,
+           |SELECT * FROM (
+           |  SELECT
+           |    CASE WHEN bin <= b33 THEN 'tail'
+           |         WHEN bin <= b66 THEN 'middle' ELSE 'head' END AS bucket,
+           |    count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS sum_ids,
+           |    CAST(sum(score_fp) AS BIGINT) AS sum_score_fp,
+           |    min(score_fp) AS min_score, max(score_fp) AS max_score
+           |  FROM binned, cuts
+           |  GROUP BY 1
+           |  UNION ALL
+           |  SELECT 'empty' AS bucket, count(*) AS n_docs,
+           |    CAST(sum(id) AS BIGINT) AS sum_ids,
+           |    CAST(0 AS BIGINT) AS sum_score_fp,
+           |    CAST(0 AS BIGINT) AS min_score, CAST(0 AS BIGINT) AS max_score
+           |  FROM base WHERE len(${OracleGen.toksSql("text")}) = 0
+           |  HAVING count(*) > 0
+           |) ORDER BY bucket""".stripMargin,
 
       "q_lexical_diversity" ->
         s"""WITH tok AS (

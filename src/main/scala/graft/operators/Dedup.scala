@@ -687,10 +687,14 @@ object Dedup {
 
   /** Semantic (embedding-space) dedup, the SemDeDup shape: k-means the
     * corpus (deterministic Lloyd — [[Clustering.lloyd]]), then compare
-    * pairs ONLY within a cluster and mark the higher id of any pair
-    * whose cosine ≥ τ as a duplicate ("keep first" — a deterministic,
-    * transitively consistent proxy for the paper's keep-farthest-from-
-    * centroid rule; both drop the same pair count).
+    * pairs ONLY within a cluster and drop any doc with a LOWER-ID
+    * neighbour at cosine ≥ τ — SemDeDup's upper-triangular rule, a
+    * deterministic proxy for the paper's keep-farthest-from-centroid
+    * ordering. Note this is NOT greedy keep-first: on a similarity
+    * chain a~b~c with a̸~c it drops both b and c (b's lower-id
+    * neighbour a was itself kept, c's lower-id neighbour b was not —
+    * the rule never re-checks), where greedy keep-first would keep c.
+    * The published rule accepts that over-drop; the oracle replays it.
     *
     * Scale shape — this is the op's entire reason to exist: clustering
     * cuts candidate generation from O(n²) to Σ_c n_c², and the cluster

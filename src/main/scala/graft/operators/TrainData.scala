@@ -118,6 +118,14 @@ object TrainData {
     * bounded (histogram cells) or 1-row broadcasts. No global sort, no
     * per-corpus window.
     *
+    * Zero-token documents cannot be scored (no tokens ⇒ no LM
+    * evidence); they land in an explicit audit bucket 'empty' (scores
+    * reported as 0) rather than silently vanishing — a curation gate
+    * must account for every input doc, so Σ n_docs over the output
+    * always equals the corpus size. The tertile cuts are computed over
+    * the SCORED docs only: unscorable docs carry no evidence about
+    * where the head/tail boundary lies.
+    *
     * Output (one row per non-empty bucket): (bucket, n_docs, sum_ids,
     * sum_score_fp, min_score, max_score).
     */
@@ -150,7 +158,7 @@ object TrainData {
     val cuts = cum.agg(
       min(when(col("cum") * 3 >= col("n_total"), col("bin"))).as("b33"),
       min(when(col("cum") * 3 >= col("n_total") * 2, col("bin"))).as("b66"))
-    binned.crossJoin(broadcast(cuts))
+    val buckets = binned.crossJoin(broadcast(cuts))
       .withColumn("bucket",
         when(col("bin") <= col("b33"), "tail")
           .when(col("bin") <= col("b66"), "middle")
@@ -160,7 +168,17 @@ object TrainData {
         sum(col("score_fp")).as("sum_score_fp"),
         min(col("score_fp")).as("min_score"),
         max(col("score_fp")).as("max_score"))
-      .orderBy(col("bucket"))
+    // zero-token docs never reach `scored` (explode emits nothing) — a
+    // narrow filter finds them without a join, and the HAVING-style
+    // filter keeps the row out entirely when the corpus has none
+    val emptyRow = base
+      .filter(size(TextFunctions.tokens(col("text"))) === 0)
+      .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("sum_ids"))
+      .filter(col("n_docs") > 0)
+      .select(lit("empty").as("bucket"), col("n_docs"), col("sum_ids"),
+        lit(0L).as("sum_score_fp"), lit(0L).as("min_score"),
+        lit(0L).as("max_score"))
+    buckets.unionByName(emptyRow).orderBy(col("bucket"))
   }
 
   /** Temperature-based source mixing (α = 1/2): distribute a sampling
@@ -221,6 +239,7 @@ object TrainData {
     */
   def unimaxAlloc(df: DataFrame, sourceCol: Column, budget: Long,
                   epochsCap: Int = 2, maxSources: Int = 1024): DataFrame = {
+    require(budget >= 0, s"unimaxAlloc: budget must be non-negative, got $budget")
     val cnts = df.groupBy(sourceCol.as("source"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("capacity", col("n_docs") * lit(epochsCap.toLong))
@@ -254,10 +273,13 @@ object TrainData {
     flagged.crossJoin(broadcast(cappedAgg))
       .withColumn("m", col("n_src") - col("n_capped"))
       .withColumn("pool", lit(budget) - col("capped_cap"))
+      // m = 0 ⇒ every source is capped and the `otherwise` branch is
+      // dead, but greatest(m, 1) keeps the division total so the
+      // expression is safe under spark.sql.ansi.enabled too
       .withColumn("alloc",
         when(col("capped"), col("capacity"))
-          .otherwise(expr("pool DIV m") +
-            when(col("j") - col("n_capped") <= expr("pool % m"), 1L)
+          .otherwise(expr("pool DIV greatest(m, 1L)") +
+            when(col("j") - col("n_capped") <= expr("pool % greatest(m, 1L)"), 1L)
               .otherwise(0L)))
       .withColumn("epochs_fp", expr("alloc * 1000 DIV n_docs"))
       .withColumn("underfilled", col("cap_total") < lit(budget))

@@ -401,6 +401,26 @@ class TrainDataSpec extends SparkSpec {
     assert(out("tail") === ((3L, 21L, 1000L, 1000L)))
   }
 
+  test("perplexityBuckets: zero-token docs land in the 'empty' audit bucket") {
+    import spark.implicits._
+    // two unscorable docs (no tokens) must not vanish: they get their own
+    // bucket, the tertile cuts over the scored docs are unchanged, and
+    // bucket counts still sum to the corpus size
+    val docs = Seq(
+      (0L, "the the the", true), (1L, "the the the", true),
+      (2L, "the the the", true),
+      (3L, "the zz", false), (4L, "the qq", false), (5L, "the ww", false),
+      (6L, "zz yy xx", false), (7L, "aa bb cc", false),
+      (8L, "dd ee ff", false),
+      (9L, "", false), (10L, "   ", false)).toDF("id", "text", "ref")
+    val out = TrainData.perplexityBuckets(docs, $"id", $"text", $"ref")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("empty") === ((2L, 19L)))
+    assert(out("head")._1 === 3L && out("middle")._1 === 3L &&
+      out("tail")._1 === 3L)
+    assert(out.values.map(_._1).sum === 11L)
+  }
+
   test("perplexityBuckets: partition-invariant and total over the corpus") {
     val a = TrainData.perplexityBuckets(docs, col("doc_id"), col("text"),
       col("lang") === "en").collect()
