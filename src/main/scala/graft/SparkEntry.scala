@@ -455,8 +455,9 @@ object SparkEntry {
     * hash-replay.
     */
   private def graphAnnOracleSql(edgesPerBucket: Int, beam: Int, hops: Int,
-                                k: Int, sampleMod: Int,
-                                floor: Double): String = {
+                                k: Int, sampleMod: Int, floor: Double,
+                                method: String = "graph_beam",
+                                extraSelect: String = ""): String = {
     val l2q = OracleGen.l2ToQuery("embedding")
     val l2pair = OracleGen.l2FloatCols("x.embedding", "y.embedding")
     val masks = Ann.probeMasks(4, 2).mkString(", ")
@@ -530,11 +531,11 @@ object SparkEntry {
          |          ORDER BY $l2q ASC, vec_id ASC LIMIT $k),
          |h AS (SELECT count(*) AS n_hits FROM ann
          |      WHERE id IN (SELECT id FROM exact))
-         |SELECT 'graph_beam' AS method,
+         |SELECT '$method' AS method,
          |  CAST(n_hits AS DOUBLE) / $k AS recall_at_10,
          |  CAST($floor AS DOUBLE) AS min_recall,
          |  (CAST(n_hits AS DOUBLE) / $k >= $floor) AS recall_ok,
-         |  CAST((SELECT count(*) FROM vis) AS BIGINT) AS n_scored
+         |  CAST((SELECT count(*) FROM vis) AS BIGINT) AS n_scored$extraSelect
          |FROM h""".stripMargin)
     sb.toString
   }
@@ -1137,6 +1138,77 @@ object SparkEntry {
        |      JOIN conv_idf i USING (tok)
        |      JOIN conv_terms t USING (tok)
        |    GROUP BY 1, 2, 3, 4))""".stripMargin
+
+  /** One-time persisted graph-ANN index over the embeddings table
+    * (GraphAnnIndex layout: nodes + both layers' adjacency on disk).
+    * Built once per sf-dir fingerprint; every graph-ANN query reads the
+    * stage — the build-once/query-many contract the reference's
+    * persistent Chroma index has (`email_fetching.py:21-27`).
+    */
+  private def graphAnnIndexPath(s: SparkSession, dir: String): String = {
+    val stage = stagedPath("graph_ann_idx_v1", dir)
+    this.synchronized {
+      if (!graft.operators.GraphAnnIndex.exists(stage))
+        graft.operators.GraphAnnIndex.build(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), stage, sampleMod = 16,
+          edgesPerBucket = 3)
+    }
+    stage
+  }
+
+  /** One-time INCREMENTALLY-MAINTAINED graph-ANN index: built on 2/3 of
+    * the embeddings, the remaining third appended via
+    * GraphAnnIndex.append (touched-destination-bucket maintenance, no
+    * rebuild). Queries against it must equal queries against a full
+    * build — its oracle replays the full-corpus build, so the
+    * equivalence is hash-checked, not asserted.
+    */
+  private def graphAnnAppendedPath(s: SparkSession, dir: String): String = {
+    val stage = stagedPath("graph_ann_append_idx_v1", dir)
+    this.synchronized {
+      if (!graft.operators.GraphAnnIndex.exists(stage) ||
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(stage, "_APPEND_PENDING"))) {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.GraphAnnIndex.build(
+          emb.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+          col("vec_id"), col("embedding"), stage, sampleMod = 16,
+          edgesPerBucket = 3)
+        // marker straddles the append so a cached stage can never be a
+        // build-only index (build writes _INDEX_META as its done marker,
+        // so exists() alone can't distinguish "built" from "appended")
+        val pending = java.nio.file.Paths.get(stage, "_APPEND_PENDING")
+        java.nio.file.Files.createFile(pending)
+        graft.operators.GraphAnnIndex.append(
+          emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+          col("vec_id"), col("embedding"), stage)
+        java.nio.file.Files.delete(pending)
+      }
+    }
+    stage
+  }
+
+  /** The shared recall-row tail of the graph-ANN queries: visited set →
+    * (method, recall_at_10, min_recall, recall_ok, n_scored).
+    */
+  private def graphAnnRecallRow(s: SparkSession, dir: String,
+                                visited: DataFrame, method: String,
+                                floor: Double): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val ann = visited.orderBy(col("distance").asc, col("id").asc)
+      .limit(10).select(col("id"))
+    val exact = Knn.knn(emb, col("embedding"), col("vec_id"),
+      QueryVec.values, 10, Knn.L2).select(col("vec_id").as("id"))
+    val hits = ann.join(exact, Seq("id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val scanned = visited.agg(count(lit(1)).as("n_scored"))
+    hits.crossJoin(scanned)
+      .select(lit(method).as("method"),
+        (col("n_hits").cast("double") / 10).as("recall_at_10"),
+        lit(floor).as("min_recall"),
+        (col("n_hits").cast("double") / 10 >= lit(floor)).as("recall_ok"),
+        col("n_scored"))
+  }
 
   private def docShingles(s: SparkSession, dir: String): DataFrame = {
     val stage = stagedPath("doc_shingles3_v1", dir)
@@ -4216,24 +4288,47 @@ object SparkEntry {
     // visited-set size are hash-checked, not asserted: n_scored ≪
     // |corpus| certifies the query never scanned the table, and the
     // recall floor documents the contract.
+    // Served from the PERSISTED index (GraphAnnIndex — built once per
+    // corpus into the staged layout, the durable twin of the in-memory
+    // build): the query is just the two beam walks; the oracle still
+    // replays the whole mechanism (graph construction included), so
+    // serving from the stage is hash-checked identical to rebuilding.
     "q_graph_ann_recall" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val visited = Ann.graphAnnHierarchical(emb, col("vec_id"),
-        col("embedding"), QueryVec.values, sampleMod = 16, beam = 16,
-        hops = 6, edgesPerBucket = 3)
-      val ann = visited.orderBy(col("distance").asc, col("id").asc)
-        .limit(10).select(col("id"))
-      val exact = Knn.knn(emb, col("embedding"), col("vec_id"),
-        QueryVec.values, 10, Knn.L2).select(col("vec_id").as("id"))
-      val hits = ann.join(exact, Seq("id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val scanned = visited.agg(count(lit(1)).as("n_scored"))
-      hits.crossJoin(scanned)
-        .select(lit("graph_beam").as("method"),
-          (col("n_hits").cast("double") / 10).as("recall_at_10"),
-          lit(0.8).as("min_recall"),
-          (col("n_hits").cast("double") / 10 >= lit(0.8)).as("recall_ok"),
-          col("n_scored"))
+      val visited = graft.operators.GraphAnnIndex.query(s,
+        graphAnnIndexPath(s, dir), QueryVec.values, beam = 16, hops = 6)
+      graphAnnRecallRow(s, dir, visited, "graph_beam", 0.8)
+    }),
+
+    // Build-once/query-MANY against the persisted index: the same staged
+    // index serves two independent query invocations; the runs must be
+    // row-identical (runs_identical — computed as a symmetric
+    // exceptAll, not assumed) and the recall row carries the same
+    // oracle replay as q_graph_ann_recall, so "querying the stage ≡
+    // rebuilding" is proven for every run, not just the first.
+    "q_graph_ann_persisted" -> ((s, dir) => {
+      val idx = graphAnnIndexPath(s, dir)
+      val run1 = graft.operators.GraphAnnIndex.query(s, idx,
+        QueryVec.values, beam = 16, hops = 6).localCheckpoint()
+      val run2 = graft.operators.GraphAnnIndex.query(s, idx,
+        QueryVec.values, beam = 16, hops = 6).localCheckpoint()
+      val mism = run1.exceptAll(run2).unionAll(run2.exceptAll(run1))
+        .agg(count(lit(1)).as("n_mismatch"))
+      graphAnnRecallRow(s, dir, run1, "graph_persisted", 0.8)
+        .crossJoin(mism)
+        .withColumn("runs_identical", col("n_mismatch") === 0L)
+        .drop("n_mismatch")
+    }),
+
+    // INCREMENTAL index maintenance: the index was built on 2/3 of the
+    // corpus and the last third APPENDED (GraphAnnIndex.append — only
+    // the destination-bucket partitions the batch landed in were
+    // recomputed; AnnSpec asserts untouched partitions byte-identical).
+    // The oracle replays a FULL build over the whole corpus, so
+    // append-then-query ≡ rebuild-then-query is hash-checked end to end.
+    "q_graph_ann_append" -> ((s, dir) => {
+      val visited = graft.operators.GraphAnnIndex.query(s,
+        graphAnnAppendedPath(s, dir), QueryVec.values, beam = 16, hops = 6)
+      graphAnnRecallRow(s, dir, visited, "graph_append", 0.8)
     }),
 
     // Margin-criterion bitext mining (Ann.bitextMine): cross-"language"
@@ -6278,6 +6373,22 @@ object SparkEntry {
       "q_graph_ann_recall" ->
         graphAnnOracleSql(edgesPerBucket = 3, beam = 16, hops = 6, k = 10,
           sampleMod = 16, floor = 0.8),
+
+      // The replay IS the full build+walk, so matching it proves the
+      // staged-index query returns the rebuild path's rows; the
+      // runs_identical literal pins the Spark side's two-run comparison
+      // (any cross-run nondeterminism would flip the column and fail).
+      "q_graph_ann_persisted" ->
+        graphAnnOracleSql(edgesPerBucket = 3, beam = 16, hops = 6, k = 10,
+          sampleMod = 16, floor = 0.8, method = "graph_persisted",
+          extraSelect = ",\n  TRUE AS runs_identical"),
+
+      // Append-then-query must equal rebuild-then-query: the oracle
+      // replays the FULL-corpus build although the Spark side built on
+      // 2/3 and appended the rest incrementally.
+      "q_graph_ann_append" ->
+        graphAnnOracleSql(edgesPerBucket = 3, beam = 16, hops = 6, k = 10,
+          sampleMod = 16, floor = 0.8, method = "graph_append"),
 
       "q_bitext_mine" ->
         s"""WITH sides AS (

@@ -346,7 +346,20 @@ object Ann {
     */
   def buildNeighborGraph(df: DataFrame, idCol: Column, vecCol: Column,
                          edgesPerBucket: Int = 2, numPlanes: Int = 4,
-                         dim: Int = 64, probeBits: Int = 2): DataFrame = {
+                         dim: Int = 64, probeBits: Int = 2): DataFrame =
+    neighborEdges(df, idCol, vecCol, edgesPerBucket, numPlanes, dim, probeBits)
+      .select(col("src"), col("dst"))
+
+  /** [[buildNeighborGraph]] with the per-edge destination bucket kept in
+    * the output — (src, dst, d_bucket). The d_bucket column is what the
+    * persisted index ([[GraphAnnIndex]]) partitions the adjacency by:
+    * incremental maintenance replaces exactly the (src, d_bucket) groups
+    * whose destination bucket received new nodes, so the partition key
+    * IS the maintenance unit.
+    */
+  def neighborEdges(df: DataFrame, idCol: Column, vecCol: Column,
+                    edgesPerBucket: Int = 2, numPlanes: Int = 4,
+                    dim: Int = 64, probeBits: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nodes = df.select(idCol.as("id"), vecCol.as("vec"),
       bucketOf(vecCol, numPlanes, dim).as("bucket"))
@@ -366,7 +379,7 @@ object Ann {
       .orderBy(col("edge_dist").asc, col("dst").asc)
     cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= edgesPerBucket)
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst"), col("d_bucket"))
   }
 
   /** Deterministic beam search over a staged neighbour graph, with

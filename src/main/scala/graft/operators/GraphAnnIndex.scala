@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PERSISTED hierarchical graph-ANN index — build once, query many.
+  *
+  * [[Ann.graphAnnHierarchical]] proves the distributed HNSW shape but
+  * rebuilds both navigable graphs on every invocation; the reference's
+  * Chroma store keeps its HNSW index durable across sessions
+  * (`email_fetching.py:21-27` — `PersistentClient`, index implicit in
+  * the collection). This object is that durability for the engine: the
+  * node table and both layers' adjacency land on disk ONCE, and a query
+  * is just the two beam walks against the staged relations — no
+  * LSH-bucketing pass, no per-node top-k window, no corpus-wide edge
+  * join at query time.
+  *
+  * Layout under `path` (the VectorStore discipline — the directory
+  * layout IS the index, no server process, nothing rebuilt on restart):
+  *
+  *   nodes/        (id, vec, bucket)    partitioned by LSH `bucket`
+  *   coarse_adj/   (src, dst, d_bucket) partitioned by `d_bucket`
+  *   base_adj/     (src, dst, d_bucket) partitioned by `d_bucket`
+  *   _INDEX_META   parameters; written LAST via atomic rename — the
+  *                 done marker certifying every part above landed whole
+  *
+  * The coarse layer is DERIVED (id % sampleMod == 0), so it needs no
+  * separate node table. Adjacency is stored DIRECTED; the query path
+  * pre-doubles it after the (already materialized) parquet read, which
+  * is the cheap half of what [[Ann.graphAnnBeamFrom]]'s stage cut
+  * already does.
+  *
+  * Partitioning `*_adj` by d_bucket is what makes maintenance
+  * INCREMENTAL: a batch of new vectors landing in bucket set B changes
+  * a stored (src, d_bucket) edge group iff d_bucket ∈ B (a new node
+  * entered that destination bucket's ranking) or src is new. [[append]]
+  * therefore rewrites exactly the B partitions (dynamic partition
+  * overwrite) plus pure-append rows for new sources into untouched
+  * partitions — never a full rebuild, and provably identical to one
+  * (AnnSpec asserts append ≡ rebuild edge-for-edge AND that untouched
+  * partition files are byte-untouched).
+  *
+  * Query results are row-identical to [[Ann.graphAnnHierarchical]] on
+  * the same corpus — the oracle replay of the full build+walk is the
+  * correctness gate for queries served from the stage.
+  *
+  * At 100 TB: nodes/ is bucket-partition-pruned for probe seeds, the
+  * adjacency is a few edges per node (Σ C(H,0..b)/2^H of all-pairs paid
+  * once at build), and each query hop is a broadcast semi-join against
+  * the staged edge list plus a keyed vector fetch — hops·beam·degree
+  * vector reads, never a corpus scan.
+  */
+object GraphAnnIndex {
+
+  final case class Meta(sampleMod: Int, edgesPerBucket: Int, numPlanes: Int,
+                        dim: Int, probeBits: Int)
+
+  private def metaFile(path: String) =
+    java.nio.file.Paths.get(path, "_INDEX_META")
+  private def intentFile(path: String) =
+    java.nio.file.Paths.get(path, "_APPENDING")
+
+  /** True iff a completed build exists at `path` (the done marker is
+    * written last, so its presence certifies the whole layout).
+    */
+  def exists(path: String): Boolean =
+    java.nio.file.Files.exists(metaFile(path))
+
+  private def writeMeta(path: String, m: Meta): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path, "_INDEX_META_TMP")
+    Files.writeString(tmp,
+      s"${m.sampleMod} ${m.edgesPerBucket} ${m.numPlanes} ${m.dim} ${m.probeBits}")
+    Files.move(tmp, metaFile(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read the index parameters; refuses an index with a torn append
+    * (crash between adjacency and node writes — state is flagged by the
+    * `_APPENDING` intent marker; heal by re-running [[build]]).
+    */
+  def readMeta(path: String): Meta = {
+    require(exists(path), s"$path is not a graph-ANN index (no _INDEX_META)")
+    if (java.nio.file.Files.exists(intentFile(path)))
+      throw new IllegalStateException(
+        s"$path has an unfinished append (_APPENDING intent present) — a " +
+          "writer crashed mid-append; rebuild the index with build()")
+    val p = java.nio.file.Files.readString(metaFile(path)).trim
+      .split(" ").map(_.toInt)
+    Meta(p(0), p(1), p(2), p(3), p(4))
+  }
+
+  private def deleteRec(path: String): Unit = {
+    import java.nio.file.Files
+    import java.util.Comparator
+    val p = java.nio.file.Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+  }
+
+  /** Build the full index at `path` (wholesale overwrite of any previous
+    * index there). The adjacency builds read the STAGED node table, so
+    * the corpus lineage runs exactly once.
+    */
+  def build(corpus: DataFrame, idCol: Column, vecCol: Column, path: String,
+            sampleMod: Int = 16, edgesPerBucket: Int = 3, numPlanes: Int = 4,
+            dim: Int = 64, probeBits: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    deleteRec(path)
+    corpus.select(idCol.as("id"), vecCol.as("vec"),
+        Ann.bucketOf(vecCol, numPlanes, dim).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/nodes")
+    val nodes = spark.read.parquet(s"$path/nodes")
+    Ann.neighborEdges(nodes.filter(col("id") % sampleMod === 0),
+        col("id"), col("vec"), edgesPerBucket, numPlanes, dim, probeBits)
+      .write.mode("overwrite").partitionBy("d_bucket")
+      .parquet(s"$path/coarse_adj")
+    Ann.neighborEdges(nodes, col("id"), col("vec"), edgesPerBucket,
+        numPlanes, dim, probeBits)
+      .write.mode("overwrite").partitionBy("d_bucket")
+      .parquet(s"$path/base_adj")
+    writeMeta(path, Meta(sampleMod, edgesPerBucket, numPlanes, dim, probeBits))
+  }
+
+  /** Hierarchical beam-search query against the staged index — the walk
+    * half of [[Ann.graphAnnHierarchical]], row-identical to it, with the
+    * build half amortized into [[build]]. Returns the distinct visited
+    * set (id, distance) across both layers, so callers can top-k AND
+    * audit the scan fraction, exactly like the in-memory path.
+    */
+  def query(spark: SparkSession, path: String, queryVec: Seq[Double],
+            beam: Int = 16, hops: Int = 6): DataFrame = {
+    val m = readMeta(path)
+    require(queryVec.length == m.dim,
+      s"query dim ${queryVec.length} != index dim ${m.dim}")
+    val nodes = spark.read.parquet(s"$path/nodes")
+    val coarse = nodes.filter(col("id") % m.sampleMod === 0)
+    val g1 = spark.read.parquet(s"$path/coarse_adj")
+      .select(col("src"), col("dst"))
+    // coarse entry: min id per bucket over the whole (small) coarse layer
+    val seeds1 = coarse.groupBy(col("bucket")).agg(min(col("id")).as("id"))
+      .select(col("id"))
+    val v1 = Ann.graphAnnBeamFrom(g1, coarse, seeds1, col("id"), col("vec"),
+      queryVec, beam, hops)
+    val g0 = spark.read.parquet(s"$path/base_adj")
+      .select(col("src"), col("dst"))
+    // base entry: best coarse hits ∪ the query's probe-bucket min-ids —
+    // the probe filter is a PARTITION-PRUNED scan of nodes/ (bucket is
+    // the partition key), the layout paying off at query time
+    val probes = Ann.probesOf(queryVec, m.numPlanes)
+    val probeSeeds = nodes.filter(col("bucket").isin(probes: _*))
+      .groupBy(col("bucket")).agg(min(col("id")).as("id"))
+      .select(col("id"))
+    val entry0 = v1.orderBy(col("distance").asc, col("id").asc)
+      .limit(beam).select(col("id"))
+      .unionAll(probeSeeds)
+    val v0 = Ann.graphAnnBeamFrom(g0, nodes, entry0, col("id"), col("vec"),
+      queryVec, beam, hops)
+    v1.unionByName(v0).distinct()
+  }
+
+  /** Incremental maintenance: admit new vectors (ids already present are
+    * dropped) and update BOTH layers touching only the destination-bucket
+    * partitions the batch lands in. Result is edge-for-edge identical to
+    * a full [[build]] over old ∪ new:
+    *
+    *  - a stored (src, d_bucket) group re-ranks iff a new node entered
+    *    d_bucket → those partitions (≤ |batch bucket set| ≤ 2^numPlanes)
+    *    are recomputed over ALL adjacent sources and rewritten via
+    *    dynamic partition overwrite;
+    *  - new sources' edges into untouched buckets are purely additive
+    *    (nothing in those buckets moved) → plain partition append;
+    *  - every other partition is never read or written.
+    *
+    * Crash safety is intent-marker coarse, not per-partition atomic: the
+    * `_APPENDING` marker lands before the first mutation and clears
+    * after the last, so a torn append is DETECTED ([[readMeta]] refuses)
+    * and healed by rebuild — the right trade for an index that is
+    * derivable from its corpus, vs. the full stage/swap protocol a
+    * primary store (VectorStore) carries.
+    */
+  def append(df: DataFrame, idCol: Column, vecCol: Column,
+             path: String): Unit = {
+    val m = readMeta(path)
+    val spark = df.sparkSession
+    val old = spark.read.parquet(s"$path/nodes")
+    // one lineage cut: the admitted batch feeds both layers' updates and
+    // the node append — recomputing a nondeterministic caller df between
+    // them could update adjacency for a row the node table never gets
+    val fresh = df.select(idCol.as("id"), vecCol.as("vec"),
+        Ann.bucketOf(vecCol, m.numPlanes, m.dim).as("bucket"))
+      .join(old.select(col("id")), Seq("id"), "left_anti")
+      .localCheckpoint()
+    if (!fresh.isEmpty) {
+      java.nio.file.Files.createFile(intentFile(path))
+      val all = old.unionByName(fresh)
+      updateLayer(spark, all, fresh, s"$path/base_adj", m)
+      updateLayer(spark, all.filter(col("id") % m.sampleMod === 0),
+        fresh.filter(col("id") % m.sampleMod === 0), s"$path/coarse_adj", m)
+      fresh.write.mode("append").partitionBy("bucket").parquet(s"$path/nodes")
+      java.nio.file.Files.delete(intentFile(path))
+    }
+  }
+
+  /** One layer's incremental adjacency update. `all` = the layer's node
+    * set INCLUDING the fresh rows; `freshL` = the fresh rows in this
+    * layer. See [[append]] for the replace/add split proof sketch.
+    */
+  private def updateLayer(spark: SparkSession, all: DataFrame,
+                          freshL: DataFrame, adjDir: String, m: Meta): Unit = {
+    // metadata-sized collect: bucket ids live in [0, 2^numPlanes)
+    val bNew = freshL.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (bNew.isEmpty) return
+    val masks = Ann.probeMasks(m.numPlanes, m.probeBits)
+    def probed(src: DataFrame): DataFrame = src.withColumn("probe",
+        explode(array(masks.map(mk =>
+          col("bucket").bitwiseXOR(lit(mk))): _*)))
+      .select(col("id").as("src"), col("vec").as("s_vec"), col("probe"))
+    val dstSide = all.select(col("id").as("dst"), col("vec").as("d_vec"),
+      col("bucket").as("d_bucket"))
+    def topEdges(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src"), col("d_bucket"))
+        .orderBy(col("edge_dist").asc, col("dst").asc)
+      cand.select(col("src"), col("dst"), col("d_bucket"),
+          graft.functions.VectorFunctions.l2(col("s_vec"), col("d_vec"))
+            .as("edge_dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= m.edgesPerBucket)
+        .select(col("src"), col("dst"), col("d_bucket"))
+    }
+    // groups whose ranking may have moved: destination bucket ∈ bNew —
+    // recomputed over every adjacent source (old and new) vs that
+    // bucket's full population, exactly what a rebuild would rank
+    val replaced = topEdges(
+      probed(all).filter(col("probe").isin(bNew: _*))
+        .join(dstSide.filter(col("d_bucket").isin(bNew: _*)),
+          col("probe") === col("d_bucket") && col("src") =!= col("dst")))
+    // purely additive: new sources into untouched buckets (their stored
+    // rankings contain no new node, so old rows there are final)
+    val added = topEdges(
+      probed(freshL).filter(!col("probe").isin(bNew: _*))
+        .join(dstSide,
+          col("probe") === col("d_bucket") && col("src") =!= col("dst")))
+    // dynamic partition overwrite rewrites exactly the bNew partitions;
+    // a bNew partition that had rows before always has rows in
+    // `replaced` (its old sources and destinations are still in `all`),
+    // so no stale partition can survive the overwrite by being absent
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try replaced.write.mode("overwrite").partitionBy("d_bucket").parquet(adjDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    added.write.mode("append").partitionBy("d_bucket").parquet(adjDir)
+  }
+}

@@ -174,4 +174,88 @@ class AnnSpec extends SparkSpec {
     assert(margins.forall(_ > 0L))
     assert(margins.exists(_ >= 1050L) && margins.exists(_ < 1050L))
   }
+
+  test("persisted graph-ANN index: query from stage ≡ in-memory hierarchical") {
+    import graft.operators.GraphAnnIndex
+    val idx = java.nio.file.Files.createTempDirectory("graft_gann").toString
+    GraphAnnIndex.build(emb, col("vec_id"), col("embedding"), idx,
+      sampleMod = 16, edgesPerBucket = 3)
+    assert(GraphAnnIndex.exists(idx))
+    val staged = GraphAnnIndex.query(spark, idx, QueryVec.values,
+        beam = 16, hops = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val mem = Ann.graphAnnHierarchical(emb, col("vec_id"), col("embedding"),
+        QueryVec.values, sampleMod = 16, beam = 16, hops = 6,
+        edgesPerBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(staged == mem, "staged-index walk must visit exactly the " +
+      "in-memory path's (id, distance) set")
+  }
+
+  test("graph-ANN append ≡ rebuild; untouched adjacency partitions unread") {
+    import graft.operators.GraphAnnIndex
+    val inc = java.nio.file.Files.createTempDirectory("graft_gann_inc").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_gann_full").toString
+    val oldPart = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val newPart = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    GraphAnnIndex.build(oldPart, col("vec_id"), col("embedding"), inc,
+      sampleMod = 16, edgesPerBucket = 3)
+    // buckets the batch lands in — the ONLY adjacency partitions append
+    // may rewrite; snapshot every other partition's file listing
+    val bNew = newPart.select(Ann.bucketOf(col("embedding"), 4, 64).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    def partFiles(adj: String): Map[String, Seq[(String, Long, Long)]] =
+      Option(new java.io.File(s"$inc/$adj").listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("d_bucket="))
+        .filterNot(d => bNew(d.getName.stripPrefix("d_bucket=").toInt))
+        .map(d => d.getName -> d.listFiles().toSeq.sortBy(_.getName)
+          .map(f => (f.getName, f.length, f.lastModified)))
+        .toMap
+    val before = partFiles("base_adj")
+    GraphAnnIndex.append(newPart, col("vec_id"), col("embedding"), inc)
+    // 1. untouched destination-bucket partitions are byte-untouched —
+    //    the maintenance really was incremental, not a rewrite
+    assert(partFiles("base_adj") == before,
+      "append rewrote an adjacency partition outside the batch's buckets")
+    // 2. the maintained index is edge-for-edge the full rebuild
+    GraphAnnIndex.build(emb, col("vec_id"), col("embedding"), full,
+      sampleMod = 16, edgesPerBucket = 3)
+    def edges(path: String, adj: String): Set[(Long, Long, Int)] =
+      spark.read.parquet(s"$path/$adj")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Int]("d_bucket"))).toSet
+    assert(edges(inc, "base_adj") == edges(full, "base_adj"))
+    assert(edges(inc, "coarse_adj") == edges(full, "coarse_adj"))
+    def nodes(path: String): Set[(Long, Int)] =
+      spark.read.parquet(s"$path/nodes")
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("bucket"))).toSet
+    assert(nodes(inc) == nodes(full))
+    // 3. and serves identical query results
+    val a = GraphAnnIndex.query(spark, inc, QueryVec.values)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = GraphAnnIndex.query(spark, full, QueryVec.values)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b)
+    // 4. idempotence: re-appending the same rows is a no-op
+    val snap = partFiles("base_adj")
+    GraphAnnIndex.append(newPart, col("vec_id"), col("embedding"), inc)
+    assert(partFiles("base_adj") == snap)
+  }
+
+  test("graph-ANN index: a torn append is refused, not silently served") {
+    import graft.operators.GraphAnnIndex
+    val idx = java.nio.file.Files.createTempDirectory("graft_gann_torn").toString
+    GraphAnnIndex.build(emb.limit(100), col("vec_id"), col("embedding"), idx,
+      sampleMod = 16, edgesPerBucket = 3)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(idx, "_APPENDING"))
+    val e = intercept[IllegalStateException] {
+      GraphAnnIndex.query(spark, idx, QueryVec.values)
+    }
+    assert(e.getMessage.contains("unfinished append"))
+    // rebuild heals: the wholesale overwrite clears the intent
+    GraphAnnIndex.build(emb.limit(100), col("vec_id"), col("embedding"), idx,
+      sampleMod = 16, edgesPerBucket = 3)
+    assert(GraphAnnIndex.query(spark, idx, QueryVec.values).count() > 0)
+  }
 }
