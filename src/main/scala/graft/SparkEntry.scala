@@ -960,8 +960,8 @@ object SparkEntry {
   private def rrfFused(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val lex = graft.operators.Retrieval.bm25(docs, col("doc_id"), col("text"),
-        RagQuery.split(" ").toSeq)
+    val lex = graft.operators.Retrieval.bm25FromStage(s,
+        docPostingsPath(s, dir), RagQuery.split(" ").toSeq)
       .orderBy(col("score_fp").desc, col("doc_id")).limit(20)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
@@ -1208,6 +1208,23 @@ object SparkEntry {
         lit(floor).as("min_recall"),
         (col("n_hits").cast("double") / 10 >= lit(floor)).as("recall_ok"),
         col("n_scored"))
+  }
+
+  /** One-time persisted postings index over the documents table
+    * (Retrieval.stagePostings: postings + doclens + done-marker). Every
+    * lexical-retrieval query (BM25, hybrid fusion, conversation RAG)
+    * reads this stage instead of re-tokenizing the corpus — the
+    * build-once/query-many discipline the reference's searchable table
+    * has (`rag.py:30-38`).
+    */
+  private def docPostingsPath(s: SparkSession, dir: String): String = {
+    val stage = stagedPath("doc_postings_v1", dir)
+    this.synchronized {
+      if (!graft.operators.Retrieval.postingsExist(stage))
+        graft.operators.Retrieval.stagePostings(Tables.documents(s, dir),
+          col("doc_id"), col("text"), stage)
+    }
+    stage
   }
 
   private def docShingles(s: SparkSession, dir: String): DataFrame = {
@@ -3656,9 +3673,12 @@ object SparkEntry {
     // fixed-point scoring (see Retrieval.bm25): idf and the tf saturation
     // factor are single integer divisions after fixed-point scaling, the
     // per-doc score an exact long sum, so the ranking is engine-identical.
+    // Served from the persisted postings stage (Retrieval.stagePostings,
+    // built once per corpus); the oracle replays the from-corpus build,
+    // so stage ≡ rebuild is hash-checked.
     "q_bm25" -> ((s, dir) => {
-      graft.operators.Retrieval.bm25(Tables.documents(s, dir),
-          col("doc_id"), col("text"), RagQuery.split(" ").toSeq)
+      graft.operators.Retrieval.bm25FromStage(s, docPostingsPath(s, dir),
+          RagQuery.split(" ").toSeq)
         .orderBy(col("score_fp").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"), col("n_terms"), col("score_fp"))
@@ -5243,12 +5263,15 @@ object SparkEntry {
     // Follow-up-aware retrieval for EVERY turn as one inverted-index
     // equi-join (turn terms ⋈ postings on token, integer tf·idf, window
     // top-5 per turn) — never a per-turn loop.
+    // Served from the persisted postings stage (shared with q_bm25 and
+    // q_conversation_context — ONE index build per corpus feeds the
+    // whole lexical family); the oracle replays the from-corpus build.
     "q_conversation_rag" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val resolved = graft.operators.Conversation.resolveTurns(
         graft.operators.Conversation.deriveTurns(docs))
-      graft.operators.Conversation.retrieveForTurns(resolved, docs, k = 5,
-          maxPostings = ConvMaxPostings)
+      graft.operators.Conversation.retrieveForTurnsFromStage(resolved, s,
+          docPostingsPath(s, dir), k = 5, maxPostings = ConvMaxPostings)
         .orderBy(col("conv_id"), col("turn_no"), col("rank"))
     }),
 
@@ -5259,8 +5282,9 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val resolved = graft.operators.Conversation.resolveTurns(
         graft.operators.Conversation.deriveTurns(docs))
-      val topk = graft.operators.Conversation.retrieveForTurns(resolved, docs,
-        k = 3, maxPostings = ConvMaxPostings)
+      val topk = graft.operators.Conversation.retrieveForTurnsFromStage(
+        resolved, s, docPostingsPath(s, dir), k = 3,
+        maxPostings = ConvMaxPostings)
       graft.operators.Conversation.assemblePerTurn(topk, docs)
         .orderBy(col("conv_id"), col("turn_no"))
     }),

@@ -106,19 +106,48 @@ object Conversation {
                        maxDf: Long = Long.MaxValue,
                        maxPostings: Long = Long.MaxValue,
                        stage: Stage = Stage.Local): DataFrame = {
-    val terms = resolved.select(col("conv_id"), col("turn_no"), col("is_followup"),
-        explode(array_distinct(TextFunctions.tokens(col("resolved_query")))).as("tok"))
     val toks = docs.select(col("doc_id"),
       TextFunctions.tokens(col("text")).as("tk"))
     val nDocs = toks.agg(count(lit(1)).as("n_docs"))
     // the postings index feeds BOTH consumers below (df table + posting
     // lists); without a cut each branch re-runs the corpus tokenize +
     // explode + (tok, doc) aggregation — the expensive half of the whole
-    // query, twice. Build the index once, read it twice.
+    // query, twice. Build the index once, read it twice. (The durable
+    // form of this cut is [[retrieveForTurnsFromStage]], which reads a
+    // Retrieval.stagePostings artifact built once per corpus.)
     val postings = stage.cut(
       toks.select(col("doc_id"), explode(col("tk")).as("tok"))
         .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf")),
       "conv_postings")
+    retrieveCore(resolved, postings, nDocs, k, maxDf, maxPostings)
+  }
+
+  /** [[retrieveForTurns]] served from a persisted postings index
+    * (Retrieval.stagePostings) — row-identical to the from-corpus path
+    * (same oracle), with the corpus tokenize + postings build amortized
+    * into the one-time stage. n_docs comes from the staged doclens
+    * table (one row per document, zero-token docs included), so the idf
+    * denominator is exactly the from-corpus one.
+    */
+  def retrieveForTurnsFromStage(resolved: DataFrame,
+                                spark: org.apache.spark.sql.SparkSession,
+                                stagePath: String, k: Int,
+                                maxDf: Long = Long.MaxValue,
+                                maxPostings: Long = Long.MaxValue): DataFrame = {
+    val (postings, doclens) = Retrieval.readPostings(spark, stagePath)
+    val nDocs = doclens.agg(count(lit(1)).as("n_docs"))
+    retrieveCore(resolved, postings, nDocs, k, maxDf, maxPostings)
+  }
+
+  /** The retrieval core over an already-materialized postings relation:
+    * df-cap + impact-ordered truncation guards, the terms ⋈ postings
+    * equi-join, exact integer tf·idf, per-turn top-k.
+    */
+  private def retrieveCore(resolved: DataFrame, postings: DataFrame,
+                           nDocs: DataFrame, k: Int, maxDf: Long,
+                           maxPostings: Long): DataFrame = {
+    val terms = resolved.select(col("conv_id"), col("turn_no"), col("is_followup"),
+        explode(array_distinct(TextFunctions.tokens(col("resolved_query")))).as("tok"))
     val dfreq = postings.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

@@ -42,13 +42,21 @@ object Retrieval {
            queryTerms: Seq[String]): DataFrame = {
     val toks = docs.select(idCol.as("doc_id"),
       TextFunctions.tokens(textCol).as("tk"))
-    // per-doc length and global (N, total) — one aggregate, broadcast back
+    // per-doc length; tf over query terms only — the isin filter prunes
+    // before the shuffle
     val dl = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
-    val globals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
-    // tf over query terms only — the isin filter prunes before the shuffle
     val tf = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
       .filter(col("tok").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    bm25Score(tf, dl)
+  }
+
+  /** The BM25 scoring tail shared by the from-corpus and from-stage
+    * paths: `tf` = (doc_id, tok, tf) over the query terms, `dl` =
+    * (doc_id, dl) for EVERY document (globals derive from it).
+    */
+  private def bm25Score(tf: DataFrame, dl: DataFrame): DataFrame = {
+    val globals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
     // document frequency per term = row count of tf (one row per doc,term)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "tok")
@@ -62,6 +70,75 @@ object Retrieval {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
         sum(col("idf_fp") * col("tfpart_fp")).as("score_fp"))
+  }
+
+  // ---- persisted postings index ----
+  //
+  // Every lexical-retrieval path here starts from the same two derived
+  // relations: the postings table (tok, doc_id, tf) and the doc-length
+  // table (doc_id, dl). Rebuilding them per query re-runs the expensive
+  // half of the whole plan — corpus tokenize + explode + (tok, doc)
+  // aggregation — exactly the way the reference would re-index its
+  // searchable table per query if it didn't persist it (rag.py:30-38
+  // builds the table once and queries it many times). stagePostings
+  // lands both relations on disk ONCE; bm25FromStage and
+  // Conversation.retrieveForTurnsFromStage serve every later query from
+  // the stage. At 100 TB the staged postings become a bucketed table on
+  // `tok` so term joins co-locate without a shuffle; the parquet stage
+  // here is the same discipline minus the metastore.
+
+  private def postingsMarker(path: String) =
+    java.nio.file.Paths.get(path, "_POSTINGS_DONE")
+
+  /** True iff a completed postings stage exists at `path` (marker is
+    * written last).
+    */
+  def postingsExist(path: String): Boolean =
+    java.nio.file.Files.exists(postingsMarker(path))
+
+  /** Build the postings stage: `path`/postings (tok, doc_id, tf),
+    * `path`/doclens (doc_id, dl — one row per document, zero-token docs
+    * included so staged n_docs matches the corpus count), done-marker
+    * written last. The corpus is tokenized exactly once (lineage cut
+    * feeds both relations).
+    */
+  def stagePostings(docs: DataFrame, idCol: Column, textCol: Column,
+                    path: String): Unit = {
+    val toks = docs.select(idCol.as("doc_id"),
+        TextFunctions.tokens(textCol).as("tk"))
+      .localCheckpoint()
+    toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+    toks.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path, "_POSTINGS_DONE_TMP")
+    Files.writeString(tmp, "ok")
+    Files.move(tmp, postingsMarker(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read the staged relations back: (postings, doclens). */
+  def readPostings(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (DataFrame, DataFrame) = {
+    require(postingsExist(path), s"$path is not a postings stage")
+    (spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/doclens"))
+  }
+
+  /** [[bm25]] served from a staged postings index — row-identical to the
+    * from-corpus path (RetrievalSpec asserts it), with the tokenize +
+    * postings build amortized into [[stagePostings]]. The query-term
+    * filter prunes the postings scan before anything shuffles.
+    */
+  def bm25FromStage(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queryTerms: Seq[String]): DataFrame = {
+    val (postings, dl) = readPostings(spark, path)
+    bm25Score(
+      postings.filter(col("tok").isin(queryTerms: _*))
+        .select(col("doc_id"), col("tok"), col("tf")),
+      dl)
   }
 
   /** Reciprocal-rank fusion of two (id, rank) lists: for each id present

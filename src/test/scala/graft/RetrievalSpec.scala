@@ -50,4 +50,28 @@ class RetrievalSpec extends SparkSpec {
     assert(r(20L) === 1000000000L / 62)
     assert(r(10L) > r(30L) && r(30L) > r(20L))
   }
+
+  test("staged postings: bm25FromStage and retrieveForTurnsFromStage are " +
+      "row-identical to the from-corpus paths") {
+    import graft.operators.Conversation
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val stage = java.nio.file.Files.createTempDirectory("graft_postings").toString
+    assert(!Retrieval.postingsExist(stage))
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), stage)
+    assert(Retrieval.postingsExist(stage))
+    val terms = Seq("the", "data", "pipeline")
+    val a = Retrieval.bm25(docs, col("doc_id"), col("text"), terms)
+      .collect().map(_.toString).sorted
+    val b = Retrieval.bm25FromStage(spark, stage, terms)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+    val resolved = Conversation.resolveTurns(Conversation.deriveTurns(docs))
+    val x = Conversation.retrieveForTurns(resolved, docs, k = 3,
+        maxPostings = 1000L)
+      .collect().map(_.toString).sorted
+    val y = Conversation.retrieveForTurnsFromStage(resolved, spark, stage,
+        k = 3, maxPostings = 1000L)
+      .collect().map(_.toString).sorted
+    assert(x.nonEmpty && x.sameElements(y))
+  }
 }
