@@ -1227,6 +1227,86 @@ object SparkEntry {
     stage
   }
 
+  /** Deterministic image corpus for the perceptual-hash family: one real
+    * uncompressed 24-bpp BMP per document id < 200 (gray pixel value
+    * v(src,x,y) = (src·7 + x·13 + y·31 + x·y·5) mod 256, B = G = R so
+    * integer grayscale is exact), plus a NEAR-IDENTICAL twin
+    * (img_id + 100000, pixel (1,0) bumped by 32 — reverses exactly one
+    * 13-step gradient, so the twin's dHash differs in ONE bit: the
+    * Hamming tolerance is exercised, not just fingerprint equality) for
+    * every src ≡ 0 (mod 10). Even src ids are 9×8 (the dHash grid —
+    * identity resample); odd are 18×16 (2×2 block means), so the
+    * decoder's area-average path is oracle-exercised. Bytes are a FULL
+    * decodable BMP: 54-byte header, bottom-up BGR rows padded to 4-byte
+    * stride.
+    */
+  private def imageCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    val imgs = d.select(col("doc_id").as("img_id"),
+        col("doc_id").as("src_id"), lit(0L).as("bump"))
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("img_id"),
+          col("doc_id").as("src_id"), lit(32L).as("bump")))
+    val isEven = col("src_id") % 2 === 0
+    val w = when(isEven, lit(9)).otherwise(lit(18))
+    val h = when(isEven, lit(8)).otherwise(lit(16))
+    def px(x: Column, y: Column): Column =
+      pmod(col("src_id") * 7 + x * 13 + y * 31 + x * y * 5 +
+        when(x === 1 && y === 0, col("bump")).otherwise(lit(0L)), lit(256L))
+    // one stored row's hex: W × (3 identical gray bytes) + stride pad
+    // (27 → 28 for 9-wide, 54 → 56 for 18-wide); rows bottom-up
+    def rowHex(yFile: Column): Column = {
+      val yTop = h - 1 - yFile
+      concat(array_join(transform(sequence(lit(0), w - 1), x => {
+        val h2 = lpad(hex(px(x, yTop)), 2, "0")
+        concat(h2, h2, h2)
+      }), ""), when(isEven, lit("00")).otherwise(lit("0000")))
+    }
+    val payload = unhex(array_join(
+      transform(sequence(lit(0), h - 1), yf => rowHex(yf)), ""))
+    imgs.select(col("img_id"), col("src_id"),
+      Multimodal.bmp24Bytes(w, h, payload).as("bytes"))
+  }
+
+  /** Oracle CTE chain for the image fixture: `fp(img_id, fp_hi, fp_lo)`
+    * computed ARITHMETICALLY from the pixel formula (independent of the
+    * byte-parse path the Spark side takes).
+    */
+  private lazy val ImageFpCtes: String =
+    s"""imgs AS (
+       |  SELECT doc_id AS img_id, doc_id AS src_id, 0 AS bump
+       |  FROM documents WHERE doc_id < 200
+       |  UNION ALL
+       |  SELECT doc_id + 100000, doc_id, 32
+       |  FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0),
+       |cells AS (
+       |  SELECT img_id, ty, tx,
+       |    CASE WHEN src_id % 2 = 0 THEN
+       |      (src_id*7 + tx*13 + ty*31 + tx*ty*5
+       |        + CASE WHEN tx = 1 AND ty = 0 THEN bump ELSE 0 END) % 256
+       |    ELSE (
+       |      (src_id*7 + (2*tx)*13   + (2*ty)*31   + (2*tx)*(2*ty)*5)     % 256 +
+       |      (src_id*7 + (2*tx+1)*13 + (2*ty)*31   + (2*tx+1)*(2*ty)*5)   % 256 +
+       |      (src_id*7 + (2*tx)*13   + (2*ty+1)*31 + (2*tx)*(2*ty+1)*5)   % 256 +
+       |      (src_id*7 + (2*tx+1)*13 + (2*ty+1)*31 + (2*tx+1)*(2*ty+1)*5) % 256) // 4
+       |    END AS g
+       |  FROM imgs, (SELECT unnest(range(8)) AS ty),
+       |       (SELECT unnest(range(9)) AS tx)),
+       |gbits AS (
+       |  SELECT a.img_id, a.ty*8 + a.tx AS k
+       |  FROM cells a JOIN cells b
+       |    ON b.img_id = a.img_id AND b.ty = a.ty AND b.tx = a.tx + 1
+       |  WHERE a.tx < 8 AND a.g < b.g),
+       |fp AS (
+       |  SELECT i.img_id,
+       |    CAST(coalesce(sum(CASE WHEN k >= 32
+       |      THEN CAST(1 AS BIGINT) << (k - 32) END), 0) AS BIGINT) AS fp_hi,
+       |    CAST(coalesce(sum(CASE WHEN k < 32
+       |      THEN CAST(1 AS BIGINT) << k END), 0) AS BIGINT) AS fp_lo
+       |  FROM (SELECT DISTINCT img_id FROM imgs) i
+       |  LEFT JOIN gbits USING (img_id)
+       |  GROUP BY i.img_id)""".stripMargin
+
   private def docShingles(s: SparkSession, dir: String): DataFrame = {
     val stage = stagedPath("doc_shingles3_v1", dir)
     this.synchronized {
@@ -2926,6 +3006,43 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("magic"), col("byte_len"),
           col("width"), col("height"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Perceptual-hash image fingerprints (Multimodal.dhash): the corpus
+    // is REAL uncompressed 24-bpp BMPs (full 54-byte header + bottom-up
+    // padded BGR rows, built with declarative hex arithmetic from a
+    // deterministic pixel formula); the Spark side PARSES the raw bytes
+    // (offset/stride/bpp/row-order honored), grayscales, area-averages
+    // to the 9×8 dHash grid and emits the 64-bit gradient fingerprint —
+    // while the oracle computes the same fingerprint ARITHMETICALLY from
+    // the pixel formula, never touching bytes. Two independent paths to
+    // the same 64 bits: any parse bug (endianness, stride, row order,
+    // block mean) hash-fails. Mixed sizes prove the resize: even src ids
+    // are 9×8 (identity), odd are 18×16 (2×2 block means). fp is emitted
+    // as (hi, lo) 32-bit halves so the oracle's bit sums stay in BIGINT.
+    "q_image_dhash" -> ((s, dir) => {
+      imageCorpus(s, dir)
+        .select(col("img_id"), Multimodal.dhash(col("bytes")).as("fp"))
+        .select(col("img_id"),
+          shiftrightunsigned(col("fp"), 32).as("fp_hi"),
+          col("fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"))
+        .orderBy(col("img_id"))
+    }),
+
+    // IMAGE near-dup dedup (multimodal × dedup): planted near-identical
+    // twins (one pixel perturbed — at most one gradient bit flips) must
+    // surface from the banded Hamming join over the dHash fingerprints
+    // (Dedup.dhashPairs — 4×16-bit bands, pigeonhole-complete to
+    // hamming ≤ 3, hot-bucket capped). Candidates are found BY
+    // fingerprint band, never by an O(n²) comparison or planted-id
+    // knowledge; the oracle replays fingerprints, banding, cap and the
+    // exact Hamming filter.
+    "q_image_neardup" -> ((s, dir) => {
+      val fps = imageCorpus(s, dir)
+        .select(col("img_id").as("id"), Multimodal.dhash(col("bytes")).as("fp"))
+        .localCheckpoint()
+      Dedup.dhashPairs(fps, numBands = 4, maxHamming = 3, maxBucket = 50)
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // Frame sampling over ingest-supplied container metadata (every 2nd
@@ -6911,6 +7028,40 @@ object SparkEntry {
           |  INTERSECT ALL
           |  SELECT user_id FROM events WHERE event_type = 'click')
           |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // The dHash fingerprints computed ARITHMETICALLY from the pixel
+      // formula — the Spark side got them by parsing the BMP bytes, so
+      // any decode bug (offset, stride, bottom-up order, block mean,
+      // grayscale) diverges here.
+      "q_image_dhash" ->
+        s"""WITH $ImageFpCtes
+           |SELECT img_id, fp_hi, fp_lo FROM fp ORDER BY img_id""".stripMargin,
+
+      // Banded Hamming replay over the arithmetic fingerprints: 4×16-bit
+      // bands from the (hi, lo) halves, hot-bucket cap 50, exact Hamming
+      // ≤ 3 filter — the planted twins (src ≡ 0 mod 10, one bumped
+      // pixel) must appear as (src, src+100000) pairs.
+      "q_image_neardup" ->
+        s"""WITH $ImageFpCtes,
+           |banded0 AS (
+           |  SELECT img_id AS id, fp_hi, fp_lo, j AS band_idx,
+           |    CASE j WHEN 0 THEN fp_lo % 65536 WHEN 1 THEN fp_lo // 65536
+           |           WHEN 2 THEN fp_hi % 65536 ELSE fp_hi // 65536
+           |    END AS band
+           |  FROM fp, (SELECT unnest(range(4)) AS j)),
+           |banded AS (
+           |  SELECT b.* FROM banded0 b
+           |  JOIN (SELECT band_idx, band FROM banded0
+           |        GROUP BY band_idx, band HAVING count(*) <= 50) keep
+           |    USING (band_idx, band)),
+           |hpairs AS (
+           |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+           |    bit_count(xor(a.fp_lo, b.fp_lo))
+           |      + bit_count(xor(a.fp_hi, b.fp_hi)) AS hamming
+           |  FROM banded a JOIN banded b
+           |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.id < b.id)
+           |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+           |FROM hpairs WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
 
       // Builds the SAME container blobs (PNG/GIF/BMP headers around the
       // text payload) with DuckDB blob/hex functions, then parses magic +

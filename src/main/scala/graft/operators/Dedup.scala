@@ -263,8 +263,24 @@ object Dedup {
 
   private def simhashPairsFromFingerprints(fps: DataFrame, numBands: Int,
                                            maxHamming: Int,
-                                           maxBucket: Int): DataFrame = {
-    val bits = graft.expressions.SimHash.Bits
+                                           maxBucket: Int): DataFrame =
+    hammingPairsFromFingerprints(fps, graft.expressions.SimHash.Bits,
+      numBands, maxHamming, maxBucket)
+
+  /** Banded Hamming-distance pair miner over ANY `bits`-wide integer
+    * fingerprint relation (id, fp) — the shared core of the SimHash text
+    * miner (32-bit) and the dHash image miner (64-bit, see
+    * [[dhashPairs]]). Band the fingerprint into `numBands` equal bit
+    * segments; pairs agreeing on ANY segment are candidates (pigeonhole:
+    * hamming ≤ numBands−1 guarantees a shared band — no pair inside
+    * `maxHamming` is ever missed), then exact Hamming filter. One
+    * shuffle on the band key, one distinct; `maxBucket` is the usual
+    * hot-bucket skew guard (a degenerate band value — e.g. all-flat
+    * images hashing to fp 0 — would otherwise re-create the quadratic).
+    */
+  def hammingPairsFromFingerprints(fps: DataFrame, bits: Int, numBands: Int,
+                                   maxHamming: Int,
+                                   maxBucket: Int = Int.MaxValue): DataFrame = {
     require(bits % numBands == 0,
       s"numBands ($numBands) must divide $bits — ragged bands would drop trailing bits")
     require(maxHamming < numBands,
@@ -288,6 +304,21 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** IMAGE near-dup candidate pairs over a materialized (id, fp) relation
+    * of 64-bit dHash perceptual fingerprints (Multimodal.dhash — real
+    * BMP pixel decode → 9×8 gradient hash): the multimodal × dedup
+    * composition. Near-identical images (re-encodes, 1-pixel edits,
+    * small brightness shifts) land within a few Hamming bits, so the
+    * same banded equi-join that mines text SimHash pairs mines image
+    * pairs — numBands 4 × 16 bits, pigeonhole-complete to hamming ≤ 3,
+    * hot-bucket capped (flat images all hash near fp 0). `fps` must be
+    * materialized (staged/localCheckpoint'd) like every self-joined
+    * fingerprint relation.
+    */
+  def dhashPairs(fps: DataFrame, numBands: Int = 4, maxHamming: Int = 3,
+                 maxBucket: Int = Int.MaxValue): DataFrame =
+    hammingPairsFromFingerprints(fps, 64, numBands, maxHamming, maxBucket)
 
   /** Train/test contamination report (decontamination): for every test
     * doc, the train docs it shares at least `minShared` distinct word

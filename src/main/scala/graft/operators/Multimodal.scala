@@ -147,4 +147,34 @@ object Multimodal {
   /** Valid 26-byte BMP (BITMAPINFOHEADER) prefix around `payload`. */
   def bmpBytes(w: Column, h: Column, payload: Column): Column =
     concat(lit(BmpPrefix), leInt32(w), leInt32(h), payload)
+
+  // FULL uncompressed 24-bpp BMP: 14-byte file header (data offset 54 at
+  // bytes 10-13) + 40-byte BITMAPINFOHEADER (planes=1 @26, bpp=24 @28,
+  // compression=0 @30, remaining fields zero) + raw BGR rows. This is the
+  // one header layout the PIXEL decoder (graft.expressions.DHash)
+  // accepts — a real, codec-free raster container.
+  private val Bmp24FileHeader: Array[Byte] =
+    "BM".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0) ++
+      Array[Byte](54, 0, 0, 0) ++ // data offset 54, LE32
+      Array[Byte](40, 0, 0, 0)    // DIB header size 40, LE32
+  private val Bmp24DibTail: Array[Byte] =
+    Array[Byte](1, 0, 24, 0) ++   // planes=1 LE16, bpp=24 LE16
+      Array.fill[Byte](24)(0)     // compression=0 + sizes/resolutions/colors
+
+  /** Full decodable 24-bpp BMP around `payload` (the raw pixel rows:
+    * bottom-up BGR, each row padded to 4 bytes — the caller builds them,
+    * cf. SparkEntry's image fixtures).
+    */
+  def bmp24Bytes(w: Column, h: Column, payload: Column): Column =
+    concat(lit(Bmp24FileHeader), leInt32(w), leInt32(h), lit(Bmp24DibTail),
+      payload)
+
+  /** 64-bit dHash perceptual fingerprint of an image byte column —
+    * NULL when the payload is not an honestly-decodable uncompressed
+    * 24-bpp BMP (see graft.expressions.DHash).
+    */
+  def dhash(bytes: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.DHash(
+        org.apache.spark.sql.GraftBridge.expression(bytes)))
 }

@@ -98,4 +98,89 @@ class MultimodalSpec extends SparkSpec {
     assert(media(1).bytes.length == 3) // 中 is 3 UTF-8 bytes
     assert(media.forall(_.kind == "audio"))
   }
+
+  // ---- dHash pixel decode ----
+
+  /** Hand-rolled 24-bpp BMP: pixel(x, yTop) = v(x, yTop), B = G = R. */
+  private def bmp24(w: Int, h: Int, topDown: Boolean)(v: (Int, Int) => Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + stride * h)
+    out(0) = 'B'; out(1) = 'M'
+    def le32(i: Int, x: Int): Unit = {
+      out(i) = (x & 0xFF).toByte; out(i + 1) = ((x >> 8) & 0xFF).toByte
+      out(i + 2) = ((x >> 16) & 0xFF).toByte; out(i + 3) = ((x >> 24) & 0xFF).toByte
+    }
+    le32(10, 54); le32(14, 40); le32(18, w)
+    le32(22, if (topDown) -h else h)
+    out(26) = 1; out(28) = 24
+    for (yTop <- 0 until h; x <- 0 until w) {
+      val yFile = if (topDown) yTop else h - 1 - yTop
+      val p = 54 + yFile * stride + x * 3
+      val g = (v(x, yTop) & 0xFF).toByte
+      out(p) = g; out(p + 1) = g; out(p + 2) = g
+    }
+    out
+  }
+
+  /** Reference dHash over the raw (pre-resize) value grid. */
+  private def refDhash(w: Int, h: Int)(v: (Int, Int) => Int): Long = {
+    val cells = Array.tabulate(8, 9) { (ty, tx) =>
+      val (y0, y1) = (ty * h / 8, (ty + 1) * h / 8)
+      val (x0, x1) = (tx * w / 9, (tx + 1) * w / 9)
+      val sum = (for (y <- y0 until y1; x <- x0 until x1) yield v(x, y).toLong).sum
+      sum / ((y1 - y0).toLong * (x1 - x0))
+    }
+    (for (ty <- 0 until 8; tx <- 0 until 8 if cells(ty)(tx) < cells(ty)(tx + 1))
+      yield 1L << (ty * 8 + tx)).foldLeft(0L)(_ | _)
+  }
+
+  test("dhash: bottom-up and top-down BMPs of the same image agree; " +
+      "resize is the integer block mean") {
+    import graft.expressions.DHash
+    def v(x: Int, y: Int): Int = (x * 29 + y * 17 + x * y * 3) % 256
+    val up = DHash.fingerprintOrNull(bmp24(9, 8, topDown = false)(v))
+    val down = DHash.fingerprintOrNull(bmp24(9, 8, topDown = true)(v))
+    assert(up != null && up == down, "row storage order must not change the hash")
+    assert(up.longValue == refDhash(9, 8)(v))
+    // 18x16 = 2x2 block means; 27x24 = 3x3 — exercises non-identity resize
+    assert(DHash.fingerprintOrNull(bmp24(18, 16, topDown = false)(v)).longValue
+      == refDhash(18, 16)(v))
+    assert(DHash.fingerprintOrNull(bmp24(27, 24, topDown = false)(v)).longValue
+      == refDhash(27, 24)(v))
+    // a near-identical image (one bumped pixel) lands within a few bits
+    def v2(x: Int, y: Int): Int = if (x == 1 && y == 0) (v(x, y) + 64) % 256 else v(x, y)
+    val near = DHash.fingerprintOrNull(bmp24(9, 8, topDown = false)(v2))
+    assert(DHash.hamming(up, near) <= 2 && up != near)
+  }
+
+  test("dhash refuses what it cannot decode honestly (null, never garbage)") {
+    import graft.expressions.DHash
+    def v(x: Int, y: Int): Int = x + y
+    val good = bmp24(9, 8, topDown = false)(v)
+    assert(DHash.fingerprintOrNull(good) != null)
+    assert(DHash.fingerprintOrNull(null) == null)
+    assert(DHash.fingerprintOrNull("not a bmp at all, just text bytes xxxx"
+      .getBytes("US-ASCII")) == null)
+    val compressed = good.clone(); compressed(30) = 1 // BI_RLE8
+    assert(DHash.fingerprintOrNull(compressed) == null)
+    val bpp8 = good.clone(); bpp8(28) = 8
+    assert(DHash.fingerprintOrNull(bpp8) == null)
+    val truncated = java.util.Arrays.copyOf(good, good.length - 5)
+    assert(DHash.fingerprintOrNull(truncated) == null)
+    assert(DHash.fingerprintOrNull(bmp24(8, 8, topDown = false)(v)) == null,
+      "smaller than the 9x8 grid must refuse, not upsample")
+  }
+
+  test("dhash Column expression matches the JVM function and is null for non-BMP") {
+    import spark.implicits._
+    import graft.expressions.DHash
+    def v(x: Int, y: Int): Int = (x * 29 + y * 17) % 256
+    val good = bmp24(9, 8, topDown = false)(v)
+    val rows = Seq((1L, good), (2L, "junk".getBytes("US-ASCII")))
+      .toDF("id", "bytes")
+      .select($"id", Multimodal.dhash($"bytes").as("fp"))
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).getLong(1) == DHash.fingerprintOrNull(good).longValue)
+    assert(rows(1).isNullAt(1))
+  }
 }
