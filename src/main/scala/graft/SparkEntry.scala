@@ -3801,6 +3801,48 @@ object SparkEntry {
         .select(col("doc_id"), col("n_terms"), col("score_fp"))
     }),
 
+    // Multi-vector LATE-INTERACTION retrieval (Retrieval.maxSim, the
+    // ColBERT MaxSim shape): per-token embeddings, score = Σ_term max_tok
+    // dot in integer fixed point — term-level matching single-vector
+    // retrieval averages away. Token embeddings computed once per
+    // DISTINCT token (vocabulary-sized), query side broadcast; the
+    // interaction is linear in the corpus, never n². The oracle replays
+    // embeddings, every (token, term) dot, the two-level max/sum and the
+    // final ranking.
+    "q_maxsim" -> ((s, dir) => {
+      graft.operators.Retrieval.maxSim(Tables.documents(s, dir),
+          col("doc_id"), col("text"), RagQuery.split(" ").toSeq)
+        .orderBy(col("maxsim_fp").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // Cross-encoder-style RERANK boundary (BatchedInference
+    // .scorePairsBatched): the RRF top-50 candidate set — and ONLY it,
+    // a cross-encoder's per-pair cost is why it never sees the corpus —
+    // goes through the batched (query, doc) pair scorer as one narrow
+    // mapPartitions stage, and the rerank order replaces the fusion
+    // order. The stand-in scorer (dot + shared-token overlap, a
+    // genuinely pairwise function) is oracle-replayed exactly, so the
+    // whole retrieve → fuse → rerank pipeline hash-checks; a real ONNX
+    // cross-encoder slots in behind the same PairScorer contract with
+    // zero plan change.
+    "q_rerank" -> ((s, dir) => {
+      val cand = rrfFused(s, dir)
+        .orderBy(col("rrf_fp").desc, col("doc_id")).limit(50)
+        .localCheckpoint() // 50 rows, feeds the text join AND the final join
+      val withText = cand
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id")
+        .select(col("doc_id"), lit(RagQuery).as("q"), col("text"))
+      graft.operators.BatchedInference.scorePairsBatched(withText, "doc_id",
+          "q", "text", new graft.operators.BatchedInference.HashCrossScorer(64),
+          batchSize = 32)
+        .join(cand.select(col("doc_id"), col("rrf_fp")), "doc_id")
+        .orderBy(col("rerank_fp").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("rrf_fp"), col("rerank_fp"))
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking
     // and the hash-embed L2 vector ranking for the same query — the
     // standard production retrieval shape the reference's embedding-only
@@ -7611,10 +7653,68 @@ object SparkEntry {
            |FROM bm25_scored GROUP BY doc_id
            |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
 
+      // Late-interaction replay: distinct first-16 doc 3-token windows,
+      // one embedding per DISTINCT window string (the same
+      // vocabulary-sized relation the engine builds), per-(window,
+      // query-window) dots floored at 1e6, exact integer max-then-sum.
+      "q_maxsim" -> {
+        val qwins = RagQuery.split(" ").toSeq.sliding(3)
+          .map(_.mkString(" ")).toSeq.distinct
+          .map(t => s"'$t'").mkString("[", ", ", "]")
+        s"""WITH dt0 AS (
+           |  SELECT DISTINCT doc_id, win FROM (
+           |    SELECT doc_id,
+           |      unnest(list_slice(${OracleGen.shinglesOfToks("tk")}, 1, 16)) AS win
+           |    FROM (SELECT doc_id, ${OracleGen.toksSql("text")} AS tk
+           |          FROM documents))),
+           |${OracleGen.embedCte("t", "(SELECT DISTINCT win FROM dt0)", "win", "win", 64)},
+           |${OracleGen.embedCte("q", s"(SELECT unnest($qwins) AS qt)", "qt", "qt", 64)},
+           |dots AS (
+           |  SELECT d.doc_id, q.id AS qt,
+           |    CAST(floor((${OracleGen.dotCols("t.emb", "q.emb")}) * 1000000.0)
+           |      AS BIGINT) AS dot_fp
+           |  FROM dt0 d JOIN t_emb t ON t.id = d.win, q_emb q),
+           |best AS (
+           |  SELECT doc_id, qt, max(dot_fp) AS best_fp
+           |  FROM dots GROUP BY doc_id, qt)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_qt,
+           |  CAST(sum(best_fp) AS BIGINT) AS maxsim_fp
+           |FROM best GROUP BY doc_id
+           |ORDER BY maxsim_fp DESC, doc_id LIMIT 10""".stripMargin
+      },
+
       "q_rrf_fusion" ->
         s"""WITH $RrfFusedCtes
            |SELECT doc_id, lex_rank, vec_rank, rrf_fp FROM fused
            |ORDER BY rrf_fp DESC, doc_id LIMIT 10""".stripMargin,
+
+      // Rerank replay: RRF top-50, then the stand-in cross-encoder —
+      // floor(dot·1e6) over the embed chains + 100000 × distinct shared
+      // tokens — and the reranked top-10.
+      "q_rerank" ->
+        s"""WITH $RrfFusedCtes,
+           |cand AS (SELECT doc_id, rrf_fp FROM fused
+           |         ORDER BY rrf_fp DESC, doc_id LIMIT 50),
+           |cd AS (SELECT c.doc_id, c.rrf_fp, d.text
+           |       FROM cand c JOIN documents d USING (doc_id)),
+           |${OracleGen.embedCte("dd", "cd", "doc_id", "text", 64)},
+           |${OracleGen.embedCte("qq", s"(SELECT '$RagQuery' AS text)", "0", "text", 64)},
+           |dtokr AS (SELECT DISTINCT doc_id, unnest(${OracleGen.toksSql("text")}) AS tok
+           |          FROM cd),
+           |qtokr AS (SELECT DISTINCT unnest(${OracleGen.toksSql(s"'$RagQuery'")}) AS tok),
+           |ovr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           |        FROM dtokr JOIN qtokr USING (tok) GROUP BY doc_id),
+           |rscored AS (
+           |  SELECT c.doc_id, c.rrf_fp,
+           |    CAST(floor((${OracleGen.dotCols("d.emb", "q.emb")}) * 1000000.0)
+           |        AS BIGINT)
+           |      + 100000 * coalesce(o.n_shared, 0) AS rerank_fp
+           |  FROM cand c
+           |  JOIN dd_emb d ON d.id = c.doc_id
+           |  CROSS JOIN qq_emb q
+           |  LEFT JOIN ovr o ON o.doc_id = c.doc_id)
+           |SELECT doc_id, rrf_fp, CAST(rerank_fp AS BIGINT) AS rerank_fp
+           |FROM rscored ORDER BY rerank_fp DESC, doc_id LIMIT 10""".stripMargin,
 
       "q_rag_hybrid" ->
         s"""WITH $RrfFusedCtes,

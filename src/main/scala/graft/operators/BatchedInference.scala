@@ -65,4 +65,65 @@ object BatchedInference {
       }
       .toDF(idName, "embedding")
   }
+
+  /** The batched PAIR-scorer contract — the cross-encoder boundary. A
+    * cross-encoder reads query and document JOINTLY (one forward pass
+    * per pair), which is why it reranks better than any bi-encoder dot
+    * and why it only ever runs over a small candidate set: cost is per
+    * pair, so it slots AFTER first-stage retrieval (BM25/vector/RRF
+    * top-N), never over the corpus. Same batching rationale as
+    * [[BatchScorer]]: one model call per ≤batchSize pairs.
+    */
+  trait PairScorer extends Serializable {
+    /** One integer fixed-point relevance score per (query, doc) pair,
+      * same order.
+      */
+    def score(pairs: Array[(String, String)]): Array[Long]
+  }
+
+  /** Deterministic stand-in cross-encoder: floor(dot(hash_embed(q),
+    * hash_embed(d)) · 1e6) + 100000 · |distinct shared tokens| — a
+    * genuinely PAIRWISE function (the overlap term cannot be factored
+    * into independent encodings), replayed exactly by the DuckDB oracle
+    * (the dot is the bit-identical left-associated chain the whole
+    * vector family uses; the overlap is an integer set intersection).
+    */
+  final class HashCrossScorer(val dim: Int = 64) extends PairScorer {
+    def score(pairs: Array[(String, String)]): Array[Long] =
+      pairs.map { case (q, d) =>
+        val qe = graft.expressions.HashEmbed.embed(q, dim)
+        val de = graft.expressions.HashEmbed.embed(d, dim)
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += de(i) * qe(i); i += 1 }
+        val shared = graft.expressions.HashEmbed.tokens(q).toSet
+          .intersect(graft.expressions.HashEmbed.tokens(d).toSet).size
+        math.floor(dot * 1e6).toLong + 100000L * shared
+      }
+  }
+
+  /** (id, query, doc) → (id, rerank_fp) through `scorer`, one call per
+    * ≤`batchSize` pairs — the rerank stage. Narrow (no shuffle), batch
+    * memory bounded, parallelism = input partitions; a real ONNX/RPC
+    * cross-encoder slots in behind [[PairScorer]] with zero plan change.
+    */
+  def scorePairsBatched(df: DataFrame, idName: String, queryName: String,
+                        docName: String, scorer: PairScorer,
+                        batchSize: Int = 256): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be ≥ 1, got $batchSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idName).cast("long"), col(queryName).cast("string"),
+        col(docName).cast("string"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val scores = scorer.score(batch.iterator
+            .map(r => (r._2, r._3)).toArray)
+          batch.iterator.zip(scores.iterator)
+            .map { case ((id, _, _), s) => (id, s) }
+        }
+      }
+      .toDF(idName, "rerank_fp")
+  }
 }

@@ -141,6 +141,56 @@ object Retrieval {
       dl)
   }
 
+  /** Multi-vector LATE-INTERACTION retrieval (the ColBERT MaxSim shape):
+    * instead of one vector per document, every document TOKEN WINDOW
+    * (n-token shingle; the first `maxDocWindows` as a set — duplicates
+    * cannot change a max) gets its own hash-embedding, the query is
+    * likewise a bag of window vectors, and score(q, d) =
+    * Σ_{query window} max_{doc window} dot — fine-grained sub-document
+    * matching that single-vector retrieval averages away. Windows, not
+    * single tokens: a one-token hash-embedding is a ±1 one-hot (dots
+    * collapse to {−1,0,1} and unrelated tokens bucket-collide to exact
+    * 1), while n-token windows spread mass over n buckets and grade
+    * partial overlap. The one float→int step is floor(dot·1e6) per
+    * (window, query-window) pair on a bit-identical left-associated
+    * double chain, so max/sum are exact integer ops and the ranking
+    * hash-replays.
+    *
+    * Scale shape: window embeddings are computed once per DISTINCT
+    * window string (vocabulary-sized, not instance-sized), the query
+    * side is a handful of rows broadcast, so the interaction relation is
+    * |doc-window set| × |query windows| — linear in the corpus, never
+    * n². The per-(doc, query-window) max and per-doc sum are two keyed
+    * aggregations with map-side partial aggregation. At 100 TB the
+    * doc-window relation is the thing to stage (cf. stagePostings), and
+    * candidates would first be pruned per query window via the ANN
+    * bucket layout; the exact MaxSim here is then the re-rank stage
+    * over that candidate set.
+    *
+    * Output: (doc_id, n_qt, maxsim_fp) for every doc with ≥1 window.
+    */
+  def maxSim(docs: DataFrame, idCol: Column, textCol: Column,
+             queryTerms: Seq[String], maxDocWindows: Int = 16,
+             windowN: Int = 3, dim: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    val dwin = docs.select(idCol.as("doc_id"),
+        explode(slice(TextFunctions.shingles(textCol, windowN), 1,
+          maxDocWindows)).as("win"))
+      .distinct()
+    val wemb = dwin.select(col("win")).distinct()
+      .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
+    val qwins = queryTerms.sliding(windowN).map(_.mkString(" ")).toSeq.distinct
+    val qemb = qwins.toDF("qt")
+      .select(col("qt"), TextFunctions.hashEmbed(col("qt"), dim).as("qemb"))
+    val dots = dwin.join(wemb, "win").crossJoin(broadcast(qemb))
+      .select(col("doc_id"), col("qt"),
+        floor(graft.functions.VectorFunctions.dot(col("wemb"), col("qemb"))
+          * lit(1000000.0)).cast("long").as("dot_fp"))
+    dots.groupBy(col("doc_id"), col("qt")).agg(max(col("dot_fp")).as("best_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_qt"), sum(col("best_fp")).as("maxsim_fp"))
+  }
+
   /** Reciprocal-rank fusion of two (id, rank) lists: for each id present
     * in either list, rrf_fp = Σ 1e9 DIV (k + rank) over the lists that
     * rank it (the standard RRF with k = 60, in exact integer fixed-point).

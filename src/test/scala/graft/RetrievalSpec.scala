@@ -51,6 +51,39 @@ class RetrievalSpec extends SparkSpec {
     assert(r(10L) > r(30L) && r(30L) > r(20L))
   }
 
+  test("maxSim: window-level matching, exact integer max/sum, " +
+      "duplicate windows cannot change the score") {
+    import graft.expressions.HashEmbed
+    // query windows: "alpha beta gamma", "beta gamma delta"
+    val q = Seq("alpha", "beta", "gamma", "delta")
+    val rows = Seq(
+      (1L, "alpha beta gamma delta xx"),   // both query windows verbatim
+      (2L, "alpha beta gamma zz ww"),      // window 1 verbatim, 2 partial
+      (3L, "pp qq rr ss tt"),              // no overlap
+      (4L, "alpha beta gamma alpha beta gamma delta xx")) // dup windows
+    val out = Retrieval.maxSim(rows.toDF("id", "text"), col("id"), col("text"), q)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // expected from the same embed + left-assoc dot the engine uses
+    def emb(s: String) = HashEmbed.embed(s, 64)
+    def fp(a: String, b: String): Long =
+      math.floor(emb(a).zip(emb(b)).foldLeft(0.0)((acc, p) =>
+        acc + p._1 * p._2) * 1e6).toLong
+    def wins(text: String) = text.split(" ").toSeq.sliding(3)
+      .map(_.mkString(" ")).toSeq.distinct
+    val qw = q.sliding(3).map(_.mkString(" ")).toSeq
+    def expected(text: String): Long =
+      qw.map(qq => wins(text).map(w => fp(w, qq)).max).sum
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out.values.forall(_._1 == 2L), "every doc scores both query windows")
+    assert(out(1L)._2 === 2000000L, "two verbatim window matches = 2*1e6")
+    for ((id, text) <- rows)
+      assert(out(id)._2 === expected(text), s"doc $id")
+    assert(out(4L)._2 === out(1L)._2,
+      "duplicate windows must not change the max-sum")
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2,
+      "partial window overlap grades between verbatim and none")
+  }
+
   test("staged postings: bm25FromStage and retrieveForTurnsFromStage are " +
       "row-identical to the from-corpus paths") {
     import graft.operators.Conversation
