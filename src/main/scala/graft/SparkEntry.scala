@@ -1307,6 +1307,34 @@ object SparkEntry {
        |  LEFT JOIN gbits USING (img_id)
        |  GROUP BY i.img_id)""".stripMargin
 
+  /** One-time INCREMENTALLY-MAINTAINED postings stage: built on 2/3 of
+    * the documents, the remaining third appended via
+    * Retrieval.appendPostings (purely additive rows — an inverted index
+    * needs no group recompute under insertion). Queries against it must
+    * equal queries against a full build; q_postings_append's oracle
+    * replays the full-corpus BM25, so the equivalence is hash-checked.
+    */
+  private def docPostingsAppendedPath(s: SparkSession, dir: String): String = {
+    val stage = stagedPath("doc_postings_append_v1", dir)
+    this.synchronized {
+      val pending = java.nio.file.Paths.get(stage, "_APPEND_PENDING")
+      if (!graft.operators.Retrieval.postingsExist(stage) ||
+          java.nio.file.Files.exists(pending)) {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Retrieval.stagePostings(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          col("doc_id"), col("text"), stage)
+        java.nio.file.Files.deleteIfExists(pending)
+        java.nio.file.Files.createFile(pending)
+        graft.operators.Retrieval.appendPostings(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          col("doc_id"), col("text"), stage)
+        java.nio.file.Files.delete(pending)
+      }
+    }
+    stage
+  }
+
   private def docShingles(s: SparkSession, dir: String): DataFrame = {
     val stage = stagedPath("doc_shingles3_v1", dir)
     this.synchronized {
@@ -3801,6 +3829,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_terms"), col("score_fp"))
     }),
 
+    // INCREMENTAL postings maintenance: the stage was built on 2/3 of
+    // the corpus and the last third APPENDED (Retrieval.appendPostings —
+    // purely additive rows, df/idf derived at query time pick them up).
+    // The oracle replays BM25 over the FULL corpus, so append-then-query
+    // ≡ rebuild-then-query is hash-checked end to end.
+    "q_postings_append" -> ((s, dir) => {
+      graft.operators.Retrieval.bm25FromStage(s,
+          docPostingsAppendedPath(s, dir), RagQuery.split(" ").toSeq)
+        .orderBy(col("score_fp").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("n_terms"), col("score_fp"))
+    }),
+
     // Multi-vector LATE-INTERACTION retrieval (Retrieval.maxSim, the
     // ColBERT MaxSim shape): per-token embeddings, score = Σ_term max_tok
     // dot in integer fixed point — term-level matching single-vector
@@ -5351,6 +5392,29 @@ object SparkEntry {
         .select(col("vec_id"), col("bucket"), col("distance"))
     }),
 
+    // Streaming ingest INTO the persisted graph-ANN index (the
+    // reference's add-on-ingest implicit HNSW build, email_fetching
+    // .py:54-57, against the staged layout): embeddings stream in over
+    // >= 3 micro-batches — the first builds the index, later batches go
+    // through the INCREMENTAL append (touched destination buckets only).
+    // Because append ≡ rebuild, the drained index must serve exactly
+    // what a one-shot build over the whole corpus serves — which is what
+    // the oracle replays (same full build+walk as q_graph_ann_recall,
+    // method-tagged).
+    "q_stream_graph_ann" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val src = s.readStream.schema(Tables.embeddings(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir,
+          "embeddings", "vec_id"))
+      val idx = stagedPath("stream_graph_ann_v1", dir)
+      graft.streaming.Streaming.drainToGraphAnnIndex(
+        src.select(col("vec_id"), col("embedding")), idx, "vec_id", "embedding")
+      val visited = graft.operators.GraphAnnIndex.query(s, idx,
+        QueryVec.values, beam = 16, hops = 6)
+      graphAnnRecallRow(s, dir, visited, "graph_stream", 0.8)
+    }),
+
     // Custom keyed state (flatMapGroupsWithState) over the event stream:
     // running per-user count + exact integer cents sum, emitted in Update
     // mode across >= 3 micro-batches; the drain keeps each user's LATEST
@@ -6573,6 +6637,13 @@ object SparkEntry {
         graphAnnOracleSql(edgesPerBucket = 3, beam = 16, hops = 6, k = 10,
           sampleMod = 16, floor = 0.8, method = "graph_append"),
 
+      // The streamed-in index (first batch builds, later batches append
+      // incrementally) must converge to the one-shot full build — same
+      // replay, method-tagged.
+      "q_stream_graph_ann" ->
+        graphAnnOracleSql(edgesPerBucket = 3, beam = 16, hops = 6, k = 10,
+          sampleMod = 16, floor = 0.8, method = "graph_stream"),
+
       "q_bitext_mine" ->
         s"""WITH sides AS (
            |  SELECT vec_id, embedding, label,
@@ -7647,6 +7718,16 @@ object SparkEntry {
            |ORDER BY doc_id, rn""".stripMargin,
 
       "q_bm25" ->
+        s"""WITH $Bm25Ctes
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           |  CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp
+           |FROM bm25_scored GROUP BY doc_id
+           |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
+
+      // Same full-corpus BM25 replay as q_bm25 — the Spark side built
+      // the index on 2/3 and appended the rest, so matching proves the
+      // append path.
+      "q_postings_append" ->
         s"""WITH $Bm25Ctes
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
            |  CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp

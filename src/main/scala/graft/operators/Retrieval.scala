@@ -119,6 +119,35 @@ object Retrieval {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Incremental postings maintenance: admit new documents into an
+    * existing stage (ids already present are dropped — idempotent). An
+    * inverted index is PURELY ADDITIVE under document insertion — a new
+    * doc adds (tok, doc_id, tf) rows and one doclens row, and changes
+    * nothing that exists (df/idf/globals are derived at query time from
+    * the staged relations, so they pick the new rows up automatically).
+    * That is why this needs none of GraphAnnIndex.append's
+    * recompute-the-touched-groups machinery: append rows, done —
+    * append-then-query ≡ rebuild-then-query by construction, and
+    * q_postings_append hash-checks it against the full-corpus replay.
+    * The admitted batch is lineage-cut once (it feeds both relations).
+    */
+  def appendPostings(docs: DataFrame, idCol: Column, textCol: Column,
+                     path: String): Unit = {
+    val spark = docs.sparkSession
+    val (_, doclens) = readPostings(spark, path)
+    val fresh = docs.select(idCol.as("doc_id"),
+        TextFunctions.tokens(textCol).as("tk"))
+      .join(doclens.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (!fresh.isEmpty) {
+      fresh.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+        .write.mode("append").parquet(s"$path/doclens")
+      fresh.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .write.mode("append").parquet(s"$path/postings")
+    }
+  }
+
   /** Read the staged relations back: (postings, doclens). */
   def readPostings(spark: org.apache.spark.sql.SparkSession,
                    path: String): (DataFrame, DataFrame) = {

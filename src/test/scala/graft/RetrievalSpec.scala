@@ -107,4 +107,29 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(x.nonEmpty && x.sameElements(y))
   }
+
+  test("appendPostings: append-then-query ≡ rebuild-then-query, idempotent") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val inc = java.nio.file.Files.createTempDirectory("graft_post_inc").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_post_full").toString
+    Retrieval.stagePostings(docs.filter(col("doc_id") % 3 =!= 0),
+      col("doc_id"), col("text"), inc)
+    Retrieval.appendPostings(docs.filter(col("doc_id") % 3 === 0),
+      col("doc_id"), col("text"), inc)
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), full)
+    def snap(path: String, rel: String): Seq[String] =
+      spark.read.parquet(s"$path/$rel").collect().map(_.toString).sorted.toSeq
+    assert(snap(inc, "postings") == snap(full, "postings"))
+    assert(snap(inc, "doclens") == snap(full, "doclens"))
+    val terms = Seq("the", "data", "pipeline")
+    val a = Retrieval.bm25FromStage(spark, inc, terms)
+      .collect().map(_.toString).sorted
+    val b = Retrieval.bm25FromStage(spark, full, terms)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+    // re-appending the same docs is a no-op (anti-join on staged ids)
+    Retrieval.appendPostings(docs.filter(col("doc_id") % 3 === 0),
+      col("doc_id"), col("text"), inc)
+    assert(snap(inc, "postings") == snap(full, "postings"))
+  }
 }
