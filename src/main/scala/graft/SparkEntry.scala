@@ -3884,6 +3884,20 @@ object SparkEntry {
         .select(col("doc_id"), col("rrf_fp"), col("rerank_fp"))
     }),
 
+    // The SCALE PATH of late interaction (Retrieval.maxSimPruned): a
+    // query window only scores doc windows it SHARES A TOKEN with —
+    // posting-list candidate generation, an equi-join on token instead
+    // of a cross join over every (window, query-window) pair, the same
+    // join shape (and guards) as BM25/conversation retrieval. Fully
+    // deterministic and hash-checked; closeness to exact MaxSim is
+    // measured in RetrievalSpec.
+    "q_maxsim_pruned" -> ((s, dir) => {
+      graft.operators.Retrieval.maxSimPruned(Tables.documents(s, dir),
+          col("doc_id"), col("text"), RagQuery.split(" ").toSeq)
+        .orderBy(col("maxsim_fp").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking
     // and the hash-embed L2 vector ranking for the same query — the
     // standard production retrieval shape the reference's embedding-only
@@ -7761,6 +7775,46 @@ object SparkEntry {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_qt,
            |  CAST(sum(best_fp) AS BIGINT) AS maxsim_fp
            |FROM best GROUP BY doc_id
+           |ORDER BY maxsim_fp DESC, doc_id LIMIT 10""".stripMargin
+      },
+
+      // The pruned-interaction replay: candidate (window, query-window)
+      // pairs = share ≥1 token (posting intersection), then the same
+      // exact dot + max-then-sum over candidates only.
+      "q_maxsim_pruned" -> {
+        val qwins = RagQuery.split(" ").toSeq.sliding(3)
+          .map(_.mkString(" ")).toSeq.distinct
+        val qwinsList = qwins.map(t => s"'$t'").mkString("[", ", ", "]")
+        val qtokRows = qwins.flatMap(qw =>
+          qw.split(" ").distinct.map(t => s"('$qw', '$t')")).mkString(", ")
+        s"""WITH dt0 AS (
+           |  SELECT DISTINCT doc_id, win FROM (
+           |    SELECT doc_id,
+           |      unnest(list_slice(${OracleGen.shinglesOfToks("tk")}, 1, 16)) AS win
+           |    FROM (SELECT doc_id, ${OracleGen.toksSql("text")} AS tk
+           |          FROM documents))),
+           |${OracleGen.embedCte("t", "(SELECT DISTINCT win FROM dt0)", "win", "win", 64)},
+           |${OracleGen.embedCte("q", s"(SELECT unnest($qwinsList) AS qt)", "qt", "qt", 64)},
+           |wtok AS (
+           |  SELECT DISTINCT win, unnest(string_split(win, ' ')) AS tok
+           |  FROM (SELECT DISTINCT win FROM dt0)),
+           |qtok AS (SELECT * FROM (VALUES $qtokRows) p(qt, tok)),
+           |cpairs AS (
+           |  SELECT DISTINCT w.win, p.qt FROM wtok w JOIN qtok p USING (tok)),
+           |pdots AS (
+           |  SELECT d.doc_id, q.id AS qt,
+           |    CAST(floor((${OracleGen.dotCols("t.emb", "q.emb")}) * 1000000.0)
+           |      AS BIGINT) AS dot_fp
+           |  FROM dt0 d
+           |  JOIN cpairs c ON c.win = d.win
+           |  JOIN t_emb t ON t.id = d.win
+           |  JOIN q_emb q ON q.id = c.qt),
+           |pbest AS (
+           |  SELECT doc_id, qt, max(dot_fp) AS best_fp
+           |  FROM pdots GROUP BY doc_id, qt)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_qt,
+           |  CAST(sum(best_fp) AS BIGINT) AS maxsim_fp
+           |FROM pbest GROUP BY doc_id
            |ORDER BY maxsim_fp DESC, doc_id LIMIT 10""".stripMargin
       },
 

@@ -220,6 +220,58 @@ object Retrieval {
       .agg(count(lit(1)).as("n_qt"), sum(col("best_fp")).as("maxsim_fp"))
   }
 
+  /** INVERTED-INDEX-PRUNED MaxSim — the declared 100 TB shape of
+    * [[maxSim]], using the candidate-generation late-interaction systems
+    * actually deploy: a query window only scores the doc windows it
+    * SHARES A TOKEN with (posting-list intersection — the join is an
+    * equi-join on token, never a cross join), because a hash-embed dot
+    * is driven by shared token buckets and windows with no shared token
+    * contribute only collision noise. The per-(doc, query-window) max
+    * then runs over candidates only; a query window with no candidate in
+    * a doc contributes 0 (`n_qt` counts the windows that matched,
+    * auditing the prune). Candidate volume is Σ_token df·qf — the same
+    * posting-join shape as BM25/conversation retrieval, with the same
+    * scale guards available (df-cap, impact-ordered truncation — cf.
+    * Conversation.retrieveForTurns). Fully deterministic, so the pruned
+    * ranking hash-checks exactly; closeness to the exact [[maxSim]]
+    * ranking is measured in RetrievalSpec, not assumed. (An LSH-bucket
+    * prune was measured at 0.4 top-10 overlap — sparse window embeddings
+    * flip hyperplane signs too easily; the lexical prune is the one that
+    * tracks the dot.)
+    *
+    * Output: (doc_id, n_qt, maxsim_fp) for docs with ≥1 candidate window.
+    */
+  def maxSimPruned(docs: DataFrame, idCol: Column, textCol: Column,
+                   queryTerms: Seq[String], maxDocWindows: Int = 16,
+                   windowN: Int = 3, dim: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    val dwin = docs.select(idCol.as("doc_id"),
+        explode(slice(TextFunctions.shingles(textCol, windowN), 1,
+          maxDocWindows)).as("win"))
+      .distinct()
+    val wembs = dwin.select(col("win")).distinct()
+      .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
+    val wtok = wembs.select(col("win"), explode(split(col("win"), " ")).as("tok"))
+      .distinct()
+    val qwins = queryTerms.sliding(windowN).map(_.mkString(" ")).toSeq.distinct
+    val qtok = qwins.flatMap(qw => qw.split(" ").distinct.map(t => (qw, t)))
+      .toDF("qt", "tok")
+    val qemb = qwins.toDF("qt")
+      .select(col("qt"), TextFunctions.hashEmbed(col("qt"), dim).as("qemb"))
+    // candidate (window, query-window) pairs = share ≥1 token
+    val cpairs = wtok.join(broadcast(qtok), "tok")
+      .select(col("win"), col("qt")).distinct()
+    val cand = dwin.join(cpairs, "win")
+      .join(wembs, "win")
+      .join(broadcast(qemb), "qt")
+      .select(col("doc_id"), col("qt"),
+        floor(graft.functions.VectorFunctions.dot(col("wemb"), col("qemb"))
+          * lit(1000000.0)).cast("long").as("dot_fp"))
+    cand.groupBy(col("doc_id"), col("qt")).agg(max(col("dot_fp")).as("best_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_qt"), sum(col("best_fp")).as("maxsim_fp"))
+  }
+
   /** Reciprocal-rank fusion of two (id, rank) lists: for each id present
     * in either list, rrf_fp = Σ 1e9 DIV (k + rank) over the lists that
     * rank it (the standard RRF with k = 60, in exact integer fixed-point).

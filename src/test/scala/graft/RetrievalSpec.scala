@@ -108,6 +108,26 @@ class RetrievalSpec extends SparkSpec {
     assert(x.nonEmpty && x.sameElements(y))
   }
 
+  test("maxSimPruned: equi-join plan (no cross join), top-10 close to exact") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val q = Seq("customer", "order", "for", "table", "part", "data")
+    val pruned = Retrieval.maxSimPruned(docs, col("doc_id"), col("text"), q)
+      .orderBy(col("maxsim_fp").desc, col("doc_id")).limit(10)
+    // the interaction must be a token EQUI-join — no cross/nested-loop
+    // join anywhere in the pruned plan (the exact path's broadcast cross
+    // join is precisely what the prune removes)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pruned interaction must join on token equality")
+    val p = pruned.collect().map(_.getLong(0)).toSet
+    val e = Retrieval.maxSim(docs, col("doc_id"), col("text"), q)
+      .orderBy(col("maxsim_fp").desc, col("doc_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (p & e).size.toDouble / e.size
+    assert(overlap >= 0.8, s"pruned top-10 overlap with exact = $overlap")
+  }
+
   test("appendPostings: append-then-query ≡ rebuild-then-query, idempotent") {
     val docs = graft.tables.Tables.documents(spark, sf0001)
     val inc = java.nio.file.Files.createTempDirectory("graft_post_inc").toString
