@@ -457,7 +457,8 @@ object SparkEntry {
   private def graphAnnOracleSql(edgesPerBucket: Int, beam: Int, hops: Int,
                                 k: Int, sampleMod: Int, floor: Double,
                                 method: String = "graph_beam",
-                                extraSelect: String = ""): String = {
+                                extraSelect: String = "",
+                                corpusWhere: String = ""): String = {
     val l2q = OracleGen.l2ToQuery("embedding")
     val l2pair = OracleGen.l2FloatCols("x.embedding", "y.embedding")
     val masks = Ann.probeMasks(4, 2).mkString(", ")
@@ -500,7 +501,7 @@ object SparkEntry {
       s"""WITH nodes AS MATERIALIZED (
          |  SELECT vec_id AS id, embedding,
          |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket
-         |  FROM embeddings),
+         |  FROM embeddings$corpusWhere),
          |cnodes AS MATERIALIZED (SELECT * FROM nodes WHERE id % $sampleMod = 0),
          |${graphCte("cgraph", "cnodes")},
          |${graphCte("graph", "nodes")},
@@ -527,7 +528,7 @@ object SparkEntry {
          |, vis AS MATERIALIZED (SELECT DISTINCT id, distance FROM
          |    (SELECT * FROM a_v$hops UNION ALL SELECT * FROM b_v$hops)),
          |ann AS (SELECT id FROM vis ORDER BY distance ASC, id ASC LIMIT $k),
-         |exact AS (SELECT vec_id AS id FROM embeddings
+         |exact AS (SELECT vec_id AS id FROM embeddings$corpusWhere
          |          ORDER BY $l2q ASC, vec_id ASC LIMIT $k),
          |h AS (SELECT count(*) AS n_hits FROM ann
          |      WHERE id IN (SELECT id FROM exact))
@@ -1188,13 +1189,43 @@ object SparkEntry {
     stage
   }
 
+  /** One-time DELETION-maintained graph-ANN index: built on the full
+    * embeddings, then every vec_id ≡ 0 (mod 7) deleted via
+    * GraphAnnIndex.delete (victim-neighbourhood partitions recomputed
+    * over the remaining nodes, emptied partitions dropped). Queries must
+    * equal a fresh build over the remaining corpus — the oracle replays
+    * that rebuild, so the repair is hash-checked.
+    */
+  private def graphAnnDeletedPath(s: SparkSession, dir: String): String = {
+    val stage = stagedPath("graph_ann_delete_idx_v1", dir)
+    this.synchronized {
+      val pending = java.nio.file.Paths.get(stage, "_DELETE_PENDING")
+      if (!graft.operators.GraphAnnIndex.exists(stage) ||
+          java.nio.file.Files.exists(pending)) {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.GraphAnnIndex.build(emb, col("vec_id"),
+          col("embedding"), stage, sampleMod = 16, edgesPerBucket = 3)
+        java.nio.file.Files.deleteIfExists(pending)
+        java.nio.file.Files.createFile(pending)
+        graft.operators.GraphAnnIndex.delete(
+          emb.filter(pmod(col("vec_id"), lit(7)) === 0).select(col("vec_id")),
+          stage, idName = "vec_id")
+        java.nio.file.Files.delete(pending)
+      }
+    }
+    stage
+  }
+
   /** The shared recall-row tail of the graph-ANN queries: visited set →
-    * (method, recall_at_10, min_recall, recall_ok, n_scored).
+    * (method, recall_at_10, min_recall, recall_ok, n_scored). `corpus`
+    * is the relation the exact top-k is computed over (the remaining
+    * corpus for maintenance queries).
     */
   private def graphAnnRecallRow(s: SparkSession, dir: String,
                                 visited: DataFrame, method: String,
-                                floor: Double): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+                                floor: Double,
+                                corpus: DataFrame = null): DataFrame = {
+    val emb = if (corpus != null) corpus else Tables.embeddings(s, dir)
     val ann = visited.orderBy(col("distance").asc, col("id").asc)
       .limit(10).select(col("id"))
     val exact = Knn.knn(emb, col("embedding"), col("vec_id"),
@@ -4565,6 +4596,21 @@ object SparkEntry {
       graphAnnRecallRow(s, dir, visited, "graph_append", 0.8)
     }),
 
+    // Incremental DELETION (GraphAnnIndex.delete — the tombstone path a
+    // corpus refresh needs): every vec_id ≡ 0 (mod 7) was deleted from
+    // the staged index, recomputing only the victims' neighbourhood
+    // partitions over the remaining nodes. The oracle replays a FULL
+    // build over the remaining corpus, so delete-then-query ≡
+    // rebuild-on-remaining is hash-checked end to end (including that no
+    // deleted vector can appear in any hop).
+    "q_graph_ann_delete" -> ((s, dir) => {
+      val visited = graft.operators.GraphAnnIndex.query(s,
+        graphAnnDeletedPath(s, dir), QueryVec.values, beam = 16, hops = 6)
+      graphAnnRecallRow(s, dir, visited, "graph_delete", 0.8,
+        corpus = Tables.embeddings(s, dir)
+          .filter(pmod(col("vec_id"), lit(7)) =!= 0))
+    }),
+
     // Margin-criterion bitext mining (Ann.bitextMine): cross-"language"
     // parallel-pair candidates (label parity splits the corpus into the
     // two embedding sides) scored by cosine RELATIVE to both local
@@ -6657,6 +6703,13 @@ object SparkEntry {
       "q_stream_graph_ann" ->
         graphAnnOracleSql(edgesPerBucket = 3, beam = 16, hops = 6, k = 10,
           sampleMod = 16, floor = 0.8, method = "graph_stream"),
+
+      // Delete-then-query ≡ rebuild-on-remaining: the replay builds the
+      // whole index over the corpus MINUS the victims.
+      "q_graph_ann_delete" ->
+        graphAnnOracleSql(edgesPerBucket = 3, beam = 16, hops = 6, k = 10,
+          sampleMod = 16, floor = 0.8, method = "graph_delete",
+          corpusWhere = " WHERE vec_id % 7 <> 0"),
 
       "q_bitext_mine" ->
         s"""WITH sides AS (

@@ -214,48 +214,138 @@ object GraphAnnIndex {
     val bNew = freshL.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (bNew.isEmpty) return
-    val masks = Ann.probeMasks(m.numPlanes, m.probeBits)
-    def probed(src: DataFrame): DataFrame = src.withColumn("probe",
-        explode(array(masks.map(mk =>
-          col("bucket").bitwiseXOR(lit(mk))): _*)))
-      .select(col("id").as("src"), col("vec").as("s_vec"), col("probe"))
-    val dstSide = all.select(col("id").as("dst"), col("vec").as("d_vec"),
-      col("bucket").as("d_bucket"))
-    def topEdges(cand: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("src"), col("d_bucket"))
-        .orderBy(col("edge_dist").asc, col("dst").asc)
-      cand.select(col("src"), col("dst"), col("d_bucket"),
-          graft.functions.VectorFunctions.l2(col("s_vec"), col("d_vec"))
-            .as("edge_dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= m.edgesPerBucket)
-        .select(col("src"), col("dst"), col("d_bucket"))
-    }
     // groups whose ranking may have moved: destination bucket ∈ bNew —
     // recomputed over every adjacent source (old and new) vs that
     // bucket's full population, exactly what a rebuild would rank
-    val replaced = topEdges(
-      probed(all).filter(col("probe").isin(bNew: _*))
-        .join(dstSide.filter(col("d_bucket").isin(bNew: _*)),
+    val replaced = topEdges(m,
+      probed(m, all).filter(col("probe").isin(bNew: _*))
+        .join(dstSide(all).filter(col("d_bucket").isin(bNew: _*)),
           col("probe") === col("d_bucket") && col("src") =!= col("dst")))
     // purely additive: new sources into untouched buckets (their stored
     // rankings contain no new node, so old rows there are final)
-    val added = topEdges(
-      probed(freshL).filter(!col("probe").isin(bNew: _*))
-        .join(dstSide,
+    val added = topEdges(m,
+      probed(m, freshL).filter(!col("probe").isin(bNew: _*))
+        .join(dstSide(all),
           col("probe") === col("d_bucket") && col("src") =!= col("dst")))
     // dynamic partition overwrite rewrites exactly the bNew partitions;
     // a bNew partition that had rows before always has rows in
     // `replaced` (its old sources and destinations are still in `all`),
     // so no stale partition can survive the overwrite by being absent
+    dynamicOverwrite(spark, replaced, adjDir)
+    added.write.mode("append").partitionBy("d_bucket").parquet(adjDir)
+  }
+
+  private def probed(m: Meta, src: DataFrame): DataFrame =
+    src.withColumn("probe",
+        explode(array(Ann.probeMasks(m.numPlanes, m.probeBits).map(mk =>
+          col("bucket").bitwiseXOR(lit(mk))): _*)))
+      .select(col("id").as("src"), col("vec").as("s_vec"), col("probe"))
+
+  private def dstSide(all: DataFrame): DataFrame =
+    all.select(col("id").as("dst"), col("vec").as("d_vec"),
+      col("bucket").as("d_bucket"))
+
+  private def topEdges(m: Meta, cand: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("src"), col("d_bucket"))
+      .orderBy(col("edge_dist").asc, col("dst").asc)
+    cand.select(col("src"), col("dst"), col("d_bucket"),
+        graft.functions.VectorFunctions.l2(col("s_vec"), col("d_vec"))
+          .as("edge_dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m.edgesPerBucket)
+      .select(col("src"), col("dst"), col("d_bucket"))
+  }
+
+  private def dynamicOverwrite(spark: SparkSession, df: DataFrame,
+                               dir: String): Unit = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try replaced.write.mode("overwrite").partitionBy("d_bucket").parquet(adjDir)
+    try df.write.mode("overwrite").partitionBy("d_bucket").parquet(dir)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
-    added.write.mode("append").partitionBy("d_bucket").parquet(adjDir)
+  }
+
+  /** Incremental DELETION — the tombstone path a corpus refresh needs
+    * (cf. VectorStore.delete): drop the given ids from the node table
+    * and repair the adjacency touching only the partitions a victim can
+    * appear in. A victim occurs in partition d_bucket either as a
+    * DESTINATION (d_bucket = its own bucket — that bucket's rankings
+    * must re-rank without it, possibly pulling in new members) or as a
+    * SOURCE (d_bucket within probeBits of its bucket — its out-edge rows
+    * must go). So the affected set is exactly the buckets within
+    * probeBits of any victim's bucket; every one is recomputed whole
+    * over the REMAINING nodes (what a rebuild would rank), every other
+    * partition is never read or written — cost bounded by the victims'
+    * neighbourhood, not the index. A recomputed partition left with no
+    * rows (its bucket emptied) gets its directory deleted explicitly —
+    * dynamic overwrite cannot erase a partition it writes nothing into.
+    * AnnSpec proves delete-then-query ≡ rebuild-on-remaining. Same
+    * maintenance-intent marker as [[append]]: a torn delete is refused
+    * and healed by rebuild.
+    */
+  def delete(ids: DataFrame, path: String, idName: String = "id"): Unit = {
+    val m = readMeta(path)
+    val spark = ids.sparkSession
+    val nodes = spark.read.parquet(s"$path/nodes")
+    val victims = nodes
+      .join(ids.select(col(idName).as("id")), Seq("id"), "left_semi")
+      .localCheckpoint()
+    if (!victims.isEmpty) {
+      java.nio.file.Files.createFile(intentFile(path))
+      val remaining = nodes.join(victims.select(col("id")), Seq("id"),
+        "left_anti").localCheckpoint()
+      val masks = Ann.probeMasks(m.numPlanes, m.probeBits)
+      def affectedOf(vs: DataFrame): Seq[Int] =
+        vs.select(col("bucket")).distinct().collect().map(_.getInt(0))
+          .flatMap(b => masks.map(b ^ _)).distinct.sorted.toSeq
+      rewriteLayer(spark, remaining, affectedOf(victims),
+        s"$path/base_adj", m)
+      val victimsC = victims.filter(col("id") % m.sampleMod === 0)
+      rewriteLayer(spark, remaining.filter(col("id") % m.sampleMod === 0),
+        affectedOf(victimsC), s"$path/coarse_adj", m)
+      // node table: rewrite the victim buckets only (the other buckets'
+      // rows are untouched), dropping emptied bucket dirs
+      val vb = victims.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val keptRows = remaining.filter(col("bucket").isin(vb: _*))
+        .localCheckpoint()
+      val keptBuckets = keptRows.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try keptRows.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/nodes")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      vb.filterNot(keptBuckets).foreach(b =>
+        deleteRec(s"$path/nodes/bucket=$b"))
+      java.nio.file.Files.delete(intentFile(path))
+    }
+  }
+
+  /** Recompute the given adjacency partitions whole over the remaining
+    * node set, deleting any affected partition the recomputation left
+    * empty (see [[delete]]).
+    */
+  private def rewriteLayer(spark: SparkSession, all: DataFrame,
+                           affected: Seq[Int], adjDir: String,
+                           m: Meta): Unit = {
+    if (affected.isEmpty) return
+    val replaced = topEdges(m,
+      probed(m, all).filter(col("probe").isin(affected: _*))
+        .join(dstSide(all).filter(col("d_bucket").isin(affected: _*)),
+          col("probe") === col("d_bucket") && col("src") =!= col("dst")))
+      .localCheckpoint() // feeds the write AND the written-bucket audit
+    dynamicOverwrite(spark, replaced, adjDir)
+    val written = replaced.select(col("d_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    affected.filterNot(written).foreach(b =>
+      deleteRec(s"$adjDir/d_bucket=$b"))
   }
 }

@@ -242,6 +242,54 @@ class AnnSpec extends SparkSpec {
     assert(partFiles("base_adj") == snap)
   }
 
+  test("graph-ANN delete ≡ rebuild-on-remaining; only the victim's " +
+      "neighbourhood partitions rewritten") {
+    import graft.operators.GraphAnnIndex
+    import spark.implicits._
+    val inc = java.nio.file.Files.createTempDirectory("graft_gann_del").toString
+    val ref = java.nio.file.Files.createTempDirectory("graft_gann_ref").toString
+    GraphAnnIndex.build(emb, col("vec_id"), col("embedding"), inc,
+      sampleMod = 16, edgesPerBucket = 3)
+    // ONE victim → affected = the ≤2-bit neighbourhood of its bucket
+    // (11 of 16); the other 5 partitions must be byte-untouched
+    val victim = 48L // coarse member too (48 % 16 == 0) — both layers repair
+    val vBucket = emb.filter(col("vec_id") === victim)
+      .select(Ann.bucketOf(col("embedding"), 4, 64)).head().getInt(0)
+    val affected = Ann.probeMasks(4, 2).map(_ ^ vBucket).toSet
+    def partFiles(adj: String): Map[String, Seq[(String, Long, Long)]] =
+      Option(new java.io.File(s"$inc/$adj").listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("d_bucket="))
+        .filterNot(d => affected(d.getName.stripPrefix("d_bucket=").toInt))
+        .map(d => d.getName -> d.listFiles().toSeq.sortBy(_.getName)
+          .map(f => (f.getName, f.length, f.lastModified)))
+        .toMap
+    val before = partFiles("base_adj")
+    assert(before.nonEmpty, "test needs untouched partitions to check")
+    GraphAnnIndex.delete(Seq(victim).toDF("id"), inc)
+    assert(partFiles("base_adj") == before,
+      "delete rewrote a partition outside the victim's neighbourhood")
+    GraphAnnIndex.build(emb.filter(col("vec_id") =!= victim),
+      col("vec_id"), col("embedding"), ref, sampleMod = 16, edgesPerBucket = 3)
+    def edges(path: String, adj: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$path/$adj")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges(inc, "base_adj") == edges(ref, "base_adj"))
+    assert(edges(inc, "coarse_adj") == edges(ref, "coarse_adj"))
+    def nodeIds(path: String): Set[Long] =
+      spark.read.parquet(s"$path/nodes")
+        .collect().map(_.getAs[Long]("id")).toSet
+    assert(nodeIds(inc) == nodeIds(ref) && !nodeIds(inc)(victim))
+    val a = GraphAnnIndex.query(spark, inc, QueryVec.values)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = GraphAnnIndex.query(spark, ref, QueryVec.values)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b)
+    // deleting an absent id is a no-op
+    val snap = edges(inc, "base_adj")
+    GraphAnnIndex.delete(Seq(victim).toDF("id"), inc)
+    assert(edges(inc, "base_adj") == snap)
+  }
+
   test("graph-ANN index: a torn append is refused, not silently served") {
     import graft.operators.GraphAnnIndex
     val idx = java.nio.file.Files.createTempDirectory("graft_gann_torn").toString
