@@ -5452,6 +5452,30 @@ object SparkEntry {
         .select(col("vec_id"), col("bucket"), col("distance"))
     }),
 
+    // The full serving loop of the reference's chat as a STREAM:
+    // follow-up turns resolve statefully (flatMapGroupsWithState), each
+    // micro-batch's turns retrieve from the STATIC persisted postings
+    // index (stream-static — the corpus side never re-tokenizes), k=5
+    // per turn. Turns are Append-emitted once and retrieval is per-turn
+    // independent, so the drained union must equal the one-shot batch
+    // retrieval — the same oracle as q_conversation_rag.
+    "q_stream_conversation_rag" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      import s.implicits._
+      val stage = docPostingsPath(s, dir)
+      val src = s.readStream.schema(Tables.documents(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir,
+          "documents", "doc_id"))
+      val turns = graft.operators.Conversation.deriveTurns(src)
+        .as[graft.streaming.Streaming.TurnC]
+      val resolved = graft.streaming.Streaming.resolveConversation(turns).toDF()
+      graft.streaming.Streaming.drainRetrieveFromStage(resolved, stage,
+          k = 5, ConvMaxPostings,
+          "convrag_" + Integer.toHexString(dir.hashCode))
+        .orderBy(col("conv_id"), col("turn_no"), col("rank"))
+    }),
+
     // Streaming ingest INTO the persisted graph-ANN index (the
     // reference's add-on-ingest implicit HNSW build, email_fetching
     // .py:54-57, against the staged layout): embeddings stream in over
@@ -8506,6 +8530,15 @@ object SparkEntry {
         s"""WITH $ConvCtes
            |SELECT conv_id, turn_no, is_followup, resolved_query
            |FROM conv_resolved ORDER BY conv_id, turn_no""".stripMargin,
+
+      // Streamed resolve + per-batch retrieval from the static postings
+      // stage must equal the one-shot batch retrieval — same oracle as
+      // q_conversation_rag.
+      "q_stream_conversation_rag" ->
+        s"""WITH $ConvRagCtes
+           |SELECT conv_id, turn_no, is_followup, rank, doc_id, score_fp
+           |FROM conv_ranked WHERE rank <= 5
+           |ORDER BY conv_id, turn_no, rank""".stripMargin,
 
       "q_stream_vector_ingest" -> {
         val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")

@@ -388,6 +388,43 @@ object Streaming {
       .drop("_rn", "_batch_id")
   }
 
+  /** Live-conversation retrieval against a STATIC staged postings index
+    * (stream-static serving): every micro-batch's resolved turns run
+    * [[graft.operators.Conversation.retrieveForTurnsFromStage]] — the
+    * batch side is a handful of turns, the postings stage is the
+    * corpus-sized side that never re-tokenizes — and the per-turn top-k
+    * lands in the sink. The upstream resolver emits each turn exactly
+    * once (Append mode), and per-turn retrieval is independent of other
+    * turns, so the drained union across batches must equal the one-shot
+    * batch retrieval over all turns — which is what the oracle replays.
+    * This is the serving loop of the reference's chat (`rag.py:169-196`)
+    * as a stream: resolve follow-ups statefully, retrieve from the
+    * persistent index per turn.
+    */
+  def drainRetrieveFromStage(resolved: DataFrame, stagePath: String, k: Int,
+                             maxPostings: Long, name: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
+    val p = Paths.get(out)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) =>
+        graft.operators.Conversation.retrieveForTurnsFromStage(
+            batch.toDF(), batch.sparkSession, stagePath, k,
+            maxPostings = maxPostings)
+          .write.mode("append").parquet(out)
+    val q = resolved.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    resolved.sparkSession.read.parquet(out)
+  }
+
   private def drainAccumulating(stream: DataFrame, name: String,
                                 mode: OutputMode): DataFrame = {
     import java.nio.file.{Files, Paths}
