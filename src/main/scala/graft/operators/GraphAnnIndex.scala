@@ -257,16 +257,8 @@ object GraphAnnIndex {
   }
 
   private def dynamicOverwrite(spark: SparkSession, df: DataFrame,
-                               dir: String): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy("d_bucket").parquet(dir)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+                               dir: String): Unit =
+    dynamicOverwriteBy(spark, df, "d_bucket", dir)
 
   /** Incremental DELETION — the tombstone path a corpus refresh needs
     * (cf. VectorStore.delete): drop the given ids from the node table
@@ -326,6 +318,52 @@ object GraphAnnIndex {
       vb.filterNot(keptBuckets).foreach(b =>
         deleteRec(s"$path/nodes/bucket=$b"))
       java.nio.file.Files.delete(intentFile(path))
+    }
+  }
+
+  /** Re-embedding UPSERT — replace stored vectors (and insert unseen
+    * ids): delete-then-append composition, each half touching only its
+    * victim/batch neighbourhood, so an update wave costs its locality,
+    * never a rebuild. Both halves are individually proven ≡ rebuild
+    * (AnnSpec), so their composition is too; the intent markers make a
+    * crash between the halves detectable like any torn maintenance.
+    */
+  def upsert(df: DataFrame, idCol: Column, vecCol: Column,
+             path: String, idName: String = "id"): Unit = {
+    delete(df.select(idCol.as(idName)), path, idName)
+    append(df, idCol, vecCol, path)
+  }
+
+  /** Compact the index in place: rewrite every nodes/adjacency partition
+    * into one file (repartition on the partition column routes each
+    * partition's rows to a single task) — the maintenance pass that
+    * keeps file counts flat as streaming appends accumulate small files.
+    * Results are invariant (AnnSpec asserts identical edges/nodes and
+    * query output); cost is one rewrite, no re-ranking.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val _ = readMeta(path) // validates the done marker + no torn maintenance
+    java.nio.file.Files.createFile(intentFile(path))
+    val nodes = spark.read.parquet(s"$path/nodes").localCheckpoint()
+    dynamicOverwriteBy(spark, nodes.repartition(col("bucket")),
+      "bucket", s"$path/nodes")
+    Seq("coarse_adj", "base_adj").foreach { adj =>
+      val a = spark.read.parquet(s"$path/$adj").localCheckpoint()
+      dynamicOverwriteBy(spark, a.repartition(col("d_bucket")),
+        "d_bucket", s"$path/$adj")
+    }
+    java.nio.file.Files.delete(intentFile(path))
+  }
+
+  private def dynamicOverwriteBy(spark: SparkSession, df: DataFrame,
+                                 partCol: String, dir: String): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 

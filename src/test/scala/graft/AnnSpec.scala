@@ -290,6 +290,42 @@ class AnnSpec extends SparkSpec {
     assert(edges(inc, "base_adj") == snap)
   }
 
+  test("graph-ANN upsert ≡ rebuild-with-replacements; compact is invariant " +
+      "and shrinks file counts") {
+    import graft.operators.GraphAnnIndex
+    val inc = java.nio.file.Files.createTempDirectory("graft_gann_up").toString
+    val ref = java.nio.file.Files.createTempDirectory("graft_gann_upr").toString
+    GraphAnnIndex.build(emb, col("vec_id"), col("embedding"), inc,
+      sampleMod = 16, edgesPerBucket = 3)
+    // re-embed every vec_id ≡ 0 (mod 9): reversed vector (a real move)
+    val moved = emb.filter(pmod(col("vec_id"), lit(9)) === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    GraphAnnIndex.upsert(moved, col("vec_id"), col("embedding"), inc)
+    val refCorpus = emb.filter(pmod(col("vec_id"), lit(9)) =!= 0)
+      .select(col("vec_id"), col("embedding")).unionByName(moved)
+    GraphAnnIndex.build(refCorpus, col("vec_id"), col("embedding"), ref,
+      sampleMod = 16, edgesPerBucket = 3)
+    def edges(path: String, adj: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$path/$adj")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges(inc, "base_adj") == edges(ref, "base_adj"))
+    assert(edges(inc, "coarse_adj") == edges(ref, "coarse_adj"))
+    val q1 = GraphAnnIndex.query(spark, inc, QueryVec.values)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // compact: results identical, data files per partition drop to one
+    GraphAnnIndex.compact(spark, inc)
+    val q2 = GraphAnnIndex.query(spark, inc, QueryVec.values)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(q1 == q2, "compaction must not change query results")
+    assert(edges(inc, "base_adj") == edges(ref, "base_adj"))
+    val perPart = Option(new java.io.File(s"$inc/nodes").listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perPart.nonEmpty && perPart.forall(_ == 1),
+      "each compacted partition must hold exactly one data file")
+  }
+
   test("graph-ANN index: a torn append is refused, not silently served") {
     import graft.operators.GraphAnnIndex
     val idx = java.nio.file.Files.createTempDirectory("graft_gann_torn").toString
