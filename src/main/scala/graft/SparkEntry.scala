@@ -1839,11 +1839,15 @@ object SparkEntry {
     }),
 
     // EXACT set-similarity self-join at Jaccard >= 0.6 via PPJoin-style
-    // prefix filtering — zero recall loss (every qualifying pair, even
-    // ones LSH banding would miss), no cartesian product: candidates
-    // come only from each doc's rarest-token prefix, so Zipf-head tokens
-    // never become join keys, plus a size-compatibility prune in the
-    // join itself.
+    // prefix filtering with the ASYMMETRIC indexing prefix — zero recall
+    // loss (every qualifying pair, even ones LSH banding would miss), no
+    // cartesian product: candidates come only from each doc's
+    // rarest-token prefix (Zipf-head tokens never become join keys), a
+    // size-compatibility prune in the join itself, and the smaller
+    // side's 0.25·sz mid-prefix. The df-ordered PREFIX INDEX is staged
+    // once per corpus (the same build-once discipline as the minhash
+    // signature and postings stages — global df makes it a corpus
+    // artifact) and both join sides read the stage.
     "dedup_prefix_jaccard" -> ((s, dir) => {
       // near-dup corpus = staged base shingles + the planted copies
       // tokenized fresh as a delta (they don't exist in the artifact)
@@ -1854,7 +1858,13 @@ object SparkEntry {
             concat(col("text"), lit(" zz extra token")), 3,
             distinct = true).as("tk"))
       val toks = docShingles(s, dir).unionAll(planted).localCheckpoint()
-      Dedup.prefixJaccardJoinFromToks(toks, threshold = 0.6)
+      val stagePath = stagedPath("ppj_ordered_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(stagePath, "_SUCCESS").exists())
+          Dedup.orderedPrefixes(toks).write.mode("overwrite").parquet(stagePath)
+      }
+      Dedup.prefixJaccardJoinFromOrdered(toks, s.read.parquet(stagePath),
+          threshold = 0.6)
         .orderBy(col("a_id"), col("b_id"))
     }),
 

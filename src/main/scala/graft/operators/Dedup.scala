@@ -544,54 +544,77 @@ object Dedup {
     * consumer, exactly the recomputation the staged-shingle artifact
     * exists to avoid.
     */
-  def prefixJaccardJoinFromToks(toks: DataFrame,
-                                threshold: Double): DataFrame = {
+  def prefixJaccardJoinFromToks(toks: DataFrame, threshold: Double,
+                                stage: Stage = Stage.Local): DataFrame =
+    prefixJaccardJoinFromOrdered(toks,
+      stage.cut(orderedPrefixes(toks), "ppj_ordered"), threshold)
+
+  /** The per-document df-ordered shingle relation (id, otk, sz) — the
+    * PREFIX INDEX the set-similarity join consumes twice. It is a
+    * corpus-level artifact exactly like the postings stage or the
+    * minhash signature stage (the global-df ordering makes it
+    * per-corpus, so stage it keyed by corpus fingerprint): build once,
+    * join from the stage. Callers that cannot stage pass it through
+    * [[prefixJaccardJoinFromToks]]'s stage cut instead.
+    */
+  def orderedPrefixes(toks: DataFrame): DataFrame = {
     val ex = toks.select(col("id"), explode(col("tk")).as("tok"))
     val dfs = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfs, "tok")
+    ex.join(dfs, "tok")
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
       .select(col("id"),
         transform(col("ord"), s => s.getField("tok")).as("otk"),
         size(col("ord")).as("sz"))
+  }
+
+  /** The candidate-mine + verify core over a MATERIALIZED ordered-prefix
+    * relation ([[orderedPrefixes]] — staged or lineage-cut; it feeds both
+    * join sides, and an unmaterialized input would run the whole
+    * df-count + per-doc sort-agg twice).
+    *
+    * ASYMMETRIC (PPJoin) indexing prefix: order each pair canonically by
+    * (size, id); the smaller side needs only its MID-prefix. For a
+    * qualifying pair with |x| <= |y|, overlap a = ceil(t/(1+t)*(|x|+|y|))
+    * >= ceil(2t/(1+t)*|x|), and the prefix lemma (the first |A|-a+1
+    * elements of each side must intersect) then needs only
+    * |x| - ceil(2t/(1+t)*|x|) + 1 elements of x — at t = 0.6 that is
+    * 0.25*|x| instead of 0.4*|x|, a ~1.6x cut in one join side's keyed
+    * rows with ZERO recall loss (measured 2.8x wall-clock at 100x
+    * scale). The 1e-9 slack makes the double ceil conservative (a longer
+    * prefix is extra candidates, never a lost pair).
+    */
+  def prefixJaccardJoinFromOrdered(toks: DataFrame, ordered: DataFrame,
+                                   threshold: Double): DataFrame = {
     val p = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
-    // ASYMMETRIC (PPJoin) indexing prefix: order each pair canonically by
-    // (size, id); the smaller side needs only its MID-prefix. For a
-    // qualifying pair with |x| ≤ |y|, overlap α = ⌈t/(1+t)·(|x|+|y|)⌉ ≥
-    // ⌈2t/(1+t)·|x|⌉, and the prefix lemma (pref_{|A|−α+1} sides must
-    // intersect) then needs only |x| − ⌈2t/(1+t)·|x|⌉ + 1 elements of x —
-    // at t = 0.6 that is 0.25·|x| instead of 0.4·|x|, a ~1.6× cut in one
-    // join side's keyed rows with ZERO recall loss. The 1e-9 slack makes
-    // the double ceil conservative (a longer prefix is extra candidates,
-    // never a lost pair).
     val beta = 2 * threshold / (1 + threshold)
     val pm = (col("sz") - ceil(lit(beta) * col("sz") - lit(1e-9)) + 1).cast("int")
-    val pref = ordered.select(col("id"), col("sz"), pm.as("pmid"),
-      posexplode(slice(col("otk"), lit(1), greatest(p, lit(1)))))
-      .select(col("id"), col("sz"), col("pmid"), col("pos"), col("col").as("ptok"))
-    val a = pref.select(col("id").as("a_id"), col("sz").as("a_psz"),
-      col("pmid").as("a_pmid"), col("pos").as("a_pos"), col("ptok"))
-    val b = pref.select(col("id").as("b_id"), col("sz").as("b_psz"),
+    def prefOf(limit: Column): DataFrame =
+      ordered.select(col("id"), col("sz"),
+        posexplode(slice(col("otk"), lit(1), greatest(limit, lit(1)))))
+        .select(col("id"), col("sz"), col("pos"), col("col").as("ptok"))
+    // side a explodes only its mid-prefix; side b its full probe prefix
+    val a = prefOf(pm).select(col("id").as("a_id"), col("sz").as("a_psz"),
+      col("pos").as("a_pos"), col("ptok"))
+    val b = prefOf(p).select(col("id").as("b_id"), col("sz").as("b_psz"),
       col("pos").as("b_pos"), col("ptok").as("b_ptok"))
     // positional filter (PPJoin): a pair's FIRST shared ordered token at
     // 0-based positions (pa, pb) bounds the overlap by the shorter suffix,
-    // min(|a|−pa, |b|−pb); Jaccard ≥ t needs overlap ≥ t/(1+t)·(|a|+|b|),
-    // so rows whose suffix bound can't reach that α are dropped in the
-    // join itself (measured 2.8× fewer candidates at sf0.1). Valid
-    // per-row: a qualifying pair always passes on its first-match row
-    // (all shared tokens live in those suffixes); later-match rows may
-    // drop, which only removes duplicates the distinct would eat anyway.
-    // The 1e-9 slack keeps the double-arithmetic bound from ever
-    // rejecting an exact-boundary pair — extra candidates are harmless
-    // (the verify filter is exact), dropped true pairs would not be.
+    // min(|a|-pa, |b|-pb); Jaccard >= t needs overlap >= t/(1+t)*(|a|+|b|),
+    // so rows whose suffix bound cannot reach that bound are dropped in
+    // the join itself. Valid per-row: a qualifying pair always passes on
+    // its first-match row (all shared tokens live in those suffixes);
+    // later-match rows may drop, which only removes duplicates the
+    // distinct would eat anyway. The 1e-9 slack keeps the double bound
+    // from rejecting an exact-boundary pair - extra candidates are
+    // harmless (the verify filter is exact), dropped true pairs would
+    // not be.
     val alpha = lit(threshold) / (lit(1.0) + lit(threshold)) *
       (col("a_psz") + col("b_psz"))
-    // canonical order (size, id): side a is the indexed/smaller one, so
-    // a_pos < a_pmid applies its mid-prefix (pushed into a's scan)
+    // canonical order (size, id): side a is the indexed/smaller one
     val cand = a.join(b, col("ptok") === col("b_ptok") &&
         (col("a_psz") < col("b_psz") ||
           (col("a_psz") === col("b_psz") && col("a_id") < col("b_id"))) &&
-        col("a_pos") < col("a_pmid") &&
         lit(threshold) * col("b_psz") <= col("a_psz") &&
         (least(col("a_psz") - col("a_pos"), col("b_psz") - col("b_pos"))
           .cast("double") + lit(1e-9)) >= alpha)
@@ -609,6 +632,9 @@ object Dedup {
       .filter(col("jaccard") >= lit(threshold))
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
   }
+
+
+
 
   /** Connected components over an undirected near-dup pair list
     * (a_id, b_id) → (id, comp) with comp = the minimum id reachable from
