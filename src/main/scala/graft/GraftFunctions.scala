@@ -43,6 +43,7 @@ object GraftFunctions {
       if (es.length > 1) intLit(es(1), "hash_embed dim") else 64)),
     "simhash" -> (es => SimHash(es(0))),
     "dhash" -> (es => DHash(es(0))),
+    "wav_samples" -> (es => WavSamples(es(0))),
     "l2_normalize" -> (es => NormalizeExpr(es(0))),
     "vector_sum_fp" -> (es => VectorSumFp(es(0),
       if (es.length > 1) intLit(es(1), "vector_sum_fp dim") else 64)

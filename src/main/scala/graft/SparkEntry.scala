@@ -1366,6 +1366,26 @@ object SparkEntry {
     stage
   }
 
+  /** Deterministic audio corpus for the WAV decode family: one mono
+    * 16-bit PCM WAV per document id < 100, sample value
+    * s(clip, i) = ((clip·7 + i·13) mod 201) − 100 (range ±100, so sign
+    * changes and two's-complement encoding are both exercised), length
+    * 48 + (clip mod 5)·16 samples (partial trailing frames exercised).
+    */
+  private def audioCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 100)
+    val n = (lit(48) + pmod(col("doc_id"), lit(5)) * 16).cast("int")
+    def smp(i: Column): Column =
+      pmod(col("doc_id") * 7 + i * 13, lit(201)) - 100
+    // 16-bit little-endian two's complement per sample, via hex
+    val sampleHex = array_join(transform(sequence(lit(0), n - 1), i => {
+      val hx = lpad(hex(pmod(smp(i), lit(65536))), 4, "0")
+      concat(substring(hx, 3, 2), substring(hx, 1, 2))
+    }), "")
+    d.select(col("doc_id").as("clip_id"),
+      Multimodal.wav16Bytes(lit(8000), unhex(sampleHex)).as("bytes"))
+  }
+
   private def docShingles(s: SparkSession, dir: String): DataFrame = {
     val stage = stagedPath("doc_shingles3_v1", dir)
     this.synchronized {
@@ -3112,6 +3132,37 @@ object SparkEntry {
         .localCheckpoint()
       Dedup.dhashPairs(fps, numBands = 4, maxHamming = 3, maxBucket = 50)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // REAL audio decode + frame-level feature extraction: the corpus is
+    // valid mono 16-bit PCM WAVs (RIFF/fmt/data built with declarative
+    // hex arithmetic from a deterministic sample formula); the Spark
+    // side PARSES the bytes (chunk walk, LE two's-complement samples —
+    // graft.expressions.WavSamples) and then computes per-16-sample-
+    // frame features DECLARATIVELY (energy Σs², zero crossings, peak —
+    // exact integer aggregates over the sample array), while the oracle
+    // computes the same features ARITHMETICALLY from the formula, never
+    // touching bytes. Two independent routes to the same integers: any
+    // parse bug (chunk offsets, sign extension, sample order) hash-fails.
+    "q_audio_features" -> ((s, dir) => {
+      val withSm = audioCorpus(s, dir)
+        .select(col("clip_id"), Multimodal.wavSamples(col("bytes")).as("sm"))
+      val nFrames = ceil(size(col("sm")).cast("double") / 16.0).cast("int")
+      withSm
+        .select(col("clip_id"), col("sm"),
+          explode(sequence(lit(0), nFrames - 1)).as("frame"))
+        .select(col("clip_id"), col("frame"),
+          slice(col("sm"), col("frame") * 16 + 1, lit(16)).as("sub"))
+        .select(col("clip_id"), col("frame").cast("long").as("frame"),
+          size(col("sub")).cast("long").as("n"),
+          aggregate(col("sub"), lit(0L), (acc, x) => acc + x * x).as("sumsq"),
+          aggregate(zip_with(
+              slice(col("sub"), lit(1), size(col("sub")) - 1),
+              slice(col("sub"), lit(2), size(col("sub")) - 1),
+              (a, b) => when(a * b < 0, lit(1L)).otherwise(lit(0L))),
+            lit(0L), (acc, x) => acc + x).as("n_zc"),
+          array_max(transform(col("sub"), x => abs(x))).as("peak"))
+        .orderBy(col("clip_id"), col("frame"))
     }),
 
     // Frame sampling over ingest-supplied container metadata (every 2nd
@@ -7242,6 +7293,34 @@ object SparkEntry {
           |  INTERSECT ALL
           |  SELECT user_id FROM events WHERE event_type = 'click')
           |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // Frame features computed ARITHMETICALLY from the sample formula —
+      // the Spark side got the samples by parsing WAV bytes (chunk walk,
+      // sign extension), so any decode bug diverges here. DuckDB
+      // list_slice is begin/end-inclusive (vs Spark's start/length).
+      "q_audio_features" ->
+        s"""WITH clips AS (
+           |  SELECT doc_id AS clip_id, 48 + (doc_id % 5) * 16 AS n
+           |  FROM documents WHERE doc_id < 100),
+           |wsm AS (
+           |  SELECT clip_id,
+           |    list_transform(range(n), i -> (clip_id*7 + i*13) % 201 - 100) AS s
+           |  FROM clips),
+           |wfr AS (
+           |  SELECT clip_id, s, unnest(range((len(s) + 15) // 16)) AS frame
+           |  FROM wsm),
+           |wsub AS (
+           |  SELECT clip_id, frame,
+           |    list_slice(s, frame*16 + 1, frame*16 + 16) AS sub
+           |  FROM wfr)
+           |SELECT clip_id, CAST(frame AS BIGINT) AS frame,
+           |  CAST(len(sub) AS BIGINT) AS n,
+           |  CAST(list_sum(list_transform(sub, x -> x*x)) AS BIGINT) AS sumsq,
+           |  CAST(coalesce(list_sum(list_transform(range(len(sub) - 1),
+           |    i -> CASE WHEN sub[i+1]*sub[i+2] < 0 THEN 1 ELSE 0 END)), 0)
+           |    AS BIGINT) AS n_zc,
+           |  CAST(list_max(list_transform(sub, x -> abs(x))) AS BIGINT) AS peak
+           |FROM wsub ORDER BY clip_id, frame""".stripMargin,
 
       // The dHash fingerprints computed ARITHMETICALLY from the pixel
       // formula — the Spark side got them by parsing the BMP bytes, so

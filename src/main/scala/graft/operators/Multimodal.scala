@@ -177,4 +177,29 @@ object Multimodal {
     org.apache.spark.sql.GraftBridge.column(
       graft.expressions.DHash(
         org.apache.spark.sql.GraftBridge.expression(bytes)))
+
+  /** First-channel 16-bit PCM sample array of a WAV byte column — NULL
+    * when the payload is not honestly decodable (see
+    * graft.expressions.WavSamples). Feature extraction over the result
+    * is declarative SQL (exact integer aggregates), so only the decode
+    * is native.
+    */
+  def wavSamples(bytes: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.WavSamples(
+        org.apache.spark.sql.GraftBridge.expression(bytes)))
+
+  /** Valid mono 16-bit PCM WAV around raw little-endian sample bytes
+    * `pcm` — the RIFF/fmt/data layout the WavSamples parser accepts
+    * (the test/oracle construction side of the audio decode contract,
+    * like [[bmp24Bytes]] for images).
+    */
+  def wav16Bytes(rate: Column, pcm: Column): Column =
+    concat(lit("RIFF".getBytes("US-ASCII")), leInt32(length(pcm) + 36),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), leInt32(lit(16)),
+      leInt16(lit(1)), leInt16(lit(1)), // PCM, mono
+      leInt32(rate), leInt32(rate * 2), // sample rate, byte rate
+      leInt16(lit(2)), leInt16(lit(16)), // block align, bits
+      lit("data".getBytes("US-ASCII")), leInt32(length(pcm)), pcm)
 }

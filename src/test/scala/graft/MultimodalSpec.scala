@@ -171,6 +171,58 @@ class MultimodalSpec extends SparkSpec {
       "smaller than the 9x8 grid must refuse, not upsample")
   }
 
+  // ---- WAV PCM decode ----
+
+  /** Hand-rolled WAV: optional junk chunk before data, 1..2 channels. */
+  private def wav(samples: Seq[Seq[Int]], junkChunk: Boolean = false,
+                  fmtCode: Int = 1, bits: Int = 16): Array[Byte] = {
+    val channels = samples.length
+    val n = samples.head.length
+    val bb = new java.io.ByteArrayOutputStream()
+    def s4(t: String): Unit = bb.write(t.getBytes("US-ASCII"))
+    def le16(x: Int): Unit = { bb.write(x & 0xFF); bb.write((x >> 8) & 0xFF) }
+    def le32(x: Int): Unit = { le16(x & 0xFFFF); le16((x >>> 16) & 0xFFFF) }
+    val dataLen = 2 * channels * n
+    val junkLen = if (junkChunk) 8 + 6 else 0 // odd payload => +1 pad
+    s4("RIFF"); le32(4 + 24 + junkLen + (junkLen & 1) + 8 + dataLen); s4("WAVE")
+    s4("fmt "); le32(16); le16(fmtCode); le16(channels); le32(8000)
+    le32(8000 * 2 * channels); le16(2 * channels); le16(bits)
+    if (junkChunk) { s4("LIST"); le32(5); bb.write(Array[Byte](1, 2, 3, 4, 5)); bb.write(0) }
+    s4("data"); le32(dataLen)
+    for (i <- 0 until n; c <- 0 until channels) le16(samples(c)(i) & 0xFFFF)
+    bb.toByteArray
+  }
+
+  test("wav_samples: chunk walk, sign extension, first channel of stereo") {
+    import graft.expressions.WavSamples
+    val mono = Seq(Seq(0, 100, -100, 32767, -32768, 7))
+    def arr(b: Array[Byte]): Seq[Long] = {
+      val a = WavSamples.samplesOrNull(b)
+      assert(a != null); a.toLongArray().toSeq
+    }
+    assert(arr(wav(mono)) == Seq(0L, 100L, -100L, 32767L, -32768L, 7L))
+    // a LIST chunk between fmt and data must be walked over, not tripped on
+    assert(arr(wav(mono, junkChunk = true)) == arr(wav(mono)))
+    // stereo: the deterministic mono projection is channel 0
+    val stereo = Seq(Seq(1, 2, 3), Seq(-9, -9, -9))
+    assert(arr(wav(stereo)) == Seq(1L, 2L, 3L))
+  }
+
+  test("wav_samples refuses what it cannot decode honestly") {
+    import graft.expressions.WavSamples
+    val good = wav(Seq(Seq(1, 2, 3)))
+    assert(WavSamples.samplesOrNull(good) != null)
+    assert(WavSamples.samplesOrNull(null) == null)
+    assert(WavSamples.samplesOrNull("RIFFnot a wave at all............"
+      .getBytes("US-ASCII")) == null)
+    assert(WavSamples.samplesOrNull(wav(Seq(Seq(1, 2, 3)), fmtCode = 3)) == null,
+      "float PCM needs a float decoder — refuse")
+    assert(WavSamples.samplesOrNull(wav(Seq(Seq(1, 2, 3)), bits = 8)) == null)
+    assert(WavSamples.samplesOrNull(
+      java.util.Arrays.copyOf(good, good.length - 3)) == null,
+      "truncated data chunk must refuse, not mis-read")
+  }
+
   test("dhash Column expression matches the JVM function and is null for non-BMP") {
     import spark.implicits._
     import graft.expressions.DHash
