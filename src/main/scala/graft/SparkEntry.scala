@@ -541,6 +541,102 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The batch-serving query ids: query b's vector is
+    * OracleGen.QueryVec.shiftedValues(b) (b = 0 IS the canonical
+    * QueryVec), so every member inlines into SQL as integer-literal
+    * arithmetic.
+    */
+  private val BatchQueryIds: Seq[Int] = 0 until 8
+
+  /** Multi-query replay (q_graph_ann_batch): the SAME build + walk
+    * unroll as [[graphAnnOracleSql]], with the graph CTEs shared once
+    * and one walk chain per batch query (its own l2 chain and probe
+    * set), ending in per-query top-`k` rows — so the batched walk must
+    * reproduce EVERY query's single-walk result to hash-match.
+    */
+  private def graphAnnBatchOracleSql(bs: Seq[Int], edgesPerBucket: Int,
+                                     beam: Int, hops: Int, k: Int,
+                                     sampleMod: Int): String = {
+    val l2pair = OracleGen.l2FloatCols("x.embedding", "y.embedding")
+    val masks = Ann.probeMasks(4, 2).mkString(", ")
+    def graphCte(name: String, nodesCte: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT x.id AS src, y.id AS dst,
+         |      row_number() OVER (PARTITION BY x.id, y.bucket
+         |        ORDER BY $l2pair ASC, y.id ASC) AS rn
+         |    FROM $nodesCte x JOIN $nodesCte y
+         |      ON x.id <> y.id AND xor(x.bucket, y.bucket) IN ($masks))
+         |  WHERE rn <= $edgesPerBucket)""".stripMargin
+    def walk(sb: StringBuilder, p: String, graph: String, l2q: String): Unit =
+      for (t <- 1 to hops) {
+        val (v0, v1, f0, c1) =
+          (s"${p}_v${t - 1}", s"${p}_v$t", s"${p}_f${t - 1}", s"${p}_c$t")
+        sb.append(
+          s""",
+             |$f0 AS MATERIALIZED (SELECT id FROM $v0
+             |  ORDER BY distance ASC, id ASC LIMIT $beam),
+             |$c1 AS MATERIALIZED (
+             |  SELECT DISTINCT id FROM (
+             |    SELECT g.dst AS id FROM $f0 f JOIN $graph g ON g.src = f.id
+             |    UNION ALL
+             |    SELECT g.src AS id FROM $f0 f JOIN $graph g ON g.dst = f.id)
+             |  WHERE id NOT IN (SELECT id FROM $v0)),
+             |$v1 AS MATERIALIZED (
+             |  SELECT * FROM $v0
+             |  UNION ALL
+             |  SELECT vec_id AS id, $l2q AS distance FROM embeddings
+             |  WHERE vec_id IN (SELECT id FROM $c1))""".stripMargin)
+      }
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH nodes AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding,
+         |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket
+         |  FROM embeddings),
+         |cnodes AS MATERIALIZED (SELECT * FROM nodes WHERE id % $sampleMod = 0),
+         |${graphCte("cgraph", "cnodes")},
+         |${graphCte("graph", "nodes")},
+         |cseeds AS (SELECT min(id) AS id FROM cnodes GROUP BY bucket)""".stripMargin)
+    for (b <- bs) {
+      val l2q = OracleGen.l2ToQueryShifted("embedding", b)
+      val probes = Ann.probesOf(OracleGen.QueryVec.shiftedValues(b), 4)
+        .mkString(", ")
+      sb.append(
+        s""",
+           |q${b}_a_v0 AS MATERIALIZED (
+           |  SELECT vec_id AS id, $l2q AS distance FROM embeddings
+           |  WHERE vec_id IN (SELECT id FROM cseeds))""".stripMargin)
+      walk(sb, s"q${b}_a", "cgraph", l2q)
+      sb.append(
+        s""",
+           |q${b}_e0 AS MATERIALIZED (
+           |  SELECT DISTINCT id FROM (
+           |    SELECT id FROM (SELECT id FROM q${b}_a_v$hops
+           |      ORDER BY distance ASC, id ASC LIMIT $beam)
+           |    UNION ALL
+           |    SELECT min(id) AS id FROM nodes
+           |    WHERE bucket IN ($probes) GROUP BY bucket)),
+           |q${b}_b_v0 AS MATERIALIZED (
+           |  SELECT vec_id AS id, $l2q AS distance FROM embeddings
+           |  WHERE vec_id IN (SELECT id FROM q${b}_e0))""".stripMargin)
+      walk(sb, s"q${b}_b", "graph", l2q)
+      sb.append(
+        s""",
+           |q${b}_top AS (
+           |  SELECT CAST($b AS BIGINT) AS q_id,
+           |    CAST(row_number() OVER (ORDER BY distance ASC, id ASC) AS BIGINT) AS rn,
+           |    id, distance
+           |  FROM (SELECT DISTINCT id, distance FROM
+           |    (SELECT * FROM q${b}_a_v$hops UNION ALL SELECT * FROM q${b}_b_v$hops))
+           |  ORDER BY distance ASC, id ASC LIMIT $k)""".stripMargin)
+    }
+    sb.append("\n" +
+      bs.map(b => s"SELECT q_id, rn, id, distance FROM q${b}_top")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY q_id, rn"))
+    sb.toString
+  }
+
   /** Label-propagation replay (q_label_prop): unrolls `iters` synchronous
     * rounds on the symmetrized part co-occurrence graph. Per round: the
     * vote multiset is every in-neighbor's label plus the node's own
@@ -1007,10 +1103,15 @@ object SparkEntry {
        |      + coalesce(1000000000 // (60 + v.rank), 0) AS rrf_fp
        |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)""".stripMargin
 
-  private lazy val Bm25Ctes: String = {
+  private lazy val Bm25Ctes: String = bm25CtesOver("documents")
+
+  /** [[Bm25Ctes]] over an arbitrary (doc_id, text) source — the delete
+    * gate replays BM25 over the REMAINING documents only.
+    */
+  private def bm25CtesOver(srcSql: String): String = {
     val termsIn = RagQuery.split(" ").map(t => s"'$t'").mkString(", ")
     s"""bm25_toks AS (
-       |  SELECT doc_id, ${OracleGen.toksSql("text")} AS tk FROM documents),
+       |  SELECT doc_id, ${OracleGen.toksSql("text")} AS tk FROM $srcSql),
        |bm25_dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM bm25_toks),
        |bm25_g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |           CAST(sum(dl) AS BIGINT) AS total FROM bm25_dl),
@@ -1249,7 +1350,7 @@ object SparkEntry {
     * has (`rag.py:30-38`).
     */
   private def docPostingsPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_postings_v1", dir)
+    val stage = stagedPath("doc_postings_v2", dir)
     this.synchronized {
       if (!graft.operators.Retrieval.postingsExist(stage))
         graft.operators.Retrieval.stagePostings(Tables.documents(s, dir),
@@ -1346,7 +1447,7 @@ object SparkEntry {
     * replays the full-corpus BM25, so the equivalence is hash-checked.
     */
   private def docPostingsAppendedPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_postings_append_v1", dir)
+    val stage = stagedPath("doc_postings_append_v2", dir)
     this.synchronized {
       val pending = java.nio.file.Paths.get(stage, "_APPEND_PENDING")
       if (!graft.operators.Retrieval.postingsExist(stage) ||
@@ -1360,6 +1461,36 @@ object SparkEntry {
         graft.operators.Retrieval.appendPostings(
           docs.filter(pmod(col("doc_id"), lit(3)) === 0),
           col("doc_id"), col("text"), stage)
+        java.nio.file.Files.delete(pending)
+      }
+    }
+    stage
+  }
+
+  /** One-time INCREMENTALLY-DELETED postings stage: built on the FULL
+    * documents table, then every doc_id ≡ 0 (mod 3) deleted via
+    * Retrieval.deletePostings (touched tokens re-ranked over the
+    * remaining postings, df decremented, globals retreated — only the
+    * victims' hash-bucket partitions rewritten). Queries against it must
+    * equal queries against a stage built on the remaining docs only;
+    * q_postings_delete's oracle replays BM25 over `documents WHERE
+    * doc_id % 3 <> 0`, so delete-then-query ≡ rebuild-on-remaining is
+    * hash-checked end to end.
+    */
+  private def docPostingsDeletedPath(s: SparkSession, dir: String): String = {
+    val stage = stagedPath("doc_postings_delete_v1", dir)
+    this.synchronized {
+      val pending = java.nio.file.Paths.get(stage, "_DELETE_PENDING")
+      if (!graft.operators.Retrieval.postingsExist(stage) ||
+          java.nio.file.Files.exists(pending)) {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Retrieval.stagePostings(docs, col("doc_id"),
+          col("text"), stage)
+        java.nio.file.Files.deleteIfExists(pending)
+        java.nio.file.Files.createFile(pending)
+        graft.operators.Retrieval.deletePostings(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("doc_id")),
+          stage)
         java.nio.file.Files.delete(pending)
       }
     }
@@ -3934,6 +4065,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_terms"), col("score_fp"))
     }),
 
+    // INCREMENTAL postings deletion (Retrieval.deletePostings — the
+    // corpus-refresh path): the stage was built on the FULL corpus and
+    // every third doc DELETED — touched tokens re-ranked over the
+    // remaining postings, df decremented, globals retreated, only the
+    // affected hash-bucket partitions rewritten. The oracle replays
+    // BM25 over the remaining docs only, so delete-then-query ≡
+    // rebuild-on-remaining is hash-checked end to end.
+    "q_postings_delete" -> ((s, dir) => {
+      graft.operators.Retrieval.bm25FromStage(s,
+          docPostingsDeletedPath(s, dir), RagQuery.split(" ").toSeq)
+        .orderBy(col("score_fp").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("n_terms"), col("score_fp"))
+    }),
+
     // Multi-vector LATE-INTERACTION retrieval (Retrieval.maxSim, the
     // ColBERT MaxSim shape): per-token embeddings, score = Σ_term max_tok
     // dot in integer fixed point — term-level matching single-vector
@@ -4670,6 +4816,31 @@ object SparkEntry {
       graphAnnRecallRow(s, dir, visited, "graph_delete", 0.8,
         corpus = Tables.embeddings(s, dir)
           .filter(pmod(col("vec_id"), lit(7)) =!= 0))
+    }),
+
+    // BATCHED multi-query serving (GraphAnnIndex.queryBatch): ONE job
+    // set walks all 8 queries against the staged index — every relation
+    // in the walk keyed by (q_id, node), per-query frontiers via one
+    // window — instead of 8 independent walks (the N+1 serving shape;
+    // cf. the reference's per-email fetch, email_fetching.py:38-40).
+    // The oracle replays EVERY query's full single-walk (shared graph
+    // CTEs, one walk chain per query), so per-query batch ≡ single is
+    // hash-checked; BENCH measures the shared-job-set cost vs 8× the
+    // single-query walk.
+    "q_graph_ann_batch" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("distance").asc, col("id").asc)
+      val qs = BatchQueryIds.map(b =>
+          (b.toLong, OracleGen.QueryVec.shiftedValues(b)))
+        .toDF("q_id", "q_vec")
+      graft.operators.GraphAnnIndex.queryBatch(s,
+          graphAnnIndexPath(s, dir), qs, beam = 16, hops = 6)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("rn"), col("id"), col("distance"))
+        .orderBy(col("q_id"), col("rn"))
     }),
 
     // Margin-criterion bitext mining (Ann.bitextMine): cross-"language"
@@ -6796,6 +6967,12 @@ object SparkEntry {
           sampleMod = 16, floor = 0.8, method = "graph_delete",
           corpusWhere = " WHERE vec_id % 7 <> 0"),
 
+      // Batched serving ≡ per-query single walks: one walk-replay chain
+      // PER batch query (shared graph CTEs), per-query top-10 unioned.
+      "q_graph_ann_batch" ->
+        graphAnnBatchOracleSql(BatchQueryIds, edgesPerBucket = 3,
+          beam = 16, hops = 6, k = 10, sampleMod = 16),
+
       "q_bitext_mine" ->
         s"""WITH sides AS (
            |  SELECT vec_id, embedding, label,
@@ -7909,6 +8086,17 @@ object SparkEntry {
       // append path.
       "q_postings_append" ->
         s"""WITH $Bm25Ctes
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           |  CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp
+           |FROM bm25_scored GROUP BY doc_id
+           |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
+
+      // BM25 replay over the REMAINING docs only — the Spark side built
+      // the index on everything and deleted every third doc, so matching
+      // proves the incremental delete (re-rank + df decrement + globals).
+      "q_postings_delete" ->
+        s"""WITH ${bm25CtesOver(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)")}
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
            |  CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp
            |FROM bm25_scored GROUP BY doc_id

@@ -453,6 +453,60 @@ object Ann {
     visited
   }
 
+  /** MULTI-QUERY batched beam search — the serving twin of
+    * [[graphAnnBeamFrom]] (and the graph-walk analogue of Knn.knnJoin's
+    * batch KNN): ONE job set walks N queries at once by keying every
+    * relation in the walk by (q_id, node) instead of walking queries
+    * one-by-one — the N+1 pattern the reference itself commits with its
+    * per-email IMAP fetch (email_fetching.py:38-40). Per hop: the
+    * per-QUERY top-`beam` frontier (one window over q_id — bounded at
+    * |queries|·beam rows, broadcast), ONE equi-join against the staged
+    * adjacency expands every query's frontier together, newly reached
+    * (q_id, id) pairs score via a keyed vector fetch joined to the
+    * broadcast query batch. Per-query results are row-identical to the
+    * single-query walk (AnnSpec asserts it): the frontier window's
+    * (distance, id) ordering is the single walk's orderBy-limit, and
+    * the anti-join dedup is per query. Cost: the hop joins are shared —
+    * walking N queries costs ~1 walk's job count, not N (the whole
+    * point; BENCH measures it).
+    *
+    * `seeds` = (q_id, id); `queries` = (q_id, q_vec). Output: the
+    * distinct visited set (q_id, id, distance) per query.
+    */
+  def graphAnnBeamBatchFrom(graph: DataFrame, corpus: DataFrame,
+                            seeds: DataFrame, queries: DataFrame,
+                            idCol: Column, vecCol: Column,
+                            beam: Int, hops: Int,
+                            stage: Stage = Stage.Local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = stage.cut(graph.select(col("src"), col("dst"))
+      .unionAll(graph.select(col("dst").as("src"), col("src").as("dst"))),
+      "graph_ann_adj")
+    val vecs = corpus.select(idCol.as("id"), vecCol.as("vec"))
+    val qv = queries.select(col("q_id"), col("q_vec"))
+    def score(ids: DataFrame): DataFrame =
+      ids.join(vecs, "id").join(broadcast(qv), "q_id")
+        .select(col("q_id"), col("id"),
+          graft.functions.VectorFunctions.l2(col("vec"), col("q_vec"))
+            .as("distance"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("distance").asc, col("id").asc)
+    var visited = score(seeds.select(col("q_id"), col("id")).distinct())
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val frontier = visited.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= beam)
+        .select(col("q_id"), col("id").as("src"))
+      val fresh = g.join(broadcast(frontier), "src")
+        .select(col("q_id"), col("dst").as("id"))
+        .distinct()
+        .join(broadcast(visited.select(col("q_id"), col("id"))),
+          Seq("q_id", "id"), "left_anti")
+      visited = visited.unionByName(score(fresh)).localCheckpoint()
+    }
+    visited
+  }
+
   /** HIERARCHICAL graph ANN — the distributed HNSW shape proper. A
     * deterministic coarse layer (every `sampleMod`-th id — the id-hash
     * sample plays the role of HNSW's random level assignment) gets its

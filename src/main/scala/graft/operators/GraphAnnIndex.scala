@@ -161,6 +161,60 @@ object GraphAnnIndex {
     v1.unionByName(v0).distinct()
   }
 
+  /** BATCHED multi-query serving against the staged index — ONE job set
+    * walks every query in `queries` (q_id, q_vec), per-query
+    * row-identical to [[query]] (AnnSpec asserts it; q_graph_ann_batch
+    * replays every query's full walk in SQL). Entry mirrors the
+    * single-query path per query: the coarse walk starts from the global
+    * per-bucket min-ids (query-independent — crossed with the query
+    * batch), the base walk from each query's best coarse hits ∪ its own
+    * probe-bucket min-ids, the probe set computed IN-PLAN from q_vec
+    * (bucket ⊕ single-bit masks — the same own+flips set
+    * Ann.probesOf builds driver-side). Walking N queries costs ~1 walk's
+    * job count instead of N — the serving fix for the per-query N+1.
+    */
+  def queryBatch(spark: SparkSession, path: String,
+                 queries: DataFrame, beam: Int = 16,
+                 hops: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = readMeta(path)
+    val nodes = spark.read.parquet(s"$path/nodes")
+    val coarse = nodes.filter(col("id") % m.sampleMod === 0)
+    val g1 = spark.read.parquet(s"$path/coarse_adj")
+      .select(col("src"), col("dst"))
+    // the query batch feeds every hop's score join and both entry
+    // derivations — pin it once (it is request-sized by definition)
+    val qv = queries.select(col("q_id"), col("q_vec")).localCheckpoint()
+    val seeds1 = coarse.groupBy(col("bucket")).agg(min(col("id")).as("id"))
+      .select(col("id"))
+      .crossJoin(broadcast(qv.select(col("q_id"))))
+    val v1 = Ann.graphAnnBeamBatchFrom(g1, coarse, seeds1, qv,
+      col("id"), col("vec"), beam, hops)
+    val g0 = spark.read.parquet(s"$path/base_adj")
+      .select(col("src"), col("dst"))
+    // per-query probe seeds: own bucket + single-bit flips (the
+    // single-query path's Ann.probesOf), as an in-plan explode so the
+    // whole batch derives its probes in one pass; min-id per (query,
+    // probed bucket) against the bucket-partitioned node table
+    val probeMasksArr = lit(0) +: (0 until m.numPlanes).map(j => lit(1 << j))
+    val qprobes = qv.select(col("q_id"),
+      explode(array(probeMasksArr.map(mk =>
+        Ann.bucketOf(col("q_vec"), m.numPlanes, m.dim).bitwiseXOR(mk)): _*))
+        .as("bucket"))
+    val probeSeeds = nodes.join(broadcast(qprobes), "bucket")
+      .groupBy(col("q_id"), col("bucket")).agg(min(col("id")).as("id"))
+      .select(col("q_id"), col("id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("distance").asc, col("id").asc)
+    val entry0 = v1.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= beam)
+      .select(col("q_id"), col("id"))
+      .unionAll(probeSeeds)
+    val v0 = Ann.graphAnnBeamBatchFrom(g0, nodes, entry0, qv,
+      col("id"), col("vec"), beam, hops)
+    v1.unionByName(v0).distinct()
+  }
+
   /** Incremental maintenance: admit new vectors (ids already present are
     * dropped) and update BOTH layers touching only the destination-bucket
     * partitions the batch lands in. Result is edge-for-edge identical to
@@ -193,39 +247,77 @@ object GraphAnnIndex {
         Ann.bucketOf(vecCol, m.numPlanes, m.dim).as("bucket"))
       .join(old.select(col("id")), Seq("id"), "left_anti")
       .localCheckpoint()
-    if (!fresh.isEmpty) {
+    // ONE metadata-sized action answers is-empty AND both layers'
+    // touched-bucket sets (bucket ids live in [0, 2^numPlanes)) — the
+    // per-layer collects were 3 driver round-trips per append
+    val stats = fresh.groupBy(col("bucket"))
+      .agg(max(col("id") % m.sampleMod === 0).as("has_coarse"))
+      .collect()
+    if (stats.nonEmpty) {
+      val bNewBase = stats.map(_.getInt(0)).toSeq.sorted
+      val bNewCoarse = stats.filter(_.getBoolean(1)).map(_.getInt(0)).toSeq.sorted
       java.nio.file.Files.createFile(intentFile(path))
       val all = old.unionByName(fresh)
-      updateLayer(spark, all, fresh, s"$path/base_adj", m)
+      updateLayer(spark, all, fresh, bNewBase, s"$path/base_adj", m)
       updateLayer(spark, all.filter(col("id") % m.sampleMod === 0),
-        fresh.filter(col("id") % m.sampleMod === 0), s"$path/coarse_adj", m)
+        fresh.filter(col("id") % m.sampleMod === 0), bNewCoarse,
+        s"$path/coarse_adj", m)
       fresh.write.mode("append").partitionBy("bucket").parquet(s"$path/nodes")
       java.nio.file.Files.delete(intentFile(path))
     }
   }
 
+  /** The bucket set a batch landing in `bNew` can TOUCH as edge sources:
+    * a source can probe into bNew iff its own bucket is within probeBits
+    * of some member — exactly bNew ⊕ every probe mask.
+    */
+  private def affectedBuckets(bNew: Seq[Int], m: Meta): Seq[Int] = {
+    val masks = Ann.probeMasks(m.numPlanes, m.probeBits)
+    bNew.flatMap(b => masks.map(b ^ _)).distinct.sorted
+  }
+
+  /** Bucket-partition-pruned node scan: the filter is on the PARTITION
+    * key, so only the listed buckets' directories are read (AnnSpec
+    * asserts the scanned file set) — the difference between append cost
+    * ∝ the batch's neighbourhood and append cost ∝ the corpus.
+    */
+  private[graft] def prunedNodes(nodes: DataFrame,
+                                 buckets: Seq[Int]): DataFrame =
+    nodes.filter(col("bucket").isin(buckets: _*))
+
   /** One layer's incremental adjacency update. `all` = the layer's node
     * set INCLUDING the fresh rows; `freshL` = the fresh rows in this
     * layer. See [[append]] for the replace/add split proof sketch.
+    *
+    * Every node scan below is bucket-partition-pruned BEFORE probing:
+    * the probe filter alone sits on the DERIVED probe column (bucket ⊕
+    * mask), which cannot push through to the `bucket` partition key, so
+    * without the pre-filter each append read the whole node table. The
+    * pre-filters keep exactly the rows the probe/destination filters
+    * keep (src.bucket ∈ bNew ⊕ masks ⟺ some probe lands in bNew;
+    * d_bucket = probe ∈ the kept probe set), so the computed edges are
+    * identical — AnnSpec asserts both the equivalence and the pruned
+    * scan.
     */
   private def updateLayer(spark: SparkSession, all: DataFrame,
-                          freshL: DataFrame, adjDir: String, m: Meta): Unit = {
-    // metadata-sized collect: bucket ids live in [0, 2^numPlanes)
-    val bNew = freshL.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+                          freshL: DataFrame, bNew: Seq[Int], adjDir: String,
+                          m: Meta): Unit = {
     if (bNew.isEmpty) return
+    val srcAff = affectedBuckets(bNew, m)
     // groups whose ranking may have moved: destination bucket ∈ bNew —
     // recomputed over every adjacent source (old and new) vs that
     // bucket's full population, exactly what a rebuild would rank
     val replaced = topEdges(m,
-      probed(m, all).filter(col("probe").isin(bNew: _*))
-        .join(dstSide(all).filter(col("d_bucket").isin(bNew: _*)),
+      probed(m, prunedNodes(all, srcAff)).filter(col("probe").isin(bNew: _*))
+        .join(dstSide(prunedNodes(all, bNew)),
           col("probe") === col("d_bucket") && col("src") =!= col("dst")))
     // purely additive: new sources into untouched buckets (their stored
-    // rankings contain no new node, so old rows there are final)
+    // rankings contain no new node, so old rows there are final); the
+    // reachable destination buckets are bNew ⊕ masks MINUS bNew
+    val dstReach = srcAff.filterNot(bNew.toSet)
     val added = topEdges(m,
       probed(m, freshL).filter(!col("probe").isin(bNew: _*))
-        .join(dstSide(all),
+        .join(dstSide(prunedNodes(all, dstReach)),
           col("probe") === col("d_bucket") && col("src") =!= col("dst")))
     // dynamic partition overwrite rewrites exactly the bNew partitions;
     // a bNew partition that had rows before always has rows in
@@ -376,8 +468,9 @@ object GraphAnnIndex {
                            m: Meta): Unit = {
     if (affected.isEmpty) return
     val replaced = topEdges(m,
-      probed(m, all).filter(col("probe").isin(affected: _*))
-        .join(dstSide(all).filter(col("d_bucket").isin(affected: _*)),
+      probed(m, prunedNodes(all, affectedBuckets(affected, m)))
+        .filter(col("probe").isin(affected: _*))
+        .join(dstSide(prunedNodes(all, affected)),
           col("probe") === col("d_bucket") && col("src") =!= col("dst")))
       .localCheckpoint() // feeds the write AND the written-bucket audit
     dynamicOverwrite(spark, replaced, adjDir)

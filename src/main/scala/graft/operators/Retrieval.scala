@@ -74,21 +74,58 @@ object Retrieval {
 
   // ---- persisted postings index ----
   //
-  // Every lexical-retrieval path here starts from the same two derived
-  // relations: the postings table (tok, doc_id, tf) and the doc-length
-  // table (doc_id, dl). Rebuilding them per query re-runs the expensive
-  // half of the whole plan — corpus tokenize + explode + (tok, doc)
-  // aggregation — exactly the way the reference would re-index its
-  // searchable table per query if it didn't persist it (rag.py:30-38
-  // builds the table once and queries it many times). stagePostings
-  // lands both relations on disk ONCE; bm25FromStage and
-  // Conversation.retrieveForTurnsFromStage serve every later query from
-  // the stage. At 100 TB the staged postings become a bucketed table on
-  // `tok` so term joins co-locate without a shuffle; the parquet stage
-  // here is the same discipline minus the metastore.
+  // Every lexical-retrieval path here starts from the same derived
+  // relations: the postings table (tok, doc_id, tf), the doc-length
+  // table (doc_id, dl), the per-term document frequencies (tok, df) and
+  // the corpus globals (n_docs, Σdl). Rebuilding any of them per query
+  // re-runs the expensive half of the whole plan — corpus tokenize +
+  // explode + corpus-wide aggregations/windows — exactly the way the
+  // reference would re-index its searchable table per query if it didn't
+  // persist it (rag.py:30-38 builds the table once and queries it many
+  // times). stagePostings lands ALL of them on disk ONCE, including the
+  // per-token IMPACT RANK (row_number by tf DESC, doc_id — the
+  // WAND-family impact-ordered layout), so a capped query filters
+  // `rank <= maxPostings` instead of running a corpus-wide window.
+  //
+  // Layout under `path` (every relation hash-bucket-partitioned so
+  // maintenance touches only affected partitions — the GraphAnnIndex
+  // discipline):
+  //
+  //   postings/ pb=N/ (tok, doc_id, tf, rank)   pb = crc32(tok) % 64
+  //   dfreq/    pb=N/ (tok, df)                 same key as postings
+  //   doclens/  db=N/ (doc_id, dl)              db = crc32(id str) % 64
+  //   globals/        (n_docs, total)           one row
+  //   _POSTINGS_DONE  done marker, written last via atomic rename
+  //   _APPENDING      maintenance-intent marker (crash ⇒ detected+refused)
+  //
+  // crc32 (not Spark's murmur `hash`) because a literal query term's
+  // bucket is trivially computable driver-side, so single-query lookups
+  // partition-prune the postings scan to |terms| buckets. At 100 TB the
+  // pb-partitioning doubles as the bucketed-on-tok layout that
+  // co-locates term joins.
+
+  private[operators] val NumTokBuckets = 64
+
+  /** The token-hash partition key, computed identically as a Column (for
+    * staging) and driver-side (for literal query terms → partition
+    * pruning): CRC32 of the UTF-8 bytes, mod [[NumTokBuckets]].
+    */
+  private def pbCol(tok: Column): Column =
+    pmod(crc32(tok), lit(NumTokBuckets.toLong)).cast("int")
+
+  private[operators] def pbOf(tok: String): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (c.getValue % NumTokBuckets).toInt
+  }
+
+  private def dbCol(id: Column): Column =
+    pmod(crc32(id.cast("string")), lit(NumTokBuckets.toLong)).cast("int")
 
   private def postingsMarker(path: String) =
     java.nio.file.Paths.get(path, "_POSTINGS_DONE")
+  private def intentFile(path: String) =
+    java.nio.file.Paths.get(path, "_APPENDING")
 
   /** True iff a completed postings stage exists at `path` (marker is
     * written last).
@@ -96,22 +133,45 @@ object Retrieval {
   def postingsExist(path: String): Boolean =
     java.nio.file.Files.exists(postingsMarker(path))
 
-  /** Build the postings stage: `path`/postings (tok, doc_id, tf),
-    * `path`/doclens (doc_id, dl — one row per document, zero-token docs
-    * included so staged n_docs matches the corpus count), done-marker
-    * written last. The corpus is tokenized exactly once (lineage cut
-    * feeds both relations).
+  /** The per-token impact rank: 1 = the token's highest-tf posting
+    * (ties by doc_id). Staged at build time so capped retrieval is a
+    * FILTER, not a corpus-wide window.
+    */
+  private def withImpactRank(postings: DataFrame): DataFrame = {
+    val pw = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    postings.withColumn("rank", row_number().over(pw).cast("long"))
+  }
+
+  /** Build the postings stage (see layout above). The corpus is
+    * tokenized exactly once (lineage cut feeds every relation);
+    * zero-token docs keep their doclens row so staged n_docs matches
+    * the corpus count. Done-marker written last.
     */
   def stagePostings(docs: DataFrame, idCol: Column, textCol: Column,
                     path: String): Unit = {
+    deleteStage(path)
     val toks = docs.select(idCol.as("doc_id"),
         TextFunctions.tokens(textCol).as("tk"))
       .localCheckpoint()
-    toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclens")
-    toks.select(col("doc_id"), explode(col("tk")).as("tok"))
+    toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        dbCol(col("doc_id")).as("db"))
+      .write.mode("overwrite").partitionBy("db").parquet(s"$path/doclens")
+    val postings = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .write.mode("overwrite").parquet(s"$path/postings")
+      .localCheckpoint() // feeds ranked postings AND dfreq
+    withImpactRank(postings).withColumn("pb", pbCol(col("tok")))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/postings")
+    postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("pb", pbCol(col("tok")))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/dfreq")
+    docs.sparkSession.read.parquet(s"$path/doclens")
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("total"))
+      .write.mode("overwrite").parquet(s"$path/globals")
+    writeDoneMarker(path)
+  }
+
+  private def writeDoneMarker(path: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_POSTINGS_DONE_TMP")
     Files.writeString(tmp, "ok")
@@ -119,56 +179,275 @@ object Retrieval {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def deleteStage(path: String): Unit = {
+    import java.nio.file.Files
+    import java.util.Comparator
+    val p = java.nio.file.Paths.get(path)
+    if (Files.exists(p))
+      Files.list(p).forEach { f =>
+        Files.walk(f).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(x => Files.delete(x))
+      }
+  }
+
   /** Incremental postings maintenance: admit new documents into an
-    * existing stage (ids already present are dropped — idempotent). An
-    * inverted index is PURELY ADDITIVE under document insertion — a new
-    * doc adds (tok, doc_id, tf) rows and one doclens row, and changes
-    * nothing that exists (df/idf/globals are derived at query time from
-    * the staged relations, so they pick the new rows up automatically).
-    * That is why this needs none of GraphAnnIndex.append's
-    * recompute-the-touched-groups machinery: append rows, done —
-    * append-then-query ≡ rebuild-then-query by construction, and
-    * q_postings_append hash-checks it against the full-corpus replay.
-    * The admitted batch is lineage-cut once (it feeds both relations).
+    * existing stage (ids already present are dropped — idempotent).
+    * Raw posting/doclens rows are purely additive under document
+    * insertion, but the DERIVED relations the stage now carries are not:
+    * a fresh doc can change the impact rank of every posting of a token
+    * it contains, and that token's df. So the append re-ranks ONLY the
+    * touched tokens and rewrites only the pb partitions the batch's
+    * tokens hash into (dynamic partition overwrite — ≤ 64 partitions,
+    * cost ∝ touched posting lists, never the corpus); df merges
+    * additively for the same partitions; globals advance by the batch's
+    * (count, Σdl). Append-then-query ≡ rebuild-then-query, hash-checked
+    * by q_postings_append against the full-corpus replay.
+    *
+    * Crash safety: the `_APPENDING` intent marker lands before the first
+    * write and clears after the last; [[readStage]] refuses a stage with
+    * the marker present (a writer died mid-append — rows could exist in
+    * doclens but not postings), healed by re-running [[stagePostings]].
     */
   def appendPostings(docs: DataFrame, idCol: Column, textCol: Column,
                      path: String): Unit = {
     val spark = docs.sparkSession
-    val (_, doclens) = readPostings(spark, path)
+    val st = readStage(spark, path)
     val fresh = docs.select(idCol.as("doc_id"),
         TextFunctions.tokens(textCol).as("tk"))
-      .join(doclens.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(st.doclens.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    if (!fresh.isEmpty) {
-      fresh.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
-        .write.mode("append").parquet(s"$path/doclens")
-      fresh.select(col("doc_id"), explode(col("tk")).as("tok"))
-        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-        .write.mode("append").parquet(s"$path/postings")
+    if (fresh.isEmpty) return
+    val freshPost = fresh.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("pb", pbCol(col("tok")))
+      .localCheckpoint() // feeds touched-set, postings rewrite, dfreq merge
+    // metadata-sized collect: pb lives in [0, NumTokBuckets)
+    val touched = freshPost.select(col("pb")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    java.nio.file.Files.createFile(intentFile(path))
+    // batch globals advance additively (old globals row collected —
+    // a parquet dir cannot be read and overwritten in one plan)
+    val og = st.globals.collect().head
+    val bg = fresh.agg(count(lit(1)).cast("long"),
+      coalesce(sum(size(col("tk")).cast("long")), lit(0L))).collect().head
+    if (touched.nonEmpty) {
+      val toksNew = freshPost.select(col("tok")).distinct()
+      val oldP = st.postings.filter(col("pb").isin(touched: _*))
+      // untouched tokens in a touched partition keep their rows verbatim;
+      // touched tokens re-rank over old ∪ fresh (identical ordering to a
+      // full rebuild ⇒ identical ranks)
+      val keep = oldP.join(toksNew, Seq("tok"), "left_anti")
+      val rerank = withImpactRank(
+        oldP.join(toksNew, Seq("tok"), "left_semi")
+          .select(col("tok"), col("doc_id"), col("tf"))
+          .unionByName(freshPost.select(col("tok"), col("doc_id"), col("tf"))))
+        .withColumn("pb", pbCol(col("tok")))
+      val mergedP = keep.select(col("tok"), col("doc_id"), col("tf"),
+          col("rank"), col("pb"))
+        .unionByName(rerank.select(col("tok"), col("doc_id"), col("tf"),
+          col("rank"), col("pb")))
+        .localCheckpoint() // the write overwrites the dir it was read from
+      graft.tables.Staging.dynamicOverwrite(mergedP, "pb", s"$path/postings")
+      val oldDf = st.dfreq.filter(col("pb").isin(touched: _*))
+      val newDf = freshPost.groupBy(col("tok")).agg(count(lit(1)).as("df_new"))
+      val mergedDf = oldDf.select(col("tok"), col("df"))
+        .join(newDf, Seq("tok"), "full_outer")
+        .select(col("tok"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"),
+          pbCol(col("tok")).as("pb"))
+        .localCheckpoint()
+      graft.tables.Staging.dynamicOverwrite(mergedDf, "pb", s"$path/dfreq")
+    }
+    fresh.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        dbCol(col("doc_id")).as("db"))
+      .write.mode("append").partitionBy("db").parquet(s"$path/doclens")
+    writeGlobals(spark, path, og.getLong(0) + bg.getLong(0),
+      og.getLong(1) + bg.getLong(1))
+    java.nio.file.Files.delete(intentFile(path))
+  }
+
+  private def writeGlobals(spark: org.apache.spark.sql.SparkSession,
+                           path: String, nDocs: Long, total: Long): Unit = {
+    import spark.implicits._
+    Seq((nDocs, total)).toDF("n_docs", "total")
+      .write.mode("overwrite").parquet(s"$path/globals")
+  }
+
+  /** Incremental DELETION — the corpus-refresh path (GDPR delete,
+    * dedup-then-reindex) that previously forced a full restage. One
+    * postings scan finds the victims' rows (a doc's tokens can hash
+    * anywhere — no forward index, so this scan is inherent); everything
+    * after touches only affected partitions: the victims' tokens
+    * re-rank over the REMAINING postings and their pb partitions rewrite
+    * (untouched tokens sharing a partition keep their rows verbatim), df
+    * decrements for exactly those tokens (zero-df tokens drop), doclens
+    * rewrites only the victims' db partitions, globals retreat by the
+    * victims' (count, Σdl). Delete-then-query ≡ rebuild-on-remaining —
+    * q_postings_delete hash-checks it. Same intent marker as [[appendPostings]].
+    */
+  def deletePostings(ids: DataFrame, path: String,
+                     idName: String = "doc_id"): Unit = {
+    val spark = ids.sparkSession
+    val st = readStage(spark, path)
+    val victims = st.doclens
+      .join(ids.select(col(idName).as("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    if (victims.isEmpty) return
+    java.nio.file.Files.createFile(intentFile(path))
+    val og = st.globals.collect().head
+    val vg = victims.agg(count(lit(1)).cast("long"),
+      coalesce(sum(col("dl")), lit(0L))).collect().head
+    // the one full scan: victim posting rows → touched tokens (with the
+    // victims' contribution to each token's df)
+    val victimRows = st.postings
+      .join(victims.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("tok"), col("pb"))
+      .localCheckpoint()
+    val victimDf = victimRows.groupBy(col("tok"), col("pb"))
+      .agg(count(lit(1)).as("df_gone"))
+      .localCheckpoint()
+    val touched = victimDf.select(col("pb")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      val toksGone = victimDf.select(col("tok"))
+      val oldP = st.postings.filter(col("pb").isin(touched: _*))
+      val keep = oldP.join(toksGone, Seq("tok"), "left_anti")
+      val rerank = withImpactRank(
+        oldP.join(toksGone, Seq("tok"), "left_semi")
+          .join(victims.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("tok"), col("doc_id"), col("tf")))
+        .withColumn("pb", pbCol(col("tok")))
+      val mergedP = keep.select(col("tok"), col("doc_id"), col("tf"),
+          col("rank"), col("pb"))
+        .unionByName(rerank.select(col("tok"), col("doc_id"), col("tf"),
+          col("rank"), col("pb")))
+        .localCheckpoint()
+      overwritePartitionsExact(spark, mergedP, "pb", s"$path/postings", touched)
+      val mergedDf = st.dfreq.filter(col("pb").isin(touched: _*))
+        .join(victimDf.select(col("tok"), col("df_gone")), Seq("tok"), "left_outer")
+        .select(col("tok"),
+          (col("df") - coalesce(col("df_gone"), lit(0L))).as("df"), col("pb"))
+        .filter(col("df") > 0L)
+        .localCheckpoint()
+      overwritePartitionsExact(spark, mergedDf, "pb", s"$path/dfreq", touched)
+    }
+    val vdb = victims.select(col("db")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val keptLens = st.doclens.filter(col("db").isin(vdb: _*))
+      .join(victims.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    overwritePartitionsExact(spark, keptLens, "db", s"$path/doclens", vdb)
+    writeGlobals(spark, path, og.getLong(0) - vg.getLong(0),
+      og.getLong(1) - vg.getLong(1))
+    java.nio.file.Files.delete(intentFile(path))
+  }
+
+  /** Dynamic-partition-overwrite `df` into `dir`, then explicitly drop
+    * any of the `affected` partitions the rewrite left EMPTY — dynamic
+    * overwrite cannot erase a partition it writes nothing into (the
+    * GraphAnnIndex.rewriteLayer discipline).
+    */
+  private def overwritePartitionsExact(spark: org.apache.spark.sql.SparkSession,
+                                       df: DataFrame, partCol: String,
+                                       dir: String, affected: Seq[Int]): Unit = {
+    graft.tables.Staging.dynamicOverwrite(df, partCol, dir)
+    val written = df.select(col(partCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    affected.filterNot(written).foreach { b =>
+      import java.nio.file.Files
+      import java.util.Comparator
+      val p = java.nio.file.Paths.get(s"$dir/$partCol=$b")
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
     }
   }
 
-  /** Read the staged relations back: (postings, doclens). */
+  /** Compact the stage in place: rewrite every hash-bucket partition into
+    * one file (repartition on the partition column routes each
+    * partition's rows to one task) — the maintenance pass that keeps
+    * file counts flat as streaming appends accumulate small files.
+    * Results are invariant (RetrievalSpec asserts identical rows and
+    * query output); cost is one rewrite, no re-ranking.
+    */
+  def compactPostings(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    val _ = readStage(spark, path) // validates done marker + no torn append
+    java.nio.file.Files.createFile(intentFile(path))
+    Seq("postings" -> "pb", "dfreq" -> "pb", "doclens" -> "db").foreach {
+      case (rel, pc) =>
+        val df = spark.read.parquet(s"$path/$rel").localCheckpoint()
+        graft.tables.Staging.dynamicOverwrite(df.repartition(col(pc)), pc,
+          s"$path/$rel")
+    }
+    java.nio.file.Files.delete(intentFile(path))
+  }
+
+  /** The staged relations. `postings` carries (tok, doc_id, tf, rank,
+    * pb); `dfreq` (tok, df, pb); `doclens` (doc_id, dl, db); `globals`
+    * one row (n_docs, total).
+    */
+  final case class PostingsStage(postings: DataFrame, dfreq: DataFrame,
+                                 doclens: DataFrame, globals: DataFrame)
+
+  def readStage(spark: org.apache.spark.sql.SparkSession,
+                path: String): PostingsStage = {
+    require(postingsExist(path), s"$path is not a postings stage")
+    if (java.nio.file.Files.exists(intentFile(path)))
+      throw new IllegalStateException(
+        s"$path has unfinished maintenance (_APPENDING intent present) — a " +
+          "writer crashed mid-append/delete; rebuild with stagePostings()")
+    PostingsStage(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/dfreq"),
+      spark.read.parquet(s"$path/doclens"),
+      spark.read.parquet(s"$path/globals"))
+  }
+
+  /** Back-compat accessor: (postings, doclens). */
   def readPostings(spark: org.apache.spark.sql.SparkSession,
                    path: String): (DataFrame, DataFrame) = {
-    require(postingsExist(path), s"$path is not a postings stage")
-    (spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/doclens"))
+    val st = readStage(spark, path)
+    (st.postings, st.doclens)
   }
 
   /** [[bm25]] served from a staged postings index — row-identical to the
-    * from-corpus path (RetrievalSpec asserts it), with the tokenize +
-    * postings build amortized into [[stagePostings]]. The query-term
-    * filter prunes the postings scan before anything shuffles.
+    * from-corpus path (RetrievalSpec asserts it), with tokenize, postings
+    * build, df aggregation AND the globals pass all amortized into
+    * [[stagePostings]]. The literal query terms partition-prune the
+    * postings and dfreq scans to their crc32 buckets driver-side, then
+    * the tok filter pushes into the pruned scan — a |terms|-bucket read,
+    * never a corpus pass.
     */
   def bm25FromStage(spark: org.apache.spark.sql.SparkSession, path: String,
                     queryTerms: Seq[String]): DataFrame = {
-    val (postings, dl) = readPostings(spark, path)
-    bm25Score(
-      postings.filter(col("tok").isin(queryTerms: _*))
-        .select(col("doc_id"), col("tok"), col("tf")),
-      dl)
+    val st = readStage(spark, path)
+    val pbs = queryTerms.map(pbOf).distinct
+    val tf = st.postings
+      .filter(col("pb").isin(pbs: _*) && col("tok").isin(queryTerms: _*))
+      .select(col("doc_id"), col("tok"), col("tf"))
+    val dfq = st.dfreq
+      .filter(col("pb").isin(pbs: _*) && col("tok").isin(queryTerms: _*))
+      .select(col("tok"), col("df"))
+    bm25ScoreStaged(tf, st.doclens.select(col("doc_id"), col("dl")), dfq,
+      st.globals)
   }
+
+  /** The staged-scoring tail: identical arithmetic to [[bm25Score]] with
+    * dfreq and globals read from the stage instead of re-aggregated.
+    */
+  private def bm25ScoreStaged(tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
+                              globals: DataFrame): DataFrame =
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(globals))
+      .withColumn("idf_fp",
+        expr("(1000000L * (2L*n_docs - 2L*df + 1L)) DIV (2L*df + 1L)"))
+      .withColumn("tfpart_fp",
+        expr("(1000000L * 44L * tf * total) DIV " +
+          "(20L * tf * total + 6L * total + 18L * dl * n_docs)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("idf_fp") * col("tfpart_fp")).as("score_fp"))
 
   /** Multi-vector LATE-INTERACTION retrieval (the ColBERT MaxSim shape):
     * instead of one vector per document, every document TOKEN WINDOW

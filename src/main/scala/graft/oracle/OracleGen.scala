@@ -25,7 +25,27 @@ object OracleGen {
       val m = ((k - 1) * 37) % 100
       s"($m/100.0 - 0.5)"
     }
+    /** The multi-query batch family: query b is the same formula with an
+      * integer shift, q_b(i) = ((i·37 + b·11) % 100)/100 − 0.5 — so b = 0
+      * IS [[values]] and every member inlines into SQL as integer-literal
+      * arithmetic both engines fold to the same double.
+      */
+    def shiftedValues(b: Int): Seq[Double] =
+      (0 until dim).map(i => ((i * 37 + b * 11) % 100) / 100.0 - 0.5)
+    def sqlTermShifted(k: Int, b: Int): String = {
+      val m = ((k - 1) * 37 + b * 11) % 100
+      s"($m/100.0 - 0.5)"
+    }
   }
+
+  /** L2 distance between a FLOAT[] column and batch query b (see
+    * QueryVec.shiftedValues), as DuckDB SQL.
+    */
+  def l2ToQueryShifted(vecCol: String, b: Int, dim: Int = QueryVec.dim): String =
+    "sqrt(" + chain(dim, k => {
+      val e = elem(vecCol, k); val q = QueryVec.sqlTermShifted(k, b)
+      s"($e - $q) * ($e - $q)"
+    }) + ")"
 
   private def elem(vecCol: String, k: Int): String =
     s"CAST($vecCol[$k] AS DOUBLE)"

@@ -410,11 +410,18 @@ object Streaming {
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
+    // the static serving side (capped posting list + idf table) is
+    // materialized ONCE before the stream starts — without the pin each
+    // micro-batch re-reads and re-derives the whole stage (4 parquet
+    // reads + idf broadcast per batch, ~5 batches at gate scale)
+    val (plist0, dfreq0) = graft.operators.Conversation.servingSide(
+      resolved.sparkSession, stagePath, maxPostings = maxPostings)
+    val plist = plist0.localCheckpoint()
+    val dfreq = dfreq0.localCheckpoint()
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) =>
-        graft.operators.Conversation.retrieveForTurnsFromStage(
-            batch.toDF(), batch.sparkSession, stagePath, k,
-            maxPostings = maxPostings)
+        graft.operators.Conversation.retrieveWithServingSide(
+            batch.toDF(), plist, dfreq, k)
           .write.mode("append").parquet(out)
     val q = resolved.writeStream
       .outputMode(OutputMode.Append())

@@ -36,4 +36,24 @@ object Staging {
     */
   def stagedPath(tag: String, dir: String): String =
     sys.props("java.io.tmpdir") + s"/graft_${tag}_" + dirFingerprint(dir)
+
+  /** Dynamic-partition-overwrite `df` into `dir` partitioned by
+    * `partCol`: only the partitions `df` carries rows for are rewritten,
+    * every other partition's files are untouched — the incremental-
+    * maintenance write every staged layout here uses (GraphAnnIndex,
+    * Retrieval's postings stage). The session's overwrite mode is set
+    * for the write and restored after.
+    */
+  def dynamicOverwrite(df: org.apache.spark.sql.DataFrame,
+                       partCol: String, dir: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -192,6 +192,26 @@ class AnnSpec extends SparkSpec {
       "in-memory path's (id, distance) set")
   }
 
+  test("queryBatch: per-query row-identical to the single-query walk") {
+    import graft.operators.GraphAnnIndex
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_gann_b").toString
+    GraphAnnIndex.build(emb, col("vec_id"), col("embedding"), idx,
+      sampleMod = 16, edgesPerBucket = 3)
+    val qs = Seq(0, 2, 5).map(b =>
+      (b.toLong, graft.oracle.OracleGen.QueryVec.shiftedValues(b)))
+    val batch = GraphAnnIndex.queryBatch(spark, idx,
+        qs.toDF("q_id", "q_vec"), beam = 16, hops = 6)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((b, vec) <- qs) {
+      val single = GraphAnnIndex.query(spark, idx, vec, beam = 16, hops = 6)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(b) == single,
+        s"batched walk for query $b must equal its single-query walk")
+    }
+  }
+
   test("graph-ANN append ≡ rebuild; untouched adjacency partitions unread") {
     import graft.operators.GraphAnnIndex
     val inc = java.nio.file.Files.createTempDirectory("graft_gann_inc").toString
@@ -240,6 +260,18 @@ class AnnSpec extends SparkSpec {
     val snap = partFiles("base_adj")
     GraphAnnIndex.append(newPart, col("vec_id"), col("embedding"), inc)
     assert(partFiles("base_adj") == snap)
+    // 5. the append's node scans are bucket-partition-PRUNED: a filter
+    //    on the bucket partition key reads only the listed buckets'
+    //    directories (without it each append read the whole node table
+    //    — append cost ∝ corpus instead of ∝ neighbourhood)
+    val someBuckets = bNew.toSeq.sorted.take(2)
+    val scanned = GraphAnnIndex.prunedNodes(
+        spark.read.parquet(s"$inc/nodes"), someBuckets)
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(f => someBuckets.exists(b => f.contains(s"bucket=$b/"))),
+      s"pruned scan read files outside buckets $someBuckets: $scanned")
   }
 
   test("graph-ANN delete ≡ rebuild-on-remaining; only the victim's " +

@@ -151,5 +151,73 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.appendPostings(docs.filter(col("doc_id") % 3 === 0),
       col("doc_id"), col("text"), inc)
     assert(snap(inc, "postings") == snap(full, "postings"))
+    // staged derived relations must equal the rebuild's too: df counts,
+    // impact ranks (inside postings — checked above), globals
+    assert(snap(inc, "dfreq") == snap(full, "dfreq"))
+    assert(snap(inc, "globals") == snap(full, "globals"))
+  }
+
+  test("deletePostings: delete-then-query ≡ rebuild-on-remaining, " +
+      "every staged relation identical") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val del = java.nio.file.Files.createTempDirectory("graft_post_del").toString
+    val rem = java.nio.file.Files.createTempDirectory("graft_post_rem").toString
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), del)
+    Retrieval.deletePostings(docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")), del)
+    Retrieval.stagePostings(docs.filter(col("doc_id") % 3 =!= 0),
+      col("doc_id"), col("text"), rem)
+    def snap(path: String, rel: String): Seq[String] =
+      spark.read.parquet(s"$path/$rel").collect().map(_.toString).sorted.toSeq
+    for (rel <- Seq("postings", "doclens", "dfreq", "globals"))
+      assert(snap(del, rel) == snap(rem, rel), rel)
+    val terms = Seq("the", "data", "pipeline")
+    val a = Retrieval.bm25FromStage(spark, del, terms)
+      .collect().map(_.toString).sorted
+    val b = Retrieval.bm25FromStage(spark, rem, terms)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+    // deleting already-absent ids is a no-op
+    Retrieval.deletePostings(docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")), del)
+    assert(snap(del, "postings") == snap(rem, "postings"))
+  }
+
+  test("compactPostings: rows and query output invariant, one file per partition") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val p = java.nio.file.Files.createTempDirectory("graft_post_cmp").toString
+    // two appends accumulate small files before the compact
+    Retrieval.stagePostings(docs.filter(col("doc_id") % 3 === 1),
+      col("doc_id"), col("text"), p)
+    Retrieval.appendPostings(docs.filter(col("doc_id") % 3 === 2),
+      col("doc_id"), col("text"), p)
+    Retrieval.appendPostings(docs.filter(col("doc_id") % 3 === 0),
+      col("doc_id"), col("text"), p)
+    def snap(rel: String): Seq[String] =
+      spark.read.parquet(s"$p/$rel").collect().map(_.toString).sorted.toSeq
+    val before = Seq("postings", "doclens", "dfreq").map(snap)
+    Retrieval.compactPostings(spark, p)
+    assert(Seq("postings", "doclens", "dfreq").map(snap) == before)
+    // every partition dir holds exactly one parquet file after compaction
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(s"$p/postings"))
+      .toArray.map(_.toString).filter(_.contains("pb="))
+    assert(parts.nonEmpty)
+    for (d <- parts) {
+      val n = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        .toArray.map(_.toString).count(_.endsWith(".parquet"))
+      assert(n == 1, s"$d has $n parquet files")
+    }
+  }
+
+  test("torn maintenance is refused: _APPENDING intent present ⇒ readStage throws") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val p = java.nio.file.Files.createTempDirectory("graft_post_torn").toString
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), p)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_APPENDING"))
+    intercept[IllegalStateException] {
+      Retrieval.bm25FromStage(spark, p, Seq("the"))
+    }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(p, "_APPENDING"))
+    assert(Retrieval.bm25FromStage(spark, p, Seq("the")).count() > 0)
   }
 }
