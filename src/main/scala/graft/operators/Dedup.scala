@@ -586,7 +586,13 @@ object Dedup {
     */
   def prefixJaccardJoinFromOrdered(toks: DataFrame, ordered: DataFrame,
                                    threshold: Double): DataFrame = {
-    val p = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    // the 1e-9 slack on BOTH ceils: a threshold whose double rounds
+    // above its rational value (0.1, 0.2, 0.4...) could otherwise ceil
+    // one too high and SHORTEN the probe prefix — float rounding must
+    // only ever lengthen a prefix (extra candidates), never drop an
+    // exact-boundary qualifying pair
+    val p = (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .cast("int")
     val beta = 2 * threshold / (1 + threshold)
     val pm = (col("sz") - ceil(lit(beta) * col("sz") - lit(1e-9)) + 1).cast("int")
     def prefOf(limit: Column): DataFrame =

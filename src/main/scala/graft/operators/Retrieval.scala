@@ -551,6 +551,89 @@ object Retrieval {
       .agg(count(lit(1)).as("n_qt"), sum(col("best_fp")).as("maxsim_fp"))
   }
 
+  // ---- persisted doc-window stage (the MaxSim index) ----
+  //
+  // maxSim/maxSimPruned's own scale note declares the doc-window
+  // relation the thing to stage at 100 TB: the (doc_id, win) relation,
+  // the distinct-window embedding vocabulary and the window→token
+  // posting relation are all corpus-derived and query-independent, yet
+  // both MaxSim paths recomputed them per query. stageWindows lands all
+  // three ONCE (the stagePostings discipline); maxSimPrunedFromStage
+  // serves every query from the stage. wtok/ is token-hash-partitioned
+  // (crc32 % 64, same key as the postings stage) so a literal query's
+  // candidate generation partition-prunes to its own tokens' buckets.
+
+  private def windowsMarker(path: String) =
+    java.nio.file.Paths.get(path, "_WINDOWS_DONE")
+
+  def windowsExist(path: String): Boolean =
+    java.nio.file.Files.exists(windowsMarker(path))
+
+  /** Build the doc-window stage: `path`/dwin (doc_id, win), `path`/wemb
+    * (win, wemb — one embedding per DISTINCT window string), `path`/wtok
+    * (win, tok, pb) partitioned by token hash. Done-marker written last.
+    */
+  def stageWindows(docs: DataFrame, idCol: Column, textCol: Column,
+                   path: String, maxDocWindows: Int = 16, windowN: Int = 3,
+                   dim: Int = 64): Unit = {
+    val dwin = docs.select(idCol.as("doc_id"),
+        explode(slice(TextFunctions.shingles(textCol, windowN), 1,
+          maxDocWindows)).as("win"))
+      .distinct()
+      .localCheckpoint() // feeds dwin AND the vocabulary derivations
+    dwin.write.mode("overwrite").parquet(s"$path/dwin")
+    val wembs = dwin.select(col("win")).distinct()
+      .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
+      .localCheckpoint() // feeds wemb AND wtok
+    wembs.write.mode("overwrite").parquet(s"$path/wemb")
+    wembs.select(col("win"), explode(split(col("win"), " ")).as("tok"))
+      .distinct()
+      .withColumn("pb", pbCol(col("tok")))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/wtok")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path, "_WINDOWS_DONE_TMP")
+    Files.writeString(tmp, "ok")
+    Files.move(tmp, windowsMarker(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** [[maxSimPruned]] served from a staged doc-window index —
+    * row-identical to the from-corpus path (same oracle), with the
+    * window explode, the vocabulary embedding AND the window→token
+    * posting build all amortized into [[stageWindows]]. The query's
+    * literal tokens partition-prune the wtok scan to their crc32
+    * buckets; everything after is the same candidate equi-join and
+    * exact integer max/sum tail.
+    */
+  def maxSimPrunedFromStage(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queryTerms: Seq[String],
+                            windowN: Int = 3, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(windowsExist(path), s"$path is not a doc-window stage")
+    val dwin = spark.read.parquet(s"$path/dwin")
+    val wembs = spark.read.parquet(s"$path/wemb")
+    val qwins = queryTerms.sliding(windowN).map(_.mkString(" ")).toSeq.distinct
+    val qtoks = qwins.flatMap(_.split(" ")).distinct
+    val pbs = qtoks.map(pbOf).distinct
+    val wtok = spark.read.parquet(s"$path/wtok")
+      .filter(col("pb").isin(pbs: _*) && col("tok").isin(qtoks: _*))
+    val qtok = qwins.flatMap(qw => qw.split(" ").distinct.map(t => (qw, t)))
+      .toDF("qt", "tok")
+    val qemb = qwins.toDF("qt")
+      .select(col("qt"), TextFunctions.hashEmbed(col("qt"), dim).as("qemb"))
+    val cpairs = wtok.join(broadcast(qtok), "tok")
+      .select(col("win"), col("qt")).distinct()
+    val cand = dwin.join(cpairs, "win")
+      .join(wembs, "win")
+      .join(broadcast(qemb), "qt")
+      .select(col("doc_id"), col("qt"),
+        floor(graft.functions.VectorFunctions.dot(col("wemb"), col("qemb"))
+          * lit(1000000.0)).cast("long").as("dot_fp"))
+    cand.groupBy(col("doc_id"), col("qt")).agg(max(col("dot_fp")).as("best_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_qt"), sum(col("best_fp")).as("maxsim_fp"))
+  }
+
   /** Reciprocal-rank fusion of two (id, rank) lists: for each id present
     * in either list, rrf_fp = Σ 1e9 DIV (k + rank) over the lists that
     * rank it (the standard RRF with k = 60, in exact integer fixed-point).

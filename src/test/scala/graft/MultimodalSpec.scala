@@ -235,4 +235,13 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getLong(1) == DHash.fingerprintOrNull(good).longValue)
     assert(rows(1).isNullAt(1))
   }
+
+  test("audio near-dup: every planted sample-perturbed twin surfaces by band") {
+    val pairs = SparkEntry.queries("q_audio_neardup")(spark, sf0001).collect()
+    val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000L)
+    assert(planted.length == 10,
+      s"expected all 10 planted twins, found ${planted.length}")
+    assert(planted.forall(_.getLong(2) <= 3),
+      "every planted twin must sit within the Hamming tolerance")
+  }
 }

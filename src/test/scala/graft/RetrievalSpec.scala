@@ -128,6 +128,21 @@ class RetrievalSpec extends SparkSpec {
     assert(overlap >= 0.8, s"pruned top-10 overlap with exact = $overlap")
   }
 
+  test("stageWindows: maxSimPrunedFromStage is row-identical to the " +
+      "from-corpus pruned path") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val stage = java.nio.file.Files.createTempDirectory("graft_windows").toString
+    assert(!Retrieval.windowsExist(stage))
+    Retrieval.stageWindows(docs, col("doc_id"), col("text"), stage)
+    assert(Retrieval.windowsExist(stage))
+    val q = Seq("customer", "order", "for", "table", "part", "data")
+    val a = Retrieval.maxSimPruned(docs, col("doc_id"), col("text"), q)
+      .collect().map(_.toString).sorted
+    val b = Retrieval.maxSimPrunedFromStage(spark, stage, q)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("appendPostings: append-then-query ≡ rebuild-then-query, idempotent") {
     val docs = graft.tables.Tables.documents(spark, sf0001)
     val inc = java.nio.file.Files.createTempDirectory("graft_post_inc").toString
