@@ -5884,6 +5884,31 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("turn_no"), col("rank"))
     }),
 
+    // Streaming ingest INTO the persisted postings index — the lexical
+    // twin of q_stream_graph_ann: documents stream in over ≥3
+    // micro-batches; the first builds the stage, later batches go
+    // through the INCREMENTAL append (touched tokens re-ranked, df
+    // merged, globals advanced — affected hash-bucket partitions only),
+    // and a final compact keeps file counts flat. Because append ≡
+    // rebuild and compact is invariant, BM25 from the drained index
+    // must equal BM25 over a one-shot full build — which is what the
+    // oracle replays (same full-corpus replay as q_bm25).
+    "q_stream_postings_ingest" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val src = s.readStream.schema(Tables.documents(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir,
+          "documents", "doc_id"))
+      val stage = stagedPath("stream_postings_v1", dir)
+      graft.streaming.Streaming.drainToPostingsStage(
+        src.select(col("doc_id"), col("text")), stage, "doc_id", "text")
+      graft.operators.Retrieval.bm25FromStage(s, stage,
+          RagQuery.split(" ").toSeq)
+        .orderBy(col("score_fp").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("n_terms"), col("score_fp"))
+    }),
+
     // Streaming ingest INTO the persisted graph-ANN index (the
     // reference's add-on-ingest implicit HNSW build, email_fetching
     // .py:54-57, against the staged layout): embeddings stream in over
@@ -8324,6 +8349,17 @@ object SparkEntry {
       // the index on 2/3 and appended the rest, so matching proves the
       // append path.
       "q_postings_append" ->
+        s"""WITH $Bm25Ctes
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           |  CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp
+           |FROM bm25_scored GROUP BY doc_id
+           |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
+
+      // The streamed-in postings index (first batch builds, later
+      // batches append incrementally, final compact) must converge to
+      // the one-shot full build — same full-corpus BM25 replay as
+      // q_bm25.
+      "q_stream_postings_ingest" ->
         s"""WITH $Bm25Ctes
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
            |  CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp

@@ -155,11 +155,13 @@ object Conversation {
                   stagePath: String, maxDf: Long = Long.MaxValue,
                   maxPostings: Long = Long.MaxValue): (DataFrame, DataFrame) = {
     val st = Retrieval.readStage(spark, stagePath)
+    // n_docs inlined as a literal (driver-side metadata read — see
+    // PostingsStage.nDocs; a 1-row cross join would plan as a
+    // BroadcastNestedLoopJoin)
     val dfreq = st.dfreq
       .filter(col("df") <= maxDf)
-      .crossJoin(broadcast(st.globals.select(col("n_docs"))))
       .withColumn("idf_fp",
-        expr("(1000000L * (2L*n_docs - 2L*df + 1L)) DIV (2L*df + 1L)"))
+        expr(s"(1000000L * (2L*${st.nDocs}L - 2L*df + 1L)) DIV (2L*df + 1L)"))
       .select(col("tok"), col("idf_fp"))
     val plist =
       if (maxPostings == Long.MaxValue) st.postings

@@ -388,7 +388,19 @@ object Retrieval {
     * one row (n_docs, total).
     */
   final case class PostingsStage(postings: DataFrame, dfreq: DataFrame,
-                                 doclens: DataFrame, globals: DataFrame)
+                                 doclens: DataFrame, globals: DataFrame) {
+    /** The corpus globals read DRIVER-SIDE — the staged globals relation
+      * is one row of index metadata (readMeta's analogue), so consumers
+      * inline (n_docs, total) as literals instead of cross-joining a
+      * 1-row scan into every plan (a parquet scan has no known row
+      * bound, so that cross join plans as a BroadcastNestedLoopJoin —
+      * flagged scale-unsafe even though this one is benign).
+      */
+    lazy val (nDocs, totalDl) = {
+      val r = globals.collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+  }
 
   def readStage(spark: org.apache.spark.sql.SparkSession,
                 path: String): PostingsStage = {
@@ -429,22 +441,22 @@ object Retrieval {
       .filter(col("pb").isin(pbs: _*) && col("tok").isin(queryTerms: _*))
       .select(col("tok"), col("df"))
     bm25ScoreStaged(tf, st.doclens.select(col("doc_id"), col("dl")), dfq,
-      st.globals)
+      st.nDocs, st.totalDl)
   }
 
   /** The staged-scoring tail: identical arithmetic to [[bm25Score]] with
-    * dfreq and globals read from the stage instead of re-aggregated.
+    * dfreq read from the stage and the corpus globals inlined as
+    * literals (see PostingsStage.nDocs).
     */
   private def bm25ScoreStaged(tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
-                              globals: DataFrame): DataFrame =
+                              nDocs: Long, total: Long): DataFrame =
     tf.join(broadcast(dfreq), "tok")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(globals))
       .withColumn("idf_fp",
-        expr("(1000000L * (2L*n_docs - 2L*df + 1L)) DIV (2L*df + 1L)"))
+        expr(s"(1000000L * (2L*${nDocs}L - 2L*df + 1L)) DIV (2L*df + 1L)"))
       .withColumn("tfpart_fp",
-        expr("(1000000L * 44L * tf * total) DIV " +
-          "(20L * tf * total + 6L * total + 18L * dl * n_docs)"))
+        expr(s"(1000000L * 44L * tf * ${total}L) DIV " +
+          s"(20L * tf * ${total}L + 6L * ${total}L + 18L * dl * ${nDocs}L)"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
         sum(col("idf_fp") * col("tfpart_fp")).as("score_fp"))

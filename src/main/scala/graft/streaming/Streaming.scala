@@ -680,6 +680,42 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming ingest INTO the persisted postings index — the lexical
+    * twin of [[drainToGraphAnnIndex]]: the first micro-batch builds the
+    * stage (Retrieval.stagePostings), every later batch goes through the
+    * INCREMENTAL append (touched tokens re-ranked, df merged additively,
+    * globals advanced — only affected hash-bucket partitions rewritten),
+    * and a final compact pass keeps the file counts flat against the
+    * small files streaming appends accumulate. Because append ≡ rebuild
+    * and compact is invariant, the drained index must serve exactly what
+    * a one-shot build over the whole corpus serves — the oracle replays
+    * the full-corpus BM25.
+    */
+  def drainToPostingsStage(stream: DataFrame, stagePath: String,
+                           idName: String, textName: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val p = Paths.get(stagePath)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) =>
+        if (!graft.operators.Retrieval.postingsExist(stagePath))
+          graft.operators.Retrieval.stagePostings(batch.toDF(), col(idName),
+            col(textName), stagePath)
+        else
+          graft.operators.Retrieval.appendPostings(batch.toDF(), col(idName),
+            col(textName), stagePath)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Retrieval.compactPostings(stream.sparkSession, stagePath)
+  }
+
   /** Drain a keyed change-log stream into a maintained snapshot: every
     * micro-batch is first collapsed to its latest row per key (largest
     * `orderCols`, e.g. event time then event id), then applied onto the
