@@ -1534,6 +1534,33 @@ object SparkEntry {
     stage
   }
 
+  /** One-time INCREMENTALLY-MAINTAINED doc-window stage: built on 2/3
+    * of the documents, the remaining third appended via
+    * Retrieval.appendWindows (purely additive — no ranks to repair).
+    * Queries must equal a full build; q_windows_append's oracle replays
+    * the full-corpus pruned MaxSim, so the equivalence is hash-checked.
+    */
+  private def docWindowsAppendedPath(s: SparkSession, dir: String): String = {
+    val stage = stagedPath("doc_windows_append_v1", dir)
+    this.synchronized {
+      val pending = java.nio.file.Paths.get(stage, "_APPEND_PENDING")
+      if (!graft.operators.Retrieval.windowsExist(stage) ||
+          java.nio.file.Files.exists(pending)) {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Retrieval.stageWindows(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          col("doc_id"), col("text"), stage)
+        java.nio.file.Files.deleteIfExists(pending)
+        java.nio.file.Files.createFile(pending)
+        graft.operators.Retrieval.appendWindows(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          col("doc_id"), col("text"), stage)
+        java.nio.file.Files.delete(pending)
+      }
+    }
+    stage
+  }
+
   /** Shared DuckDB replay of the inverted-index-pruned MaxSim
     * (Retrieval.maxSimPruned): used verbatim by q_maxsim_pruned
     * (from-corpus) AND q_maxsim_staged (from the stageWindows artifact)
@@ -2415,6 +2442,31 @@ object SparkEntry {
       graft.operators.VectorStore.queryL2(s, path, "embedding", "vec_id",
           QueryVec.values, 5)
         .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
+    }),
+
+    // BATCHED store serving (VectorStore.queryL2Batch): ONE plan probes
+    // the store for all 8 batch queries — each query's multi-probe
+    // bucket set derives in-plan, the scan reads the UNION of probed
+    // bucket partitions once (static isin partition filter from the
+    // ≤2^numPlanes distinct probed buckets + broadcast probe equi-join
+    // for per-query distances), per-query exact top-5 via one window —
+    // instead of 8 separate scans (the N+1 serving shape, cf.
+    // queryBatch / annJoin). The oracle replays every query's
+    // multi-probe result, so batch ≡ per-query is hash-checked.
+    "q_vector_store_batch" -> ((s, dir) => {
+      import s.implicits._
+      val path = stagedPath("vector_store_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          graft.operators.VectorStore.write(Tables.embeddings(s, dir),
+            col("embedding"), path)
+      }
+      val qs = BatchQueryIds.map(b =>
+          (b.toLong, OracleGen.QueryVec.shiftedValues(b)))
+        .toDF("q_id", "q_vec")
+      graft.operators.VectorStore.queryL2Batch(s, path, "embedding",
+          "vec_id", qs, k = 5)
+        .orderBy(col("q_id"), col("rn"))
     }),
 
     // Store compaction as a declared query: a fragmented store (write +
@@ -4308,6 +4360,19 @@ object SparkEntry {
     "q_maxsim_staged" -> ((s, dir) => {
       graft.operators.Retrieval.maxSimPrunedFromStage(s,
           docWindowsPath(s, dir), RagQuery.split(" ").toSeq)
+        .orderBy(col("maxsim_fp").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // INCREMENTAL window-stage maintenance (Retrieval.appendWindows —
+    // purely additive: new (doc, win) rows, unseen windows' embeddings
+    // and token postings; nothing existing changes): the stage was
+    // built on 2/3 of the corpus and the last third APPENDED. The
+    // oracle replays the full-corpus pruned MaxSim, so append-then-
+    // query ≡ rebuild-then-query is hash-checked end to end.
+    "q_windows_append" -> ((s, dir) => {
+      graft.operators.Retrieval.maxSimPrunedFromStage(s,
+          docWindowsAppendedPath(s, dir), RagQuery.split(" ").toSeq)
         .orderBy(col("maxsim_fp").desc, col("doc_id"))
         .limit(10)
     }),
@@ -6622,6 +6687,22 @@ object SparkEntry {
            |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
       },
 
+      // Batched probe ≡ per-query probes: one replay per batch query
+      // (its own probe set + shifted l2 chain), top-5 each, unioned.
+      "q_vector_store_batch" -> BatchQueryIds.map { b =>
+        val probes = Ann.probesOf(OracleGen.QueryVec.shiftedValues(b), 4)
+          .mkString(", ")
+        s"""(SELECT CAST($b AS BIGINT) AS q_id,
+           |  CAST(row_number() OVER (ORDER BY distance ASC, vec_id ASC)
+           |    AS BIGINT) AS rn, vec_id, bucket, distance FROM (
+           |  SELECT vec_id,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |         ${OracleGen.l2ToQueryShifted("embedding", b)} AS distance
+           |  FROM embeddings)
+           |WHERE bucket IN ($probes)
+           |ORDER BY distance ASC, vec_id ASC LIMIT 5)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY q_id, rn"),
+
       // probe over the compacted store is invariant — identical SQL to
       // q_vector_store
       "q_vector_store_compact" -> {
@@ -8425,6 +8506,10 @@ object SparkEntry {
       // — the oracle replays the from-corpus pruned path, so stage ≡
       // rebuild is hash-checked.
       "q_maxsim_staged" -> maxSimPrunedOracleSql,
+
+      // Same full-corpus replay — the Spark side built the window stage
+      // on 2/3 and appended the rest, so matching proves the append.
+      "q_windows_append" -> maxSimPrunedOracleSql,
 
       // Served from the staged doc-window index (Retrieval.stageWindows)
       // — the oracle replays the from-corpus pruned path, so stage ≡

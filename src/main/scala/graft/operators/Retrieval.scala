@@ -609,6 +609,52 @@ object Retrieval {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Incremental doc-window maintenance: admit new documents into an
+    * existing [[stageWindows]] stage (ids already present are dropped).
+    * The window stage is PURELY ADDITIVE under document insertion —
+    * unlike the postings stage there are no ranks to repair: a new doc
+    * adds (doc_id, win) rows, any UNSEEN window strings add one
+    * embedding row and their token-posting rows, and nothing that
+    * exists changes (embeddings are a pure function of the window
+    * string). Append-then-query ≡ rebuild-then-query by construction;
+    * q_windows_append hash-checks it against the full-corpus replay.
+    * Same `_APPENDING` intent-marker crash discipline as the postings
+    * stage: [[maxSimPrunedFromStage]] refuses a torn stage. (A document
+    * with NO window — text shorter than one shingle — leaves no trace
+    * in the stage and is re-examined by later appends; harmless, it
+    * contributes no rows either time.)
+    */
+  def appendWindows(docs: DataFrame, idCol: Column, textCol: Column,
+                    path: String, maxDocWindows: Int = 16, windowN: Int = 3,
+                    dim: Int = 64): Unit = {
+    require(windowsExist(path), s"$path is not a doc-window stage")
+    val spark = docs.sparkSession
+    val oldDwin = spark.read.parquet(s"$path/dwin")
+    val fresh = docs.select(idCol.as("doc_id"),
+        explode(slice(TextFunctions.shingles(textCol, windowN), 1,
+          maxDocWindows)).as("win"))
+      .distinct()
+      .join(oldDwin.select(col("doc_id")).distinct(), Seq("doc_id"),
+        "left_anti")
+      .localCheckpoint() // feeds dwin append AND the new-window derivation
+    if (fresh.isEmpty) return
+    java.nio.file.Files.createFile(intentFile(path))
+    val newWins = fresh.select(col("win")).distinct()
+      .join(spark.read.parquet(s"$path/wemb").select(col("win")),
+        Seq("win"), "left_anti")
+      .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
+      .localCheckpoint() // feeds wemb append AND wtok append
+    fresh.write.mode("append").parquet(s"$path/dwin")
+    if (!newWins.isEmpty) {
+      newWins.write.mode("append").parquet(s"$path/wemb")
+      newWins.select(col("win"), explode(split(col("win"), " ")).as("tok"))
+        .distinct()
+        .withColumn("pb", pbCol(col("tok")))
+        .write.mode("append").partitionBy("pb").parquet(s"$path/wtok")
+    }
+    java.nio.file.Files.delete(intentFile(path))
+  }
+
   /** [[maxSimPruned]] served from a staged doc-window index —
     * row-identical to the from-corpus path (same oracle), with the
     * window explode, the vocabulary embedding AND the window→token
@@ -622,6 +668,10 @@ object Retrieval {
                             windowN: Int = 3, dim: Int = 64): DataFrame = {
     import spark.implicits._
     require(windowsExist(path), s"$path is not a doc-window stage")
+    if (java.nio.file.Files.exists(intentFile(path)))
+      throw new IllegalStateException(
+        s"$path has an unfinished append (_APPENDING intent present) — a " +
+          "writer crashed mid-append; rebuild with stageWindows()")
     val dwin = spark.read.parquet(s"$path/dwin")
     val wembs = spark.read.parquet(s"$path/wemb")
     val qwins = queryTerms.sliding(windowN).map(_.mkString(" ")).toSeq.distinct

@@ -581,4 +581,45 @@ object VectorStore {
       .orderBy(col("distance").asc, col(idName).asc)
       .limit(k)
   }
+
+  /** BATCHED multi-query probe against the persisted store — the
+    * serving twin of [[queryL2]] (and the store-layout analogue of
+    * Ann.annJoin / GraphAnnIndex.queryBatch): ONE plan serves every
+    * query in `queries` (q_id, q_vec). Each query's multi-probe bucket
+    * set (own + single-bit flips, the same set queryL2 probes) derives
+    * IN-PLAN from q_vec; the store scan reads the UNION of all probed
+    * bucket partitions once, and the per-query exact top-k is one
+    * window. Per-query rows are identical to N separate queryL2 calls;
+    * N queries cost ~1 scan of the probed-partition union, not N scans.
+    * Pruning is STATIC, not left to dynamic-partition-pruning luck: the
+    * distinct probed-bucket set (≤ 2^numPlanes values whatever the
+    * batch size — same metadata-sized collect bound as queryL2's
+    * driver-computed probes) lands as an isin partition filter on the
+    * scan; the broadcast probe equi-join then carries each row's query
+    * vector for the distance.
+    */
+  def queryL2Batch(spark: SparkSession, path: String, vecName: String,
+                   idName: String, queries: DataFrame, k: Int,
+                   numPlanes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    val masks = lit(0) +: (0 until numPlanes).map(j => lit(1 << j))
+    val qprobes = queries.select(col("q_id"), col("q_vec"))
+      .withColumn("bucket",
+        explode(array(masks.map(mk =>
+          Ann.bucketOf(col("q_vec"), numPlanes, dim).bitwiseXOR(mk)): _*)))
+      .localCheckpoint() // feeds the probed-bucket set AND the join
+    val probed = qprobes.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ 2^numPlanes — metadata-sized
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("distance").asc, col(idName).asc)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probed: _*))
+      .join(broadcast(qprobes), "bucket")
+      .withColumn("distance", l2(col(vecName), col("q_vec")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col(idName), col("bucket"),
+        col("distance"))
+  }
 }

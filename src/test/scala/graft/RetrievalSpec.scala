@@ -143,6 +143,37 @@ class RetrievalSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("appendWindows: append ≡ rebuild relation-for-relation, idempotent; " +
+      "torn append refused") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val inc = java.nio.file.Files.createTempDirectory("graft_win_inc").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_win_full").toString
+    Retrieval.stageWindows(docs.filter(col("doc_id") % 3 =!= 0),
+      col("doc_id"), col("text"), inc)
+    Retrieval.appendWindows(docs.filter(col("doc_id") % 3 === 0),
+      col("doc_id"), col("text"), inc)
+    Retrieval.stageWindows(docs, col("doc_id"), col("text"), full)
+    def snap(path: String, rel: String): Seq[String] =
+      spark.read.parquet(s"$path/$rel").collect().map(_.toString).sorted.toSeq
+    for (rel <- Seq("dwin", "wemb", "wtok"))
+      assert(snap(inc, rel) == snap(full, rel), rel)
+    val q = Seq("customer", "order", "for", "table", "part", "data")
+    val a = Retrieval.maxSimPrunedFromStage(spark, inc, q)
+      .collect().map(_.toString).sorted
+    val b = Retrieval.maxSimPrunedFromStage(spark, full, q)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+    // idempotent: re-appending the same docs is a no-op
+    Retrieval.appendWindows(docs.filter(col("doc_id") % 3 === 0),
+      col("doc_id"), col("text"), inc)
+    assert(snap(inc, "dwin") == snap(full, "dwin"))
+    // torn append refused
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(inc, "_APPENDING"))
+    intercept[IllegalStateException] {
+      Retrieval.maxSimPrunedFromStage(spark, inc, q)
+    }
+  }
+
   test("appendPostings: append-then-query ≡ rebuild-then-query, idempotent") {
     val docs = graft.tables.Tables.documents(spark, sf0001)
     val inc = java.nio.file.Files.createTempDirectory("graft_post_inc").toString

@@ -74,6 +74,32 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(ids == direct, "persisted probe must equal the in-memory multi-probe")
   }
 
+  test("VectorStore queryL2Batch: per-query rows ≡ N separate queryL2 calls, " +
+      "scan statically prunes bucket partitions") {
+    import graft.operators.VectorStore
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_vs_batch").toFile.getAbsolutePath + "/store"
+    VectorStore.write(Tables.embeddings(spark, sf0001), col("embedding"), out)
+    val qs = (0 until 4).map(b => (b.toLong, QueryVec.shiftedValues(b)))
+      .toDF("q_id", "q_vec")
+    val batch = VectorStore.queryL2Batch(spark, out, "embedding", "vec_id", qs, k = 5)
+    assert(batch.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "batched probe must statically prune bucket partitions")
+    val got = batch.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rn"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("distance"))).sorted.toSeq
+    val want = (0 until 4).flatMap { b =>
+      VectorStore.queryL2(spark, out, "embedding", "vec_id",
+          QueryVec.shiftedValues(b), 5)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (b.toLong, (i + 1).toLong, r.getAs[Long]("vec_id"),
+            r.getAs[Double]("distance"))
+        }
+    }.sorted
+    assert(got.nonEmpty && got == want,
+      "batch must be row-identical to per-query multi-probe")
+  }
+
   test("VectorStore append: idempotent on vec_id, pruning preserved, equals fresh write") {
     import graft.operators.VectorStore
     val out = Files.createTempDirectory("graft_vs_app").toFile.getAbsolutePath + "/store"
