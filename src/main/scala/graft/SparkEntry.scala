@@ -50,6 +50,27 @@ object SparkEntry {
     */
   private val RagQuery = "customer order for table part data"
 
+  /** The batched lexical serving fixture: four term lists with heavy
+    * vocabulary overlap (index 0 IS RagQuery), so the batch path's
+    * shared-term pruning is exercised, not just four disjoint scans.
+    */
+  private val BatchLexQueries: Seq[String] = Seq(
+    RagQuery,
+    "customer part data",
+    "order table data for",
+    "part customer")
+
+  /** Batched MaxSim fixture: each query needs ≥3 tokens (one 3-gram
+    * window); the first two SHARE the window "customer part data"-style
+    * overlap with RagQuery so the batch path's cross-query window
+    * dedup is exercised.
+    */
+  private val BatchMaxSimQueries: Seq[String] = Seq(
+    RagQuery,
+    "for table part data",
+    "order table data for",
+    "data table customer order")
+
   /** Shared DuckDB CTE block computing the integer fixed-point BM25 term
     * scores of every (doc, query-term) pair — mirror of Retrieval.bm25
     * (k1 = 6/5, b = 3/4 folded into the exact integer ratio; `//` and
@@ -1108,26 +1129,34 @@ object SparkEntry {
   /** [[Bm25Ctes]] over an arbitrary (doc_id, text) source — the delete
     * gate replays BM25 over the REMAINING documents only.
     */
-  private def bm25CtesOver(srcSql: String): String = {
-    val termsIn = RagQuery.split(" ").map(t => s"'$t'").mkString(", ")
-    s"""bm25_toks AS (
+  private def bm25CtesOver(srcSql: String): String =
+    bm25CtesNamed("bm25_", RagQuery.split(" ").toSeq, srcSql)
+
+  /** The BM25 CTE chain with a caller-chosen name prefix and term list,
+    * so several independent replays (one per batch query) can share one
+    * WITH clause — the oracle side of the batched lexical serving.
+    */
+  private def bm25CtesNamed(p: String, terms: Seq[String],
+                            srcSql: String): String = {
+    val termsIn = terms.map(t => s"'$t'").mkString(", ")
+    s"""${p}toks AS (
        |  SELECT doc_id, ${OracleGen.toksSql("text")} AS tk FROM $srcSql),
-       |bm25_dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM bm25_toks),
-       |bm25_g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       |           CAST(sum(dl) AS BIGINT) AS total FROM bm25_dl),
-       |bm25_tf AS (
+       |${p}dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM ${p}toks),
+       |${p}g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |           CAST(sum(dl) AS BIGINT) AS total FROM ${p}dl),
+       |${p}tf AS (
        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM bm25_toks)
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM ${p}toks)
        |  WHERE tok IN ($termsIn) GROUP BY doc_id, tok),
-       |bm25_df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
-       |            FROM bm25_tf GROUP BY tok),
-       |bm25_scored AS (
+       |${p}df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |            FROM ${p}tf GROUP BY tok),
+       |${p}scored AS (
        |  SELECT t.doc_id,
        |    (1000000 * (2*g.n_docs - 2*f.df + 1)) // (2*f.df + 1) AS idf_fp,
        |    (1000000 * 44 * t.tf * g.total)
        |      // (20 * t.tf * g.total + 6 * g.total + 18 * d.dl * g.n_docs) AS tfpart_fp
-       |  FROM bm25_tf t JOIN bm25_df f USING (tok)
-       |    JOIN bm25_dl d USING (doc_id) CROSS JOIN bm25_g g)""".stripMargin
+       |  FROM ${p}tf t JOIN ${p}df f USING (tok)
+       |    JOIN ${p}dl d USING (doc_id) CROSS JOIN ${p}g g)""".stripMargin
   }
 
   /** Near-dup corpus for the dedup queries: documents plus a shifted-id,
@@ -1268,19 +1297,22 @@ object SparkEntry {
   private def graphAnnAppendedPath(s: SparkSession, dir: String): String = {
     val stage = stagedPath("graph_ann_append_idx_v1", dir)
     this.synchronized {
+      // marker OUTSIDE the stage dir (build wipes the dir wholesale) and
+      // bracketing the WHOLE build+append sequence: a crash at ANY point
+      // — including after build but before the append — leaves the
+      // marker and forces a redo, so a cached stage can never be a
+      // build-only index (build writes _INDEX_META as its done marker,
+      // so exists() alone can't distinguish "built" from "appended")
+      val pending = java.nio.file.Paths.get(stage + "_APPEND_PENDING")
       if (!graft.operators.GraphAnnIndex.exists(stage) ||
-          java.nio.file.Files.exists(
-            java.nio.file.Paths.get(stage, "_APPEND_PENDING"))) {
+          java.nio.file.Files.exists(pending)) {
+        java.nio.file.Files.deleteIfExists(pending)
+        java.nio.file.Files.createFile(pending)
         val emb = Tables.embeddings(s, dir)
         graft.operators.GraphAnnIndex.build(
           emb.filter(pmod(col("vec_id"), lit(3)) =!= 0),
           col("vec_id"), col("embedding"), stage, sampleMod = 16,
           edgesPerBucket = 3)
-        // marker straddles the append so a cached stage can never be a
-        // build-only index (build writes _INDEX_META as its done marker,
-        // so exists() alone can't distinguish "built" from "appended")
-        val pending = java.nio.file.Paths.get(stage, "_APPEND_PENDING")
-        java.nio.file.Files.createFile(pending)
         graft.operators.GraphAnnIndex.append(
           emb.filter(pmod(col("vec_id"), lit(3)) === 0),
           col("vec_id"), col("embedding"), stage)
@@ -1300,14 +1332,16 @@ object SparkEntry {
   private def graphAnnDeletedPath(s: SparkSession, dir: String): String = {
     val stage = stagedPath("graph_ann_delete_idx_v1", dir)
     this.synchronized {
-      val pending = java.nio.file.Paths.get(stage, "_DELETE_PENDING")
+      // marker OUTSIDE the stage dir, bracketing the whole build+delete
+      // sequence (cf. graphAnnAppendedPath)
+      val pending = java.nio.file.Paths.get(stage + "_DELETE_PENDING")
       if (!graft.operators.GraphAnnIndex.exists(stage) ||
           java.nio.file.Files.exists(pending)) {
+        java.nio.file.Files.deleteIfExists(pending)
+        java.nio.file.Files.createFile(pending)
         val emb = Tables.embeddings(s, dir)
         graft.operators.GraphAnnIndex.build(emb, col("vec_id"),
           col("embedding"), stage, sampleMod = 16, edgesPerBucket = 3)
-        java.nio.file.Files.deleteIfExists(pending)
-        java.nio.file.Files.createFile(pending)
         graft.operators.GraphAnnIndex.delete(
           emb.filter(pmod(col("vec_id"), lit(7)) === 0).select(col("vec_id")),
           stage, idName = "vec_id")
@@ -1449,15 +1483,18 @@ object SparkEntry {
   private def docPostingsAppendedPath(s: SparkSession, dir: String): String = {
     val stage = stagedPath("doc_postings_append_v2", dir)
     this.synchronized {
-      val pending = java.nio.file.Paths.get(stage, "_APPEND_PENDING")
+      // marker OUTSIDE the stage dir (stagePostings wipes the dir),
+      // bracketing the whole build+append sequence: a crash at any point
+      // forces a redo (cf. docWindowsAppendedPath)
+      val pending = java.nio.file.Paths.get(stage + "_APPEND_PENDING")
       if (!graft.operators.Retrieval.postingsExist(stage) ||
           java.nio.file.Files.exists(pending)) {
+        java.nio.file.Files.deleteIfExists(pending)
+        java.nio.file.Files.createFile(pending)
         val docs = Tables.documents(s, dir)
         graft.operators.Retrieval.stagePostings(
           docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
           col("doc_id"), col("text"), stage)
-        java.nio.file.Files.deleteIfExists(pending)
-        java.nio.file.Files.createFile(pending)
         graft.operators.Retrieval.appendPostings(
           docs.filter(pmod(col("doc_id"), lit(3)) === 0),
           col("doc_id"), col("text"), stage)
@@ -1480,14 +1517,16 @@ object SparkEntry {
   private def docPostingsDeletedPath(s: SparkSession, dir: String): String = {
     val stage = stagedPath("doc_postings_delete_v1", dir)
     this.synchronized {
-      val pending = java.nio.file.Paths.get(stage, "_DELETE_PENDING")
+      // marker OUTSIDE the stage dir, bracketing the whole build+delete
+      // sequence (cf. docPostingsAppendedPath)
+      val pending = java.nio.file.Paths.get(stage + "_DELETE_PENDING")
       if (!graft.operators.Retrieval.postingsExist(stage) ||
           java.nio.file.Files.exists(pending)) {
+        java.nio.file.Files.deleteIfExists(pending)
+        java.nio.file.Files.createFile(pending)
         val docs = Tables.documents(s, dir)
         graft.operators.Retrieval.stagePostings(docs, col("doc_id"),
           col("text"), stage)
-        java.nio.file.Files.deleteIfExists(pending)
-        java.nio.file.Files.createFile(pending)
         graft.operators.Retrieval.deletePostings(
           docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("doc_id")),
           stage)
@@ -1525,7 +1564,7 @@ object SparkEntry {
     * re-embedding the corpus windows.
     */
   private def docWindowsPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_windows_v1", dir)
+    val stage = stagedPath("doc_windows_v2", dir)
     this.synchronized {
       if (!graft.operators.Retrieval.windowsExist(stage))
         graft.operators.Retrieval.stageWindows(Tables.documents(s, dir),
@@ -1541,17 +1580,20 @@ object SparkEntry {
     * the full-corpus pruned MaxSim, so the equivalence is hash-checked.
     */
   private def docWindowsAppendedPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_windows_append_v1", dir)
+    val stage = stagedPath("doc_windows_append_v2", dir)
     this.synchronized {
-      val pending = java.nio.file.Paths.get(stage, "_APPEND_PENDING")
+      // the in-progress marker lives OUTSIDE the stage dir (stageWindows
+      // wipes the dir) and brackets the WHOLE build+append sequence, so
+      // a crash at any point leaves the marker and forces a redo
+      val pending = java.nio.file.Paths.get(stage + "_APPEND_PENDING")
       if (!graft.operators.Retrieval.windowsExist(stage) ||
           java.nio.file.Files.exists(pending)) {
+        java.nio.file.Files.deleteIfExists(pending)
+        java.nio.file.Files.createFile(pending)
         val docs = Tables.documents(s, dir)
         graft.operators.Retrieval.stageWindows(
           docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
           col("doc_id"), col("text"), stage)
-        java.nio.file.Files.deleteIfExists(pending)
-        java.nio.file.Files.createFile(pending)
         graft.operators.Retrieval.appendWindows(
           docs.filter(pmod(col("doc_id"), lit(3)) === 0),
           col("doc_id"), col("text"), stage)
@@ -1561,47 +1603,100 @@ object SparkEntry {
     stage
   }
 
-  /** Shared DuckDB replay of the inverted-index-pruned MaxSim
-    * (Retrieval.maxSimPruned): used verbatim by q_maxsim_pruned
-    * (from-corpus) AND q_maxsim_staged (from the stageWindows artifact)
-    * — the two paths must serve identical rankings.
+  /** One-time stage exercising the doc-window DELETE + COMPACT
+    * lifecycle: built on the FULL corpus, every doc_id ≡ 0 (mod 3)
+    * deleted via Retrieval.deleteWindows (victims' db partitions
+    * rewritten, vocabulary orphans retained), then compactWindows
+    * garbage-collects the orphans. Queries must equal a fresh build on
+    * the survivors; q_windows_delete's oracle replays the pruned MaxSim
+    * over `WHERE doc_id % 3 <> 0`, so delete-then-query ≡
+    * rebuild-on-remaining is hash-checked.
     */
-  private lazy val maxSimPrunedOracleSql: String = {
-    val qwins = RagQuery.split(" ").toSeq.sliding(3)
-      .map(_.mkString(" ")).toSeq.distinct
-    val qwinsList = qwins.map(t => s"'$t'").mkString("[", ", ", "]")
-    val qtokRows = qwins.flatMap(qw =>
-      qw.split(" ").distinct.map(t => s"('$qw', '$t')")).mkString(", ")
-    s"""WITH dt0 AS (
+  private def docWindowsDeletedPath(s: SparkSession, dir: String): String = {
+    val stage = stagedPath("doc_windows_delete_v1", dir)
+    this.synchronized {
+      // marker OUTSIDE the stage dir, bracketing the whole
+      // build+delete+compact sequence (cf. docWindowsAppendedPath)
+      val pending = java.nio.file.Paths.get(stage + "_DELETE_PENDING")
+      if (!graft.operators.Retrieval.windowsExist(stage) ||
+          java.nio.file.Files.exists(pending)) {
+        java.nio.file.Files.deleteIfExists(pending)
+        java.nio.file.Files.createFile(pending)
+        val docs = Tables.documents(s, dir)
+        graft.operators.Retrieval.stageWindows(docs,
+          col("doc_id"), col("text"), stage)
+        graft.operators.Retrieval.deleteWindows(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+            .select(col("doc_id")), stage)
+        graft.operators.Retrieval.compactWindows(s, stage)
+        java.nio.file.Files.delete(pending)
+      }
+    }
+    stage
+  }
+
+  /** Shared DuckDB replay of the inverted-index-pruned MaxSim
+    * (Retrieval.maxSimPruned) over `FROM documents WHERE <where>`: used
+    * verbatim by q_maxsim_pruned (from-corpus), q_maxsim_staged /
+    * q_windows_append (staged, full corpus — the paths must serve
+    * identical rankings) and q_windows_delete (staged, victims removed —
+    * the replay runs on the surviving corpus only).
+    */
+  /** Corpus-side CTEs of the pruned-MaxSim replay (dt0 doc-windows,
+    * t_emb window-embedding vocabulary, wtok window→token postings) —
+    * query-independent, so the batched replay shares ONE copy across its
+    * per-query chains, exactly as the engine's staged relations do.
+    */
+  private def maxSimCorpusCtes(where: String): String =
+    s"""dt0 AS (
        |  SELECT DISTINCT doc_id, win FROM (
        |    SELECT doc_id,
        |      unnest(list_slice(${OracleGen.shinglesOfToks("tk")}, 1, 16)) AS win
        |    FROM (SELECT doc_id, ${OracleGen.toksSql("text")} AS tk
-       |          FROM documents))),
+       |          FROM documents WHERE $where))),
        |${OracleGen.embedCte("t", "(SELECT DISTINCT win FROM dt0)", "win", "win", 64)},
-       |${OracleGen.embedCte("q", s"(SELECT unnest($qwinsList) AS qt)", "qt", "qt", 64)},
        |wtok AS (
        |  SELECT DISTINCT win, unnest(string_split(win, ' ')) AS tok
-       |  FROM (SELECT DISTINCT win FROM dt0)),
-       |qtok AS (SELECT * FROM (VALUES $qtokRows) p(qt, tok)),
-       |cpairs AS (
-       |  SELECT DISTINCT w.win, p.qt FROM wtok w JOIN qtok p USING (tok)),
-       |pdots AS (
+       |  FROM (SELECT DISTINCT win FROM dt0))""".stripMargin
+
+  /** Per-query CTEs of the pruned-MaxSim replay, name-prefixed with `p`
+    * so several queries' chains share one WITH clause (and the shared
+    * corpus CTEs from [[maxSimCorpusCtes]]). Ends at `{p}pbest`
+    * (doc_id, qt, best_fp).
+    */
+  private def maxSimQueryCtes(p: String, query: String): String = {
+    val qwins = query.split(" ").toSeq.sliding(3)
+      .map(_.mkString(" ")).toSeq.distinct
+    val qwinsList = qwins.map(t => s"'$t'").mkString("[", ", ", "]")
+    val qtokRows = qwins.flatMap(qw =>
+      qw.split(" ").distinct.map(t => s"('$qw', '$t')")).mkString(", ")
+    s"""${OracleGen.embedCte(s"${p}q", s"(SELECT unnest($qwinsList) AS qt)", "qt", "qt", 64)},
+       |${p}qtok AS (SELECT * FROM (VALUES $qtokRows) p(qt, tok)),
+       |${p}cpairs AS (
+       |  SELECT DISTINCT w.win, p.qt FROM wtok w JOIN ${p}qtok p USING (tok)),
+       |${p}pdots AS (
        |  SELECT d.doc_id, q.id AS qt,
        |    CAST(floor((${OracleGen.dotCols("t.emb", "q.emb")}) * 1000000.0)
        |      AS BIGINT) AS dot_fp
        |  FROM dt0 d
-       |  JOIN cpairs c ON c.win = d.win
+       |  JOIN ${p}cpairs c ON c.win = d.win
        |  JOIN t_emb t ON t.id = d.win
-       |  JOIN q_emb q ON q.id = c.qt),
-       |pbest AS (
+       |  JOIN ${p}q_emb q ON q.id = c.qt),
+       |${p}pbest AS (
        |  SELECT doc_id, qt, max(dot_fp) AS best_fp
-       |  FROM pdots GROUP BY doc_id, qt)
+       |  FROM ${p}pdots GROUP BY doc_id, qt)""".stripMargin
+  }
+
+  private def maxSimPrunedOracleSqlWhere(where: String): String =
+    s"""WITH ${maxSimCorpusCtes(where)},
+       |${maxSimQueryCtes("", RagQuery)}
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_qt,
        |  CAST(sum(best_fp) AS BIGINT) AS maxsim_fp
        |FROM pbest GROUP BY doc_id
        |ORDER BY maxsim_fp DESC, doc_id LIMIT 10""".stripMargin
-  }
+
+  private lazy val maxSimPrunedOracleSql: String =
+    maxSimPrunedOracleSqlWhere("TRUE")
 
   /** One-time embedded-Derby mirror of the documents table for the JDBC
     * parity path (S2): bulk-loaded once per sf-dir via the batched JDBC
@@ -4267,6 +4362,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_terms"), col("score_fp"))
     }),
 
+    // BATCHED lexical serving (Retrieval.bm25BatchFromStage): ONE plan
+    // scores all 4 batch queries against the persisted postings stage —
+    // the scan prunes to the UNION of the batch's term buckets once,
+    // the broadcast (q_id, tok) relation routes each posting row to the
+    // queries that want it, per-query exact top-10 via one window —
+    // instead of 4 separate stage scans (the N+1 serving shape, cf.
+    // queryL2Batch / queryBatch). The oracle replays every query's
+    // from-corpus BM25, so batch ≡ per-query is hash-checked.
+    "q_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = BatchLexQueries.zipWithIndex
+        .map { case (q, i) => (i.toLong, q.split(" ").toSeq) }
+        .toDF("q_id", "terms")
+      graft.operators.Retrieval.bm25BatchFromStage(s,
+          docPostingsPath(s, dir), qs, k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // INCREMENTAL postings maintenance: the stage was built on 2/3 of
     // the corpus and the last third APPENDED (Retrieval.appendPostings —
     // purely additive rows, df/idf derived at query time pick them up).
@@ -4375,6 +4488,41 @@ object SparkEntry {
           docWindowsAppendedPath(s, dir), RagQuery.split(" ").toSeq)
         .orderBy(col("maxsim_fp").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // INCREMENTAL window-stage deletion + compaction
+    // (Retrieval.deleteWindows / compactWindows — delete rewrites only
+    // the victims' doc-hash partitions and leaves vocabulary orphans for
+    // compact's lazy GC): the stage was built on the FULL corpus, every
+    // third doc deleted, then compacted. The oracle replays the pruned
+    // MaxSim over the SURVIVING corpus only, so delete-then-query ≡
+    // rebuild-on-remaining is hash-checked end to end.
+    "q_windows_delete" -> ((s, dir) => {
+      graft.operators.Retrieval.maxSimPrunedFromStage(s,
+          docWindowsDeletedPath(s, dir), RagQuery.split(" ").toSeq)
+        .orderBy(col("maxsim_fp").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // BATCHED late-interaction serving (Retrieval.maxSimBatchFromStage):
+    // ONE plan serves all 4 MaxSim queries from the staged doc-window
+    // index — query windows DEDUPLICATED across the batch (the
+    // per-(doc, window) best-dot relation computes once per distinct
+    // window string; only the final per-query sum fans out through the
+    // broadcast (q_id, qt) relation), wtok scan pruned to the union of
+    // the batch's token buckets, per-query exact top-10 via one window
+    // function — instead of 4 separate stage passes (the N+1 serving
+    // shape, cf. bm25_batch). The oracle replays every query's
+    // from-corpus pruned MaxSim independently (sharing the corpus CTEs),
+    // so batch ≡ per-query is hash-checked.
+    "q_maxsim_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = BatchMaxSimQueries.zipWithIndex
+        .map { case (q, i) => (i.toLong, q.split(" ").toSeq) }
+        .toDF("q_id", "terms")
+      graft.operators.Retrieval.maxSimBatchFromStage(s,
+          docWindowsPath(s, dir), qs, k = 10)
+        .orderBy(col("q_id"), col("rank"))
     }),
 
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking
@@ -5972,6 +6120,30 @@ object SparkEntry {
         .orderBy(col("score_fp").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"), col("n_terms"), col("score_fp"))
+    }),
+
+    // Streaming ingest INTO the persisted doc-window (MaxSim) index —
+    // the late-interaction twin of q_stream_postings_ingest: documents
+    // stream in over ≥3 micro-batches; the first builds the stage,
+    // later batches go through the purely-additive appendWindows, and a
+    // final compact flattens small files (and GCs vocabulary orphans).
+    // Because append ≡ rebuild by construction and compact is
+    // invariant, pruned MaxSim from the drained index must equal the
+    // one-shot full build — the same full-corpus replay oracle as
+    // q_maxsim_staged.
+    "q_stream_windows_ingest" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val src = s.readStream.schema(Tables.documents(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir,
+          "documents", "doc_id"))
+      val stage = stagedPath("stream_windows_v1", dir)
+      graft.streaming.Streaming.drainToWindowsStage(
+        src.select(col("doc_id"), col("text")), stage, "doc_id", "text")
+      graft.operators.Retrieval.maxSimPrunedFromStage(s, stage,
+          RagQuery.split(" ").toSeq)
+        .orderBy(col("maxsim_fp").desc, col("doc_id"))
+        .limit(10)
     }),
 
     // Streaming ingest INTO the persisted graph-ANN index (the
@@ -8426,6 +8598,25 @@ object SparkEntry {
            |FROM bm25_scored GROUP BY doc_id
            |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
 
+      // Batched scoring ≡ per-query scoring: one prefixed BM25 CTE
+      // chain per batch query, each replayed independently from the
+      // corpus, top-10 each, unioned.
+      "q_bm25_batch" -> {
+        val chains = BatchLexQueries.zipWithIndex.map { case (q, i) =>
+          bm25CtesNamed(s"b${i}_", q.split(" ").toSeq, "documents")
+        }.mkString(",\n")
+        val selects = BatchLexQueries.indices.map { i =>
+          s"""(SELECT CAST($i AS BIGINT) AS q_id,
+             |  CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id)
+             |    AS BIGINT) AS rank, doc_id, n_terms, score_fp FROM (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             |    CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp
+             |  FROM b${i}_scored GROUP BY doc_id)
+             |ORDER BY score_fp DESC, doc_id LIMIT 10)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH $chains\n$selects\nORDER BY q_id, rank"
+      },
+
       // Same full-corpus BM25 replay as q_bm25 — the Spark side built
       // the index on 2/3 and appended the rest, so matching proves the
       // append path.
@@ -8510,6 +8701,36 @@ object SparkEntry {
       // Same full-corpus replay — the Spark side built the window stage
       // on 2/3 and appended the rest, so matching proves the append.
       "q_windows_append" -> maxSimPrunedOracleSql,
+
+      // Replay over the SURVIVING corpus only — the Spark side built the
+      // stage on everything, deleted every third doc, and compacted, so
+      // matching proves delete-then-query ≡ rebuild-on-remaining.
+      "q_windows_delete" -> maxSimPrunedOracleSqlWhere("doc_id % 3 <> 0"),
+
+      // The streamed-in doc-window index (first batch builds, later
+      // batches append, final compact) must converge to the one-shot
+      // full build — same full-corpus pruned-MaxSim replay.
+      "q_stream_windows_ingest" -> maxSimPrunedOracleSql,
+
+      // Batched MaxSim ≡ per-query MaxSim: shared corpus CTEs, one
+      // prefixed query chain per batch member, each replayed
+      // independently, top-10 each, unioned.
+      "q_maxsim_batch" -> {
+        val chains = BatchMaxSimQueries.zipWithIndex.map { case (q, i) =>
+          maxSimQueryCtes(s"b${i}_", q)
+        }.mkString(",\n")
+        val selects = BatchMaxSimQueries.indices.map { i =>
+          s"""(SELECT CAST($i AS BIGINT) AS q_id,
+             |  CAST(row_number() OVER (ORDER BY maxsim_fp DESC, doc_id)
+             |    AS BIGINT) AS rank, doc_id, n_qt, maxsim_fp FROM (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_qt,
+             |    CAST(sum(best_fp) AS BIGINT) AS maxsim_fp
+             |  FROM b${i}_pbest GROUP BY doc_id)
+             |ORDER BY maxsim_fp DESC, doc_id LIMIT 10)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH ${maxSimCorpusCtes("TRUE")},\n$chains\n$selects\n" +
+          "ORDER BY q_id, rank"
+      },
 
       // Served from the staged doc-window index (Retrieval.stageWindows)
       // — the oracle replays the from-corpus pruned path, so stage ≡

@@ -446,10 +446,12 @@ object Retrieval {
 
   /** The staged-scoring tail: identical arithmetic to [[bm25Score]] with
     * dfreq read from the stage and the corpus globals inlined as
-    * literals (see PostingsStage.nDocs).
+    * literals (see PostingsStage.nDocs). `keyCols` is (doc_id) for the
+    * single-query path and (q_id, doc_id) for the batched one.
     */
   private def bm25ScoreStaged(tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
-                              nDocs: Long, total: Long): DataFrame =
+                              nDocs: Long, total: Long,
+                              keyCols: Seq[String] = Seq("doc_id")): DataFrame =
     tf.join(broadcast(dfreq), "tok")
       .join(dl, "doc_id")
       .withColumn("idf_fp",
@@ -457,9 +459,52 @@ object Retrieval {
       .withColumn("tfpart_fp",
         expr(s"(1000000L * 44L * tf * ${total}L) DIV " +
           s"(20L * tf * ${total}L + 6L * ${total}L + 18L * dl * ${nDocs}L)"))
-      .groupBy(col("doc_id"))
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_terms"),
         sum(col("idf_fp") * col("tfpart_fp")).as("score_fp"))
+
+  /** BATCHED multi-query BM25 against the persisted postings stage — the
+    * lexical serving twin of VectorStore.queryL2Batch /
+    * GraphAnnIndex.queryBatch: ONE plan serves every query in `queries`
+    * (q_id, terms ARRAY<STRING>) instead of N per-query stage scans (the
+    * N+1 serving shape). The union of the batch's terms is collected
+    * driver-side (the queries relation is broadcast-sized by declaration
+    * — it is broadcast into the postings join either way), so the
+    * postings/dfreq scans statically prune to the union's crc32 buckets
+    * AND push the tok isin filter, exactly as [[bm25FromStage]] does for
+    * one query; the (q_id, tok) relation then broadcast-joins each
+    * pruned posting row to the queries that want it, and the score/top-k
+    * tail is per-(q_id, doc_id) with ONE window. Per-query rows are
+    * identical to N separate [[bm25FromStage]] calls (RetrievalSpec
+    * asserts it; q_bm25_batch hash-checks the per-query replay).
+    */
+  def bm25BatchFromStage(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame,
+                         k: Int): DataFrame = {
+    val st = readStage(spark, path)
+    val qterms = queries
+      .select(col("q_id"), explode(col("terms")).as("tok")).distinct()
+      .localCheckpoint() // feeds the term-union collect AND the join
+    val terms = qterms.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val pbs = terms.map(pbOf).distinct
+    val tf = st.postings
+      .filter(col("pb").isin(pbs: _*) && col("tok").isin(terms: _*))
+      .join(broadcast(qterms), "tok")
+      .select(col("q_id"), col("doc_id"), col("tok"), col("tf"))
+    val dfq = st.dfreq
+      .filter(col("pb").isin(pbs: _*) && col("tok").isin(terms: _*))
+      .select(col("tok"), col("df"))
+    val scored = bm25ScoreStaged(tf,
+      st.doclens.select(col("doc_id"), col("dl")), dfq,
+      st.nDocs, st.totalDl, keyCols = Seq("q_id", "doc_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("n_terms"),
+        col("score_fp"))
+  }
 
   /** Multi-vector LATE-INTERACTION retrieval (the ColBERT MaxSim shape):
     * instead of one vector per document, every document TOKEN WINDOW
@@ -571,9 +616,13 @@ object Retrieval {
   // posting relation are all corpus-derived and query-independent, yet
   // both MaxSim paths recomputed them per query. stageWindows lands all
   // three ONCE (the stagePostings discipline); maxSimPrunedFromStage
-  // serves every query from the stage. wtok/ is token-hash-partitioned
-  // (crc32 % 64, same key as the postings stage) so a literal query's
-  // candidate generation partition-prunes to its own tokens' buckets.
+  // serves every query from the stage. EVERY relation is hash-bucket-
+  // partitioned so maintenance touches only affected partitions (the
+  // postings-stage discipline): wtok/ by token hash (crc32 % 64, same
+  // key as the postings stage — a literal query's candidate generation
+  // partition-prunes to its own tokens' buckets), dwin/ by doc-id hash
+  // (so deleteWindows rewrites only the victims' partitions), wemb/ by
+  // window hash (so compaction rewrites per-partition).
 
   private def windowsMarker(path: String) =
     java.nio.file.Paths.get(path, "_WINDOWS_DONE")
@@ -581,23 +630,36 @@ object Retrieval {
   def windowsExist(path: String): Boolean =
     java.nio.file.Files.exists(windowsMarker(path))
 
-  /** Build the doc-window stage: `path`/dwin (doc_id, win), `path`/wemb
-    * (win, wemb — one embedding per DISTINCT window string), `path`/wtok
-    * (win, tok, pb) partitioned by token hash. Done-marker written last.
+  private def refuseTornWindows(path: String): Unit = {
+    require(windowsExist(path), s"$path is not a doc-window stage")
+    if (java.nio.file.Files.exists(intentFile(path)))
+      throw new IllegalStateException(
+        s"$path has unfinished maintenance (_APPENDING intent present) — a " +
+          "writer crashed mid-append/delete; rebuild with stageWindows()")
+  }
+
+  /** Build the doc-window stage: `path`/dwin (doc_id, win, db) by doc
+    * hash, `path`/wemb (win, wemb, wb — one embedding per DISTINCT
+    * window string) by window hash, `path`/wtok (win, tok, pb) by token
+    * hash. Done-marker written last.
     */
   def stageWindows(docs: DataFrame, idCol: Column, textCol: Column,
                    path: String, maxDocWindows: Int = 16, windowN: Int = 3,
                    dim: Int = 64): Unit = {
+    deleteStage(path) // a rebuild clears stale markers (_APPENDING from a
+    // crashed maintenance pass must not outlive the state it described)
     val dwin = docs.select(idCol.as("doc_id"),
         explode(slice(TextFunctions.shingles(textCol, windowN), 1,
           maxDocWindows)).as("win"))
       .distinct()
       .localCheckpoint() // feeds dwin AND the vocabulary derivations
-    dwin.write.mode("overwrite").parquet(s"$path/dwin")
+    dwin.withColumn("db", dbCol(col("doc_id")))
+      .write.mode("overwrite").partitionBy("db").parquet(s"$path/dwin")
     val wembs = dwin.select(col("win")).distinct()
       .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
       .localCheckpoint() // feeds wemb AND wtok
-    wembs.write.mode("overwrite").parquet(s"$path/wemb")
+    wembs.withColumn("wb", pbCol(col("win")))
+      .write.mode("overwrite").partitionBy("wb").parquet(s"$path/wemb")
     wembs.select(col("win"), explode(split(col("win"), " ")).as("tok"))
       .distinct()
       .withColumn("pb", pbCol(col("tok")))
@@ -627,7 +689,7 @@ object Retrieval {
   def appendWindows(docs: DataFrame, idCol: Column, textCol: Column,
                     path: String, maxDocWindows: Int = 16, windowN: Int = 3,
                     dim: Int = 64): Unit = {
-    require(windowsExist(path), s"$path is not a doc-window stage")
+    refuseTornWindows(path)
     val spark = docs.sparkSession
     val oldDwin = spark.read.parquet(s"$path/dwin")
     val fresh = docs.select(idCol.as("doc_id"),
@@ -644,13 +706,78 @@ object Retrieval {
         Seq("win"), "left_anti")
       .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
       .localCheckpoint() // feeds wemb append AND wtok append
-    fresh.write.mode("append").parquet(s"$path/dwin")
+    fresh.withColumn("db", dbCol(col("doc_id")))
+      .write.mode("append").partitionBy("db").parquet(s"$path/dwin")
     if (!newWins.isEmpty) {
-      newWins.write.mode("append").parquet(s"$path/wemb")
+      newWins.withColumn("wb", pbCol(col("win")))
+        .write.mode("append").partitionBy("wb").parquet(s"$path/wemb")
       newWins.select(col("win"), explode(split(col("win"), " ")).as("tok"))
         .distinct()
         .withColumn("pb", pbCol(col("tok")))
         .write.mode("append").partitionBy("pb").parquet(s"$path/wtok")
+    }
+    java.nio.file.Files.delete(intentFile(path))
+  }
+
+  /** Incremental doc-window DELETION — the corpus-refresh path the
+    * postings stage already has ([[deletePostings]]): the victims' dwin
+    * rows drop by rewriting ONLY the db partitions their ids hash into
+    * (untouched docs sharing a partition keep their rows verbatim —
+    * cost ∝ victims' partitions, never the corpus). Window-vocabulary
+    * rows (wemb/wtok) whose last referencing doc died are RETAINED as
+    * orphans: a window with no dwin row can never produce a candidate
+    * (cand = dwin ⋈ cpairs), so queries are exactly rebuild-on-remaining
+    * — q_windows_delete hash-checks it — and the orphans are garbage-
+    * collected by the next [[compactWindows]] pass (the lazy-GC split
+    * that keeps delete cost partition-local). Same `_APPENDING` intent
+    * marker as append: a crash mid-delete is detected and refused.
+    */
+  def deleteWindows(ids: DataFrame, path: String,
+                    idName: String = "doc_id"): Unit = {
+    refuseTornWindows(path)
+    val spark = ids.sparkSession
+    val dwin = spark.read.parquet(s"$path/dwin")
+    val victims = dwin
+      .join(ids.select(col(idName).as("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    if (victims.isEmpty) return
+    java.nio.file.Files.createFile(intentFile(path))
+    // metadata-sized collect: db lives in [0, NumTokBuckets)
+    val vdb = victims.select(col("db")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val kept = dwin.filter(col("db").isin(vdb: _*))
+      .join(victims.select(col("doc_id")).distinct(), Seq("doc_id"),
+        "left_anti")
+      .localCheckpoint() // the write overwrites the dir it was read from
+    overwritePartitionsExact(spark, kept, "db", s"$path/dwin", vdb)
+    java.nio.file.Files.delete(intentFile(path))
+  }
+
+  /** Compact the doc-window stage in place: every relation rewrites each
+    * hash-bucket partition into one file (streaming/incremental appends
+    * accumulate small files), and the vocabulary relations drop windows
+    * no document references any more — the garbage [[deleteWindows]]
+    * leaves behind by design. After compaction the stage is relation-
+    * for-relation identical to a fresh [[stageWindows]] on the surviving
+    * corpus (RetrievalSpec asserts it); queries are invariant. Cost is
+    * one rewrite + one live-window semi-join — the declared price of a
+    * maintenance pass, cf. [[compactPostings]].
+    */
+  def compactWindows(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit = {
+    refuseTornWindows(path)
+    java.nio.file.Files.createFile(intentFile(path))
+    val dwin = spark.read.parquet(s"$path/dwin").localCheckpoint()
+    graft.tables.Staging.dynamicOverwrite(dwin.repartition(col("db")), "db",
+      s"$path/dwin")
+    val live = dwin.select(col("win")).distinct()
+    val allB = 0 until NumTokBuckets
+    Seq("wemb" -> "wb", "wtok" -> "pb").foreach { case (rel, pc) =>
+      val kept = spark.read.parquet(s"$path/$rel")
+        .join(live, Seq("win"), "left_semi")
+        .localCheckpoint() // the write overwrites the dir it was read from
+      overwritePartitionsExact(spark, kept.repartition(col(pc)), pc,
+        s"$path/$rel", allB)
     }
     java.nio.file.Files.delete(intentFile(path))
   }
@@ -667,11 +794,7 @@ object Retrieval {
                             path: String, queryTerms: Seq[String],
                             windowN: Int = 3, dim: Int = 64): DataFrame = {
     import spark.implicits._
-    require(windowsExist(path), s"$path is not a doc-window stage")
-    if (java.nio.file.Files.exists(intentFile(path)))
-      throw new IllegalStateException(
-        s"$path has an unfinished append (_APPENDING intent present) — a " +
-          "writer crashed mid-append; rebuild with stageWindows()")
+    refuseTornWindows(path)
     val dwin = spark.read.parquet(s"$path/dwin")
     val wembs = spark.read.parquet(s"$path/wemb")
     val qwins = queryTerms.sliding(windowN).map(_.mkString(" ")).toSeq.distinct
@@ -694,6 +817,66 @@ object Retrieval {
     cand.groupBy(col("doc_id"), col("qt")).agg(max(col("dot_fp")).as("best_fp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_qt"), sum(col("best_fp")).as("maxsim_fp"))
+  }
+
+  /** BATCHED multi-query pruned MaxSim against the staged doc-window
+    * index — the late-interaction member of the batched-serving family
+    * (bm25BatchFromStage / VectorStore.queryL2Batch /
+    * GraphAnnIndex.queryBatch): ONE plan serves every query in `queries`
+    * (q_id, terms ARRAY<STRING>). The batch is collected driver-side
+    * (broadcast-sized by declaration — its derived relations are
+    * broadcast into the candidate join either way) and its query windows
+    * DEDUPLICATED across queries: the per-(doc, window) best-dot relation
+    * is computed ONCE per distinct window string and only the final
+    * per-query sum fans out through the broadcast (q_id, qt) relation —
+    * shared windows across the batch cost one interaction pass, not N.
+    * The wtok scan statically prunes to the union of the batch's token
+    * buckets, exactly as the single-query path does. Per-query rows are
+    * identical to N separate [[maxSimPrunedFromStage]] calls
+    * (RetrievalSpec asserts it; q_maxsim_batch hash-checks the per-query
+    * replay).
+    */
+  def maxSimBatchFromStage(spark: org.apache.spark.sql.SparkSession,
+                           path: String, queries: DataFrame, k: Int,
+                           windowN: Int = 3, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    refuseTornWindows(path)
+    val qrows = queries.select(col("q_id"), col("terms")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val qwinPairs = qrows.flatMap { case (qid, terms) =>
+      terms.sliding(windowN).map(_.mkString(" ")).toSeq.distinct
+        .map(w => (qid, w))
+    }.toSeq
+    val qwin = qwinPairs.toDF("q_id", "qt")
+    val wins = qwinPairs.map(_._2).distinct
+    val qtok = wins.flatMap(qw => qw.split(" ").distinct.map(t => (qw, t)))
+      .toDF("qt", "tok")
+    val qemb = wins.toDF("qt")
+      .select(col("qt"), TextFunctions.hashEmbed(col("qt"), dim).as("qemb"))
+    val qtoks = wins.flatMap(_.split(" ")).distinct
+    val pbs = qtoks.map(pbOf).distinct
+    val dwin = spark.read.parquet(s"$path/dwin")
+    val wembs = spark.read.parquet(s"$path/wemb")
+    val wtok = spark.read.parquet(s"$path/wtok")
+      .filter(col("pb").isin(pbs: _*) && col("tok").isin(qtoks: _*))
+    val cpairs = wtok.join(broadcast(qtok), "tok")
+      .select(col("win"), col("qt")).distinct()
+    val best = dwin.join(cpairs, "win")
+      .join(wembs, "win")
+      .join(broadcast(qemb), "qt")
+      .select(col("doc_id"), col("qt"),
+        floor(graft.functions.VectorFunctions.dot(col("wemb"), col("qemb"))
+          * lit(1000000.0)).cast("long").as("dot_fp"))
+      .groupBy(col("doc_id"), col("qt")).agg(max(col("dot_fp")).as("best_fp"))
+    val scored = best.join(broadcast(qwin), "qt")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_qt"), sum(col("best_fp")).as("maxsim_fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("maxsim_fp").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("n_qt"),
+        col("maxsim_fp"))
   }
 
   /** Reciprocal-rank fusion of two (id, rank) lists: for each id present

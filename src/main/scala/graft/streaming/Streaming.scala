@@ -716,6 +716,43 @@ object Streaming {
     graft.operators.Retrieval.compactPostings(stream.sparkSession, stagePath)
   }
 
+  /** Streaming ingest INTO the persisted doc-window (MaxSim) index — the
+    * late-interaction twin of [[drainToPostingsStage]]: the first
+    * micro-batch builds the stage (Retrieval.stageWindows), every later
+    * batch goes through the PURELY ADDITIVE append (new (doc, win) rows;
+    * unseen windows add their embedding + token-posting rows; nothing
+    * existing changes), and a final compact pass flattens the small
+    * files streaming appends accumulate (and GCs any vocabulary
+    * orphans). Because append ≡ rebuild by construction and compact is
+    * invariant, the drained index must serve exactly what a one-shot
+    * build over the whole corpus serves — the oracle replays the
+    * full-corpus pruned MaxSim.
+    */
+  def drainToWindowsStage(stream: DataFrame, stagePath: String,
+                          idName: String, textName: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val p = Paths.get(stagePath)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) =>
+        if (!graft.operators.Retrieval.windowsExist(stagePath))
+          graft.operators.Retrieval.stageWindows(batch.toDF(), col(idName),
+            col(textName), stagePath)
+        else
+          graft.operators.Retrieval.appendWindows(batch.toDF(), col(idName),
+            col(textName), stagePath)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Retrieval.compactWindows(stream.sparkSession, stagePath)
+  }
+
   /** Drain a keyed change-log stream into a maintained snapshot: every
     * micro-batch is first collapsed to its latest row per key (largest
     * `orderCols`, e.g. event time then event id), then applied onto the

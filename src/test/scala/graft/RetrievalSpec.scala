@@ -174,6 +174,109 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25BatchFromStage: per-query rows ≡ N separate bm25FromStage calls") {
+    import spark.implicits._
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val st = java.nio.file.Files.createTempDirectory("graft_bm25_batch").toString
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), st)
+    val queries = Seq("customer order for table part data",
+      "customer part data", "order table data for", "part customer")
+    val qs = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, q.split(" ").toSeq) }
+      .toDF("q_id", "terms")
+    val got = Retrieval.bm25BatchFromStage(spark, st, qs, k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("score_fp"))).sorted.toSeq
+    val want = queries.zipWithIndex.flatMap { case (q, i) =>
+      Retrieval.bm25FromStage(spark, st, q.split(" ").toSeq)
+        .orderBy(col("score_fp").desc, col("doc_id")).limit(10)
+        .collect().zipWithIndex.map { case (r, j) =>
+          (i.toLong, (j + 1).toLong, r.getAs[Long]("doc_id"),
+            r.getAs[Long]("n_terms"), r.getAs[Long]("score_fp"))
+        }
+    }.sorted
+    assert(got.nonEmpty && got == want,
+      "batch must be row-identical to per-query staged BM25")
+  }
+
+  test("maxSimBatchFromStage: per-query rows ≡ N separate " +
+      "maxSimPrunedFromStage calls") {
+    import spark.implicits._
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val st = java.nio.file.Files.createTempDirectory("graft_ms_batch").toString
+    Retrieval.stageWindows(docs, col("doc_id"), col("text"), st)
+    val queries = Seq("customer order for table part data",
+      "for table part data", "order table data for")
+    val qs = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, q.split(" ").toSeq) }
+      .toDF("q_id", "terms")
+    val got = Retrieval.maxSimBatchFromStage(spark, st, qs, k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_qt"),
+        r.getAs[Long]("maxsim_fp"))).sorted.toSeq
+    val want = queries.zipWithIndex.flatMap { case (q, i) =>
+      Retrieval.maxSimPrunedFromStage(spark, st, q.split(" ").toSeq)
+        .orderBy(col("maxsim_fp").desc, col("doc_id")).limit(10)
+        .collect().zipWithIndex.map { case (r, j) =>
+          (i.toLong, (j + 1).toLong, r.getAs[Long]("doc_id"),
+            r.getAs[Long]("n_qt"), r.getAs[Long]("maxsim_fp"))
+        }
+    }.sorted
+    assert(got.nonEmpty && got == want,
+      "batch must be row-identical to per-query staged MaxSim")
+  }
+
+  test("deleteWindows: query ≡ rebuild-on-remaining, only victim partitions " +
+      "rewritten; compactWindows GCs orphans to a rebuild-identical stage") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val del = java.nio.file.Files.createTempDirectory("graft_win_del").toString
+    val rem = java.nio.file.Files.createTempDirectory("graft_win_rem").toString
+    Retrieval.stageWindows(docs, col("doc_id"), col("text"), del)
+    Retrieval.stageWindows(docs.filter(col("doc_id") % 3 =!= 0),
+      col("doc_id"), col("text"), rem)
+    // victims' db partitions (crc32 of the id's decimal string, mod 64)
+    val victimIds = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    def dbOf(id: Long): Int = {
+      val c = new java.util.zip.CRC32()
+      c.update(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (c.getValue % 64).toInt
+    }
+    val vdb = victimIds.map(dbOf)
+    val untouched = new java.io.File(s"$del/dwin").listFiles()
+      .filter(d => d.getName.startsWith("db=") &&
+        !vdb.contains(d.getName.stripPrefix("db=").toInt))
+    val mtimesBefore = untouched.map(d => d.getName ->
+      d.listFiles().map(_.lastModified).max).toMap
+    Retrieval.deleteWindows(
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")), del)
+    untouched.foreach(d => assert(
+      d.listFiles().map(_.lastModified).max == mtimesBefore(d.getName),
+      s"delete must not rewrite untouched partition ${d.getName}"))
+    val q = Seq("customer", "order", "for", "table", "part", "data")
+    def ask(path: String): Seq[String] =
+      Retrieval.maxSimPrunedFromStage(spark, path, q)
+        .collect().map(_.toString).sorted.toSeq
+    assert(ask(del).nonEmpty && ask(del) == ask(rem),
+      "delete-then-query must equal rebuild-on-remaining")
+    def snap(path: String, rel: String): Seq[String] =
+      spark.read.parquet(s"$path/$rel").collect().map(_.toString).sorted.toSeq
+    // dwin already matches; vocabulary still carries orphans until compact
+    assert(snap(del, "dwin") == snap(rem, "dwin"))
+    Retrieval.compactWindows(spark, del)
+    for (rel <- Seq("dwin", "wemb", "wtok"))
+      assert(snap(del, rel) == snap(rem, rel), s"$rel after compact GC")
+    assert(ask(del) == ask(rem), "compaction must not change query results")
+    // torn maintenance refused
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(del, "_APPENDING"))
+    intercept[IllegalStateException] {
+      Retrieval.deleteWindows(docs.limit(1).select(col("doc_id")), del)
+    }
+  }
+
   test("appendPostings: append-then-query ≡ rebuild-then-query, idempotent") {
     val docs = graft.tables.Tables.documents(spark, sf0001)
     val inc = java.nio.file.Files.createTempDirectory("graft_post_inc").toString
