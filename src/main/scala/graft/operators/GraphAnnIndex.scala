@@ -111,14 +111,19 @@ object GraphAnnIndex {
     deleteRec(path)
     corpus.select(idCol.as("id"), vecCol.as("vec"),
         Ann.bucketOf(vecCol, numPlanes, dim).as("bucket"))
+      .repartition(col("bucket")) // one task per bucket -> one file per
+      // dir, not one per (task, bucket) pair — the small-files guard
+      // every partitioned index write here applies
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/nodes")
     val nodes = spark.read.parquet(s"$path/nodes")
     Ann.neighborEdges(nodes.filter(col("id") % sampleMod === 0),
         col("id"), col("vec"), edgesPerBucket, numPlanes, dim, probeBits)
+      .repartition(col("d_bucket"))
       .write.mode("overwrite").partitionBy("d_bucket")
       .parquet(s"$path/coarse_adj")
     Ann.neighborEdges(nodes, col("id"), col("vec"), edgesPerBucket,
         numPlanes, dim, probeBits)
+      .repartition(col("d_bucket"))
       .write.mode("overwrite").partitionBy("d_bucket")
       .parquet(s"$path/base_adj")
     writeMeta(path, Meta(sampleMod, edgesPerBucket, numPlanes, dim, probeBits))
@@ -262,7 +267,8 @@ object GraphAnnIndex {
       updateLayer(spark, all.filter(col("id") % m.sampleMod === 0),
         fresh.filter(col("id") % m.sampleMod === 0), bNewCoarse,
         s"$path/coarse_adj", m)
-      fresh.write.mode("append").partitionBy("bucket").parquet(s"$path/nodes")
+      fresh.repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/nodes")
       java.nio.file.Files.delete(intentFile(path))
     }
   }
@@ -323,8 +329,9 @@ object GraphAnnIndex {
     // a bNew partition that had rows before always has rows in
     // `replaced` (its old sources and destinations are still in `all`),
     // so no stale partition can survive the overwrite by being absent
-    dynamicOverwrite(spark, replaced, adjDir)
-    added.write.mode("append").partitionBy("d_bucket").parquet(adjDir)
+    dynamicOverwrite(spark, replaced.repartition(col("d_bucket")), adjDir)
+    added.repartition(col("d_bucket"))
+      .write.mode("append").partitionBy("d_bucket").parquet(adjDir)
   }
 
   private def probed(m: Meta, src: DataFrame): DataFrame =
@@ -401,7 +408,8 @@ object GraphAnnIndex {
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "dynamic")
-      try keptRows.write.mode("overwrite").partitionBy("bucket")
+      try keptRows.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/nodes")
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -473,7 +481,7 @@ object GraphAnnIndex {
         .join(dstSide(prunedNodes(all, affected)),
           col("probe") === col("d_bucket") && col("src") =!= col("dst")))
       .localCheckpoint() // feeds the write AND the written-bucket audit
-    dynamicOverwrite(spark, replaced, adjDir)
+    dynamicOverwrite(spark, replaced.repartition(col("d_bucket")), adjDir)
     val written = replaced.select(col("d_bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
     affected.filterNot(written).foreach(b =>

@@ -156,14 +156,19 @@ object Retrieval {
       .localCheckpoint()
     toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         dbCol(col("doc_id")).as("db"))
+      .repartition(col("db")) // one task per bucket -> one file per dir,
+      // not one per (task, bucket) pair — the small-files guard every
+      // partitioned stage write here applies
       .write.mode("overwrite").partitionBy("db").parquet(s"$path/doclens")
     val postings = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .localCheckpoint() // feeds ranked postings AND dfreq
     withImpactRank(postings).withColumn("pb", pbCol(col("tok")))
+      .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/postings")
     postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .withColumn("pb", pbCol(col("tok")))
+      .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/dfreq")
     docs.sparkSession.read.parquet(s"$path/doclens")
       .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("total"))
@@ -247,7 +252,8 @@ object Retrieval {
         .unionByName(rerank.select(col("tok"), col("doc_id"), col("tf"),
           col("rank"), col("pb")))
         .localCheckpoint() // the write overwrites the dir it was read from
-      graft.tables.Staging.dynamicOverwrite(mergedP, "pb", s"$path/postings")
+      graft.tables.Staging.dynamicOverwrite(mergedP.repartition(col("pb")),
+        "pb", s"$path/postings")
       val oldDf = st.dfreq.filter(col("pb").isin(touched: _*))
       val newDf = freshPost.groupBy(col("tok")).agg(count(lit(1)).as("df_new"))
       val mergedDf = oldDf.select(col("tok"), col("df"))
@@ -256,10 +262,12 @@ object Retrieval {
           (coalesce(col("df"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"),
           pbCol(col("tok")).as("pb"))
         .localCheckpoint()
-      graft.tables.Staging.dynamicOverwrite(mergedDf, "pb", s"$path/dfreq")
+      graft.tables.Staging.dynamicOverwrite(mergedDf.repartition(col("pb")),
+        "pb", s"$path/dfreq")
     }
     fresh.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         dbCol(col("doc_id")).as("db"))
+      .repartition(col("db"))
       .write.mode("append").partitionBy("db").parquet(s"$path/doclens")
     writeGlobals(spark, path, og.getLong(0) + bg.getLong(0),
       og.getLong(1) + bg.getLong(1))
@@ -350,7 +358,8 @@ object Retrieval {
   private def overwritePartitionsExact(spark: org.apache.spark.sql.SparkSession,
                                        df: DataFrame, partCol: String,
                                        dir: String, affected: Seq[Int]): Unit = {
-    graft.tables.Staging.dynamicOverwrite(df, partCol, dir)
+    graft.tables.Staging.dynamicOverwrite(df.repartition(col(partCol)),
+      partCol, dir)
     val written = df.select(col(partCol)).distinct()
       .collect().map(_.getInt(0)).toSet
     affected.filterNot(written).foreach { b =>
@@ -654,15 +663,18 @@ object Retrieval {
       .distinct()
       .localCheckpoint() // feeds dwin AND the vocabulary derivations
     dwin.withColumn("db", dbCol(col("doc_id")))
+      .repartition(col("db")) // small-files guard, cf. stagePostings
       .write.mode("overwrite").partitionBy("db").parquet(s"$path/dwin")
     val wembs = dwin.select(col("win")).distinct()
       .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
       .localCheckpoint() // feeds wemb AND wtok
     wembs.withColumn("wb", pbCol(col("win")))
+      .repartition(col("wb"))
       .write.mode("overwrite").partitionBy("wb").parquet(s"$path/wemb")
     wembs.select(col("win"), explode(split(col("win"), " ")).as("tok"))
       .distinct()
       .withColumn("pb", pbCol(col("tok")))
+      .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/wtok")
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_WINDOWS_DONE_TMP")
@@ -707,13 +719,16 @@ object Retrieval {
       .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
       .localCheckpoint() // feeds wemb append AND wtok append
     fresh.withColumn("db", dbCol(col("doc_id")))
+      .repartition(col("db"))
       .write.mode("append").partitionBy("db").parquet(s"$path/dwin")
     if (!newWins.isEmpty) {
       newWins.withColumn("wb", pbCol(col("win")))
+        .repartition(col("wb"))
         .write.mode("append").partitionBy("wb").parquet(s"$path/wemb")
       newWins.select(col("win"), explode(split(col("win"), " ")).as("tok"))
         .distinct()
         .withColumn("pb", pbCol(col("tok")))
+        .repartition(col("pb"))
         .write.mode("append").partitionBy("pb").parquet(s"$path/wtok")
     }
     java.nio.file.Files.delete(intentFile(path))
@@ -776,8 +791,7 @@ object Retrieval {
       val kept = spark.read.parquet(s"$path/$rel")
         .join(live, Seq("win"), "left_semi")
         .localCheckpoint() // the write overwrites the dir it was read from
-      overwritePartitionsExact(spark, kept.repartition(col(pc)), pc,
-        s"$path/$rel", allB)
+      overwritePartitionsExact(spark, kept, pc, s"$path/$rel", allB)
     }
     java.nio.file.Files.delete(intentFile(path))
   }

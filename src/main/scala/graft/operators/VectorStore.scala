@@ -41,6 +41,9 @@ object VectorStore {
             numPlanes: Int = 4, dim: Int = 64,
             retainHistory: Boolean = false): Unit = {
     df.withColumn("bucket", Ann.bucketOf(vecCol, numPlanes, dim))
+      .repartition(col("bucket")) // one task per bucket -> one file per
+      // dir, not one per (task, bucket) pair — the small-files guard
+      // every partitioned store write here applies
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     if (retainHistory) {
       java.nio.file.Files.createFile(
@@ -165,6 +168,7 @@ object VectorStore {
       val sfx = "__appending"
       store.filter(col("bucket").isin(affected.toSeq: _*))
         .unionByName(fresh)
+        .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(path + sfx)
       commitSwap(path, sfx, affected.toSeq.sorted)
     }
@@ -422,6 +426,7 @@ object VectorStore {
       store.filter(col("bucket").isin(affected.toSeq: _*))
         .join(updates.select(col(idName)), Seq(idName), "left_anti")
         .unionByName(updates)
+        .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(path + sfx)
       commitSwap(path, sfx, affected.toSeq.sorted)
     }
@@ -449,6 +454,7 @@ object VectorStore {
       val sfx = "__deleting"
       store.filter(col("bucket").isin(affected.toSeq: _*))
         .join(victims, Seq(idName), "left_anti")
+        .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(path + sfx)
       commitSwap(path, sfx, affected.toSeq.sorted)
     }

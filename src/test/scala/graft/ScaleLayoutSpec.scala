@@ -189,11 +189,16 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(left.filter(col("vec_id") === 0).count() == 0)
   }
 
-  test("VectorStore compact: one file per bucket, results and pruning invariant") {
+  test("VectorStore small-files guard: appends keep one file per bucket; " +
+      "compact invariant") {
     import graft.operators.VectorStore
     val out = Files.createTempDirectory("graft_vs_cmp").toFile.getAbsolutePath + "/store"
     val emb = Tables.embeddings(spark, sf0001)
-    // 4 incremental appends -> several small files per bucket
+    // every committed writer routes each bucket to ONE task (repartition
+    // on the partition column), and append/upsert/delete REWRITE their
+    // affected buckets — so even 4 incremental appends can never
+    // fragment a bucket directory; compaction is a periodic flattener
+    // for externally-written stores, not a correctness crutch here
     VectorStore.write(emb.filter(col("vec_id") % 4 === 0), col("embedding"), out)
     (1 to 3).foreach { r =>
       VectorStore.append(emb.filter(col("vec_id") % 4 === r), col("embedding"), out)
@@ -202,7 +207,8 @@ class ScaleLayoutSpec extends SparkSpec {
       new java.io.File(out).listFiles().filter(_.getName.startsWith("bucket="))
         .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
         .toMap
-    assert(bucketFiles.values.exists(_ > 1), "appends must produce multiple files")
+    assert(bucketFiles.values.forall(_ == 1),
+      s"bucket-routed writes must keep one file per bucket, got $bucketFiles")
     val before = VectorStore.queryL2(spark, out, "embedding", "vec_id", QueryVec.values, 5)
       .collect().map(_.getAs[Long]("vec_id")).toSeq
 
