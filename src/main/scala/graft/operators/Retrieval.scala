@@ -779,7 +779,7 @@ object Retrieval {
     * maintenance pass, cf. [[compactPostings]].
     */
   def compactWindows(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Unit = {
+                     path: String, gcOrphans: Boolean = true): Unit = {
     refuseTornWindows(path)
     java.nio.file.Files.createFile(intentFile(path))
     val dwin = spark.read.parquet(s"$path/dwin").localCheckpoint()
@@ -787,9 +787,14 @@ object Retrieval {
       s"$path/dwin")
     val live = dwin.select(col("win")).distinct()
     val allB = 0 until NumTokBuckets
+    // gcOrphans = false skips the live-window semi-joins: correct ONLY
+    // when no deleteWindows ran since the last GC (appends never orphan
+    // a window — they only add references), which is exactly the
+    // append-only streaming-ingest drain's situation; the file-
+    // flattening half still runs in full
     Seq("wemb" -> "wb", "wtok" -> "pb").foreach { case (rel, pc) =>
-      val kept = spark.read.parquet(s"$path/$rel")
-        .join(live, Seq("win"), "left_semi")
+      val rd = spark.read.parquet(s"$path/$rel")
+      val kept = (if (gcOrphans) rd.join(live, Seq("win"), "left_semi") else rd)
         .localCheckpoint() // the write overwrites the dir it was read from
       overwritePartitionsExact(spark, kept, pc, s"$path/$rel", allB)
     }

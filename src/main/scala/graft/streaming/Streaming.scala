@@ -750,7 +750,10 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    graft.operators.Retrieval.compactWindows(stream.sparkSession, stagePath)
+    // append-only stream -> no orphans by construction; skip the GC
+    // semi-joins, keep the file-flattening pass
+    graft.operators.Retrieval.compactWindows(stream.sparkSession, stagePath,
+      gcOrphans = false)
   }
 
   /** Drain a keyed change-log stream into a maintained snapshot: every
