@@ -2539,6 +2539,24 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
     }),
 
+    // METADATA-FILTERED store probe (classic vector-store serving:
+    // "nearest neighbours among rows satisfying P", post-filter
+    // semantics): the label predicate lands in the SAME bucket-pruned
+    // scan as PushedFilters — never a second pass — and the exact top-5
+    // re-rank runs over the filtered candidates. The oracle replays the
+    // probe chain with the same WHERE.
+    "q_vector_store_filtered" -> ((s, dir) => {
+      val path = stagedPath("vector_store_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          graft.operators.VectorStore.write(Tables.embeddings(s, dir),
+            col("embedding"), path)
+      }
+      graft.operators.VectorStore.queryL2(s, path, "embedding", "vec_id",
+          QueryVec.values, 5, where = Some(col("label") === 2))
+        .select(col("vec_id"), col("label"), col("bucket"), col("distance"))
+    }),
+
     // BATCHED store serving (VectorStore.queryL2Batch): ONE plan probes
     // the store for all 8 batch queries — each query's multi-probe
     // bucket set derives in-plan, the scan reads the UNION of probed
@@ -6866,6 +6884,19 @@ object SparkEntry {
            |         ${OracleGen.l2ToQuery("embedding")} AS distance
            |  FROM embeddings)
            |WHERE bucket IN ($probes)
+           |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
+      },
+
+      // Same probe chain with the metadata WHERE applied before the
+      // top-5 — post-filter semantics replayed exactly.
+      "q_vector_store_filtered" -> {
+        val probes = Ann.probesOf(QueryVec.values, 4).mkString(", ")
+        s"""SELECT vec_id, label, bucket, distance FROM (
+           |  SELECT vec_id, label,
+           |         ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket,
+           |         ${OracleGen.l2ToQuery("embedding")} AS distance
+           |  FROM embeddings)
+           |WHERE bucket IN ($probes) AND label = 2
            |ORDER BY distance ASC, vec_id ASC LIMIT 5""".stripMargin
       },
 

@@ -574,15 +574,24 @@ object VectorStore {
   /** Partition-pruned L2 top-k against a written store. `multiProbe`
     * trades scan fraction for recall; the scanned fraction is
     * |probes| / 2^numPlanes either way.
+    *
+    * `where` is the METADATA FILTER of classic vector-store serving
+    * ("nearest neighbours among rows satisfying P" — post-filter
+    * semantics, the top-k is over the filtered set): it lands in the
+    * SAME pruned scan, so a row-group-skippable predicate (e.g. on a
+    * carried label/category column) combines with the bucket partition
+    * pruning as `PushedFilters` — the filter never costs a second pass.
     */
   def queryL2(spark: SparkSession, path: String, vecName: String, idName: String,
               query: Seq[Double], k: Int, numPlanes: Int = 4,
-              multiProbe: Boolean = true): DataFrame = {
+              multiProbe: Boolean = true,
+              where: Option[Column] = None): DataFrame = {
     val probes =
       if (multiProbe) Ann.probesOf(query, numPlanes)
       else Seq(Ann.bucketOfQuery(query, numPlanes))
     spark.read.parquet(path)
       .filter(col("bucket").isin(probes: _*))
+      .filter(where.getOrElse(lit(true)))
       .withColumn("distance", l2(col(vecName), typedlit(query)))
       .orderBy(col("distance").asc, col(idName).asc)
       .limit(k)

@@ -74,6 +74,29 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(ids == direct, "persisted probe must equal the in-memory multi-probe")
   }
 
+  test("VectorStore queryL2 metadata filter: pushed into the pruned scan, " +
+      "top-k over the filtered set") {
+    import graft.operators.VectorStore
+    val out = Files.createTempDirectory("graft_vs_filt").toFile.getAbsolutePath + "/store"
+    VectorStore.write(Tables.embeddings(spark, sf0001), col("embedding"), out)
+    val q = VectorStore.queryL2(spark, out, "embedding", "vec_id",
+      QueryVec.values, 5, where = Some(col("label") === 2))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "bucket pruning must survive")
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(label,2"),
+      s"label filter must push into the parquet scan:\n$plan")
+    val got = q.collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Int]("label") == 2))
+    // post-filter semantics: equals filtering the unfiltered probe's
+    // candidate set (same probes), not filtering its top-k
+    val manual = VectorStore.queryL2(spark, out, "embedding", "vec_id",
+        QueryVec.values, Int.MaxValue)
+      .filter(col("label") === 2)
+      .orderBy(col("distance").asc, col("vec_id").asc).limit(5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == manual)
+  }
+
   test("VectorStore queryL2Batch: per-query rows ≡ N separate queryL2 calls, " +
       "scan statically prunes bucket partitions") {
     import graft.operators.VectorStore
