@@ -476,7 +476,9 @@ object Retrieval {
     * lexical serving twin of VectorStore.queryL2Batch /
     * GraphAnnIndex.queryBatch: ONE plan serves every query in `queries`
     * (q_id, terms ARRAY<STRING>) instead of N per-query stage scans (the
-    * N+1 serving shape). The union of the batch's terms is collected
+    * N+1 serving shape — the reference's own per-email fetch loop,
+    * email_fetching.py:38-40, applied to query serving). The union of
+    * the batch's terms is collected
     * driver-side (the queries relation is broadcast-sized by declaration
     * — it is broadcast into the postings join either way), so the
     * postings/dfreq scans statically prune to the union's crc32 buckets

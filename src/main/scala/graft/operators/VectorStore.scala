@@ -605,7 +605,9 @@ object VectorStore {
     * IN-PLAN from q_vec; the store scan reads the UNION of all probed
     * bucket partitions once, and the per-query exact top-k is one
     * window. Per-query rows are identical to N separate queryL2 calls;
-    * N queries cost ~1 scan of the probed-partition union, not N scans.
+    * N queries cost ~1 scan of the probed-partition union, not N scans —
+    * the serving fix for the reference's one-call-per-item shape
+    * (email_fetching.py:38-40).
     * Pruning is STATIC, not left to dynamic-partition-pruning luck: the
     * distinct probed-bucket set (≤ 2^numPlanes values whatever the
     * batch size — same metadata-sized collect bound as queryL2's
