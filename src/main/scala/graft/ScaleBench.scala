@@ -264,11 +264,7 @@ object ScaleBench {
     */
   def runStream(df: DataFrame, ckpt: String): (Double, Long, Long, Long) = {
     import java.nio.file.{Files, Paths, Path}
-    def rmTree(p: Path): Unit = if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
-    rmTree(Paths.get(ckpt))
+    graft.tables.Staging.deleteRec(ckpt)
     val rows = new java.util.concurrent.atomic.AtomicLong(0L)
     val t0 = System.nanoTime()
     val q = df.writeStream

@@ -1295,7 +1295,7 @@ object SparkEntry {
     * equivalence is hash-checked, not asserted.
     */
   private def graphAnnAppendedPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("graph_ann_append_idx_v1", dir)
+    val stage = stagedPath("graph_ann_append_idx_v2", dir)
     this.synchronized {
       // marker OUTSIDE the stage dir (build wipes the dir wholesale) and
       // bracketing the WHOLE build+append sequence: a crash at ANY point
@@ -1330,7 +1330,7 @@ object SparkEntry {
     * that rebuild, so the repair is hash-checked.
     */
   private def graphAnnDeletedPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("graph_ann_delete_idx_v1", dir)
+    val stage = stagedPath("graph_ann_delete_idx_v2", dir)
     this.synchronized {
       // marker OUTSIDE the stage dir, bracketing the whole build+delete
       // sequence (cf. graphAnnAppendedPath)
@@ -1544,15 +1544,27 @@ object SparkEntry {
     */
   private def audioCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).filter(col("doc_id") < 100)
-    val n = (lit(48) + pmod(col("doc_id"), lit(5)) * 16).cast("int")
+    audioWavs(d.select(col("doc_id").as("clip_id"),
+      col("doc_id").as("src"), lit(0L).as("bump")))
+  }
+
+  /** THE one WAV builder both audio fixtures share: `clips` carries
+    * (clip_id, src, bump) — src seeds the sample formula, bump perturbs
+    * sample i = 3 (0 for pristine clips). Any change to the encoding or
+    * the sample formula lands in the decode AND near-dup families at
+    * once (their oracles replay the same formula).
+    */
+  private def audioWavs(clips: DataFrame): DataFrame = {
+    val n = (lit(48) + pmod(col("src"), lit(5)) * 16).cast("int")
     def smp(i: Column): Column =
-      pmod(col("doc_id") * 7 + i * 13, lit(201)) - 100
+      pmod(col("src") * 7 + i * 13, lit(201)) - 100 +
+        when(i === 3, col("bump")).otherwise(lit(0L))
     // 16-bit little-endian two's complement per sample, via hex
     val sampleHex = array_join(transform(sequence(lit(0), n - 1), i => {
       val hx = lpad(hex(pmod(smp(i), lit(65536))), 4, "0")
       concat(substring(hx, 3, 2), substring(hx, 1, 2))
     }), "")
-    d.select(col("doc_id").as("clip_id"),
+    clips.select(col("clip_id"),
       Multimodal.wav16Bytes(lit(8000), unhex(sampleHex)).as("bytes"))
   }
 
@@ -1700,9 +1712,11 @@ object SparkEntry {
 
   /** One-time embedded-Derby mirror of the documents table for the JDBC
     * parity path (S2): bulk-loaded once per sf-dir via the batched JDBC
-    * sink; q_jdbc_roundtrip reads it back range-partitioned. The marker
-    * file straddles the load so a crashed write can never serve a
-    * half-loaded table.
+    * sink; q_jdbc_roundtrip reads it back range-partitioned. Crash
+    * safety comes from writeTable's overwrite semantics (the retry
+    * drops and recreates the table), with the done marker only gating
+    * the happy-path skip — a crash before the marker re-runs the full
+    * overwrite load, never appends onto a half-loaded table.
     */
   private def jdbcDocsUrl(s: SparkSession, dir: String): String = {
     val db = stagedPath("jdbc_derby_v1", dir)
@@ -1729,21 +1743,11 @@ object SparkEntry {
     */
   private def audioNearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).filter(col("doc_id") < 100)
-    val clips = d.select(col("doc_id").as("clip_id"),
+    audioWavs(d.select(col("doc_id").as("clip_id"),
         col("doc_id").as("src"), lit(0L).as("bump"))
       .unionAll(d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000L).as("clip_id"),
-          col("doc_id").as("src"), lit(60L).as("bump")))
-    val n = (lit(48) + pmod(col("src"), lit(5)) * 16).cast("int")
-    def smp(i: Column): Column =
-      pmod(col("src") * 7 + i * 13, lit(201)) - 100 +
-        when(i === 3, col("bump")).otherwise(lit(0L))
-    val sampleHex = array_join(transform(sequence(lit(0), n - 1), i => {
-      val hx = lpad(hex(pmod(smp(i), lit(65536))), 4, "0")
-      concat(substring(hx, 3, 2), substring(hx, 1, 2))
-    }), "")
-    clips.select(col("clip_id"),
-      Multimodal.wav16Bytes(lit(8000), unhex(sampleHex)).as("bytes"))
+          col("doc_id").as("src"), lit(60L).as("bump"))))
   }
 
   private def docShingles(s: SparkSession, dir: String): DataFrame = {
@@ -8773,9 +8777,6 @@ object SparkEntry {
           "ORDER BY q_id, rank"
       },
 
-      // Served from the staged doc-window index (Retrieval.stageWindows)
-      // — the oracle replays the from-corpus pruned path, so stage ≡
-      // rebuild is hash-checked.
       "q_rrf_fusion" ->
         s"""WITH $RrfFusedCtes
            |SELECT doc_id, lex_rank, vec_rank, rrf_fp FROM fused

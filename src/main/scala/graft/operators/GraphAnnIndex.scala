@@ -91,14 +91,8 @@ object GraphAnnIndex {
     Meta(p(0), p(1), p(2), p(3), p(4))
   }
 
-  private def deleteRec(path: String): Unit = {
-    import java.nio.file.Files
-    import java.util.Comparator
-    val p = java.nio.file.Paths.get(path)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
-  }
+  private def deleteRec(path: String): Unit =
+    graft.tables.Staging.deleteRec(path)
 
   /** Build the full index at `path` (wholesale overwrite of any previous
     * index there). The adjacency builds read the STAGED node table, so
@@ -206,7 +200,15 @@ object GraphAnnIndex {
       explode(array(probeMasksArr.map(mk =>
         Ann.bucketOf(col("q_vec"), m.numPlanes, m.dim).bitwiseXOR(mk)): _*))
         .as("bucket"))
-    val probeSeeds = nodes.join(broadcast(qprobes), "bucket")
+      .localCheckpoint() // feeds the probed-bucket collect AND the join
+    // static partition pruning, not dynamic-partition-pruning luck: the
+    // distinct probed buckets are ≤ 2^numPlanes whatever the batch size
+    // (same metadata-sized collect as the single-query path's driver-
+    // computed Ann.probesOf), so the seed scan reads only those dirs
+    val probedBuckets = qprobes.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val probeSeeds = nodes.filter(col("bucket").isin(probedBuckets: _*))
+      .join(broadcast(qprobes), "bucket")
       .groupBy(col("q_id"), col("bucket")).agg(min(col("id")).as("id"))
       .select(col("q_id"), col("id"))
     val w = Window.partitionBy(col("q_id"))

@@ -184,16 +184,8 @@ object Retrieval {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def deleteStage(path: String): Unit = {
-    import java.nio.file.Files
-    import java.util.Comparator
-    val p = java.nio.file.Paths.get(path)
-    if (Files.exists(p))
-      Files.list(p).forEach { f =>
-        Files.walk(f).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(x => Files.delete(x))
-      }
-  }
+  private def deleteStage(path: String): Unit =
+    graft.tables.Staging.deleteRec(path)
 
   /** Incremental postings maintenance: admit new documents into an
     * existing stage (ids already present are dropped — idempotent).
@@ -362,14 +354,8 @@ object Retrieval {
       partCol, dir)
     val written = df.select(col(partCol)).distinct()
       .collect().map(_.getInt(0)).toSet
-    affected.filterNot(written).foreach { b =>
-      import java.nio.file.Files
-      import java.util.Comparator
-      val p = java.nio.file.Paths.get(s"$dir/$partCol=$b")
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.delete(f))
-    }
+    affected.filterNot(written).foreach(b =>
+      graft.tables.Staging.deleteRec(s"$dir/$partCol=$b"))
   }
 
   /** Compact the stage in place: rewrite every hash-bucket partition into

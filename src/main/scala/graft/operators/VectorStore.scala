@@ -246,13 +246,8 @@ object VectorStore {
     } finally Files.deleteIfExists(lock)
   }
 
-  private def deleteRec(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    import java.util.Comparator
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
-  }
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    graft.tables.Staging.deleteRec(p.toString)
 
   /** Idempotent per-bucket swap: for each affected bucket, park the old
     * dir — into `_history/<version>/` on a versioned store (time travel
@@ -617,9 +612,8 @@ object VectorStore {
     */
   def queryL2Batch(spark: SparkSession, path: String, vecName: String,
                    idName: String, queries: DataFrame, k: Int,
-                   numPlanes: Int = 4): DataFrame = {
+                   numPlanes: Int = 4, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dim = 64
     val masks = lit(0) +: (0 until numPlanes).map(j => lit(1 << j))
     val qprobes = queries.select(col("q_id"), col("q_vec"))
       .withColumn("bucket",

@@ -406,10 +406,7 @@ object Streaming {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
     val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
-    val p = Paths.get(out)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
+    graft.tables.Staging.deleteRec(out)
     // the static serving side (capped posting list + idf table) is
     // materialized ONCE before the stream starts — without the pin each
     // micro-batch re-reads and re-derives the whole stage (4 parquet
@@ -437,10 +434,7 @@ object Streaming {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
     val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
-    val p = Paths.get(out)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
+    graft.tables.Staging.deleteRec(out)
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, bid) => batch.withColumn("_batch_id", lit(bid))
         .write.mode("append").parquet(out)
@@ -470,10 +464,7 @@ object Streaming {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
     val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
-    val p = Paths.get(out)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
+    graft.tables.Staging.deleteRec(out)
     // foreachBatch is at-least-once: a retried micro-batch must replace
     // its own ledger rows, not append duplicates. Each batch overwrites a
     // directory keyed by its batch id (the id is deterministic across
@@ -510,10 +501,7 @@ object Streaming {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
     val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
-    val p = Paths.get(out)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
+    graft.tables.Staging.deleteRec(out)
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, bid) => {
         val b = batch.select(col("id"), col("text"))
@@ -566,12 +554,7 @@ object Streaming {
                             name: String, threshold: Double): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
-    def reset(dir: String): Unit = {
-      val p = Paths.get(dir)
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.delete(f))
-    }
+    def reset(dir: String): Unit = graft.tables.Staging.deleteRec(dir)
     val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
     val grow = sys.props("java.io.tmpdir") + "/graft_gate_grow_" + name
     reset(out); reset(grow)
@@ -620,10 +603,7 @@ object Streaming {
                          numPlanes: Int = 4, dim: Int = 64): Unit = {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
-    val p = Paths.get(storePath)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
+    graft.tables.Staging.deleteRec(storePath)
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) =>
         if (!Files.exists(Paths.get(storePath, "_SUCCESS")))
@@ -660,10 +640,7 @@ object Streaming {
                            edgesPerBucket: Int = 3): Unit = {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
-    val p = Paths.get(idxPath)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
+    graft.tables.Staging.deleteRec(idxPath)
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) =>
         if (!graft.operators.GraphAnnIndex.exists(idxPath))
@@ -695,10 +672,7 @@ object Streaming {
                            idName: String, textName: String): Unit = {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
-    val p = Paths.get(stagePath)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
+    graft.tables.Staging.deleteRec(stagePath)
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) =>
         if (!graft.operators.Retrieval.postingsExist(stagePath))
@@ -732,10 +706,7 @@ object Streaming {
                           idName: String, textName: String): Unit = {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
-    val p = Paths.get(stagePath)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
+    graft.tables.Staging.deleteRec(stagePath)
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) =>
         if (!graft.operators.Retrieval.windowsExist(stagePath))
@@ -776,12 +747,7 @@ object Streaming {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
     import org.apache.spark.sql.expressions.Window
-    def rmTree(dir: String): Unit = {
-      val p = Paths.get(dir)
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.delete(f))
-    }
+    def rmTree(dir: String): Unit = graft.tables.Staging.deleteRec(dir)
     rmTree(snapshotPath)
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => {
@@ -832,12 +798,7 @@ object Streaming {
                        failAtBatch: Long = 1L): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
-    def reset(dir: String): Unit = {
-      val p = Paths.get(dir)
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.delete(f))
-    }
+    def reset(dir: String): Unit = graft.tables.Staging.deleteRec(dir)
     val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
     val ckpt = checkpointDir(name)
     reset(out); reset(ckpt)
@@ -895,12 +856,7 @@ object Streaming {
                              failAtBatch: Long = 1L): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
-    def reset(dir: String): Unit = {
-      val p = Paths.get(dir)
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.delete(f))
-    }
+    def reset(dir: String): Unit = graft.tables.Staging.deleteRec(dir)
     val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
     val ckpt = checkpointDir(name)
     reset(out); reset(ckpt)

@@ -37,6 +37,23 @@ object Staging {
   def stagedPath(tag: String, dir: String): String =
     sys.props("java.io.tmpdir") + s"/graft_${tag}_" + dirFingerprint(dir)
 
+  /** Recursive delete of a file/directory tree; no-op when absent. The
+    * ONE recursive-deletion implementation for every staged layout
+    * (stage rebuilds, streaming drain resets, partition drops) — and the
+    * one place that closes the `Files.walk` stream (an unclosed walk
+    * holds a directory FD until GC).
+    */
+  def deleteRec(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+  }
+
   /** Dynamic-partition-overwrite `df` into `dir` partitioned by
     * `partCol`: only the partitions `df` carries rows for are rewritten,
     * every other partition's files are untouched — the incremental-
