@@ -6152,6 +6152,34 @@ object SparkEntry {
         .select(col("doc_id"), col("n_terms"), col("score_fp"))
     }),
 
+    // Streaming SERVING against the persisted vector store — queries
+    // stream in over ≥3 micro-batches (every 125th embedding, spread
+    // across the range splits so each batch carries ≥1) and each batch
+    // is served as ONE batched multi-probe (VectorStore.queryL2Batch):
+    // the query-side twin of the ingest drains, and the streaming
+    // completion of the N+1 serving fix. Per-query results are
+    // batching-invariant, so the drained union must equal the one-shot
+    // batched probe — the oracle replays every query's multi-probe
+    // chain from the embeddings table.
+    "q_stream_store_serve" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val path = stagedPath("vector_store_v1", dir)
+      this.synchronized {
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          graft.operators.VectorStore.write(Tables.embeddings(s, dir),
+            col("embedding"), path)
+      }
+      val src = s.readStream.schema(Tables.embeddings(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir,
+          "embeddings", "vec_id"))
+      val queries = src.filter(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.streaming.Streaming.drainServeFromStore(queries, path, k = 5,
+          "storeserve_" + Integer.toHexString(dir.hashCode))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // Streaming ingest INTO the persisted doc-window (MaxSim) index —
     // the late-interaction twin of q_stream_postings_ingest: documents
     // stream in over ≥3 micro-batches; the first builds the stage,
@@ -8756,6 +8784,32 @@ object SparkEntry {
       // batches append, final compact) must converge to the one-shot
       // full build — same full-corpus pruned-MaxSim replay.
       "q_stream_windows_ingest" -> maxSimPrunedOracleSql,
+
+      // Streamed queries served per micro-batch via the batched probe
+      // must union to the one-shot batched probe: every query's
+      // multi-probe chain (own bucket + single-bit flips) replayed from
+      // the embeddings table, top-5 each.
+      "q_stream_store_serve" -> {
+        val probes = (Seq(0) ++ (0 until 4).map(1 << _))
+          .map(m => if (m == 0) "q.bucket" else s"xor(q.bucket, $m)")
+          .mkString(", ")
+        s"""WITH eb AS (
+           |  SELECT vec_id, embedding,
+           |    ${OracleGen.lshBucket("embedding", 4, 64)} AS bucket
+           |  FROM embeddings),
+           |qb AS (SELECT vec_id AS q_id, embedding, bucket FROM eb
+           |       WHERE vec_id % 125 = 0),
+           |cand AS (
+           |  SELECT q.q_id, e.vec_id, e.bucket,
+           |    ${OracleGen.l2FloatCols("e.embedding", "q.embedding")} AS distance
+           |  FROM eb e JOIN qb q ON e.bucket IN ($probes))
+           |SELECT q_id, rn, vec_id, bucket, distance FROM (
+           |  SELECT q_id, vec_id, bucket, distance,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY distance ASC, vec_id ASC) AS BIGINT) AS rn
+           |  FROM cand)
+           |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+      },
 
       // Batched MaxSim ≡ per-query MaxSim: shared corpus CTEs, one
       // prefixed query chain per batch member, each replayed

@@ -727,6 +727,37 @@ object Streaming {
       gcOrphans = false)
   }
 
+  /** Streaming SERVING loop against the persisted vector store — the
+    * query-side twin of the ingest drains: queries (q_id, q_vec) stream
+    * in, and each micro-batch is served as ONE batched probe
+    * (VectorStore.queryL2Batch — union-of-probed-buckets scan + one
+    * top-k window), never one scan per query. Per-query results are
+    * independent of batching, so the drained union must equal a
+    * one-shot batched probe over all queries — the oracle replays every
+    * query's multi-probe chain. Batches with no query rows are skipped
+    * (they would contribute nothing either way).
+    */
+  def drainServeFromStore(queries: DataFrame, storePath: String, k: Int,
+                          name: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
+    graft.tables.Staging.deleteRec(out)
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF()
+        if (!b.isEmpty)
+          graft.operators.VectorStore.queryL2Batch(b.sparkSession, storePath,
+              "embedding", "vec_id", b, k)
+            .write.mode("append").parquet(out)
+      }
+    val q = queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    queries.sparkSession.read.parquet(out)
+  }
+
   /** Drain a keyed change-log stream into a maintained snapshot: every
     * micro-batch is first collapsed to its latest row per key (largest
     * `orderCols`, e.g. event time then event id), then applied onto the
