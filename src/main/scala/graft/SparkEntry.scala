@@ -1659,17 +1659,20 @@ object SparkEntry {
     * query-independent, so the batched replay shares ONE copy across its
     * per-query chains, exactly as the engine's staged relations do.
     */
-  private def maxSimCorpusCtes(where: String): String =
+  private def maxSimCorpusCtesOver(srcSql: String): String =
     s"""dt0 AS (
        |  SELECT DISTINCT doc_id, win FROM (
        |    SELECT doc_id,
        |      unnest(list_slice(${OracleGen.shinglesOfToks("tk")}, 1, 16)) AS win
        |    FROM (SELECT doc_id, ${OracleGen.toksSql("text")} AS tk
-       |          FROM documents WHERE $where))),
+       |          FROM $srcSql))),
        |${OracleGen.embedCte("t", "(SELECT DISTINCT win FROM dt0)", "win", "win", 64)},
        |wtok AS (
        |  SELECT DISTINCT win, unnest(string_split(win, ' ')) AS tok
        |  FROM (SELECT DISTINCT win FROM dt0))""".stripMargin
+
+  private def maxSimCorpusCtes(where: String): String =
+    maxSimCorpusCtesOver(s"documents WHERE $where")
 
   /** Per-query CTEs of the pruned-MaxSim replay, name-prefixed with `p`
     * so several queries' chains share one WITH clause (and the shared
@@ -1699,13 +1702,77 @@ object SparkEntry {
        |  FROM ${p}pdots GROUP BY doc_id, qt)""".stripMargin
   }
 
-  private def maxSimPrunedOracleSqlWhere(where: String): String =
-    s"""WITH ${maxSimCorpusCtes(where)},
+  private def maxSimPrunedOracleSqlOver(srcSql: String): String =
+    s"""WITH ${maxSimCorpusCtesOver(srcSql)},
        |${maxSimQueryCtes("", RagQuery)}
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_qt,
        |  CAST(sum(best_fp) AS BIGINT) AS maxsim_fp
        |FROM pbest GROUP BY doc_id
        |ORDER BY maxsim_fp DESC, doc_id LIMIT 10""".stripMargin
+
+  private def maxSimPrunedOracleSqlWhere(where: String): String =
+    maxSimPrunedOracleSqlOver(s"documents WHERE $where")
+
+  /** The upsert fixture's modified corpus, identically on both engines:
+    * every doc_id ≡ 0 (mod 5) gets ' updated revision' appended. The
+    * Spark side builds each stage on the ORIGINAL corpus and UPSERTS
+    * the modified docs; matching a replay over this source proves the
+    * delete-then-append composition end to end.
+    */
+  private val UpsertCorpusSql: String =
+    "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+      "THEN text || ' updated revision' ELSE text END AS text FROM documents)"
+
+  private def upsertDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" updated revision")).as("text"))
+
+  /** One-time stage exercising the postings RE-INDEX UPSERT: built on
+    * the original corpus, every fifth doc's modified revision upserted
+    * (Retrieval.upsertPostings — delete-then-append, victims'/batch's
+    * partitions only). Queries must equal a fresh build on the modified
+    * corpus — q_postings_upsert's oracle replays BM25 over it.
+    */
+  private def docPostingsUpsertedPath(s: SparkSession, dir: String): String = {
+    val stage = stagedPath("doc_postings_upsert_v1", dir)
+    this.synchronized {
+      val pending = java.nio.file.Paths.get(stage + "_UPSERT_PENDING")
+      if (!graft.operators.Retrieval.postingsExist(stage) ||
+          java.nio.file.Files.exists(pending)) {
+        java.nio.file.Files.deleteIfExists(pending)
+        java.nio.file.Files.createFile(pending)
+        graft.operators.Retrieval.stagePostings(Tables.documents(s, dir),
+          col("doc_id"), col("text"), stage)
+        graft.operators.Retrieval.upsertPostings(upsertDocs(s, dir),
+          col("doc_id"), col("text"), stage)
+        java.nio.file.Files.delete(pending)
+      }
+    }
+    stage
+  }
+
+  /** The doc-window twin of [[docPostingsUpsertedPath]]
+    * (Retrieval.upsertWindows; q_windows_upsert replays the pruned
+    * MaxSim over the modified corpus).
+    */
+  private def docWindowsUpsertedPath(s: SparkSession, dir: String): String = {
+    val stage = stagedPath("doc_windows_upsert_v1", dir)
+    this.synchronized {
+      val pending = java.nio.file.Paths.get(stage + "_UPSERT_PENDING")
+      if (!graft.operators.Retrieval.windowsExist(stage) ||
+          java.nio.file.Files.exists(pending)) {
+        java.nio.file.Files.deleteIfExists(pending)
+        java.nio.file.Files.createFile(pending)
+        graft.operators.Retrieval.stageWindows(Tables.documents(s, dir),
+          col("doc_id"), col("text"), stage)
+        graft.operators.Retrieval.upsertWindows(upsertDocs(s, dir),
+          col("doc_id"), col("text"), stage)
+        java.nio.file.Files.delete(pending)
+      }
+    }
+    stage
+  }
 
   private lazy val maxSimPrunedOracleSql: String =
     maxSimPrunedOracleSqlWhere("TRUE")
@@ -4428,6 +4495,29 @@ object SparkEntry {
         .orderBy(col("score_fp").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"), col("n_terms"), col("score_fp"))
+    }),
+
+    // RE-INDEX UPSERT (Retrieval.upsertPostings — delete-then-append,
+    // each half touching only its victims'/batch's hash-bucket
+    // partitions): the stage was built on the ORIGINAL corpus and every
+    // fifth doc's MODIFIED revision upserted. The oracle replays BM25
+    // over the modified corpus, so upsert-then-query ≡
+    // rebuild-on-modified is hash-checked end to end.
+    "q_postings_upsert" -> ((s, dir) => {
+      graft.operators.Retrieval.bm25FromStage(s,
+          docPostingsUpsertedPath(s, dir), RagQuery.split(" ").toSeq)
+        .orderBy(col("score_fp").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("n_terms"), col("score_fp"))
+    }),
+
+    // The doc-window twin (Retrieval.upsertWindows): same modified
+    // corpus, pruned-MaxSim replay oracle.
+    "q_windows_upsert" -> ((s, dir) => {
+      graft.operators.Retrieval.maxSimPrunedFromStage(s,
+          docWindowsUpsertedPath(s, dir), RagQuery.split(" ").toSeq)
+        .orderBy(col("maxsim_fp").desc, col("doc_id"))
+        .limit(10)
     }),
 
     // Multi-vector LATE-INTERACTION retrieval (Retrieval.maxSim, the
@@ -8779,6 +8869,20 @@ object SparkEntry {
       // stage on everything, deleted every third doc, and compacted, so
       // matching proves delete-then-query ≡ rebuild-on-remaining.
       "q_windows_delete" -> maxSimPrunedOracleSqlWhere("doc_id % 3 <> 0"),
+
+      // Replay over the MODIFIED corpus — the Spark side built the
+      // stage on the originals and upserted every fifth doc's revision,
+      // so matching proves the delete-then-append composition.
+      "q_postings_upsert" ->
+        s"""WITH ${bm25CtesNamed("bm25_", RagQuery.split(" ").toSeq,
+             UpsertCorpusSql)}
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           |  CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp
+           |FROM bm25_scored GROUP BY doc_id
+           |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
+
+      // The doc-window twin — pruned MaxSim over the modified corpus.
+      "q_windows_upsert" -> maxSimPrunedOracleSqlOver(UpsertCorpusSql),
 
       // The streamed-in doc-window index (first batch builds, later
       // batches append, final compact) must converge to the one-shot

@@ -358,6 +358,24 @@ object Retrieval {
       graft.tables.Staging.deleteRec(s"$dir/$partCol=$b"))
   }
 
+  /** Re-index UPSERT — replace changed documents (and insert unseen
+    * ids): delete-then-append composition, each half touching only its
+    * victims'/batch's hash-bucket partitions, so an update wave costs
+    * its locality, never a restage (the GraphAnnIndex.upsert /
+    * VectorStore.upsert discipline). Both halves are individually
+    * proven ≡ rebuild, so their composition is too; a crash between the
+    * halves leaves the CONSISTENT deleted state (the batch's docs
+    * absent), and re-running the upsert heals it — delete no-ops on the
+    * already-removed ids, append re-admits everything.
+    * q_postings_upsert hash-checks upsert-then-query against a replay
+    * over the modified corpus.
+    */
+  def upsertPostings(docs: DataFrame, idCol: Column, textCol: Column,
+                     path: String): Unit = {
+    deletePostings(docs.select(idCol.as("doc_id")), path)
+    appendPostings(docs, idCol, textCol, path)
+  }
+
   /** Compact the stage in place: rewrite every hash-bucket partition into
     * one file (repartition on the partition column routes each
     * partition's rows to one task) — the maintenance pass that keeps
@@ -754,6 +772,20 @@ object Retrieval {
       .localCheckpoint() // the write overwrites the dir it was read from
     overwritePartitionsExact(spark, kept, "db", s"$path/dwin", vdb)
     java.nio.file.Files.delete(intentFile(path))
+  }
+
+  /** Re-index UPSERT for the doc-window stage — replace changed
+    * documents (and insert unseen ids): delete-then-append composition,
+    * cf. [[upsertPostings]]. A crash between the halves leaves the
+    * consistent deleted state; re-running heals. Vocabulary orphans the
+    * delete half leaves behind are GC'd by the next [[compactWindows]],
+    * exactly as for a plain delete. q_windows_upsert hash-checks
+    * upsert-then-query against a replay over the modified corpus.
+    */
+  def upsertWindows(docs: DataFrame, idCol: Column, textCol: Column,
+                    path: String): Unit = {
+    deleteWindows(docs.select(idCol.as("doc_id")), path)
+    appendWindows(docs, idCol, textCol, path)
   }
 
   /** Compact the doc-window stage in place: every relation rewrites each

@@ -277,6 +277,39 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("upsertPostings/upsertWindows: upsert ≡ rebuild on the modified corpus") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val changed = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" updated revision")).as("text"))
+    val modified = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text")).unionByName(changed)
+    val q = Seq("customer", "order", "for", "table", "part", "data")
+    def snap(path: String, rel: String): Seq[String] =
+      spark.read.parquet(s"$path/$rel").collect().map(_.toString).sorted.toSeq
+    // postings: upsert must be relation-identical to a rebuild on modified
+    val up = java.nio.file.Files.createTempDirectory("graft_ups_p").toString
+    val rb = java.nio.file.Files.createTempDirectory("graft_ups_pr").toString
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), up)
+    Retrieval.upsertPostings(changed, col("doc_id"), col("text"), up)
+    Retrieval.stagePostings(modified, col("doc_id"), col("text"), rb)
+    for (rel <- Seq("postings", "dfreq", "doclens", "globals"))
+      assert(snap(up, rel) == snap(rb, rel), s"postings/$rel")
+    // windows: query-identical after upsert; relation-identical after
+    // compact GCs the delete half's vocabulary orphans
+    val uw = java.nio.file.Files.createTempDirectory("graft_ups_w").toString
+    val rw = java.nio.file.Files.createTempDirectory("graft_ups_wr").toString
+    Retrieval.stageWindows(docs, col("doc_id"), col("text"), uw)
+    Retrieval.upsertWindows(changed, col("doc_id"), col("text"), uw)
+    Retrieval.stageWindows(modified, col("doc_id"), col("text"), rw)
+    def ask(path: String): Seq[String] =
+      Retrieval.maxSimPrunedFromStage(spark, path, q)
+        .collect().map(_.toString).sorted.toSeq
+    assert(ask(uw).nonEmpty && ask(uw) == ask(rw))
+    Retrieval.compactWindows(spark, uw)
+    for (rel <- Seq("dwin", "wemb", "wtok"))
+      assert(snap(uw, rel) == snap(rw, rel), s"windows/$rel after compact")
+  }
+
   test("appendPostings: append-then-query ≡ rebuild-then-query, idempotent") {
     val docs = graft.tables.Tables.documents(spark, sf0001)
     val inc = java.nio.file.Files.createTempDirectory("graft_post_inc").toString
