@@ -211,6 +211,17 @@ object Conversation {
     * from-stage paths: terms ⋈ postings on token, exact integer tf·idf
     * sum per (turn, doc), per-turn top-k.
     *
+    * Deliberately NOT served from a pre-joined (postings ⋈ idf) index:
+    * an A/B of that fusion (pin the joined relation once, reuse per
+    * query/batch) measured SLOWER on the batch queries (q_conversation_rag
+    * 1.9 → 2.9 s at sf0.1) and a tie on the 3-batch streaming drain —
+    * the fusion pays the idf join over the FULL posting list up front,
+    * while this shape streams postings once through two broadcast-hash
+    * probes and drops non-query tokens at the probe, so per-query cost
+    * follows the query's token footprint, not the corpus. The fusion
+    * only amortizes when one pinned index serves very many batches,
+    * and even then saves just the idf probe, not the scan.
+    *
     * ONE exchange serves both keyed stages: the joined contributions are
     * repartitioned by (conv_id, turn_no) once, which satisfies BOTH the
     * score aggregation's clustered distribution (its key set contains

@@ -410,7 +410,13 @@ object Streaming {
     // the static serving side (capped posting list + idf table) is
     // materialized ONCE before the stream starts — without the pin each
     // micro-batch re-reads and re-derives the whole stage (4 parquet
-    // reads + idf broadcast per batch, ~5 batches at gate scale)
+    // reads + idf broadcast per batch, ~5 batches at gate scale).
+    // Pinning the two relations SEPARATELY (not pre-joined) is a
+    // measured choice: fusing postings ⋈ idf into one pinned index
+    // A/B'd to a tie here and a regression on the batch path — see
+    // Conversation.scoreTerms. The remaining per-batch cost is fixed
+    // streaming machinery (state-store commit, output write, job
+    // scheduling), which amortizes with batch size at scale.
     val (plist0, dfreq0) = graft.operators.Conversation.servingSide(
       resolved.sparkSession, stagePath, maxPostings = maxPostings)
     val plist = plist0.localCheckpoint()
