@@ -184,6 +184,12 @@ object GraphAnnIndex {
     // the query batch feeds every hop's score join and both entry
     // derivations — pin it once (it is request-sized by definition)
     val qv = queries.select(col("q_id"), col("q_vec")).localCheckpoint()
+    // the single-query path's require(queryVec.length == m.dim), batch
+    // form: one cheap job over the pinned request-sized batch — without
+    // it a wrong-dim vector probes wrong buckets and walks to a
+    // plausible-looking but wrong visited set with no error anywhere
+    require(qv.filter(size(col("q_vec")) =!= m.dim).isEmpty,
+      s"query batch contains a q_vec whose dim != index dim ${m.dim}")
     val seeds1 = coarse.groupBy(col("bucket")).agg(min(col("id")).as("id"))
       .select(col("id"))
       .crossJoin(broadcast(qv.select(col("q_id"))))
@@ -195,7 +201,7 @@ object GraphAnnIndex {
     // single-query path's Ann.probesOf), as an in-plan explode so the
     // whole batch derives its probes in one pass; min-id per (query,
     // probed bucket) against the bucket-partitioned node table
-    val probeMasksArr = lit(0) +: (0 until m.numPlanes).map(j => lit(1 << j))
+    val probeMasksArr = Ann.probeMasks(m.numPlanes, 1).map(lit(_))
     val qprobes = qv.select(col("q_id"),
       explode(array(probeMasksArr.map(mk =>
         Ann.bucketOf(col("q_vec"), m.numPlanes, m.dim).bitwiseXOR(mk)): _*))
@@ -331,7 +337,7 @@ object GraphAnnIndex {
     // a bNew partition that had rows before always has rows in
     // `replaced` (its old sources and destinations are still in `all`),
     // so no stale partition can survive the overwrite by being absent
-    dynamicOverwrite(spark, replaced.repartition(col("d_bucket")), adjDir)
+    graft.tables.Staging.dynamicOverwrite(replaced, "d_bucket", adjDir)
     added.repartition(col("d_bucket"))
       .write.mode("append").partitionBy("d_bucket").parquet(adjDir)
   }
@@ -356,10 +362,6 @@ object GraphAnnIndex {
       .filter(col("rn") <= m.edgesPerBucket)
       .select(col("src"), col("dst"), col("d_bucket"))
   }
-
-  private def dynamicOverwrite(spark: SparkSession, df: DataFrame,
-                               dir: String): Unit =
-    dynamicOverwriteBy(spark, df, "d_bucket", dir)
 
   /** Incremental DELETION — the tombstone path a corpus refresh needs
     * (cf. VectorStore.delete): drop the given ids from the node table
@@ -405,20 +407,8 @@ object GraphAnnIndex {
         .collect().map(_.getInt(0)).toSeq.sorted
       val keptRows = remaining.filter(col("bucket").isin(vb: _*))
         .localCheckpoint()
-      val keptBuckets = keptRows.select(col("bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try keptRows.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$path/nodes")
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-      vb.filterNot(keptBuckets).foreach(b =>
-        deleteRec(s"$path/nodes/bucket=$b"))
+      graft.tables.Staging.overwritePartitionsExact(keptRows, "bucket",
+        s"$path/nodes", vb)
       java.nio.file.Files.delete(intentFile(path))
     }
   }
@@ -447,26 +437,12 @@ object GraphAnnIndex {
     val _ = readMeta(path) // validates the done marker + no torn maintenance
     java.nio.file.Files.createFile(intentFile(path))
     val nodes = spark.read.parquet(s"$path/nodes").localCheckpoint()
-    dynamicOverwriteBy(spark, nodes.repartition(col("bucket")),
-      "bucket", s"$path/nodes")
+    graft.tables.Staging.dynamicOverwrite(nodes, "bucket", s"$path/nodes")
     Seq("coarse_adj", "base_adj").foreach { adj =>
       val a = spark.read.parquet(s"$path/$adj").localCheckpoint()
-      dynamicOverwriteBy(spark, a.repartition(col("d_bucket")),
-        "d_bucket", s"$path/$adj")
+      graft.tables.Staging.dynamicOverwrite(a, "d_bucket", s"$path/$adj")
     }
     java.nio.file.Files.delete(intentFile(path))
-  }
-
-  private def dynamicOverwriteBy(spark: SparkSession, df: DataFrame,
-                                 partCol: String, dir: String): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
   }
 
   /** Recompute the given adjacency partitions whole over the remaining
@@ -483,10 +459,7 @@ object GraphAnnIndex {
         .join(dstSide(prunedNodes(all, affected)),
           col("probe") === col("d_bucket") && col("src") =!= col("dst")))
       .localCheckpoint() // feeds the write AND the written-bucket audit
-    dynamicOverwrite(spark, replaced.repartition(col("d_bucket")), adjDir)
-    val written = replaced.select(col("d_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    affected.filterNot(written).foreach(b =>
-      deleteRec(s"$adjDir/d_bucket=$b"))
+    graft.tables.Staging.overwritePartitionsExact(replaced, "d_bucket",
+      adjDir, affected)
   }
 }

@@ -127,6 +127,34 @@ object Retrieval {
   private def intentFile(path: String) =
     java.nio.file.Paths.get(path, "_APPENDING")
 
+  /** Done-marker `key=value` properties: build parameters and the
+    * written schema of each relation. Legacy markers carry the bare
+    * string "ok" → empty map; consumers treat absent keys as "legacy
+    * stage" (reads fall back to schema inference, knob validation is
+    * skipped), so pre-existing stages stay readable.
+    */
+  private def markerProps(marker: java.nio.file.Path): Map[String, String] =
+    if (!java.nio.file.Files.exists(marker)) Map.empty
+    else java.nio.file.Files.readString(marker).linesIterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+
+  /** Read a staged relation with the schema recorded at build time.
+    * Without it, a relation whose every partition was deleted (e.g.
+    * deletePostings of the last remaining docs) or whose build wrote
+    * zero rows is a fileless directory that parquet schema inference
+    * REFUSES — the stage would be torn-by-emptiness while its done
+    * marker says healthy. The recorded schema makes the empty relation
+    * read as an empty DataFrame, which is the honest answer.
+    */
+  private def readRel(spark: org.apache.spark.sql.SparkSession, path: String,
+                      rel: String, marker: java.nio.file.Path): DataFrame =
+    markerProps(marker).get(s"schema.$rel") match {
+      case Some(j) => spark.read.schema(org.apache.spark.sql.types.DataType
+          .fromJson(j).asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(s"$path/$rel")
+      case None => spark.read.parquet(s"$path/$rel")
+    }
+
   /** True iff a completed postings stage exists at `path` (marker is
     * written last).
     */
@@ -154,8 +182,9 @@ object Retrieval {
     val toks = docs.select(idCol.as("doc_id"),
         TextFunctions.tokens(textCol).as("tk"))
       .localCheckpoint()
-    toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+    val doclensW = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         dbCol(col("doc_id")).as("db"))
+    doclensW
       .repartition(col("db")) // one task per bucket -> one file per dir,
       // not one per (task, bucket) pair — the small-files guard every
       // partitioned stage write here applies
@@ -163,23 +192,34 @@ object Retrieval {
     val postings = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .localCheckpoint() // feeds ranked postings AND dfreq
-    withImpactRank(postings).withColumn("pb", pbCol(col("tok")))
+    val postingsW = withImpactRank(postings).withColumn("pb", pbCol(col("tok")))
+    postingsW
       .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/postings")
-    postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfreqW = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .withColumn("pb", pbCol(col("tok")))
+    dfreqW
       .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/dfreq")
-    docs.sparkSession.read.parquet(s"$path/doclens")
+    // globals computed from the same checkpointed plan that fed the
+    // doclens write (not a read-back of the files: an EMPTY corpus
+    // writes a fileless doclens dir, which schema inference refuses)
+    doclensW
       .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("total"))
       .write.mode("overwrite").parquet(s"$path/globals")
-    writeDoneMarker(path)
+    // each relation's written schema rides in the done marker so an
+    // emptied relation stays readable — see readRel
+    writeDoneMarker(path, Seq(
+      "schema.postings" -> postingsW.schema.json,
+      "schema.dfreq" -> dfreqW.schema.json,
+      "schema.doclens" -> doclensW.schema.json))
   }
 
-  private def writeDoneMarker(path: String): Unit = {
+  private def writeDoneMarker(path: String,
+                              props: Seq[(String, String)]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_POSTINGS_DONE_TMP")
-    Files.writeString(tmp, "ok")
+    Files.writeString(tmp, props.map { case (k, v) => s"$k=$v" }.mkString("\n"))
     Files.move(tmp, postingsMarker(path),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -244,7 +284,7 @@ object Retrieval {
         .unionByName(rerank.select(col("tok"), col("doc_id"), col("tf"),
           col("rank"), col("pb")))
         .localCheckpoint() // the write overwrites the dir it was read from
-      graft.tables.Staging.dynamicOverwrite(mergedP.repartition(col("pb")),
+      graft.tables.Staging.dynamicOverwrite(mergedP,
         "pb", s"$path/postings")
       val oldDf = st.dfreq.filter(col("pb").isin(touched: _*))
       val newDf = freshPost.groupBy(col("tok")).agg(count(lit(1)).as("df_new"))
@@ -254,7 +294,7 @@ object Retrieval {
           (coalesce(col("df"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"),
           pbCol(col("tok")).as("pb"))
         .localCheckpoint()
-      graft.tables.Staging.dynamicOverwrite(mergedDf.repartition(col("pb")),
+      graft.tables.Staging.dynamicOverwrite(mergedDf,
         "pb", s"$path/dfreq")
     }
     fresh.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
@@ -322,40 +362,24 @@ object Retrieval {
         .unionByName(rerank.select(col("tok"), col("doc_id"), col("tf"),
           col("rank"), col("pb")))
         .localCheckpoint()
-      overwritePartitionsExact(spark, mergedP, "pb", s"$path/postings", touched)
+      graft.tables.Staging.overwritePartitionsExact(mergedP, "pb", s"$path/postings", touched)
       val mergedDf = st.dfreq.filter(col("pb").isin(touched: _*))
         .join(victimDf.select(col("tok"), col("df_gone")), Seq("tok"), "left_outer")
         .select(col("tok"),
           (col("df") - coalesce(col("df_gone"), lit(0L))).as("df"), col("pb"))
         .filter(col("df") > 0L)
         .localCheckpoint()
-      overwritePartitionsExact(spark, mergedDf, "pb", s"$path/dfreq", touched)
+      graft.tables.Staging.overwritePartitionsExact(mergedDf, "pb", s"$path/dfreq", touched)
     }
     val vdb = victims.select(col("db")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val keptLens = st.doclens.filter(col("db").isin(vdb: _*))
       .join(victims.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    overwritePartitionsExact(spark, keptLens, "db", s"$path/doclens", vdb)
+    graft.tables.Staging.overwritePartitionsExact(keptLens, "db", s"$path/doclens", vdb)
     writeGlobals(spark, path, og.getLong(0) - vg.getLong(0),
       og.getLong(1) - vg.getLong(1))
     java.nio.file.Files.delete(intentFile(path))
-  }
-
-  /** Dynamic-partition-overwrite `df` into `dir`, then explicitly drop
-    * any of the `affected` partitions the rewrite left EMPTY — dynamic
-    * overwrite cannot erase a partition it writes nothing into (the
-    * GraphAnnIndex.rewriteLayer discipline).
-    */
-  private def overwritePartitionsExact(spark: org.apache.spark.sql.SparkSession,
-                                       df: DataFrame, partCol: String,
-                                       dir: String, affected: Seq[Int]): Unit = {
-    graft.tables.Staging.dynamicOverwrite(df.repartition(col(partCol)),
-      partCol, dir)
-    val written = df.select(col(partCol)).distinct()
-      .collect().map(_.getInt(0)).toSet
-    affected.filterNot(written).foreach(b =>
-      graft.tables.Staging.deleteRec(s"$dir/$partCol=$b"))
   }
 
   /** Re-index UPSERT — replace changed documents (and insert unseen
@@ -389,8 +413,9 @@ object Retrieval {
     java.nio.file.Files.createFile(intentFile(path))
     Seq("postings" -> "pb", "dfreq" -> "pb", "doclens" -> "db").foreach {
       case (rel, pc) =>
-        val df = spark.read.parquet(s"$path/$rel").localCheckpoint()
-        graft.tables.Staging.dynamicOverwrite(df.repartition(col(pc)), pc,
+        val df = readRel(spark, path, rel, postingsMarker(path))
+          .localCheckpoint()
+        graft.tables.Staging.dynamicOverwrite(df, pc,
           s"$path/$rel")
     }
     java.nio.file.Files.delete(intentFile(path))
@@ -422,9 +447,10 @@ object Retrieval {
       throw new IllegalStateException(
         s"$path has unfinished maintenance (_APPENDING intent present) — a " +
           "writer crashed mid-append/delete; rebuild with stagePostings()")
-    PostingsStage(spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/dfreq"),
-      spark.read.parquet(s"$path/doclens"),
+    val mk = postingsMarker(path)
+    PostingsStage(readRel(spark, path, "postings", mk),
+      readRel(spark, path, "dfreq", mk),
+      readRel(spark, path, "doclens", mk),
       spark.read.parquet(s"$path/globals"))
   }
 
@@ -645,6 +671,30 @@ object Retrieval {
   def windowsExist(path: String): Boolean =
     java.nio.file.Files.exists(windowsMarker(path))
 
+  private def readWin(spark: org.apache.spark.sql.SparkSession, path: String,
+                      rel: String): DataFrame =
+    readRel(spark, path, rel, windowsMarker(path))
+
+  /** Refuse a call whose shape parameters differ from what the stage was
+    * BUILT with (recorded in the done marker): appending windows derived
+    * with a different windowN/dim/maxDocWindows than the build silently
+    * mixes incompatible rows — wrong candidates, mismatched embedding
+    * lengths — with no error anywhere downstream. Legacy stages without
+    * recorded parameters skip the check (the caller-consistency contract
+    * they were built under).
+    */
+  private def requireWindowKnobs(path: String, windowN: Int, dim: Int,
+                                 maxDocWindows: Option[Int] = None): Unit = {
+    val p = markerProps(windowsMarker(path))
+    def chk(key: String, got: Int): Unit = p.get(key).foreach(v =>
+      require(v.toInt == got,
+        s"doc-window stage at $path was built with $key=$v but called " +
+          s"with $key=$got — mixed parameters corrupt the stage"))
+    chk("windowN", windowN)
+    chk("dim", dim)
+    maxDocWindows.foreach(chk("maxDocWindows", _))
+  }
+
   private def refuseTornWindows(path: String): Unit = {
     require(windowsExist(path), s"$path is not a doc-window stage")
     if (java.nio.file.Files.exists(intentFile(path)))
@@ -668,23 +718,37 @@ object Retrieval {
           maxDocWindows)).as("win"))
       .distinct()
       .localCheckpoint() // feeds dwin AND the vocabulary derivations
-    dwin.withColumn("db", dbCol(col("doc_id")))
+    val dwinW = dwin.withColumn("db", dbCol(col("doc_id")))
+    dwinW
       .repartition(col("db")) // small-files guard, cf. stagePostings
       .write.mode("overwrite").partitionBy("db").parquet(s"$path/dwin")
     val wembs = dwin.select(col("win")).distinct()
       .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
       .localCheckpoint() // feeds wemb AND wtok
-    wembs.withColumn("wb", pbCol(col("win")))
+    val wembW = wembs.withColumn("wb", pbCol(col("win")))
+    wembW
       .repartition(col("wb"))
       .write.mode("overwrite").partitionBy("wb").parquet(s"$path/wemb")
-    wembs.select(col("win"), explode(split(col("win"), " ")).as("tok"))
+    val wtokW = wembs.select(col("win"), explode(split(col("win"), " ")).as("tok"))
       .distinct()
       .withColumn("pb", pbCol(col("tok")))
+    wtokW
       .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/wtok")
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_WINDOWS_DONE_TMP")
-    Files.writeString(tmp, "ok")
+    // the done marker records the build parameters (so maintenance and
+    // query calls with DIFFERENT knobs are refused — requireWindowKnobs)
+    // and each relation's written schema (so an emptied relation stays
+    // readable — readRel)
+    Files.writeString(tmp, Seq(
+      "windowN" -> windowN.toString,
+      "dim" -> dim.toString,
+      "maxDocWindows" -> maxDocWindows.toString,
+      "schema.dwin" -> dwinW.schema.json,
+      "schema.wemb" -> wembW.schema.json,
+      "schema.wtok" -> wtokW.schema.json)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n"))
     Files.move(tmp, windowsMarker(path),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -708,8 +772,9 @@ object Retrieval {
                     path: String, maxDocWindows: Int = 16, windowN: Int = 3,
                     dim: Int = 64): Unit = {
     refuseTornWindows(path)
+    requireWindowKnobs(path, windowN, dim, Some(maxDocWindows))
     val spark = docs.sparkSession
-    val oldDwin = spark.read.parquet(s"$path/dwin")
+    val oldDwin = readWin(spark, path, "dwin")
     val fresh = docs.select(idCol.as("doc_id"),
         explode(slice(TextFunctions.shingles(textCol, windowN), 1,
           maxDocWindows)).as("win"))
@@ -720,7 +785,7 @@ object Retrieval {
     if (fresh.isEmpty) return
     java.nio.file.Files.createFile(intentFile(path))
     val newWins = fresh.select(col("win")).distinct()
-      .join(spark.read.parquet(s"$path/wemb").select(col("win")),
+      .join(readWin(spark, path, "wemb").select(col("win")),
         Seq("win"), "left_anti")
       .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
       .localCheckpoint() // feeds wemb append AND wtok append
@@ -757,7 +822,7 @@ object Retrieval {
                     idName: String = "doc_id"): Unit = {
     refuseTornWindows(path)
     val spark = ids.sparkSession
-    val dwin = spark.read.parquet(s"$path/dwin")
+    val dwin = readWin(spark, path, "dwin")
     val victims = dwin
       .join(ids.select(col(idName).as("doc_id")), Seq("doc_id"), "left_semi")
       .localCheckpoint()
@@ -770,7 +835,7 @@ object Retrieval {
       .join(victims.select(col("doc_id")).distinct(), Seq("doc_id"),
         "left_anti")
       .localCheckpoint() // the write overwrites the dir it was read from
-    overwritePartitionsExact(spark, kept, "db", s"$path/dwin", vdb)
+    graft.tables.Staging.overwritePartitionsExact(kept, "db", s"$path/dwin", vdb)
     java.nio.file.Files.delete(intentFile(path))
   }
 
@@ -780,12 +845,16 @@ object Retrieval {
     * consistent deleted state; re-running heals. Vocabulary orphans the
     * delete half leaves behind are GC'd by the next [[compactWindows]],
     * exactly as for a plain delete. q_windows_upsert hash-checks
-    * upsert-then-query against a replay over the modified corpus.
+    * upsert-then-query against a replay over the modified corpus. The
+    * shape knobs must match the build (the append half validates them
+    * against the stage's recorded parameters — a default-knob upsert
+    * into a non-default stage is refused, not silently mixed in).
     */
   def upsertWindows(docs: DataFrame, idCol: Column, textCol: Column,
-                    path: String): Unit = {
+                    path: String, maxDocWindows: Int = 16, windowN: Int = 3,
+                    dim: Int = 64): Unit = {
     deleteWindows(docs.select(idCol.as("doc_id")), path)
-    appendWindows(docs, idCol, textCol, path)
+    appendWindows(docs, idCol, textCol, path, maxDocWindows, windowN, dim)
   }
 
   /** Compact the doc-window stage in place: every relation rewrites each
@@ -802,8 +871,8 @@ object Retrieval {
                      path: String, gcOrphans: Boolean = true): Unit = {
     refuseTornWindows(path)
     java.nio.file.Files.createFile(intentFile(path))
-    val dwin = spark.read.parquet(s"$path/dwin").localCheckpoint()
-    graft.tables.Staging.dynamicOverwrite(dwin.repartition(col("db")), "db",
+    val dwin = readWin(spark, path, "dwin").localCheckpoint()
+    graft.tables.Staging.dynamicOverwrite(dwin, "db",
       s"$path/dwin")
     val live = dwin.select(col("win")).distinct()
     val allB = 0 until NumTokBuckets
@@ -813,10 +882,10 @@ object Retrieval {
     // append-only streaming-ingest drain's situation; the file-
     // flattening half still runs in full
     Seq("wemb" -> "wb", "wtok" -> "pb").foreach { case (rel, pc) =>
-      val rd = spark.read.parquet(s"$path/$rel")
+      val rd = readWin(spark, path, rel)
       val kept = (if (gcOrphans) rd.join(live, Seq("win"), "left_semi") else rd)
         .localCheckpoint() // the write overwrites the dir it was read from
-      overwritePartitionsExact(spark, kept, pc, s"$path/$rel", allB)
+      graft.tables.Staging.overwritePartitionsExact(kept, pc, s"$path/$rel", allB)
     }
     java.nio.file.Files.delete(intentFile(path))
   }
@@ -834,12 +903,13 @@ object Retrieval {
                             windowN: Int = 3, dim: Int = 64): DataFrame = {
     import spark.implicits._
     refuseTornWindows(path)
-    val dwin = spark.read.parquet(s"$path/dwin")
-    val wembs = spark.read.parquet(s"$path/wemb")
+    requireWindowKnobs(path, windowN, dim)
+    val dwin = readWin(spark, path, "dwin")
+    val wembs = readWin(spark, path, "wemb")
     val qwins = queryTerms.sliding(windowN).map(_.mkString(" ")).toSeq.distinct
     val qtoks = qwins.flatMap(_.split(" ")).distinct
     val pbs = qtoks.map(pbOf).distinct
-    val wtok = spark.read.parquet(s"$path/wtok")
+    val wtok = readWin(spark, path, "wtok")
       .filter(col("pb").isin(pbs: _*) && col("tok").isin(qtoks: _*))
     val qtok = qwins.flatMap(qw => qw.split(" ").distinct.map(t => (qw, t)))
       .toDF("qt", "tok")
@@ -880,8 +950,11 @@ object Retrieval {
                            windowN: Int = 3, dim: Int = 64): DataFrame = {
     import spark.implicits._
     refuseTornWindows(path)
+    requireWindowKnobs(path, windowN, dim)
+    // widening numeric read: bm25BatchFromStage accepts any integral
+    // q_id, so this path must too (getLong alone throws on an Int q_id)
     val qrows = queries.select(col("q_id"), col("terms")).collect()
-      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .map(r => (r.getAs[Number](0).longValue, r.getSeq[String](1)))
     val qwinPairs = qrows.flatMap { case (qid, terms) =>
       terms.sliding(windowN).map(_.mkString(" ")).toSeq.distinct
         .map(w => (qid, w))
@@ -894,9 +967,9 @@ object Retrieval {
       .select(col("qt"), TextFunctions.hashEmbed(col("qt"), dim).as("qemb"))
     val qtoks = wins.flatMap(_.split(" ")).distinct
     val pbs = qtoks.map(pbOf).distinct
-    val dwin = spark.read.parquet(s"$path/dwin")
-    val wembs = spark.read.parquet(s"$path/wemb")
-    val wtok = spark.read.parquet(s"$path/wtok")
+    val dwin = readWin(spark, path, "dwin")
+    val wembs = readWin(spark, path, "wemb")
+    val wtok = readWin(spark, path, "wtok")
       .filter(col("pb").isin(pbs: _*) && col("tok").isin(qtoks: _*))
     val cpairs = wtok.join(broadcast(qtok), "tok")
       .select(col("win"), col("qt")).distinct()

@@ -614,7 +614,9 @@ object VectorStore {
                    idName: String, queries: DataFrame, k: Int,
                    numPlanes: Int = 4, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val masks = lit(0) +: (0 until numPlanes).map(j => lit(1 << j))
+    // own bucket + single-bit flips — the same mask set every probe
+    // path derives (Ann.probeMasks; probesOf is its driver-side twin)
+    val masks = Ann.probeMasks(numPlanes, 1).map(lit(_))
     val qprobes = queries.select(col("q_id"), col("q_vec"))
       .withColumn("bucket",
         explode(array(masks.map(mk =>

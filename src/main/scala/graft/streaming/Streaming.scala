@@ -761,7 +761,18 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    queries.sparkSession.read.parquet(out)
+    val spark = queries.sparkSession
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      spark.read.parquet(out)
+    else {
+      // every batch was empty, so nothing ever wrote and the output dir
+      // does not exist — the drained union is the empty batched probe,
+      // returned as that plan (same columns) rather than a read crash
+      val none = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), queries.schema)
+      graft.operators.VectorStore.queryL2Batch(spark, storePath,
+        "embedding", "vec_id", none, k)
+    }
   }
 
   /** Drain a keyed change-log stream into a maintained snapshot: every

@@ -67,10 +67,29 @@ object Staging {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+    try df.repartition(org.apache.spark.sql.functions.col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(dir)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  /** [[dynamicOverwrite]] plus the drop-empty audit every exact
+    * partition rewrite needs: dynamic overwrite cannot ERASE a partition
+    * it writes no rows into, so any of the `affected` integer partitions
+    * the rewrite left empty is deleted explicitly — after this, the
+    * `affected` dirs hold exactly `df`'s rows. `df` must be
+    * materialized (localCheckpoint) by the caller: it is consumed twice
+    * (the write and the written-partition audit), and it usually reads
+    * from the very directory being overwritten.
+    */
+  def overwritePartitionsExact(df: org.apache.spark.sql.DataFrame,
+                               partCol: String, dir: String,
+                               affected: Seq[Int]): Unit = {
+    dynamicOverwrite(df, partCol, dir)
+    val written = df.select(org.apache.spark.sql.functions.col(partCol))
+      .distinct().collect().map(_.getInt(0)).toSet
+    affected.filterNot(written).foreach(b => deleteRec(s"$dir/$partCol=$b"))
   }
 }

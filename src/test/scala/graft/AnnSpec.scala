@@ -210,6 +210,13 @@ class AnnSpec extends SparkSpec {
       assert(batch(b) == single,
         s"batched walk for query $b must equal its single-query walk")
     }
+    // a wrong-dim vector anywhere in the batch is refused up front —
+    // the batch form of query()'s dim require (silently probing wrong
+    // buckets otherwise)
+    val badQs = Seq((9L, Seq(1.0, 2.0, 3.0))).toDF("q_id", "q_vec")
+    intercept[IllegalArgumentException] {
+      GraphAnnIndex.queryBatch(spark, idx, badQs, beam = 16, hops = 6)
+    }
   }
 
   test("graph-ANN append ≡ rebuild; untouched adjacency partitions unread") {

@@ -402,4 +402,110 @@ class RetrievalSpec extends SparkSpec {
     java.nio.file.Files.delete(java.nio.file.Paths.get(p, "_APPENDING"))
     assert(Retrieval.bm25FromStage(spark, p, Seq("the")).count() > 0)
   }
+
+  test("deleting every remaining doc leaves a READABLE empty stage " +
+      "(recorded schemas), and a later append ≡ fresh rebuild") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 40)
+    val p = java.nio.file.Files.createTempDirectory("graft_post_wipe").toString
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), p)
+    Retrieval.deletePostings(docs.select(col("doc_id")), p)
+    // every relation is now a fileless partitioned dir — the recorded
+    // schemas make it read as EMPTY, not as a schema-inference crash
+    // while the done marker still says healthy
+    val st = Retrieval.readStage(spark, p)
+    assert(st.postings.count() == 0 && st.dfreq.count() == 0 &&
+      st.doclens.count() == 0)
+    assert(st.nDocs == 0L && st.totalDl == 0L)
+    assert(Retrieval.bm25FromStage(spark, p, Seq("the", "data")).count() == 0)
+    // the emptied stage is still maintainable: append re-admits the
+    // corpus and must equal a fresh build, query-for-query
+    Retrieval.appendPostings(docs, col("doc_id"), col("text"), p)
+    val full = java.nio.file.Files.createTempDirectory("graft_post_wipe_f").toString
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), full)
+    def snap(path: String, rel: String): Seq[String] =
+      spark.read.parquet(s"$path/$rel").collect().map(_.toString).sorted.toSeq
+    for (rel <- Seq("postings", "dfreq", "doclens"))
+      assert(snap(p, rel) == snap(full, rel), rel)
+    val a = Retrieval.bm25FromStage(spark, p, Seq("the", "data"))
+      .collect().map(_.toString).sorted
+    val b = Retrieval.bm25FromStage(spark, full, Seq("the", "data"))
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("deleting every doc's windows leaves a readable stage; re-append " +
+      "serves ≡ rebuild") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 40)
+    val p = java.nio.file.Files.createTempDirectory("graft_win_wipe").toString
+    Retrieval.stageWindows(docs, col("doc_id"), col("text"), p)
+    Retrieval.deleteWindows(docs.select(col("doc_id")), p)
+    val q = Seq("customer", "order", "for", "table", "part", "data")
+    // dwin is emptied (wemb/wtok orphans are retained by design) —
+    // queries over the empty stage return nothing instead of crashing
+    assert(Retrieval.maxSimPrunedFromStage(spark, p, q).count() == 0)
+    Retrieval.appendWindows(docs, col("doc_id"), col("text"), p)
+    val full = java.nio.file.Files.createTempDirectory("graft_win_wipe_f").toString
+    Retrieval.stageWindows(docs, col("doc_id"), col("text"), full)
+    val a = Retrieval.maxSimPrunedFromStage(spark, p, q)
+      .collect().map(_.toString).sorted
+    val b = Retrieval.maxSimPrunedFromStage(spark, full, q)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("window-stage shape knobs are recorded at build and enforced: " +
+      "mismatched maintenance/query calls are refused; matching knobs " +
+      "flow through upsert") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 60)
+    val p = java.nio.file.Files.createTempDirectory("graft_win_knobs").toString
+    Retrieval.stageWindows(docs.filter(col("doc_id") < 40),
+      col("doc_id"), col("text"), p, maxDocWindows = 8, windowN = 2, dim = 32)
+    val q = Seq("customer", "order", "for", "table", "part", "data")
+    // default knobs ≠ build knobs ⇒ loud refusal, not silent corruption
+    intercept[IllegalArgumentException] {
+      Retrieval.appendWindows(docs.filter(col("doc_id") >= 40),
+        col("doc_id"), col("text"), p)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.maxSimPrunedFromStage(spark, p, q)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.upsertWindows(docs, col("doc_id"), col("text"), p)
+    }
+    // matching knobs: upsert (delete+append) ≡ rebuild on the modified
+    // corpus, with the SAME non-default shape end to end
+    val changed = docs.withColumn("text",
+      concat(col("text"), lit(" refreshed body")))
+    Retrieval.upsertWindows(changed, col("doc_id"), col("text"), p,
+      maxDocWindows = 8, windowN = 2, dim = 32)
+    val full = java.nio.file.Files.createTempDirectory("graft_win_knobs_f").toString
+    Retrieval.stageWindows(changed, col("doc_id"), col("text"), full,
+      maxDocWindows = 8, windowN = 2, dim = 32)
+    val a = Retrieval.maxSimPrunedFromStage(spark, p, q,
+        windowN = 2, dim = 32)
+      .collect().map(_.toString).sorted
+    val b = Retrieval.maxSimPrunedFromStage(spark, full, q,
+        windowN = 2, dim = 32)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("maxSimBatchFromStage accepts any integral q_id (not just Long)") {
+    import spark.implicits._
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 60)
+    val st = java.nio.file.Files.createTempDirectory("graft_ms_int").toString
+    Retrieval.stageWindows(docs, col("doc_id"), col("text"), st)
+    val terms = Seq("customer", "order", "for", "table", "part", "data")
+    val qsInt = Seq((7, terms)).toDF("q_id", "terms")
+    val qsLong = Seq((7L, terms)).toDF("q_id", "terms")
+    val a = Retrieval.maxSimBatchFromStage(spark, st, qsInt, k = 5)
+      .collect().map(_.toString).sorted
+    val b = Retrieval.maxSimBatchFromStage(spark, st, qsLong, k = 5)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
 }

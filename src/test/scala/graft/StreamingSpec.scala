@@ -308,4 +308,26 @@ class StreamingSpec extends SparkSpec {
       assert(rows(1).getSeq[Double](2).forall(_ == 0.0))
     } finally q.stop()
   }
+
+  test("drainServeFromStore with zero query rows returns an empty result, " +
+      "not a missing-path crash") {
+    val sf = sf0001
+    val emb = graft.tables.Tables.embeddings(spark, sf)
+    val store = java.nio.file.Files.createTempDirectory("graft_serve_none")
+      .toString + "/store"
+    graft.operators.VectorStore.write(emb, col("embedding"), store)
+    val srcDir = Streaming.stageSplitSource(spark, sf, "embeddings", "vec_id")
+    val src = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    // a predicate no row satisfies: every micro-batch is empty, so the
+    // serve loop never writes — the drain must still come back empty
+    // with the serving columns instead of crashing on the absent dir
+    val queries = src.filter(col("vec_id") < 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = Streaming.drainServeFromStore(queries, store, k = 5,
+      "spec_serve_none")
+    assert(out.columns.toSeq ==
+      Seq("q_id", "rn", "vec_id", "bucket", "distance"))
+    assert(out.count() == 0)
+  }
 }
