@@ -5344,6 +5344,45 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // Streaming SERVING against the persisted graph-ANN index — the
+    // navigable-graph completion of the serving family (q_stream_store
+    // _serve is the flat-store member): the batch queries stream in over
+    // 2 micro-batches (a staged one-file-per-batch source) and each
+    // batch is walked as ONE batched beam search
+    // (GraphAnnIndex.queryBatch), never a walk per query — the streaming
+    // fix for the reference's per-item fetch loop (email_fetching
+    // .py:38-40). Each query's walk is contained in its batch and the
+    // batched walk is per-query ≡ the single walk, so the drained union
+    // followed by per-query top-10 must equal q_graph_ann_batch exactly
+    // — the oracle IS q_graph_ann_batch's per-query walk replay.
+    "q_stream_graph_serve" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      import s.implicits._
+      val idx = graphAnnIndexPath(s, dir)
+      // 2 batches, not more: each micro-batch pays one batched-walk
+      // latency REGARDLESS of how many queries it carries (the hop
+      // joins are batch-size-independent — that is the point of the
+      // batched walk), so every extra batch is a full walk's wall-clock
+      // and two batches already prove batching-invariance
+      val slices = (0 until 2).map(g =>
+        BatchQueryIds.filter(_ % 2 == g)
+          .map(b => (b.toLong, OracleGen.QueryVec.shiftedValues(b)))
+          .toDF("q_id", "q_vec"))
+      val srcDir = graft.streaming.Streaming.stageSlicesSource(slices,
+        stagedPath("graph_serve_queries_2f_v1", dir))
+      val src = s.readStream.schema(slices.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val visited = graft.streaming.Streaming.drainServeFromGraphAnn(src,
+        idx, "graphserve_" + Integer.toHexString(dir.hashCode))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("distance").asc, col("id").asc)
+      visited.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("rn"), col("id"), col("distance"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // Margin-criterion bitext mining (Ann.bitextMine): cross-"language"
     // parallel-pair candidates (label parity splits the corpus into the
     // two embedding sides) scored by cosine RELATIVE to both local
@@ -7587,6 +7626,13 @@ object SparkEntry {
       // Batched serving ≡ per-query single walks: one walk-replay chain
       // PER batch query (shared graph CTEs), per-query top-10 unioned.
       "q_graph_ann_batch" ->
+        graphAnnBatchOracleSql(BatchQueryIds, edgesPerBucket = 3,
+          beam = 16, hops = 6, k = 10, sampleMod = 16),
+
+      // Streamed serving ≡ one-shot batched serving ≡ per-query single
+      // walks: the drained micro-batch union must reproduce exactly the
+      // same per-query walk replay as q_graph_ann_batch.
+      "q_stream_graph_serve" ->
         graphAnnBatchOracleSql(BatchQueryIds, edgesPerBucket = 3,
           beam = 16, hops = 6, k = 10, sampleMod = 16),
 

@@ -131,6 +131,38 @@ object Streaming {
     out
   }
 
+  /** Stage an EXPLICIT slice sequence as a one-file-per-micro-batch
+    * streaming source — the synthetic-relation twin of
+    * [[stageSplitSource]] (which range-splits a testdata table): slice i
+    * becomes `split-000i.parquet` with strictly increasing mtimes, so
+    * `maxFilesPerTrigger=1` replays the slices in order, one micro-batch
+    * each. Cached behind `_GRAFT_DONE` like every staged source.
+    */
+  def stageSlicesSource(slices: Seq[DataFrame], out: String): String = {
+    import java.nio.file.{Files, Paths}
+    this.synchronized {
+      if (!Files.exists(Paths.get(out, "_GRAFT_DONE"))) {
+        val outP = Paths.get(out)
+        Files.createDirectories(outP)
+        val base = System.currentTimeMillis()
+        slices.zipWithIndex.foreach { case (df, i) =>
+          val tmp = Files.createTempDirectory("graft_split").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          import scala.jdk.CollectionConverters._
+          val part = Files.list(Paths.get(tmp)).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written for slice $i"))
+          val dst = outP.resolve(f"split-$i%04d.parquet")
+          Files.move(part, dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        }
+        Files.createFile(Paths.get(out, "_GRAFT_DONE"))
+      }
+    }
+    out
+  }
+
   /** stageSplitSource variant that PLANTS RETRANSMISSIONS ONE BATCH
     * LATE: file k holds range-split k PLUS a full identical copy of
     * split k−1 (and a final file holds the last split's copy), so with
@@ -772,6 +804,46 @@ object Streaming {
         new java.util.ArrayList[org.apache.spark.sql.Row](), queries.schema)
       graft.operators.VectorStore.queryL2Batch(spark, storePath,
         "embedding", "vec_id", none, k)
+    }
+  }
+
+  /** Streaming SERVING against the persisted graph-ANN index — the
+    * navigable-graph twin of [[drainServeFromStore]]: queries (q_id,
+    * q_vec) stream in, and each micro-batch is walked as ONE batched
+    * beam search (GraphAnnIndex.queryBatch — one job set per batch
+    * whatever the batch size), never one walk per query. Every query's
+    * walk is contained in its own batch and queryBatch is per-query
+    * identical to the single-query walk, so the drained union must
+    * equal a one-shot batched walk over all queries — which is what the
+    * oracle replays (one walk chain per query, shared graph CTEs).
+    */
+  def drainServeFromGraphAnn(queries: DataFrame, indexPath: String,
+                             name: String, beam: Int = 16,
+                             hops: Int = 6): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
+    graft.tables.Staging.deleteRec(out)
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF()
+        if (!b.isEmpty)
+          graft.operators.GraphAnnIndex.queryBatch(b.sparkSession, indexPath,
+              b, beam, hops)
+            .write.mode("append").parquet(out)
+      }
+    val q = queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val spark = queries.sparkSession
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      spark.read.parquet(out)
+    else {
+      val none = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), queries.schema)
+      graft.operators.GraphAnnIndex.queryBatch(spark, indexPath, none,
+        beam, hops)
     }
   }
 

@@ -330,4 +330,32 @@ class StreamingSpec extends SparkSpec {
       Seq("q_id", "rn", "vec_id", "bucket", "distance"))
     assert(out.count() == 0)
   }
+
+  test("drainServeFromGraphAnn: micro-batched serving ≡ one-shot batched walk") {
+    import spark.implicits._
+    val emb = graft.tables.Tables.embeddings(spark, sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("graft_gann_srv").toString
+    graft.operators.GraphAnnIndex.build(emb, col("vec_id"), col("embedding"),
+      idx, sampleMod = 16, edgesPerBucket = 3)
+    val qs = (0 until 6).map(b =>
+      (b.toLong, graft.oracle.OracleGen.QueryVec.shiftedValues(b)))
+    // 3 slices of 2 queries — each replays as its own micro-batch
+    val slices = (0 until 3).map(g => qs.filter(_._1 % 3 == g)
+      .toDF("q_id", "q_vec"))
+    val srcDir = Streaming.stageSlicesSource(slices,
+      java.nio.file.Files.createTempDirectory("graft_gann_srv_q").toString
+        + "/src")
+    val src = spark.readStream.schema(slices.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val drained = Streaming.drainServeFromGraphAnn(src, idx, "spec_gann_serve")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    // ≥3 micro-batches actually served (one output file set per batch)
+    val oneShot = graft.operators.GraphAnnIndex.queryBatch(spark, idx,
+        qs.toDF("q_id", "q_vec"), beam = 16, hops = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(drained.nonEmpty && drained == oneShot,
+      "drained union must equal the one-shot batched walk")
+  }
 }
