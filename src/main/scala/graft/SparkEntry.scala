@@ -1817,6 +1817,85 @@ object SparkEntry {
           col("doc_id").as("src"), lit(60L).as("bump"))))
   }
 
+  /** Derived VIDEO corpus — real YUV4MPEG2 streams (ASCII stream header,
+    * `FRAME\n` markers, raw planar pictures) built with declarative hex
+    * arithmetic from a deterministic pixel formula:
+    * px(x,y,t) = (src·7 + x·13 + y·31 + t·17 + x·y·5 + bump·[x=1 ∧ y=0 ∧
+    * t=t0]) mod 256, over 2 + src mod 4 frames. Even-src videos are
+    * Cmono 9×8 (the identity dHash grid), odd-src C420 18×16 — the
+    * 4:2:0 pictures carry w·h·3/2 bytes (luma + two neutral-0x80 chroma
+    * planes), so a frame-stride bug that fails to skip the chroma reads
+    * the NEXT frame's luma and hash-fails against the oracle. `vids`
+    * carries (vid_id, src, bump): src seeds the formula, bump perturbs
+    * pixel (1,0) of frame t0 = src mod nf (0 for pristine videos) —
+    * the video analogue of the image fixture's one-pixel bump.
+    */
+  private def videoY4ms(vids: DataFrame): DataFrame = {
+    val isEven = col("src") % 2 === 0
+    val w = when(isEven, lit(9)).otherwise(lit(18))
+    val h = when(isEven, lit(8)).otherwise(lit(16))
+    val nf = (lit(2) + col("src") % 4).cast("int")
+    val t0 = (col("src") % (lit(2) + col("src") % 4)).cast("int")
+    def px(x: Column, y: Column, t: Column): Column =
+      pmod(col("src") * 7 + x * 13 + y * 31 + t * 17 + x * y * 5 +
+        when(x === 1 && y === 0 && t === t0, col("bump")).otherwise(lit(0L)),
+        lit(256L))
+    def rowHex(y: Column, t: Column): Column =
+      array_join(transform(sequence(lit(0), w - 1),
+        x => lpad(hex(px(x, y, t)), 2, "0")), "")
+    def lumaHex(t: Column): Column =
+      array_join(transform(sequence(lit(0), h - 1), y => rowHex(y, t)), "")
+    // two half-resolution neutral chroma planes: 2 × (18/2 × 16/2) bytes
+    val chromaHex = when(isEven, lit("")).otherwise(lit("80" * 144))
+    val pics = transform(sequence(lit(0), nf - 1),
+      t => unhex(concat(lumaHex(t), chromaHex)))
+    vids.select(col("vid_id"),
+      Multimodal.y4mBytes(w, h, when(isEven, lit("mono")).otherwise(lit("420")),
+        pics).as("bytes"))
+  }
+
+  private def videoCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 120)
+    videoY4ms(d.select(col("doc_id").as("vid_id"),
+      col("doc_id").as("src"), lit(0L).as("bump")))
+  }
+
+  /** [[videoCorpus]] with PLANTED NEAR-DUPLICATE twins for the video
+    * near-dup family: every 10th video gets a twin (vid_id + 100000)
+    * with pixel (1,0) of ONE frame bumped — the perturbation moves the
+    * temporal-mean value of that single pixel, so at most the two
+    * gradient bits adjacent to it flip in the mean-frame fingerprint
+    * and the twin lands within the banded Hamming miner's tolerance.
+    */
+  private def videoNearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 120)
+    videoY4ms(d.select(col("doc_id").as("vid_id"),
+        col("doc_id").as("src"), lit(0L).as("bump"))
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("vid_id"),
+          col("doc_id").as("src"), lit(32L).as("bump"))))
+  }
+
+  /** 9×8 luma grid of one decoded frame (`w`, `fr` in scope): identity
+    * for 9-wide frames, integer 2×2 block means for 18×16 — the
+    * area-average resize of the image family's [[graft.expressions.DHash]],
+    * here DECLARATIVE over the parsed pixel arrays.
+    */
+  private val VideoGridSql: String =
+    """CASE WHEN w = 9 THEN fr ELSE transform(sequence(0, 71), i ->
+      |  (fr[(i DIV 9) * 2 * w + (i % 9) * 2]
+      |   + fr[(i DIV 9) * 2 * w + (i % 9) * 2 + 1]
+      |   + fr[((i DIV 9) * 2 + 1) * w + (i % 9) * 2]
+      |   + fr[((i DIV 9) * 2 + 1) * w + (i % 9) * 2 + 1]) DIV 4) END""".stripMargin
+
+  /** 64 horizontal-gradient bits over the 9×8 grid `g` — bit (y·8+x) set
+    * iff g(x,y) < g(x+1,y), the image family's dHash convention.
+    */
+  private val VideoFpSql: String =
+    """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+      |  acc + IF(g[(i DIV 8) * 9 + (i % 8)] < g[(i DIV 8) * 9 + (i % 8) + 1],
+      |           shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin
+
   private def docShingles(s: SparkSession, dir: String): DataFrame = {
     val stage = stagedPath("doc_shingles3_v1", dir)
     this.synchronized {

@@ -189,6 +189,33 @@ object Multimodal {
       graft.expressions.WavSamples(
         org.apache.spark.sql.GraftBridge.expression(bytes)))
 
+  /** Per-frame luma planes of a YUV4MPEG2 (.y4m) video byte column —
+    * `struct(w, h, frames array<array<long>>)`, NULL when the payload
+    * is not honestly decodable (see graft.expressions.Y4mLuma). Frame
+    * fingerprinting over the result (dHash grids, temporal means) is
+    * declarative SQL, so only the container walk is native.
+    */
+  def y4mLuma(bytes: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.Y4mLuma(
+        org.apache.spark.sql.GraftBridge.expression(bytes)))
+
+  /** Valid YUV4MPEG2 stream around per-frame picture payloads `pics`
+    * (array<binary>, each already at the colorspace `cs`'s plane size —
+    * w·h for mono, w·h·3/2 for 420, the caller builds them): the ASCII
+    * stream header plus a `FRAME\n` marker before every picture — the
+    * layout the Y4mLuma parser accepts (the test/oracle construction
+    * side of the video decode contract, like [[bmp24Bytes]] /
+    * [[wav16Bytes]] for the other modalities).
+    */
+  def y4mBytes(w: Column, h: Column, cs: Column, pics: Column): Column =
+    concat(
+      encode(concat(lit("YUV4MPEG2 W"), w.cast("string"),
+        lit(" H"), h.cast("string"), lit(" F25:1 Ip A1:1 C"), cs,
+        lit("\n")), "US-ASCII"),
+      aggregate(pics, lit(Array.emptyByteArray),
+        (acc, p) => concat(acc, lit("FRAME\n".getBytes("US-ASCII")), p)))
+
   /** Valid mono 16-bit PCM WAV around raw little-endian sample bytes
     * `pcm` — the RIFF/fmt/data layout the WavSamples parser accepts
     * (the test/oracle construction side of the audio decode contract,
