@@ -1896,6 +1896,68 @@ object SparkEntry {
       |  acc + IF(g[(i DIV 8) * 9 + (i % 8)] < g[(i DIV 8) * 9 + (i % 8) + 1],
       |           shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin
 
+  /** Oracle CTE chain for the video fixture, computed ARITHMETICALLY
+    * from [[videoNearDupCorpus]]'s pixel formula — the byte-free twin
+    * of [[ImageFpCtes]]. Leaves in scope: `vids (vid_id, src, bump)`
+    * and `vcells0 (vid_id, src, t, ty, tx, c)` where `c` is the 9×8
+    * grid cell's PRE-division value of frame t: the raw pixel for mono
+    * (9-wide) videos, the 2×2 block SUM for 18-wide — per-frame grids
+    * divide by 4, the temporal-sum grid divides the summed blocks.
+    */
+  private lazy val VideoCellsCtes: String = {
+    // px(x, y) of frame t with the (1,0)@t0 bump, all terms non-negative
+    // so DuckDB's % equals Spark's pmod
+    def pxv(x: String, y: String, bumped: Boolean): String = {
+      val b = if (bumped) s" + CASE WHEN $x = 1 AND $y = 0 AND t = t0 THEN bump ELSE 0 END" else ""
+      s"(src*7 + ($x)*13 + ($y)*31 + t*17 + ($x)*($y)*5$b) % 256"
+    }
+    s"""vids AS (
+       |  SELECT doc_id AS vid_id, doc_id AS src, 0 AS bump
+       |  FROM documents WHERE doc_id < 120
+       |  UNION ALL
+       |  SELECT doc_id + 100000, doc_id, 32
+       |  FROM documents WHERE doc_id < 120 AND doc_id % 10 = 0),
+       |vparams AS (
+       |  SELECT vid_id, src, bump, 2 + src % 4 AS nf,
+       |         src % (2 + src % 4) AS t0
+       |  FROM vids),
+       |vcells0 AS (
+       |  SELECT vid_id, src, t, ty, tx,
+       |    CASE WHEN src % 2 = 0 THEN
+       |      ${pxv("tx", "ty", bumped = true)}
+       |    ELSE
+       |        ${pxv("2*tx", "2*ty", bumped = false)}
+       |      + ${pxv("2*tx+1", "2*ty", bumped = true)}
+       |      + ${pxv("2*tx", "2*ty+1", bumped = false)}
+       |      + ${pxv("2*tx+1", "2*ty+1", bumped = false)}
+       |    END AS c
+       |  FROM vparams, (SELECT unnest(range(8)) AS ty),
+       |       (SELECT unnest(range(9)) AS tx), (SELECT unnest(range(5)) AS t)
+       |  WHERE t < nf)""".stripMargin
+  }
+
+  /** hi/lo fingerprint + banded-Hamming replay tail shared by the video
+    * oracles: bands/cap/exact-filter identical to the image miner's.
+    */
+  private def hammingReplaySql(fpRel: String): String =
+    s"""banded0 AS (
+       |  SELECT id, fp_hi, fp_lo, j AS band_idx,
+       |    CASE j WHEN 0 THEN fp_lo % 65536 WHEN 1 THEN fp_lo // 65536
+       |           WHEN 2 THEN fp_hi % 65536 ELSE fp_hi // 65536
+       |    END AS band
+       |  FROM $fpRel, (SELECT unnest(range(4)) AS j)),
+       |banded AS (
+       |  SELECT b.* FROM banded0 b
+       |  JOIN (SELECT band_idx, band FROM banded0
+       |        GROUP BY band_idx, band HAVING count(*) <= 50) keep
+       |    USING (band_idx, band)),
+       |hpairs AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+       |    bit_count(xor(a.fp_lo, b.fp_lo))
+       |      + bit_count(xor(a.fp_hi, b.fp_hi)) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.id < b.id)""".stripMargin
+
   private def docShingles(s: SparkSession, dir: String): DataFrame = {
     val stage = stagedPath("doc_shingles3_v1", dir)
     this.synchronized {
@@ -3768,6 +3830,62 @@ object SparkEntry {
             "CASE WHEN en[k] > en[k-1] THEN shiftleft(1L, CAST(k AS INT)) " +
             "ELSE 0L END)"))
         .select(col("id"), col("fp"))
+        .localCheckpoint()
+      Dedup.hammingPairsFromFingerprints(fps, 64, numBands = 4,
+          maxHamming = 3, maxBucket = 50)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // REAL video decode + per-frame fingerprinting: the corpus is valid
+    // YUV4MPEG2 streams (ASCII header, FRAME markers, raw planar
+    // pictures — mixed Cmono 9×8 and C420 18×16 so both the identity
+    // grid and the 2×2 block-mean resize AND the chroma-plane stride
+    // are oracle-exercised); the Spark side PARSES the bytes (header
+    // token walk, frame iteration, luma slice —
+    // graft.expressions.Y4mLuma) and then computes per-frame 9×8-grid
+    // gradient fingerprints DECLARATIVELY (exact integer arithmetic
+    // over the pixel arrays), while the oracle computes the same
+    // fingerprints ARITHMETICALLY from the pixel formula, never
+    // touching bytes. Two independent routes to the same 64 bits: any
+    // parse bug (frame stride, chroma skip, row order, block mean)
+    // hash-fails. fp is emitted as (hi, lo) 32-bit halves so the
+    // oracle's bit sums stay in BIGINT.
+    "q_video_decode" -> ((s, dir) => {
+      videoNearDupCorpus(s, dir)
+        .select(col("vid_id"), Multimodal.y4mLuma(col("bytes")).as("yv"))
+        .select(col("vid_id"), col("yv.w").as("w"),
+          posexplode(col("yv.frames")).as(Seq("frame", "fr")))
+        .withColumn("g", expr(VideoGridSql))
+        .select(col("vid_id"), col("frame").cast("long").as("frame"),
+          expr(VideoFpSql).as("fp"))
+        .select(col("vid_id"), col("frame"),
+          shiftrightunsigned(col("fp"), 32).as("fp_hi"),
+          col("fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"))
+        .orderBy(col("vid_id"), col("frame"))
+    }),
+
+    // VIDEO near-dup dedup (multimodal × dedup, the q_image_neardup
+    // recipe one modality over): real Y4M decode (Y4mLuma byte parse)
+    // → TEMPORAL-SUM frame (pixel-wise Σ over frames — gradient
+    // comparisons over sums equal comparisons over the temporal mean,
+    // exactly, since every pixel of a video shares the frame count) →
+    // 9×8 grid → 64-bit gradient fingerprint → the SAME banded Hamming
+    // equi-join that mines image/audio/text fingerprints
+    // (Dedup.hammingPairsFromFingerprints — 4×16-bit bands, pigeonhole-
+    // complete to hamming ≤ 3, hot-bucket capped, never a cartesian).
+    // Planted one-pixel-bumped twin videos (≤ 2 gradient bits move)
+    // must surface BY BAND; the oracle computes fingerprints
+    // ARITHMETICALLY from the pixel formula and replays banding, cap
+    // and the exact Hamming filter.
+    "q_video_neardup" -> ((s, dir) => {
+      val fps = videoNearDupCorpus(s, dir)
+        .select(col("vid_id").as("id"), Multimodal.y4mLuma(col("bytes")).as("yv"))
+        .select(col("id"), col("yv.w").as("w"),
+          expr("aggregate(slice(yv.frames, 2, size(yv.frames) - 1), " +
+            "yv.frames[0], (acc, f) -> zip_with(acc, f, (a, b) -> a + b))")
+            .as("fr"))
+        .withColumn("g", expr(VideoGridSql))
+        .select(col("id"), expr(VideoFpSql).as("fp"))
         .localCheckpoint()
       Dedup.hammingPairsFromFingerprints(fps, 64, numBands = 4,
           maxHamming = 3, maxBucket = 50)
@@ -8335,6 +8453,66 @@ object SparkEntry {
            |      + bit_count(xor(a.fp_hi, b.fp_hi)) AS hamming
            |  FROM banded a JOIN banded b
            |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.id < b.id)
+           |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+           |FROM hpairs WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
+
+      // Per-frame video fingerprints computed ARITHMETICALLY from the
+      // pixel formula — the Spark side got the pixels by parsing Y4M
+      // bytes (header walk, frame markers, chroma stride), so any
+      // decode bug diverges here. Per-frame grid: raw cell for mono,
+      // block sum // 4 for 18-wide.
+      "q_video_decode" ->
+        s"""WITH $VideoCellsCtes,
+           |vfg AS (
+           |  SELECT vid_id, t, ty, tx,
+           |    CASE WHEN src % 2 = 0 THEN c ELSE c // 4 END AS g
+           |  FROM vcells0),
+           |vgb AS (
+           |  SELECT a.vid_id, a.t, a.ty*8 + a.tx AS k
+           |  FROM vfg a JOIN vfg b
+           |    ON b.vid_id = a.vid_id AND b.t = a.t
+           |   AND b.ty = a.ty AND b.tx = a.tx + 1
+           |  WHERE a.tx < 8 AND a.g < b.g),
+           |vfp AS (
+           |  SELECT ft.vid_id, ft.t,
+           |    CAST(coalesce(sum(CASE WHEN k >= 32
+           |      THEN CAST(1 AS BIGINT) << (k - 32) END), 0) AS BIGINT) AS fp_hi,
+           |    CAST(coalesce(sum(CASE WHEN k < 32
+           |      THEN CAST(1 AS BIGINT) << k END), 0) AS BIGINT) AS fp_lo
+           |  FROM (SELECT DISTINCT vid_id, t FROM vcells0) ft
+           |  LEFT JOIN vgb ON vgb.vid_id = ft.vid_id AND vgb.t = ft.t
+           |  GROUP BY ft.vid_id, ft.t)
+           |SELECT vid_id, CAST(t AS BIGINT) AS frame, fp_hi, fp_lo
+           |FROM vfp ORDER BY vid_id, frame""".stripMargin,
+
+      // Video near-dup replay: temporal-sum grids (sum of per-frame
+      // cells; the 18-wide block division happens AFTER the temporal
+      // sum, exactly as the Spark side sums planes before gridding) →
+      // gradient bits → the same banding, hot-bucket cap and exact
+      // Hamming filter as the image miner. The planted twins (src ≡ 0
+      // mod 10, one bumped pixel in one frame) must appear as
+      // (src, src+100000) pairs.
+      "q_video_neardup" ->
+        s"""WITH $VideoCellsCtes,
+           |vsum AS (
+           |  SELECT vid_id, ty, tx,
+           |    CASE WHEN min(src) % 2 = 0 THEN sum(c) ELSE sum(c) // 4 END AS g
+           |  FROM vcells0 GROUP BY vid_id, ty, tx),
+           |vgb AS (
+           |  SELECT a.vid_id, a.ty*8 + a.tx AS k
+           |  FROM vsum a JOIN vsum b
+           |    ON b.vid_id = a.vid_id AND b.ty = a.ty AND b.tx = a.tx + 1
+           |  WHERE a.tx < 8 AND a.g < b.g),
+           |vfp AS (
+           |  SELECT v.vid_id AS id,
+           |    CAST(coalesce(sum(CASE WHEN k >= 32
+           |      THEN CAST(1 AS BIGINT) << (k - 32) END), 0) AS BIGINT) AS fp_hi,
+           |    CAST(coalesce(sum(CASE WHEN k < 32
+           |      THEN CAST(1 AS BIGINT) << k END), 0) AS BIGINT) AS fp_lo
+           |  FROM (SELECT DISTINCT vid_id FROM vids) v
+           |  LEFT JOIN vgb ON vgb.vid_id = v.vid_id
+           |  GROUP BY v.vid_id),
+           |${hammingReplaySql("vfp")}
            |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
            |FROM hpairs WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
 

@@ -98,6 +98,7 @@ object Y4mLuma {
       if (u(off) != ' ') return null // tokens are single-space separated
       off += 1
       val tag = if (off < b.length) u(off) else -1
+      if (tag == -1) return null // header ends in a bare space: malformed
       val start = off + 1
       while (off < b.length && u(off) != ' ' && u(off) != '\n') off += 1
       val v = new String(b, start, off - start, "US-ASCII")
@@ -110,15 +111,23 @@ object Y4mLuma {
     }
     if (off >= b.length || w <= 0 || h <= 0) return null
     off += 1 // consume header '\n'
-    val luma = w * h
+    // plane sizes in Long: a crafted header like 'W65536 H32768' must
+    // refuse, not overflow Int into a negative allocation (cf. the same
+    // .toLong guard in DHash). Any picture larger than the whole stream
+    // is truncated by definition, so b.length bounds both sizes.
+    val lumaL = w.toLong * h
+    if (lumaL > b.length) return null
+    val luma = lumaL.toInt
     // picture size per frame, from the colorspace's published plane layout
-    val frameBytes: Int =
-      if (cs == "mono") luma
+    val frameBytesL: Long =
+      if (cs == "mono") lumaL
       else if (cs.startsWith("420")) {
         if ((w & 1) != 0 || (h & 1) != 0) return null
-        luma + 2 * ((w / 2) * (h / 2))
-      } else if (cs == "444") luma * 3
+        lumaL + 2L * ((w / 2).toLong * (h / 2))
+      } else if (cs == "444") lumaL * 3
       else return null // C422/C411/C410…: no stride rule here — refuse
+    if (frameBytesL > b.length) return null
+    val frameBytes = frameBytesL.toInt
     val frames = scala.collection.mutable.ArrayBuffer.empty[GenericArrayData]
     while (off < b.length) {
       // FRAME marker with optional parameters, newline-terminated
