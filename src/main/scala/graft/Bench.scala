@@ -131,7 +131,14 @@ object Bench {
           d = d.getParentFile
         if (d == null) new java.io.File(".").getCanonicalFile else d
       }
-      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      val files = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      def newest(pattern: String): Option[Int] = files
+        .flatMap(f => pattern.r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt)).sorted.lastOption
+      // the round THIS bench runs in: one past the newest committed
+      // driver bench artifact (BENCH_r{N}.json lands after round N ends)
+      val curRound = newest("^BENCH_r(\\d+)\\.json$").map(_ + 1)
+      files
         .flatMap(f => "^CORRECTNESS_SELF_r(\\d+)\\.json$".r
           .findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
         .sortBy(_._1).lastOption.flatMap { case (rnd, f) =>
@@ -139,8 +146,12 @@ object Bench {
             java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
           def field(k: String): Option[String] =
             ("\"" + k + "\":\\s*(\\d+)").r.findFirstMatchIn(txt).map(_.group(1))
+          // a SELF file from an EARLIER round is not this round's gate —
+          // say so in the echo instead of impersonating a green record
+          // (round 15 shipped 237 queries under a round-14 echo)
+          val stale = if (curRound.exists(_ > rnd)) ""","stale":true""" else ""
           for (ok <- field("n_ok"); fail <- field("n_fail"))
-            yield s""","self_gate":{"round":$rnd,"n_ok":$ok,"n_fail":$fail}"""
+            yield s""","self_gate":{"round":$rnd,"n_ok":$ok,"n_fail":$fail$stale}"""
         }.getOrElse("")
     }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"BENCH_FULL.json","slowest":$slowest$selfGate}""")

@@ -113,10 +113,13 @@ object Y4mLuma {
     off += 1 // consume header '\n'
     // plane sizes in Long: a crafted header like 'W65536 H32768' must
     // refuse, not overflow Int into a negative allocation (cf. the same
-    // .toLong guard in DHash). Any picture larger than the whole stream
-    // is truncated by definition, so b.length bounds both sizes.
+    // .toLong guard in DHash). The only STATIC refusal is a plane no JVM
+    // array can hold; "picture larger than the remaining stream" is
+    // decided per frame in the loop below, so a legal header-only
+    // (zero-frame) stream with large declared dimensions still decodes
+    // to (w, h, []).
     val lumaL = w.toLong * h
-    if (lumaL > b.length) return null
+    if (lumaL > Int.MaxValue) return null
     val luma = lumaL.toInt
     // picture size per frame, from the colorspace's published plane layout
     val frameBytesL: Long =
@@ -126,7 +129,7 @@ object Y4mLuma {
         lumaL + 2L * ((w / 2).toLong * (h / 2))
       } else if (cs == "444") lumaL * 3
       else return null // C422/C411/C410…: no stride rule here — refuse
-    if (frameBytesL > b.length) return null
+    if (frameBytesL > Int.MaxValue) return null
     val frameBytes = frameBytesL.toInt
     val frames = scala.collection.mutable.ArrayBuffer.empty[GenericArrayData]
     while (off < b.length) {
@@ -145,7 +148,8 @@ object Y4mLuma {
       }
       if (off >= b.length) return null
       off += 1 // consume marker '\n'
-      if (off + frameBytes > b.length) return null // truncated picture
+      // truncated picture (Long compare: off + frameBytes can exceed Int)
+      if (off.toLong + frameBytes > b.length) return null
       val plane = new Array[Long](luma)
       var p = 0
       while (p < luma) {

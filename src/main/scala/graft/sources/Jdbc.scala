@@ -3,8 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** JDBC source/sink parity (SURVEY §2.1 S2): the reference bulk-loads
-  * into Postgres over a DB connection (`products_to_db.py` — psycopg2
-  * executemany) and reads it back per query; the Spark-native mapping is
+  * into Postgres over a DB connection (`products_import.py:20` — psycopg2
+  * `copy_expert`; per-row `execute_values` inserts are `rag.py:52-59`)
+  * and reads it back per query; the Spark-native mapping is
   * `.format("jdbc")`, which this object wraps with the two settings that
   * matter at scale:
   *

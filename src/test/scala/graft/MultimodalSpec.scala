@@ -236,6 +236,109 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).isNullAt(1))
   }
 
+  // Assemble a Y4M stream field by field: an ASCII header line, then per
+  // frame an ASCII `FRAME<params>\n` marker and the raw planar picture.
+  private def y4m(header: String,
+                  frames: Seq[Array[Byte]],
+                  frameParams: String = ""): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write(header.getBytes("US-ASCII"))
+    for (f <- frames) {
+      bb.write(("FRAME" + frameParams + "\n").getBytes("US-ASCII"))
+      bb.write(f)
+    }
+    bb.toByteArray
+  }
+
+  test("y4m_luma: header token walk, mono vs 420 strides, per-frame luma") {
+    import graft.expressions.Y4mLuma
+    // C420 4x2: picture = 8 luma bytes + 2 * (2*1) chroma = 12 bytes
+    val luma1 = (0 until 8).map(i => (i * 10).toByte).toArray
+    val luma2 = (0 until 8).map(i => (200 + i).toByte).toArray
+    val chroma = Array.fill(4)(99.toByte)
+    val r420 = Y4mLuma.lumaOrNull(y4m(
+      "YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n", // F/I/A tags skipped
+      Seq(luma1 ++ chroma, luma2 ++ chroma)))
+    assert(r420 != null)
+    assert(r420.getInt(0) == 4 && r420.getInt(1) == 2)
+    val fr = r420.getArray(2)
+    assert(fr.numElements() == 2)
+    assert(fr.getArray(0).toLongArray().toSeq == (0 until 8).map(_ * 10L))
+    assert(fr.getArray(1).toLongArray().toSeq == (0 until 8).map(200L + _))
+    // mono: same luma bytes, NO chroma in the picture — identical planes
+    // out of a different stride proves the chroma skip is real
+    val rMono = Y4mLuma.lumaOrNull(
+      y4m("YUV4MPEG2 W4 H2 Cmono\n", Seq(luma1, luma2)))
+    assert(rMono != null)
+    assert(rMono.getArray(2).getArray(1).toLongArray().toSeq ==
+      fr.getArray(1).toLongArray().toSeq)
+    // C444 stride: luma + two FULL chroma planes
+    val r444 = Y4mLuma.lumaOrNull(y4m("YUV4MPEG2 W4 H2 C444\n",
+      Seq(luma1 ++ Array.fill(16)(7.toByte))))
+    assert(r444 != null && r444.getArray(2).numElements() == 1)
+    // per-frame parameters up to the newline are legal and skipped
+    val rParam = Y4mLuma.lumaOrNull(y4m("YUV4MPEG2 W4 H2 Cmono\n",
+      Seq(luma1), frameParams = " Xcustom I1"))
+    assert(rParam != null &&
+      rParam.getArray(2).getArray(0).toLongArray().toSeq ==
+        (0 until 8).map(_ * 10L))
+    // default colorspace with no C tag is 420
+    val rDflt = Y4mLuma.lumaOrNull(
+      y4m("YUV4MPEG2 W4 H2\n", Seq(luma1 ++ chroma)))
+    assert(rDflt != null && rDflt.getArray(2).numElements() == 1)
+  }
+
+  test("y4m_luma refuses what it cannot decode honestly (null, never throw)") {
+    import graft.expressions.Y4mLuma
+    def n(s: String): Unit =
+      assert(Y4mLuma.lumaOrNull(s.getBytes("US-ASCII")) == null, s)
+    val luma = (0 until 8).map(_.toByte).toArray
+    assert(Y4mLuma.lumaOrNull(null) == null)
+    n("YUV4MPEG3 W4 H2 Cmono\n" + "x" * 8)          // wrong magic
+    n("YUV4MPEG2 ")                                  // bare-space header end
+    n("YUV4MPEG2 W4 H2")                             // header never \n-closed
+    n("YUV4MPEG2 H2 Cmono\n")                        // missing W
+    n("YUV4MPEG2 W4 Hx Cmono\n")                     // non-numeric H
+    n("YUV4MPEG2 W0 H2 Cmono\n")                     // non-positive W
+    n("YUV4MPEG2 W3 H3 C420\n")                      // odd dims under 4:2:0
+    assert(Y4mLuma.lumaOrNull(y4m("YUV4MPEG2 W4 H2 C422\n",
+      Seq(luma ++ Array.fill(8)(0.toByte)))) == null,
+      "C422 has no stride rule here — refuse, never mis-slice")
+    // truncated picture: every prefix of a good 1-frame stream refuses
+    val good = y4m("YUV4MPEG2 W4 H2 Cmono\n", Seq(luma))
+    assert(Y4mLuma.lumaOrNull(good) != null)
+    assert(Y4mLuma.lumaOrNull(
+      java.util.Arrays.copyOf(good, good.length - 1)) == null)
+    // malformed frame marker
+    n("YUV4MPEG2 W4 H2 Cmono\nFRUME\n" + "x" * 8)
+    // frame marker line never newline-terminated
+    n("YUV4MPEG2 W4 H2 Cmono\nFRAME Xtag")
+    // crafted Int-overflow dimensions WITH a picture: refuse (the r15
+    // negative-allocation crash), and a plane no JVM array can hold
+    // refuses even header-only
+    assert(Y4mLuma.lumaOrNull(y4m("YUV4MPEG2 W65536 H32768 Cmono\n",
+      Seq(Array.fill(64)(0.toByte)))) == null)
+    n("YUV4MPEG2 W1000000 H1000000 Cmono\n")
+  }
+
+  test("y4m_luma: legal header-only (zero-frame) stream decodes to " +
+      "(w, h, []) even with large declared dimensions") {
+    import graft.expressions.Y4mLuma
+    // 65536 * 32766 = 2 147 352 576 fits an Int; no picture follows, so
+    // nothing is truncated — the guard must not conflate 'picture cannot
+    // fit this stream' with 'no pictures present'
+    val r = Y4mLuma.lumaOrNull(
+      "YUV4MPEG2 W65536 H32766 Cmono\n".getBytes("US-ASCII"))
+    assert(r != null)
+    assert(r.getInt(0) == 65536 && r.getInt(1) == 32766)
+    assert(r.getArray(2).numElements() == 0)
+    // small header-only stream, both strides
+    for (cs <- Seq("Cmono", "C420", "C444")) {
+      val s = Y4mLuma.lumaOrNull(s"YUV4MPEG2 W4 H2 $cs\n".getBytes("US-ASCII"))
+      assert(s != null && s.getArray(2).numElements() == 0, cs)
+    }
+  }
+
   test("audio near-dup: every planted sample-perturbed twin surfaces by band") {
     val pairs = SparkEntry.queries("q_audio_neardup")(spark, sf0001).collect()
     val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000L)
