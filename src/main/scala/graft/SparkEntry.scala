@@ -1384,13 +1384,31 @@ object SparkEntry {
     * has (`rag.py:30-38`).
     */
   private def docPostingsPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_postings_v2", dir)
+    val stage = stagedPath("doc_postings_v3", dir)
     this.synchronized {
       if (!graft.operators.Retrieval.postingsExist(stage))
         graft.operators.Retrieval.stagePostings(Tables.documents(s, dir),
           col("doc_id"), col("text"), stage)
     }
     stage
+  }
+
+  /** One-time vector store over the HASH-EMBEDDED documents (doc_id ∈
+    * the same id domain as the postings stage — the vector half of the
+    * batched hybrid serving pair, cf. docPostingsPath for the lexical
+    * half).
+    */
+  private def docEmbedStorePath(s: SparkSession, dir: String): String = {
+    val path = stagedPath("doc_embed_store_v1", dir)
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        graft.operators.VectorStore.write(
+          Rag.embedCorpus(Tables.documents(s, dir)
+            .select(col("doc_id"), col("text")), col("text"))
+            .select(col("doc_id"), col("embedding")),
+          col("embedding"), path)
+    }
+    path
   }
 
   /** Deterministic image corpus for the perceptual-hash family: one real
@@ -1481,7 +1499,7 @@ object SparkEntry {
     * replays the full-corpus BM25, so the equivalence is hash-checked.
     */
   private def docPostingsAppendedPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_postings_append_v2", dir)
+    val stage = stagedPath("doc_postings_append_v3", dir)
     this.synchronized {
       // marker OUTSIDE the stage dir (stagePostings wipes the dir),
       // bracketing the whole build+append sequence: a crash at any point
@@ -1515,7 +1533,7 @@ object SparkEntry {
     * hash-checked end to end.
     */
   private def docPostingsDeletedPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_postings_delete_v1", dir)
+    val stage = stagedPath("doc_postings_delete_v2", dir)
     this.synchronized {
       // marker OUTSIDE the stage dir, bracketing the whole build+delete
       // sequence (cf. docPostingsAppendedPath)
@@ -1735,7 +1753,7 @@ object SparkEntry {
     * corpus — q_postings_upsert's oracle replays BM25 over it.
     */
   private def docPostingsUpsertedPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_postings_upsert_v1", dir)
+    val stage = stagedPath("doc_postings_upsert_v2", dir)
     this.synchronized {
       val pending = java.nio.file.Paths.get(stage + "_UPSERT_PENDING")
       if (!graft.operators.Retrieval.postingsExist(stage) ||
@@ -1936,8 +1954,11 @@ object SparkEntry {
        |  WHERE t < nf)""".stripMargin
   }
 
-  /** hi/lo fingerprint + banded-Hamming replay tail shared by the video
-    * oracles: bands/cap/exact-filter identical to the image miner's.
+  /** hi/lo fingerprint + banded-Hamming replay tail shared by the image,
+    * audio and video near-dup oracles — ONE place owns the banding
+    * contract (16-bit bands, 50-row hot-bucket cap, exact Hamming over
+    * the hi/lo halves). `fpRel` must expose (id, fp_hi, fp_lo); the
+    * chain leaves `hpairs (a_id, b_id, hamming)` in scope.
     */
   private def hammingReplaySql(fpRel: String): String =
     s"""banded0 AS (
@@ -2421,7 +2442,7 @@ object SparkEntry {
     // banding join reads the stage; hot band buckets above 50 entries are
     // excluded (skew guard, mirrored in the oracle).
     "dedup_minhash" -> ((s, dir) => {
-      val stage = stagedPath("minhash_sigs_v1", dir)
+      val stage = stagedPath("minhash_sigs_v2", dir)
       this.synchronized {
         if (!new java.io.File(stage, "_SUCCESS").exists())
           Dedup.stageMinhashSignatures(nearDupCorpus(s, dir), col("id"), col("text"), stage)
@@ -2466,7 +2487,7 @@ object SparkEntry {
     // an actual dedup decision; transitive near-dups collapse into one
     // cluster. Reuses the staged minhash signatures.
     "dedup_clusters" -> ((s, dir) => {
-      val stage = stagedPath("minhash_sigs_v1", dir)
+      val stage = stagedPath("minhash_sigs_v2", dir)
       this.synchronized {
         if (!new java.io.File(stage, "_SUCCESS").exists())
           Dedup.stageMinhashSignatures(nearDupCorpus(s, dir), col("id"), col("text"), stage)
@@ -2484,7 +2505,7 @@ object SparkEntry {
     // output is the before/after accounting plus an id checksum of the
     // kept set — the end state of the whole dedup pipeline.
     "q_dedup_apply" -> ((s, dir) => {
-      val stage = stagedPath("minhash_sigs_v1", dir)
+      val stage = stagedPath("minhash_sigs_v2", dir)
       this.synchronized {
         if (!new java.io.File(stage, "_SUCCESS").exists())
           Dedup.stageMinhashSignatures(nearDupCorpus(s, dir), col("id"), col("text"), stage)
@@ -2508,12 +2529,47 @@ object SparkEntry {
     // the small new side broadcasts, so the join shuffles neither side.
     // Every new doc must surface its origin.
     "dedup_incremental" -> ((s, dir) => {
-      val stage = stagedPath("minhash_sigs_base_v1", dir)
+      val stage = stagedPath("minhash_sigs_base_v2", dir)
       this.synchronized {
         if (!new java.io.File(stage, "_SUCCESS").exists())
           Dedup.stageMinhashSignatures(
             Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
             col("id"), col("text"), stage)
+      }
+      val newBatch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("id"),
+          concat(col("text"), lit(" zz extra token")).as("text"))
+      Dedup.incrementalPairs(newBatch, col("id"), col("text"), stage, maxBucket = 50)
+        .orderBy(col("corpus_id"), col("new_id"))
+    }),
+
+    // Signature-stage DELETE (the GDPR/reindex path the other persisted
+    // layouts already have): stage the full corpus's signatures, remove
+    // every doc_id % 3 == 0 via Dedup.deleteSignatures (only the
+    // victims' id-hash partitions rewrite), then gate the shifted batch
+    // against the survivor stage — deleted docs must stop acting as
+    // near-dup origins. The oracle replays the gate against a corpus
+    // filtered to the remaining docs: delete-then-gate ≡
+    // rebuild-on-remaining, hash-checked.
+    "q_dedup_sig_delete" -> ((s, dir) => {
+      val stage = stagedPath("minhash_sigs_del_v1", dir)
+      this.synchronized {
+        // marker OUTSIDE the stage dir, bracketing stage+delete: a crash
+        // at any point forces a redo (cf. docPostingsDeletedPath)
+        val pending = java.nio.file.Paths.get(stage + "_DELETE_PENDING")
+        if (!new java.io.File(stage, "_SUCCESS").exists() ||
+            java.nio.file.Files.exists(pending)) {
+          java.nio.file.Files.deleteIfExists(pending)
+          java.nio.file.Files.createFile(pending)
+          Dedup.stageMinhashSignatures(
+            Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+            col("id"), col("text"), stage)
+          Dedup.deleteSignatures(
+            Tables.documents(s, dir)
+              .filter(pmod(col("doc_id"), lit(3)) === 0)
+              .select(col("doc_id").as("id")), stage)
+          java.nio.file.Files.delete(pending)
+        }
       }
       val newBatch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000).as("id"),
@@ -2732,6 +2788,68 @@ object SparkEntry {
       require(plan.contains("PartitionFilters"),
         s"IVF probe must prune cell partitions:\n$plan")
       df
+    }),
+
+    // IVF lifecycle — APPEND: the cell-partitioned layout built on 2/3
+    // of the vectors, the rest admitted via IvfIndex.append (purely
+    // additive: a vector's cell is a pure function of the vector, so
+    // appends land in their own cells and touch nothing else; admission
+    // anti-joins the id sidecar pruned to the batch's id buckets).
+    // Probe-after-append must equal probing a full build — the oracle
+    // replays the full-corpus cell assignment + pruned exact top-10.
+    "q_ivf_append" -> ((s, dir) => {
+      val path = stagedPath("ivf_idx_append_v1", dir)
+      this.synchronized {
+        // marker OUTSIDE the stage dir, bracketing build+append: a crash
+        // at any point forces a redo (cf. docPostingsAppendedPath)
+        val pending = java.nio.file.Paths.get(path + "_APPEND_PENDING")
+        if (!graft.operators.IvfIndex.exists(path) ||
+            java.nio.file.Files.exists(pending)) {
+          java.nio.file.Files.deleteIfExists(pending)
+          java.nio.file.Files.createFile(pending)
+          val emb = Tables.embeddings(s, dir)
+          graft.operators.IvfIndex.build(
+            emb.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+            "vec_id", "embedding", path, nlist = 8, dim = 64)
+          graft.operators.IvfIndex.append(
+            emb.filter(pmod(col("vec_id"), lit(3)) === 0), path)
+          java.nio.file.Files.delete(pending)
+        }
+      }
+      graft.operators.IvfIndex.probe(s, path, QueryVec.values, nprobe = 2)
+        .withColumn("distance",
+          VectorFunctions.l2(col("embedding"), typedlit(QueryVec.values)))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), col("label"), col("cell"), col("distance"))
+    }),
+
+    // IVF lifecycle — DELETE: full build, every vec_id % 3 == 0 removed
+    // via IvfIndex.delete (the sidecar's id→cell mapping finds the
+    // victims' cells with an id-bucket-pruned lookup — no corpus scan —
+    // and only those partitions rewrite). Probe ≡ rebuild-on-remaining;
+    // the oracle replays the probe over `embeddings WHERE vec_id % 3 <> 0`.
+    "q_ivf_delete" -> ((s, dir) => {
+      val path = stagedPath("ivf_idx_delete_v1", dir)
+      this.synchronized {
+        val pending = java.nio.file.Paths.get(path + "_DELETE_PENDING")
+        if (!graft.operators.IvfIndex.exists(path) ||
+            java.nio.file.Files.exists(pending)) {
+          java.nio.file.Files.deleteIfExists(pending)
+          java.nio.file.Files.createFile(pending)
+          val emb = Tables.embeddings(s, dir)
+          graft.operators.IvfIndex.build(emb, "vec_id", "embedding", path,
+            nlist = 8, dim = 64)
+          graft.operators.IvfIndex.delete(
+            emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+              .select(col("vec_id")), path, idName = "vec_id")
+          java.nio.file.Files.delete(pending)
+        }
+      }
+      graft.operators.IvfIndex.probe(s, path, QueryVec.values, nprobe = 2)
+        .withColumn("distance",
+          VectorFunctions.l2(col("embedding"), typedlit(QueryVec.values)))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), col("label"), col("cell"), col("distance"))
     }),
 
     // Persisted vector store (S7 at scale): vectors written partitioned
@@ -4187,7 +4305,7 @@ object SparkEntry {
     // planted suffix-copies confirm at distance <= 16; band-collision
     // false positives don't.
     "q_editdist_refine" -> ((s, dir) => {
-      val stage = stagedPath("minhash_sigs_v1", dir)
+      val stage = stagedPath("minhash_sigs_v2", dir)
       this.synchronized {
         if (!new java.io.File(stage, "_SUCCESS").exists())
           Dedup.stageMinhashSignatures(nearDupCorpus(s, dir), col("id"), col("text"), stage)
@@ -4250,7 +4368,7 @@ object SparkEntry {
     // structurally zero here, and the oracle recomputes rather than
     // assumes it.
     "q_split_grouped" -> ((s, dir) => {
-      val stage = stagedPath("minhash_sigs_v1", dir)
+      val stage = stagedPath("minhash_sigs_v2", dir)
       this.synchronized {
         if (!new java.io.File(stage, "_SUCCESS").exists())
           Dedup.stageMinhashSignatures(nearDupCorpus(s, dir), col("id"), col("text"), stage)
@@ -4844,6 +4962,44 @@ object SparkEntry {
         .orderBy(col("rrf_fp").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_fp"))
+    }),
+
+    // BATCHED hybrid serving (Retrieval.rrfFuseBatch): the q_id-keyed
+    // twin of q_rrf_fusion — ONE batched lexical pass
+    // (bm25BatchFromStage, postings/dfreq scans pruned to the union of
+    // the batch's term buckets) × ONE batched store probe
+    // (VectorStore.queryL2Batch over the hash-embedded documents, scan
+    // = the union of probed bucket partitions) → one (q_id, doc_id)
+    // full-outer fusion + per-query top-10 window. 4 hybrid queries
+    // cost ~2 pruned scans, not 8 (the N+1 serving shape — the batched
+    // E3 of rag.py:77-90). The oracle replays every query's two rank
+    // lists and fusion independently, so batch ≡ per-query is
+    // hash-checked.
+    "q_rrf_batch" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val store = docEmbedStorePath(s, dir)
+      val qsLex = BatchLexQueries.zipWithIndex
+        .map { case (q, i) => (i.toLong, q.split(" ").toSeq) }
+        .toDF("q_id", "terms")
+      val lex = graft.operators.Retrieval.bm25BatchFromStage(s,
+          docPostingsPath(s, dir), qsLex, k = 20)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      val qsVec = BatchLexQueries.zipWithIndex
+        .map { case (q, i) =>
+          (i.toLong, graft.expressions.HashEmbed.embed(q, 64).toSeq) }
+        .toDF("q_id", "q_vec")
+      val vec = graft.operators.VectorStore.queryL2Batch(s, store,
+          "embedding", "doc_id", qsVec, k = 20)
+        .select(col("q_id"), col("doc_id"), col("rn").as("rank"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf_fp").desc, col("doc_id"))
+      graft.operators.Retrieval.rrfFuseBatch(lex, vec)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("doc_id"),
+          col("lex_rank"), col("vec_rank"), col("rrf_fp"))
+        .orderBy(col("q_id"), col("rank"))
     }),
 
     // The E3 RAG pipeline upgraded to hybrid retrieval: RRF top-5 →
@@ -6348,7 +6504,7 @@ object SparkEntry {
     // the gate really ran per micro-batch.
     "q_stream_dedup_gate" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
-      val sigStage = stagedPath("gate_ref_sigs_v1", dir)
+      val sigStage = stagedPath("gate_ref_sigs_v2", dir)
       this.synchronized {
         if (!new java.io.File(sigStage, "_SUCCESS").exists()) {
           val ref = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
@@ -6378,7 +6534,7 @@ object SparkEntry {
     // sequence by unrolling the three batches.
     "q_stream_dedup_absorb" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
-      val sigStage = stagedPath("gate_ref_sigs_v1", dir)
+      val sigStage = stagedPath("gate_ref_sigs_v2", dir)
       this.synchronized {
         if (!new java.io.File(sigStage, "_SUCCESS").exists()) {
           val ref = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
@@ -6468,7 +6624,7 @@ object SparkEntry {
         .option("maxFilesPerTrigger", "1")
         .parquet(graft.streaming.Streaming.stageSplitSource(s, dir,
           "documents", "doc_id"))
-      val stage = stagedPath("stream_postings_v1", dir)
+      val stage = stagedPath("stream_postings_v2", dir)
       graft.streaming.Streaming.drainToPostingsStage(
         src.select(col("doc_id"), col("text")), stage, "doc_id", "text")
       graft.operators.Retrieval.bm25FromStage(s, stage,
@@ -6679,7 +6835,11 @@ object SparkEntry {
     * q_ivf_layout (cell-partitioned persisted layout) — the two Spark
     * paths must serve identical rows.
     */
-  private lazy val ivfProbeOracleSql: String = {
+  /** IVF probe replay: static-centroid cell assignment + pruned exact
+    * top-10. `where` restricts the corpus (the delete-lifecycle oracle
+    * replays on the remaining rows).
+    */
+  private def ivfProbeOracleSqlOn(where: String): String = {
     val nlist = 8
     val probes = Ann.ivfProbes(QueryVec.values, nlist, 2)
     val dCols = (0 until nlist)
@@ -6690,7 +6850,7 @@ object SparkEntry {
     s"""WITH dists AS (
        |  SELECT vec_id, label, embedding,
        |$dCols
-       |  FROM embeddings),
+       |  FROM embeddings$where),
        |cells AS (
        |  SELECT vec_id, label, embedding,
        |    CASE $caseArms ELSE ${nlist - 1} END AS cell
@@ -6700,6 +6860,8 @@ object SparkEntry {
        |FROM cells WHERE cell IN (${probes.mkString(", ")})
        |ORDER BY distance ASC, vec_id ASC LIMIT 10""".stripMargin
   }
+
+  private lazy val ivfProbeOracleSql: String = ivfProbeOracleSqlOn("")
 
   def oracleSql: Map[String, String] = {
     val l2 = OracleGen.l2ToQuery("embedding")
@@ -6923,6 +7085,27 @@ object SparkEntry {
 
       "dedup_incremental" ->
         s"""WITH ${minhashSigBandsCte("c", "SELECT doc_id AS id, text FROM documents")},
+           |${minhashSigBandsCte("n",
+              "SELECT doc_id + 100000 AS id, text || ' zz extra token' AS text " +
+                "FROM documents WHERE doc_id % 10 = 0", capped = false)},
+           |cand AS (
+           |  SELECT DISTINCT c.id AS corpus_id, n.id AS new_id
+           |  FROM cbands c JOIN nbands n
+           |    ON c.band_idx = n.band_idx AND c.band = n.band)
+           |SELECT cand.corpus_id, cand.new_id,
+           |  CAST(${OracleGen.sigMatchCount("cs.sig", "ns.sig", 8)} AS DOUBLE) / 8 AS est_jaccard
+           |FROM cand
+           |JOIN csg cs ON cs.id = cand.corpus_id
+           |JOIN nsg ns ON ns.id = cand.new_id
+           |ORDER BY corpus_id, new_id""".stripMargin,
+
+      // Delete-then-gate ≡ rebuild-on-remaining: the dedup_incremental
+      // replay with the corpus side restricted to the surviving docs
+      // (the hot-bucket cap applies AFTER the delete, exactly as the
+      // survivor stage's banding sees it).
+      "q_dedup_sig_delete" ->
+        s"""WITH ${minhashSigBandsCte("c",
+              "SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 <> 0")},
            |${minhashSigBandsCte("n",
               "SELECT doc_id + 100000 AS id, text || ' zz extra token' AS text " +
                 "FROM documents WHERE doc_id % 10 = 0", capped = false)},
@@ -8373,23 +8556,8 @@ object SparkEntry {
       // pixel) must appear as (src, src+100000) pairs.
       "q_image_neardup" ->
         s"""WITH $ImageFpCtes,
-           |banded0 AS (
-           |  SELECT img_id AS id, fp_hi, fp_lo, j AS band_idx,
-           |    CASE j WHEN 0 THEN fp_lo % 65536 WHEN 1 THEN fp_lo // 65536
-           |           WHEN 2 THEN fp_hi % 65536 ELSE fp_hi // 65536
-           |    END AS band
-           |  FROM fp, (SELECT unnest(range(4)) AS j)),
-           |banded AS (
-           |  SELECT b.* FROM banded0 b
-           |  JOIN (SELECT band_idx, band FROM banded0
-           |        GROUP BY band_idx, band HAVING count(*) <= 50) keep
-           |    USING (band_idx, band)),
-           |hpairs AS (
-           |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
-           |    bit_count(xor(a.fp_lo, b.fp_lo))
-           |      + bit_count(xor(a.fp_hi, b.fp_hi)) AS hamming
-           |  FROM banded a JOIN banded b
-           |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.id < b.id)
+           |ifp AS (SELECT img_id AS id, fp_hi, fp_lo FROM fp),
+           |${hammingReplaySql("ifp")}
            |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
            |FROM hpairs WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
 
@@ -8436,23 +8604,8 @@ object SparkEntry {
            |  FROM (SELECT DISTINCT clip_id FROM clips) c
            |  LEFT JOIN gbits USING (clip_id)
            |  GROUP BY c.clip_id),
-           |banded0 AS (
-           |  SELECT clip_id AS id, fp_hi, fp_lo, j AS band_idx,
-           |    CASE j WHEN 0 THEN fp_lo % 65536 WHEN 1 THEN fp_lo // 65536
-           |           WHEN 2 THEN fp_hi % 65536 ELSE fp_hi // 65536
-           |    END AS band
-           |  FROM afp, (SELECT unnest(range(4)) AS j)),
-           |banded AS (
-           |  SELECT b.* FROM banded0 b
-           |  JOIN (SELECT band_idx, band FROM banded0
-           |        GROUP BY band_idx, band HAVING count(*) <= 50) keep
-           |    USING (band_idx, band)),
-           |hpairs AS (
-           |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
-           |    bit_count(xor(a.fp_lo, b.fp_lo))
-           |      + bit_count(xor(a.fp_hi, b.fp_hi)) AS hamming
-           |  FROM banded a JOIN banded b
-           |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.id < b.id)
+           |aid AS (SELECT clip_id AS id, fp_hi, fp_lo FROM afp),
+           |${hammingReplaySql("aid")}
            |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
            |FROM hpairs WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
 
@@ -9243,6 +9396,54 @@ object SparkEntry {
            |SELECT doc_id, lex_rank, vec_rank, rrf_fp FROM fused
            |ORDER BY rrf_fp DESC, doc_id LIMIT 10""".stripMargin,
 
+      // Batched hybrid ≡ per-query hybrids: one replay per batch query —
+      // its own BM25 top-20 rank list, its own multi-probe store rank
+      // list over the hash-embedded documents (bucket filter BEFORE the
+      // rank window, exactly as queryL2Batch ranks within the probed
+      // candidates), the same integer RRF fusion, top-10 — unioned.
+      "q_rrf_batch" -> {
+        val chains = BatchLexQueries.zipWithIndex.map { case (q, i) =>
+          bm25CtesNamed(s"r${i}_", q.split(" ").toSeq, "documents")
+        }.mkString(",\n")
+        val qEmbeds = BatchLexQueries.zipWithIndex.map { case (q, i) =>
+          OracleGen.embedCte(s"rq$i", s"(SELECT '$q' AS text)", "0", "text", 64)
+        }.mkString(",\n")
+        val arms = BatchLexQueries.zipWithIndex.map { case (q, i) =>
+          val probes = Ann.probesOf(
+            graft.expressions.HashEmbed.embed(q, 64).toSeq, 4).mkString(", ")
+          s"""(SELECT CAST($i AS BIGINT) AS q_id,
+             |  CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id)
+             |    AS BIGINT) AS rank,
+             |  doc_id, lex_rank, vec_rank, rrf_fp FROM (
+             |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             |    l.rank AS lex_rank, v.rank AS vec_rank,
+             |    coalesce(1000000000 // (60 + l.rank), 0)
+             |      + coalesce(1000000000 // (60 + v.rank), 0) AS rrf_fp
+             |  FROM (SELECT doc_id, rank FROM (
+             |      SELECT doc_id,
+             |        row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rank
+             |      FROM (SELECT doc_id,
+             |              CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp
+             |            FROM r${i}_scored GROUP BY doc_id))
+             |    WHERE rank <= 20) l
+             |  FULL OUTER JOIN (SELECT doc_id, rank FROM (
+             |      SELECT doc_id,
+             |        row_number() OVER (ORDER BY distance ASC, doc_id) AS rank
+             |      FROM (SELECT d.id AS doc_id,
+             |              ${OracleGen.l2DoubleCols("d.emb", "q.emb")} AS distance
+             |            FROM d_emb d, rq${i}_emb q
+             |            WHERE ${OracleGen.lshBucket("d.emb", 4, 64)} IN ($probes)))
+             |    WHERE rank <= 20) v
+             |  ON l.doc_id = v.doc_id)
+             |ORDER BY rrf_fp DESC, doc_id LIMIT 10)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $chains,
+           |${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},
+           |$qEmbeds
+           |$arms
+           |ORDER BY q_id, rank""".stripMargin
+      },
+
       // Rerank replay: RRF top-50, then the stand-in cross-encoder —
       // floor(dot·1e6) over the embed chains + 100000 × distinct shared
       // tokens — and the reranked top-10.
@@ -9446,6 +9647,11 @@ object SparkEntry {
       // cell-partitioned layout must serve the same rows as the in-memory
       // cell computation
       "q_ivf_layout" -> ivfProbeOracleSql,
+
+      // IVF lifecycle: append ≡ rebuild (full-corpus replay), delete ≡
+      // rebuild-on-remaining (replay over the surviving rows).
+      "q_ivf_append" -> ivfProbeOracleSql,
+      "q_ivf_delete" -> ivfProbeOracleSqlOn(" WHERE vec_id % 3 <> 0"),
 
       "q_vector_store_quantized" -> {
         val (codes, qMaxAbs) = Quantize.quantizeQuery(QueryVec.values)

@@ -94,18 +94,30 @@ object Dedup {
     pairsFromSignatures(sigs, numHashes, rowsPerBand, maxBucket)
   }
 
+  /** Id-hash partition key of the signature stage (crc32 like the
+    * Retrieval stages' db key): [[deleteSignatures]] rewrites only the
+    * victims' partitions instead of the whole stage.
+    */
+  private val NumSigBuckets = 64
+  private def sbCol(id: Column): Column =
+    pmod(crc32(id.cast("string")), lit(NumSigBuckets.toLong)).cast("int")
+
   /** Land the (id, sig) signature projection in a parquet stage — the
     * cluster-scale alternative to localCheckpoint: lineage-free,
     * spillable, recoverable, and reusable across queries/jobs
     * (signatures are append-stable per document, so incremental corpora
-    * only sign new rows).
+    * only sign new rows). Partitioned by id hash (`sb`) so
+    * [[deleteSignatures]] — the GDPR/corpus-refresh path — rewrites only
+    * the victims' partitions.
     */
   def stageMinhashSignatures(df: DataFrame, idCol: Column, textCol: Column,
                              stagePath: String, numHashes: Int = 8,
                              shingleN: Int = 3): Unit =
     df.select(idCol.as("id"),
         minhashSignature(textCol, numHashes, shingleN).as("sig"))
-      .write.mode("overwrite").parquet(stagePath)
+      .withColumn("sb", sbCol(col("id")))
+      .repartition(col("sb")) // one file per partition — small-files guard
+      .write.mode("overwrite").partitionBy("sb").parquet(stagePath)
 
   /** Absorb a gated batch into the staged signature table: append the
     * accepted rows' signatures (the same hashing as
@@ -119,7 +131,37 @@ object Dedup {
                        shingleN: Int = 3): Unit =
     df.select(idCol.as("id"),
         minhashSignature(textCol, numHashes, shingleN).as("sig"))
-      .write.mode("append").parquet(stagePath)
+      .withColumn("sb", sbCol(col("id")))
+      .repartition(col("sb"))
+      .write.mode("append").partitionBy("sb").parquet(stagePath)
+
+  /** DELETE documents from the staged signature table — the missing
+    * twin of [[absorbSignatures]]: without it, GDPR-deleted or
+    * re-indexed documents keep gating future ingests as phantom
+    * near-dup origins forever (the reference's rebuild-everything
+    * alternative is `rag.py:30-38`'s full restage). Only the victims'
+    * id-hash partitions are rewritten (cost ∝ the deletion set's
+    * buckets, never the stage); every other partition's files are
+    * untouched. Delete-then-gate ≡ rebuild-on-remaining —
+    * q_dedup_sig_delete hash-checks it.
+    */
+  def deleteSignatures(ids: DataFrame, stagePath: String,
+                       idName: String = "id"): Unit = {
+    val spark = ids.sparkSession
+    val idsB = ids.select(col(idName).as("id"))
+      .withColumn("sb", sbCol(col("id")))
+      .localCheckpoint() // feeds the bucket collect AND the victim join
+    // metadata-sized collect: sb lives in [0, NumSigBuckets)
+    val vsb = idsB.select(col("sb")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (vsb.isEmpty) return
+    val kept = spark.read.parquet(stagePath)
+      .filter(col("sb").isin(vsb: _*))
+      .join(idsB.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("sig"), col("sb"))
+      .localCheckpoint() // the write overwrites the dir it was read from
+    graft.tables.Staging.overwritePartitionsExact(kept, "sb", stagePath, vsb)
+  }
 
   /** Banding join against a previously staged signature table. */
   def minhashPairsFromStage(spark: org.apache.spark.sql.SparkSession,

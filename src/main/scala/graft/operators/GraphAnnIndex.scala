@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * layout IS the index, no server process, nothing rebuilt on restart):
   *
   *   nodes/        (id, vec, bucket)    partitioned by LSH `bucket`
+  *   ids/          (id, ib)             partitioned by id-hash `ib` —
+  *                 the admission sidecar: nodes are partitioned by the
+  *                 VECTOR's bucket, so an "is this id already here?"
+  *                 lookup cannot prune them; this relation can, making
+  *                 the per-batch admission anti-join ∝ the batch's id
+  *                 buckets instead of a full id-column scan per append
+  *                 (and correct even when a stored id arrives with a
+  *                 CHANGED vector, which a vector-bucket prune of the
+  *                 node table would miss)
   *   coarse_adj/   (src, dst, d_bucket) partitioned by `d_bucket`
   *   base_adj/     (src, dst, d_bucket) partitioned by `d_bucket`
   *   _INDEX_META   parameters; written LAST via atomic rename — the
@@ -94,6 +103,43 @@ object GraphAnnIndex {
   private def deleteRec(path: String): Unit =
     graft.tables.Staging.deleteRec(path)
 
+  /** Id-hash bucket for the admission sidecar (crc32, like the
+    * Retrieval stages' db key: a literal id's bucket is trivially
+    * computable driver-side, so admission scans partition-prune).
+    */
+  private val NumIdBuckets = 64
+  private def ibCol(id: Column): Column =
+    pmod(crc32(id.cast("string")), lit(NumIdBuckets.toLong)).cast("int")
+
+  /** The admission sidecar, backfilled from the node table on first
+    * touch of a pre-sidecar index (one full id-column scan, ONCE —
+    * after that every admission is bucket-pruned). Read with the
+    * DECLARED schema (ids are numeric throughout the engine — `id %
+    * sampleMod` is the coarse-layer membership test — and stored as
+    * LONG): schema inference would open an arbitrary file's footer,
+    * defeating the partition pruning this relation exists for.
+    */
+  private val IdsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ib",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private def idsRel(spark: SparkSession, path: String): DataFrame = {
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/ids")))
+      writeIds(spark.read.parquet(s"$path/nodes").select(col("id")), path,
+        overwrite = true)
+    spark.read.schema(IdsSchema).parquet(s"$path/ids")
+  }
+
+  private def writeIds(ids: DataFrame, path: String,
+                       overwrite: Boolean): Unit =
+    ids.select(col("id").cast("long").as("id"))
+      .withColumn("ib", ibCol(col("id")))
+      .repartition(col("ib")) // small-files guard, cf. the nodes write
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("ib").parquet(s"$path/ids")
+
   /** Build the full index at `path` (wholesale overwrite of any previous
     * index there). The adjacency builds read the STAGED node table, so
     * the corpus lineage runs exactly once.
@@ -110,6 +156,8 @@ object GraphAnnIndex {
       // every partitioned index write here applies
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/nodes")
     val nodes = spark.read.parquet(s"$path/nodes")
+    // admission sidecar from the STAGED nodes (no second corpus pass)
+    writeIds(nodes.select(col("id")), path, overwrite = true)
     Ann.neighborEdges(nodes.filter(col("id") % sampleMod === 0),
         col("id"), col("vec"), edgesPerBucket, numPlanes, dim, probeBits)
       .repartition(col("d_bucket"))
@@ -239,7 +287,10 @@ object GraphAnnIndex {
     *    dynamic partition overwrite;
     *  - new sources' edges into untouched buckets are purely additive
     *    (nothing in those buckets moved) → plain partition append;
-    *  - every other partition is never read or written.
+    *  - every other partition is never read or written;
+    *  - admission ("is this id already stored?") anti-joins the `ids/`
+    *    sidecar pruned to the batch's id-hash buckets — ∝ the batch's
+    *    locality per micro-batch, never an O(corpus) id-column scan.
     *
     * Crash safety is intent-marker coarse, not per-partition atomic: the
     * `_APPENDING` marker lands before the first mutation and clears
@@ -256,9 +307,21 @@ object GraphAnnIndex {
     // one lineage cut: the admitted batch feeds both layers' updates and
     // the node append — recomputing a nondeterministic caller df between
     // them could update adjacency for a row the node table never gets
-    val fresh = df.select(idCol.as("id"), vecCol.as("vec"),
+    val batch = df.select(idCol.as("id"), vecCol.as("vec"),
         Ann.bucketOf(vecCol, m.numPlanes, m.dim).as("bucket"))
-      .join(old.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("ib", ibCol(col("id")))
+      .localCheckpoint() // feeds the bucket collect AND the admission join
+    // metadata-sized collect: ib lives in [0, NumIdBuckets) — the
+    // admission anti-join runs against the id sidecar PRUNED to the
+    // batch's id buckets (a stored twin of an id always shares its
+    // bucket), so per-batch admission cost is ∝ the batch's buckets,
+    // never the stored id column
+    val batchIbs = batch.select(col("ib")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val fresh = batch
+      .join(idsRel(spark, path).filter(col("ib").isin(batchIbs: _*))
+        .select(col("id")), Seq("id"), "left_anti")
+      .drop("ib")
       .localCheckpoint()
     // ONE metadata-sized action answers is-empty AND both layers'
     // touched-bucket sets (bucket ids live in [0, 2^numPlanes)) — the
@@ -277,6 +340,7 @@ object GraphAnnIndex {
         s"$path/coarse_adj", m)
       fresh.repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$path/nodes")
+      writeIds(fresh.select(col("id")), path, overwrite = false)
       java.nio.file.Files.delete(intentFile(path))
     }
   }
@@ -409,6 +473,16 @@ object GraphAnnIndex {
         .localCheckpoint()
       graft.tables.Staging.overwritePartitionsExact(keptRows, "bucket",
         s"$path/nodes", vb)
+      // admission sidecar: rewrite only the victims' id-hash partitions
+      val idsOld = idsRel(spark, path)
+      val vib = victims.select(ibCol(col("id")).as("ib")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val keptIds = idsOld.filter(col("ib").isin(vib: _*))
+        .join(victims.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("ib"))
+        .localCheckpoint()
+      graft.tables.Staging.overwritePartitionsExact(keptIds, "ib",
+        s"$path/ids", vib)
       java.nio.file.Files.delete(intentFile(path))
     }
   }
@@ -442,6 +516,8 @@ object GraphAnnIndex {
       val a = spark.read.parquet(s"$path/$adj").localCheckpoint()
       graft.tables.Staging.dynamicOverwrite(a, "d_bucket", s"$path/$adj")
     }
+    val ids = idsRel(spark, path).localCheckpoint()
+    graft.tables.Staging.dynamicOverwrite(ids, "ib", s"$path/ids")
     java.nio.file.Files.delete(intentFile(path))
   }
 

@@ -91,12 +91,27 @@ object Retrieval {
   // maintenance touches only affected partitions — the GraphAnnIndex
   // discipline):
   //
-  //   postings/ pb=N/ (tok, doc_id, tf, rank)   pb = crc32(tok) % 64
-  //   dfreq/    pb=N/ (tok, df)                 same key as postings
-  //   doclens/  db=N/ (doc_id, dl)              db = crc32(id str) % 64
-  //   globals/        (n_docs, total)           one row
+  //   postings/ pb=N/ (tok, doc_id, tf, rank, gen)  pb = crc32(tok) % 64
+  //   dfreq/    pb=N/ (tok, df, gen)                same key as postings
+  //   doclens/  db=N/ (doc_id, dl)                  db = crc32(id str) % 64
+  //   globals/        (n_docs, total, gen)          one row
   //   _POSTINGS_DONE  done marker, written last via atomic rename
   //   _APPENDING      maintenance-intent marker (crash ⇒ detected+refused)
+  //
+  // `gen` is the LSM generation that makes maintenance WRITES ∝ the
+  // touched posting lists instead of ∝ the touched partitions: an
+  // append/delete re-ranks only the tokens it touches and lands those
+  // rows as NEW files at generation g+1 — no partition is ever
+  // rewritten on the maintenance path. The superseded rows stay on disk
+  // (same token ⇒ same pb partition as their replacements) until
+  // [[compactPostings]] drops them; dfreq carries each token's
+  // AUTHORITATIVE generation, so a postings row is current iff
+  // (tok, gen) matches dfreq — [[readStage]] applies that semi-join
+  // once, co-keyed on (tok, gen, pb) so partition pruning and term
+  // filters propagate to both sides, and every consumer sees exactly
+  // the rebuild's rows. Without this, a realistic text batch touches
+  // most of the 64 token buckets and each append rewrote nearly the
+  // whole relation — cost ∝ corpus, the named 100 TB scale-killer.
   //
   // crc32 (not Spark's murmur `hash`) because a literal query term's
   // bucket is trivially computable driver-side, so single-query lookups
@@ -192,11 +207,14 @@ object Retrieval {
     val postings = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .localCheckpoint() // feeds ranked postings AND dfreq
-    val postingsW = withImpactRank(postings).withColumn("pb", pbCol(col("tok")))
+    val postingsW = withImpactRank(postings)
+      .withColumn("gen", lit(0L)) // LSM generation (see layout comment)
+      .withColumn("pb", pbCol(col("tok")))
     postingsW
       .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/postings")
     val dfreqW = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("gen", lit(0L))
       .withColumn("pb", pbCol(col("tok")))
     dfreqW
       .repartition(col("pb"))
@@ -205,7 +223,9 @@ object Retrieval {
     // doclens write (not a read-back of the files: an EMPTY corpus
     // writes a fileless doclens dir, which schema inference refuses)
     doclensW
-      .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("total"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total"),
+        lit(0L).as("gen"))
       .write.mode("overwrite").parquet(s"$path/globals")
     // each relation's written schema rides in the done marker so an
     // emptied relation stays readable — see readRel
@@ -230,15 +250,25 @@ object Retrieval {
   /** Incremental postings maintenance: admit new documents into an
     * existing stage (ids already present are dropped — idempotent).
     * Raw posting/doclens rows are purely additive under document
-    * insertion, but the DERIVED relations the stage now carries are not:
+    * insertion, but the DERIVED relations the stage carries are not:
     * a fresh doc can change the impact rank of every posting of a token
     * it contains, and that token's df. So the append re-ranks ONLY the
-    * touched tokens and rewrites only the pb partitions the batch's
-    * tokens hash into (dynamic partition overwrite — ≤ 64 partitions,
-    * cost ∝ touched posting lists, never the corpus); df merges
-    * additively for the same partitions; globals advance by the batch's
-    * (count, Σdl). Append-then-query ≡ rebuild-then-query, hash-checked
-    * by q_postings_append against the full-corpus replay.
+    * touched tokens and APPENDS those rows as new files at generation
+    * g+1 — the LSM write (see the layout comment): no partition is
+    * rewritten, written bytes ∝ the touched posting lists, never the
+    * corpus or even the touched partitions (RetrievalSpec asserts the
+    * pre-existing postings file set survives an append untouched). The
+    * superseded rows lose their dfreq generation match and become
+    * invisible to [[readStage]]'s resolution until [[compactPostings]]
+    * drops them. dfreq merges additively for the touched partitions
+    * (vocabulary-sized, the declared exception); the admission
+    * anti-join prunes the staged doclens to the BATCH ids' hash
+    * buckets (its partition key — a staged twin of an id always shares
+    * the id's bucket, so pruning cannot miss), keeping the per-batch
+    * admission scan ∝ the batch's buckets instead of the corpus;
+    * globals advance by the batch's (count, Σdl). Append-then-query ≡
+    * rebuild-then-query, hash-checked by q_postings_append against the
+    * full-corpus replay.
     *
     * Crash safety: the `_APPENDING` intent marker lands before the first
     * write and clears after the last; [[readStage]] refuses a stage with
@@ -249,67 +279,78 @@ object Retrieval {
                      path: String): Unit = {
     val spark = docs.sparkSession
     val st = readStage(spark, path)
-    val fresh = docs.select(idCol.as("doc_id"),
+    val batch = docs.select(idCol.as("doc_id"),
         TextFunctions.tokens(textCol).as("tk"))
-      .join(st.doclens.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("db", dbCol(col("doc_id")))
+      .localCheckpoint() // feeds the bucket collect AND the admission join
+    // metadata-sized collect: db lives in [0, NumTokBuckets)
+    val batchDbs = batch.select(col("db")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val fresh = batch
+      .join(st.doclens.filter(col("db").isin(batchDbs: _*))
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (fresh.isEmpty) return
     val freshPost = fresh.select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .withColumn("pb", pbCol(col("tok")))
-      .localCheckpoint() // feeds touched-set, postings rewrite, dfreq merge
-    // metadata-sized collect: pb lives in [0, NumTokBuckets)
+      .localCheckpoint() // feeds touched-set, postings append, dfreq merge
     val touched = freshPost.select(col("pb")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     java.nio.file.Files.createFile(intentFile(path))
+    val g = st.gen + 1
     // batch globals advance additively (old globals row collected —
     // a parquet dir cannot be read and overwritten in one plan)
-    val og = st.globals.collect().head
     val bg = fresh.agg(count(lit(1)).cast("long"),
       coalesce(sum(size(col("tk")).cast("long")), lit(0L))).collect().head
     if (touched.nonEmpty) {
       val toksNew = freshPost.select(col("tok")).distinct()
-      val oldP = st.postings.filter(col("pb").isin(touched: _*))
-      // untouched tokens in a touched partition keep their rows verbatim;
-      // touched tokens re-rank over old ∪ fresh (identical ordering to a
-      // full rebuild ⇒ identical ranks)
-      val keep = oldP.join(toksNew, Seq("tok"), "left_anti")
+      // touched tokens re-rank over current ∪ fresh (identical ordering
+      // to a full rebuild ⇒ identical ranks) and land at generation g —
+      // untouched tokens' rows are never read back or rewritten
       val rerank = withImpactRank(
-        oldP.join(toksNew, Seq("tok"), "left_semi")
+        st.postings.filter(col("pb").isin(touched: _*))
+          .join(toksNew, Seq("tok"), "left_semi")
           .select(col("tok"), col("doc_id"), col("tf"))
           .unionByName(freshPost.select(col("tok"), col("doc_id"), col("tf"))))
+        .withColumn("gen", lit(g))
         .withColumn("pb", pbCol(col("tok")))
-      val mergedP = keep.select(col("tok"), col("doc_id"), col("tf"),
-          col("rank"), col("pb"))
-        .unionByName(rerank.select(col("tok"), col("doc_id"), col("tf"),
-          col("rank"), col("pb")))
-        .localCheckpoint() // the write overwrites the dir it was read from
-      graft.tables.Staging.dynamicOverwrite(mergedP,
-        "pb", s"$path/postings")
+        .localCheckpoint() // the append lands in the dir it was read from
+      rerank.select(col("tok"), col("doc_id"), col("tf"), col("rank"),
+          col("gen"), col("pb"))
+        .repartition(col("pb")) // one new file per touched partition
+        .write.mode("append").partitionBy("pb").parquet(s"$path/postings")
+      // dfreq: touched tokens advance df AND generation (their postings
+      // rows at g are now the current ones); untouched tokens in a
+      // touched partition keep their row — including its generation —
+      // verbatim
       val oldDf = st.dfreq.filter(col("pb").isin(touched: _*))
       val newDf = freshPost.groupBy(col("tok")).agg(count(lit(1)).as("df_new"))
-      val mergedDf = oldDf.select(col("tok"), col("df"))
+      val mergedDf = oldDf.select(col("tok"), col("df"), col("gen"))
         .join(newDf, Seq("tok"), "full_outer")
         .select(col("tok"),
           (coalesce(col("df"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"),
+          when(col("df_new").isNotNull, lit(g))
+            .otherwise(col("gen")).as("gen"),
           pbCol(col("tok")).as("pb"))
         .localCheckpoint()
       graft.tables.Staging.dynamicOverwrite(mergedDf,
         "pb", s"$path/dfreq")
     }
     fresh.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        dbCol(col("doc_id")).as("db"))
+        col("db"))
       .repartition(col("db"))
       .write.mode("append").partitionBy("db").parquet(s"$path/doclens")
-    writeGlobals(spark, path, og.getLong(0) + bg.getLong(0),
-      og.getLong(1) + bg.getLong(1))
+    writeGlobals(spark, path, st.nDocs + bg.getLong(0),
+      st.totalDl + bg.getLong(1), g)
     java.nio.file.Files.delete(intentFile(path))
   }
 
   private def writeGlobals(spark: org.apache.spark.sql.SparkSession,
-                           path: String, nDocs: Long, total: Long): Unit = {
+                           path: String, nDocs: Long, total: Long,
+                           gen: Long): Unit = {
     import spark.implicits._
-    Seq((nDocs, total)).toDF("n_docs", "total")
+    Seq((nDocs, total, gen)).toDF("n_docs", "total", "gen")
       .write.mode("overwrite").parquet(s"$path/globals")
   }
 
@@ -317,24 +358,34 @@ object Retrieval {
     * dedup-then-reindex) that previously forced a full restage. One
     * postings scan finds the victims' rows (a doc's tokens can hash
     * anywhere — no forward index, so this scan is inherent); everything
-    * after touches only affected partitions: the victims' tokens
-    * re-rank over the REMAINING postings and their pb partitions rewrite
-    * (untouched tokens sharing a partition keep their rows verbatim), df
-    * decrements for exactly those tokens (zero-df tokens drop), doclens
-    * rewrites only the victims' db partitions, globals retreat by the
-    * victims' (count, Σdl). Delete-then-query ≡ rebuild-on-remaining —
-    * q_postings_delete hash-checks it. Same intent marker as [[appendPostings]].
+    * after is ∝ the victims' locality: the victims' tokens re-rank over
+    * the REMAINING postings and land as NEW files at generation g+1
+    * (the [[appendPostings]] LSM write — no partition rewritten), df
+    * decrements for exactly those tokens — a token whose df reaches 0
+    * DROPS from dfreq, which alone makes every surviving stale row of
+    * it invisible to [[readStage]]'s resolution — doclens rewrites only
+    * the victims' db partitions (id-hash pruned, like the admission
+    * join), globals retreat by the victims' (count, Σdl).
+    * Delete-then-query ≡ rebuild-on-remaining — q_postings_delete
+    * hash-checks it. Same intent marker as [[appendPostings]].
     */
   def deletePostings(ids: DataFrame, path: String,
                      idName: String = "doc_id"): Unit = {
     val spark = ids.sparkSession
     val st = readStage(spark, path)
-    val victims = st.doclens
-      .join(ids.select(col(idName).as("doc_id")), Seq("doc_id"), "left_semi")
+    val idsB = ids.select(col(idName).as("doc_id"))
+      .withColumn("db", dbCol(col("doc_id")))
+      .localCheckpoint() // feeds the bucket collect AND the victim lookup
+    // metadata-sized collect: db lives in [0, NumTokBuckets) — the
+    // victim lookup prunes doclens to the DELETION SET's buckets
+    val idsDbs = idsB.select(col("db")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val victims = st.doclens.filter(col("db").isin(idsDbs: _*))
+      .join(idsB.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .localCheckpoint()
     if (victims.isEmpty) return
     java.nio.file.Files.createFile(intentFile(path))
-    val og = st.globals.collect().head
+    val g = st.gen + 1
     val vg = victims.agg(count(lit(1)).cast("long"),
       coalesce(sum(col("dl")), lit(0L))).collect().head
     // the one full scan: victim posting rows → touched tokens (with the
@@ -350,23 +401,28 @@ object Retrieval {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.nonEmpty) {
       val toksGone = victimDf.select(col("tok"))
-      val oldP = st.postings.filter(col("pb").isin(touched: _*))
-      val keep = oldP.join(toksGone, Seq("tok"), "left_anti")
+      // remaining rows of the victims' tokens re-rank at generation g —
+      // LSM append, cf. appendPostings; a token with NO remaining rows
+      // contributes nothing here and drops from dfreq below
       val rerank = withImpactRank(
-        oldP.join(toksGone, Seq("tok"), "left_semi")
+        st.postings.filter(col("pb").isin(touched: _*))
+          .join(toksGone, Seq("tok"), "left_semi")
           .join(victims.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .select(col("tok"), col("doc_id"), col("tf")))
+        .withColumn("gen", lit(g))
         .withColumn("pb", pbCol(col("tok")))
-      val mergedP = keep.select(col("tok"), col("doc_id"), col("tf"),
-          col("rank"), col("pb"))
-        .unionByName(rerank.select(col("tok"), col("doc_id"), col("tf"),
-          col("rank"), col("pb")))
-        .localCheckpoint()
-      graft.tables.Staging.overwritePartitionsExact(mergedP, "pb", s"$path/postings", touched)
+        .localCheckpoint() // the append lands in the dir it was read from
+      rerank.select(col("tok"), col("doc_id"), col("tf"), col("rank"),
+          col("gen"), col("pb"))
+        .repartition(col("pb"))
+        .write.mode("append").partitionBy("pb").parquet(s"$path/postings")
       val mergedDf = st.dfreq.filter(col("pb").isin(touched: _*))
         .join(victimDf.select(col("tok"), col("df_gone")), Seq("tok"), "left_outer")
         .select(col("tok"),
-          (col("df") - coalesce(col("df_gone"), lit(0L))).as("df"), col("pb"))
+          (col("df") - coalesce(col("df_gone"), lit(0L))).as("df"),
+          when(col("df_gone").isNotNull, lit(g))
+            .otherwise(col("gen")).as("gen"),
+          col("pb"))
         .filter(col("df") > 0L)
         .localCheckpoint()
       graft.tables.Staging.overwritePartitionsExact(mergedDf, "pb", s"$path/dfreq", touched)
@@ -377,8 +433,8 @@ object Retrieval {
       .join(victims.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     graft.tables.Staging.overwritePartitionsExact(keptLens, "db", s"$path/doclens", vdb)
-    writeGlobals(spark, path, og.getLong(0) - vg.getLong(0),
-      og.getLong(1) - vg.getLong(1))
+    writeGlobals(spark, path, st.nDocs - vg.getLong(0),
+      st.totalDl - vg.getLong(1), g)
     java.nio.file.Files.delete(intentFile(path))
   }
 
@@ -400,30 +456,50 @@ object Retrieval {
     appendPostings(docs, idCol, textCol, path)
   }
 
-  /** Compact the stage in place: rewrite every hash-bucket partition into
-    * one file (repartition on the partition column routes each
-    * partition's rows to one task) — the maintenance pass that keeps
-    * file counts flat as streaming appends accumulate small files.
-    * Results are invariant (RetrievalSpec asserts identical rows and
-    * query output); cost is one rewrite, no re-ranking.
+  /** Compact the stage in place: rewrite every hash-bucket partition
+    * into one file (repartition on the partition column routes each
+    * partition's rows to one task), DROP the superseded-generation
+    * postings rows the LSM appends left behind, and reset every
+    * generation to 0 — the maintenance pass that keeps both file counts
+    * AND stale-row read amplification flat as streaming appends
+    * accumulate. After compaction the stage is relation-for-relation
+    * identical to a fresh [[stagePostings]] on the same corpus
+    * (RetrievalSpec asserts it); resolved queries are invariant. Cost
+    * is one rewrite, no re-ranking — the deferred price of the
+    * maintenance path never rewriting a partition.
     */
   def compactPostings(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
-    val _ = readStage(spark, path) // validates done marker + no torn append
+    val st = readStage(spark, path) // validates marker + resolves postings
     java.nio.file.Files.createFile(intentFile(path))
-    Seq("postings" -> "pb", "dfreq" -> "pb", "doclens" -> "db").foreach {
-      case (rel, pc) =>
-        val df = readRel(spark, path, rel, postingsMarker(path))
-          .localCheckpoint()
-        graft.tables.Staging.dynamicOverwrite(df, pc,
-          s"$path/$rel")
-    }
+    val allB = (0 until NumTokBuckets).toSeq
+    val p0 = st.postings // resolved: current-generation rows only
+      .select(col("tok"), col("doc_id"), col("tf"), col("rank"),
+        lit(0L).as("gen"), col("pb"))
+      .localCheckpoint() // the write overwrites the dir it was read from
+    // exact overwrite, not dynamic: a partition whose every row is stale
+    // must be ERASED, and dynamic overwrite cannot erase a partition it
+    // writes no rows into
+    graft.tables.Staging.overwritePartitionsExact(p0, "pb",
+      s"$path/postings", allB)
+    val d0 = readRel(spark, path, "dfreq", postingsMarker(path))
+      .select(col("tok"), col("df"), lit(0L).as("gen"), col("pb"))
+      .localCheckpoint()
+    graft.tables.Staging.overwritePartitionsExact(d0, "pb",
+      s"$path/dfreq", allB)
+    val l0 = readRel(spark, path, "doclens", postingsMarker(path))
+      .localCheckpoint()
+    graft.tables.Staging.dynamicOverwrite(l0, "db", s"$path/doclens")
+    writeGlobals(spark, path, st.nDocs, st.totalDl, 0L)
     java.nio.file.Files.delete(intentFile(path))
   }
 
-  /** The staged relations. `postings` carries (tok, doc_id, tf, rank,
-    * pb); `dfreq` (tok, df, pb); `doclens` (doc_id, dl, db); `globals`
-    * one row (n_docs, total).
+  /** The staged relations, with LSM generations already RESOLVED:
+    * `postings` carries exactly the current rows as (tok, doc_id, tf,
+    * rank, pb) — superseded-generation rows a maintenance append left
+    * on disk are dropped here, once, for every consumer; `dfreq`
+    * (tok, df, gen, pb); `doclens` (doc_id, dl, db); `globals` one row
+    * (n_docs, total, gen).
     */
   final case class PostingsStage(postings: DataFrame, dfreq: DataFrame,
                                  doclens: DataFrame, globals: DataFrame) {
@@ -434,9 +510,9 @@ object Retrieval {
       * bound, so that cross join plans as a BroadcastNestedLoopJoin —
       * flagged scale-unsafe even though this one is benign).
       */
-    lazy val (nDocs, totalDl) = {
+    lazy val (nDocs, totalDl, gen) = {
       val r = globals.collect().head
-      (r.getLong(0), r.getLong(1))
+      (r.getLong(0), r.getLong(1), if (r.length > 2) r.getLong(2) else 0L)
     }
   }
 
@@ -448,8 +524,19 @@ object Retrieval {
         s"$path has unfinished maintenance (_APPENDING intent present) — a " +
           "writer crashed mid-append/delete; rebuild with stagePostings()")
     val mk = postingsMarker(path)
-    PostingsStage(readRel(spark, path, "postings", mk),
-      readRel(spark, path, "dfreq", mk),
+    val praw = readRel(spark, path, "postings", mk)
+    val draw = readRel(spark, path, "dfreq", mk)
+    // LSM resolution: a postings row is current iff its (tok, gen)
+    // matches the token's authoritative generation in dfreq. The join
+    // carries pb — derived from tok on BOTH sides — so a consumer's
+    // partition-pruning pb filter and term filter propagate across the
+    // join keys to the dfreq scan too (a single-query read stays a
+    // |terms|-bucket read of each relation, never a corpus pass).
+    val resolved = praw
+      .join(draw.select(col("tok"), col("gen"), col("pb")),
+        Seq("tok", "gen", "pb"), "left_semi")
+      .drop("gen")
+    PostingsStage(resolved, draw,
       readRel(spark, path, "doclens", mk),
       spark.read.parquet(s"$path/globals"))
   }
@@ -762,6 +849,9 @@ object Retrieval {
     * exists changes (embeddings are a pure function of the window
     * string). Append-then-query ≡ rebuild-then-query by construction;
     * q_windows_append hash-checks it against the full-corpus replay.
+    * The admission anti-join prunes the staged dwin to the batch ids'
+    * hash buckets (see the body comment) — per-batch admission cost is
+    * ∝ the batch's locality, not the corpus.
     * Same `_APPENDING` intent-marker crash discipline as the postings
     * stage: [[maxSimPrunedFromStage]] refuses a torn stage. (A document
     * with NO window — text shorter than one shingle — leaves no trace
@@ -775,11 +865,22 @@ object Retrieval {
     requireWindowKnobs(path, windowN, dim, Some(maxDocWindows))
     val spark = docs.sparkSession
     val oldDwin = readWin(spark, path, "dwin")
-    val fresh = docs.select(idCol.as("doc_id"),
+    val batch = docs.select(idCol.as("doc_id"),
         explode(slice(TextFunctions.shingles(textCol, windowN), 1,
           maxDocWindows)).as("win"))
       .distinct()
-      .join(oldDwin.select(col("doc_id")).distinct(), Seq("doc_id"),
+      .withColumn("db", dbCol(col("doc_id")))
+      .localCheckpoint() // feeds the bucket collect AND the admission join
+    // metadata-sized collect: db lives in [0, NumTokBuckets) — the
+    // admission anti-join prunes the staged dwin to the BATCH ids' hash
+    // buckets (its partition key; a staged twin of an id always shares
+    // the id's bucket), so the per-batch admission scan is ∝ the
+    // batch's buckets, never the corpus
+    val batchDbs = batch.select(col("db")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val fresh = batch
+      .join(oldDwin.filter(col("db").isin(batchDbs: _*))
+          .select(col("doc_id")).distinct(), Seq("doc_id"),
         "left_anti")
       .localCheckpoint() // feeds dwin append AND the new-window derivation
     if (fresh.isEmpty) return
@@ -789,7 +890,7 @@ object Retrieval {
         Seq("win"), "left_anti")
       .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
       .localCheckpoint() // feeds wemb append AND wtok append
-    fresh.withColumn("db", dbCol(col("doc_id")))
+    fresh.select(col("doc_id"), col("win"), col("db"))
       .repartition(col("db"))
       .write.mode("append").partitionBy("db").parquet(s"$path/dwin")
     if (!newWins.isEmpty) {
@@ -1000,6 +1101,26 @@ object Retrieval {
     val l = lex.select(col("doc_id"), col("rank").as("lex_rank"))
     val v = vec.select(col("doc_id"), col("rank").as("vec_rank"))
     l.join(v, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_fp",
+        coalesce(expr(s"1000000000L DIV (${k}L + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000L DIV (${k}L + vec_rank)"), lit(0L)))
+  }
+
+  /** BATCHED hybrid fusion — the q_id-keyed twin of [[rrfFuse]], closing
+    * the last per-query-only serving path: both halves already serve
+    * batched ([[bm25BatchFromStage]] lexically, VectorStore.queryL2Batch
+    * vectorially — the batched E3 of the reference's `rag.py:77-90`),
+    * and this composes them with ONE (q_id, doc_id)-keyed full-outer
+    * join + the same exact integer fusion arithmetic. Per-query rows
+    * are identical to N separate [[rrfFuse]] calls (RetrievalSpec
+    * asserts it; q_rrf_batch hash-checks the per-query replay). Inputs
+    * carry (q_id, doc_id, rank); at scale both are top-k-per-query
+    * relations — |queries|·k rows, broadcast-sized, never a corpus join.
+    */
+  def rrfFuseBatch(lex: DataFrame, vec: DataFrame, k: Int = 60): DataFrame = {
+    val l = lex.select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val v = vec.select(col("q_id"), col("doc_id"), col("rank").as("vec_rank"))
+    l.join(v, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf_fp",
         coalesce(expr(s"1000000000L DIV (${k}L + lex_rank)"), lit(0L)) +
           coalesce(expr(s"1000000000L DIV (${k}L + vec_rank)"), lit(0L)))

@@ -597,7 +597,12 @@ object Streaming {
     val grow = sys.props("java.io.tmpdir") + "/graft_gate_grow_" + name
     reset(out); reset(grow)
     val s = docs.sparkSession
-    s.read.parquet(refStagePath).write.mode("overwrite").parquet(grow)
+    // the working copy keeps the stage's id-hash partitioning — the
+    // absorb half appends partitionBy(sb) rows, and deleteSignatures'
+    // partition-local rewrite contract holds for the copy too
+    s.read.parquet(refStagePath)
+      .repartition(col("sb"))
+      .write.mode("overwrite").partitionBy("sb").parquet(grow)
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, bid) => {
         val b = batch.select(col("id"), col("text"))
@@ -698,10 +703,12 @@ object Streaming {
   /** Streaming ingest INTO the persisted postings index — the lexical
     * twin of [[drainToGraphAnnIndex]]: the first micro-batch builds the
     * stage (Retrieval.stagePostings), every later batch goes through the
-    * INCREMENTAL append (touched tokens re-ranked, df merged additively,
-    * globals advanced — only affected hash-bucket partitions rewritten),
-    * and a final compact pass keeps the file counts flat against the
-    * small files streaming appends accumulate. Because append ≡ rebuild
+    * INCREMENTAL append (touched tokens re-ranked and LSM-appended at
+    * the next generation — written bytes ∝ the batch's posting lists,
+    * no partition rewritten; df merged additively, globals advanced),
+    * and a final compact pass drops the superseded-generation rows and
+    * keeps the file counts flat against the small files streaming
+    * appends accumulate. Because append ≡ rebuild
     * and compact is invariant, the drained index must serve exactly what
     * a one-shot build over the whole corpus serves — the oracle replays
     * the full-corpus BM25.

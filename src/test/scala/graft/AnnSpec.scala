@@ -281,6 +281,62 @@ class AnnSpec extends SparkSpec {
       s"pruned scan read files outside buckets $someBuckets: $scanned")
   }
 
+  test("graph-ANN admission is id-bucket-pruned via the ids/ sidecar; " +
+      "a changed-vector re-append is still refused; backfill heals a " +
+      "pre-sidecar index") {
+    import graft.operators.GraphAnnIndex
+    val idx = java.nio.file.Files.createTempDirectory("graft_gann_adm").toString
+    GraphAnnIndex.build(emb.filter(col("vec_id") =!= 1),
+      col("vec_id"), col("embedding"), idx, sampleMod = 16, edgesPerBucket = 3)
+    // the sidecar mirrors the node table's ids
+    def sidecarIds(): Set[Long] = spark.read.parquet(s"$idx/ids")
+      .collect().map(_.getAs[Long]("id")).toSet
+    def nodeIds(): Set[Long] = spark.read.parquet(s"$idx/nodes")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(sidecarIds() == nodeIds())
+    // 1. PRUNING is physical: plant an unreadable file in every ids
+    //    partition EXCEPT the batch id's own bucket — a full-relation
+    //    admission scan trips over it, a pruned one never opens it
+    val ib1 = {
+      val c = new java.util.zip.CRC32()
+      c.update("1".getBytes("UTF-8"))
+      (c.getValue % 64).toInt
+    }
+    for (b <- 0 until 64 if b != ib1) {
+      val d = java.nio.file.Paths.get(s"$idx/ids/ib=$b")
+      if (java.nio.file.Files.isDirectory(d))
+        java.nio.file.Files.write(d.resolve("corrupt.parquet"),
+          "not a parquet file".getBytes("US-ASCII"))
+    }
+    GraphAnnIndex.append(emb.filter(col("vec_id") === 1),
+      col("vec_id"), col("embedding"), idx)
+    for (b <- 0 until 64)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$idx/ids/ib=$b/corrupt.parquet"))
+    assert(sidecarIds() == nodeIds() && nodeIds().contains(1L))
+    // 2. CHANGED-vector re-append is refused by id, not by vector
+    //    bucket: negating the vector flips every LSH hyperplane sign
+    //    (different bucket), so a vector-bucket prune of the node table
+    //    would miss the stored twin and insert a duplicate id
+    val before = nodeIds().size
+    GraphAnnIndex.append(
+      emb.filter(col("vec_id") === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")),
+      col("vec_id"), col("embedding"), idx)
+    assert(nodeIds().size == before, "duplicate id admitted")
+    // 3. BACKFILL: a pre-sidecar index (ids/ gone) heals on first touch
+    graft.tables.Staging.deleteRec(s"$idx/ids")
+    GraphAnnIndex.append(emb.filter(col("vec_id") === 2)
+        .select(col("vec_id"), col("embedding")),
+      col("vec_id"), col("embedding"), idx)
+    assert(sidecarIds() == nodeIds())
+    // 4. delete maintains the sidecar
+    import spark.implicits._
+    GraphAnnIndex.delete(Seq(1L).toDF("id"), idx)
+    assert(sidecarIds() == nodeIds() && !nodeIds().contains(1L))
+  }
+
   test("graph-ANN delete ≡ rebuild-on-remaining; only the victim's " +
       "neighbourhood partitions rewritten") {
     import graft.operators.GraphAnnIndex

@@ -292,8 +292,7 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.stagePostings(docs, col("doc_id"), col("text"), up)
     Retrieval.upsertPostings(changed, col("doc_id"), col("text"), up)
     Retrieval.stagePostings(modified, col("doc_id"), col("text"), rb)
-    for (rel <- Seq("postings", "dfreq", "doclens", "globals"))
-      assert(snap(up, rel) == snap(rb, rel), s"postings/$rel")
+    assert(snapResolved(up) == snapResolved(rb))
     // windows: query-identical after upsert; relation-identical after
     // compact GCs the delete half's vocabulary orphans
     val uw = java.nio.file.Files.createTempDirectory("graft_ups_w").toString
@@ -310,6 +309,29 @@ class RetrievalSpec extends SparkSpec {
       assert(snap(uw, rel) == snap(rw, rel), s"windows/$rel after compact")
   }
 
+  // RESOLVED-stage snapshot: current-generation postings rows, dfreq/
+  // globals modulo the LSM generation columns (an incremental stage and
+  // a rebuild agree on content, not on generation history).
+  private def snapResolved(path: String): Seq[Seq[String]] = {
+    val st = Retrieval.readStage(spark, path)
+    Seq(
+      st.postings.select("tok", "doc_id", "tf", "rank", "pb")
+        .collect().map(_.toString).sorted.toSeq,
+      st.dfreq.select("tok", "df", "pb")
+        .collect().map(_.toString).sorted.toSeq,
+      st.doclens.collect().map(_.toString).sorted.toSeq,
+      Seq(s"${st.nDocs},${st.totalDl}"))
+  }
+
+  private def parquetFiles(dir: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+    finally walk.close()
+  }
+
   test("appendPostings: append-then-query ≡ rebuild-then-query, idempotent") {
     val docs = graft.tables.Tables.documents(spark, sf0001)
     val inc = java.nio.file.Files.createTempDirectory("graft_post_inc").toString
@@ -319,10 +341,9 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.appendPostings(docs.filter(col("doc_id") % 3 === 0),
       col("doc_id"), col("text"), inc)
     Retrieval.stagePostings(docs, col("doc_id"), col("text"), full)
-    def snap(path: String, rel: String): Seq[String] =
-      spark.read.parquet(s"$path/$rel").collect().map(_.toString).sorted.toSeq
-    assert(snap(inc, "postings") == snap(full, "postings"))
-    assert(snap(inc, "doclens") == snap(full, "doclens"))
+    // resolved relation-for-relation equality: postings (current rows),
+    // dfreq, doclens, globals
+    assert(snapResolved(inc) == snapResolved(full))
     val terms = Seq("the", "data", "pipeline")
     val a = Retrieval.bm25FromStage(spark, inc, terms)
       .collect().map(_.toString).sorted
@@ -330,13 +351,68 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(a.nonEmpty && a.sameElements(b))
     // re-appending the same docs is a no-op (anti-join on staged ids)
+    val files = parquetFiles(s"$inc/postings")
     Retrieval.appendPostings(docs.filter(col("doc_id") % 3 === 0),
       col("doc_id"), col("text"), inc)
-    assert(snap(inc, "postings") == snap(full, "postings"))
-    // staged derived relations must equal the rebuild's too: df counts,
-    // impact ranks (inside postings — checked above), globals
-    assert(snap(inc, "dfreq") == snap(full, "dfreq"))
-    assert(snap(inc, "globals") == snap(full, "globals"))
+    assert(parquetFiles(s"$inc/postings") == files)
+    assert(snapResolved(inc) == snapResolved(full))
+  }
+
+  test("appendPostings is LSM: no pre-existing postings file is rewritten " +
+      "— written bytes ∝ the touched posting lists, never the corpus") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val p = java.nio.file.Files.createTempDirectory("graft_post_lsm").toString
+    Retrieval.stagePostings(docs.filter(col("doc_id") % 10 =!= 0),
+      col("doc_id"), col("text"), p)
+    val before = parquetFiles(s"$p/postings")
+    Retrieval.appendPostings(docs.filter(col("doc_id") % 10 === 0),
+      col("doc_id"), col("text"), p)
+    val after = parquetFiles(s"$p/postings")
+    // the append ADDED files; every pre-existing file survives untouched
+    // (the r15 rewrite amplification rewrote keep ∪ rerank for every
+    // touched partition — cost ∝ corpus per append at 64 buckets)
+    assert(before.keySet.subsetOf(after.keySet))
+    for ((f, sz) <- before) assert(after(f) == sz, s"$f was rewritten")
+    assert(after.size > before.size)
+    // and a DELETE is LSM on postings too
+    val beforeDel = parquetFiles(s"$p/postings")
+    Retrieval.deletePostings(
+      docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), p)
+    val afterDel = parquetFiles(s"$p/postings")
+    assert(beforeDel.keySet.subsetOf(afterDel.keySet))
+    for ((f, sz) <- beforeDel) assert(afterDel(f) == sz, s"$f was rewritten")
+  }
+
+  test("append/delete admission scans are id-bucket-PRUNED: an unreadable " +
+      "doclens partition outside the batch's buckets is never opened") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    // one-doc batch: its id hashes to exactly one db bucket
+    val batch = docs.filter(col("doc_id") === 1)
+    val p = java.nio.file.Files.createTempDirectory("graft_post_adm").toString
+    Retrieval.stagePostings(docs.filter(col("doc_id") > 1 && col("doc_id") < 60),
+      col("doc_id"), col("text"), p)
+    // plant a corrupt parquet file in every doclens partition EXCEPT the
+    // batch's own bucket — a full-relation admission scan trips over it,
+    // a pruned one never opens it
+    val batchDb = {
+      val c = new java.util.zip.CRC32()
+      c.update("1".getBytes("UTF-8"))
+      (c.getValue % 64).toInt
+    }
+    for (b <- 0 until 64 if b != batchDb) {
+      val d = java.nio.file.Paths.get(s"$p/doclens/db=$b")
+      if (java.nio.file.Files.isDirectory(d))
+        java.nio.file.Files.write(d.resolve("corrupt.parquet"),
+          "not a parquet file".getBytes("US-ASCII"))
+    }
+    // pruned admission: reads only db=batchDb — must succeed
+    Retrieval.appendPostings(batch, col("doc_id"), col("text"), p)
+    Retrieval.deletePostings(batch.select(col("doc_id")), p)
+    // clean up the planted corruption so the temp stage stays readable
+    for (b <- 0 until 64) {
+      val f = java.nio.file.Paths.get(s"$p/doclens/db=$b/corrupt.parquet")
+      java.nio.file.Files.deleteIfExists(f)
+    }
   }
 
   test("deletePostings: delete-then-query ≡ rebuild-on-remaining, " +
@@ -349,10 +425,7 @@ class RetrievalSpec extends SparkSpec {
       .select(col("doc_id")), del)
     Retrieval.stagePostings(docs.filter(col("doc_id") % 3 =!= 0),
       col("doc_id"), col("text"), rem)
-    def snap(path: String, rel: String): Seq[String] =
-      spark.read.parquet(s"$path/$rel").collect().map(_.toString).sorted.toSeq
-    for (rel <- Seq("postings", "doclens", "dfreq", "globals"))
-      assert(snap(del, rel) == snap(rem, rel), rel)
+    assert(snapResolved(del) == snapResolved(rem))
     val terms = Seq("the", "data", "pipeline")
     val a = Retrieval.bm25FromStage(spark, del, terms)
       .collect().map(_.toString).sorted
@@ -362,24 +435,35 @@ class RetrievalSpec extends SparkSpec {
     // deleting already-absent ids is a no-op
     Retrieval.deletePostings(docs.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id")), del)
-    assert(snap(del, "postings") == snap(rem, "postings"))
+    assert(snapResolved(del) == snapResolved(rem))
   }
 
-  test("compactPostings: rows and query output invariant, one file per partition") {
+  test("compactPostings: resolved rows and query output invariant, stale " +
+      "generations dropped, stage ≡ fresh rebuild, one file per partition") {
     val docs = graft.tables.Tables.documents(spark, sf0001)
     val p = java.nio.file.Files.createTempDirectory("graft_post_cmp").toString
-    // two appends accumulate small files before the compact
+    val full = java.nio.file.Files.createTempDirectory("graft_post_cmpf").toString
+    // two appends accumulate small files AND superseded-generation rows
     Retrieval.stagePostings(docs.filter(col("doc_id") % 3 === 1),
       col("doc_id"), col("text"), p)
     Retrieval.appendPostings(docs.filter(col("doc_id") % 3 === 2),
       col("doc_id"), col("text"), p)
     Retrieval.appendPostings(docs.filter(col("doc_id") % 3 === 0),
       col("doc_id"), col("text"), p)
-    def snap(rel: String): Seq[String] =
-      spark.read.parquet(s"$p/$rel").collect().map(_.toString).sorted.toSeq
-    val before = Seq("postings", "doclens", "dfreq").map(snap)
+    val before = snapResolved(p)
+    val rawBefore = spark.read.parquet(s"$p/postings").count()
     Retrieval.compactPostings(spark, p)
-    assert(Seq("postings", "doclens", "dfreq").map(snap) == before)
+    assert(snapResolved(p) == before)
+    // the LSM garbage is GONE: raw row count shrinks to the resolved
+    // count, and the compacted stage equals a fresh rebuild raw-relation-
+    // for-relation (generations reset to 0)
+    val rawAfter = spark.read.parquet(s"$p/postings").count()
+    assert(rawAfter < rawBefore)
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), full)
+    def raw(path: String, rel: String): Seq[String] =
+      spark.read.parquet(s"$path/$rel").collect().map(_.toString).sorted.toSeq
+    for (rel <- Seq("postings", "dfreq", "doclens"))
+      assert(raw(p, rel) == raw(full, rel), rel)
     // every partition dir holds exactly one parquet file after compaction
     val parts = java.nio.file.Files.list(java.nio.file.Paths.get(s"$p/postings"))
       .toArray.map(_.toString).filter(_.contains("pb="))
@@ -423,10 +507,7 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.appendPostings(docs, col("doc_id"), col("text"), p)
     val full = java.nio.file.Files.createTempDirectory("graft_post_wipe_f").toString
     Retrieval.stagePostings(docs, col("doc_id"), col("text"), full)
-    def snap(path: String, rel: String): Seq[String] =
-      spark.read.parquet(s"$path/$rel").collect().map(_.toString).sorted.toSeq
-    for (rel <- Seq("postings", "dfreq", "doclens"))
-      assert(snap(p, rel) == snap(full, rel), rel)
+    assert(snapResolved(p) == snapResolved(full))
     val a = Retrieval.bm25FromStage(spark, p, Seq("the", "data"))
       .collect().map(_.toString).sorted
     val b = Retrieval.bm25FromStage(spark, full, Seq("the", "data"))
