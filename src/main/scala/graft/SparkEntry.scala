@@ -715,7 +715,8 @@ object SparkEntry {
   /** The per-subspace PQ CTE block (training, final-centroid encode,
     * ADC tables) shared by q_pq_knn and q_ivf_pq.
     */
-  private def pqCtesSql(m: Int, subDim: Int, k: Int, iters: Int): String = {
+  private def pqCtesSql(m: Int, subDim: Int, k: Int, iters: Int,
+                        src: String = "embeddings"): String = {
     val sb = new StringBuilder
     for (j <- 0 until m) {
       val lo = j * subDim
@@ -726,7 +727,7 @@ object SparkEntry {
            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
            |    list_transform(range(1, ${subDim + 1}),
            |      i -> CAST(embedding[CAST(i + $lo AS INTEGER)] AS DOUBLE)) AS cvec
-           |  FROM embeddings ORDER BY vec_id LIMIT $k)""".stripMargin)
+           |  FROM $src ORDER BY vec_id LIMIT $k)""".stripMargin)
       var prev = s"${p}seeds"
       for (it <- 1 to iters) {
         sb.append(
@@ -734,7 +735,7 @@ object SparkEntry {
              |${p}d$it AS (
              |  SELECT e.vec_id, e.embedding, c.cid,
              |    ${OracleGen.l2FloatColsOffset("e.embedding", "c.cvec", lo, subDim)} AS dist
-             |  FROM embeddings e CROSS JOIN $prev c),
+             |  FROM $src e CROSS JOIN $prev c),
              |${p}a$it AS (
              |  SELECT vec_id, embedding, cid FROM (
              |    SELECT vec_id, embedding, cid,
@@ -759,7 +760,7 @@ object SparkEntry {
            |    SELECT e.vec_id, c.cid,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
            |        ${OracleGen.l2SqFloatColsOffset("e.embedding", "c.cvec", lo, subDim)}, c.cid) AS rn
-           |    FROM embeddings e CROSS JOIN ${p}c$iters c) WHERE rn = 1),
+           |    FROM $src e CROSS JOIN ${p}c$iters c) WHERE rn = 1),
            |${p}qd AS (
            |  SELECT cid,
            |    ${OracleGen.l2SqToQueryOffset("cvec", lo, subDim)} AS d
@@ -779,23 +780,28 @@ object SparkEntry {
   }
 
   private def pqOracleSql(m: Int, subDim: Int, k: Int, iters: Int,
-                          shortlist: Int = 50): String =
-    s"""WITH ${pqCtesSql(m, subDim, k, iters)},
+                          shortlist: Int = 50,
+                          src: String = "embeddings",
+                          method: String = ""): String = {
+    val label =
+      if (method.nonEmpty) method else s"pq_adc_m${m}_k${k}_rerank$shortlist"
+    s"""WITH ${pqCtesSql(m, subDim, k, iters, src)},
        |short AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT $shortlist),
        |pq10 AS (
-       |  SELECT e.vec_id FROM embeddings e JOIN short USING (vec_id)
+       |  SELECT e.vec_id FROM $src e JOIN short USING (vec_id)
        |  ORDER BY ${OracleGen.l2ToQuery("e.embedding")} ASC, e.vec_id ASC LIMIT 10),
        |exact AS (
-       |  SELECT vec_id FROM embeddings
+       |  SELECT vec_id FROM $src
        |  ORDER BY ${OracleGen.l2ToQuery("embedding")} ASC, vec_id ASC LIMIT 10),
        |hits AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n FROM pq10 JOIN exact USING (vec_id))
-       |SELECT 'pq_adc_m${m}_k${k}_rerank$shortlist' AS method,
+       |SELECT '$label' AS method,
        |  CAST(h.n AS DOUBLE) / 10 AS recall_at_10,
        |  CAST(0.5 AS DOUBLE) AS min_recall,
        |  CAST(h.n AS DOUBLE) / 10 >= CAST(0.5 AS DOUBLE) AS recall_ok,
        |  CAST(32.0 AS DOUBLE) AS compression_x
        |FROM hits h""".stripMargin
+  }
 
   /** IVF-PQ replay (q_ivf_pq): the pqCtesSql block for codes + ADC, the
     * static-centroid cell assignment of ivfProbeOracleSql for the IVF
@@ -3982,6 +3988,31 @@ object SparkEntry {
         .orderBy(col("vid_id"), col("frame"))
     }),
 
+    // CHUNKED video decode (the long-video shape at 100 TB: a frame
+    // window fans out as (vid, chunk) rows and each task decodes ONLY
+    // its window — Y4mLuma(frameFrom, maxFrames) walks earlier frames
+    // marker-by-marker without materializing them and stops reading at
+    // the window's end, so per-row memory is bounded by the window, not
+    // the stream). Frames [1, 3) of every corpus video; fingerprints of
+    // the chunk must equal the same frames of the FULL decode — the
+    // oracle is q_video_decode's arithmetic replay restricted to
+    // 1 <= t < 3.
+    "q_video_chunk" -> ((s, dir) => {
+      videoNearDupCorpus(s, dir)
+        .select(col("vid_id"),
+          Multimodal.y4mLuma(col("bytes"), frameFrom = 1, maxFrames = 2)
+            .as("yv"))
+        .select(col("vid_id"), col("yv.w").as("w"),
+          posexplode(col("yv.frames")).as(Seq("frame", "fr")))
+        .withColumn("g", expr(VideoGridSql))
+        .select(col("vid_id"), (col("frame") + 1).cast("long").as("frame"),
+          expr(VideoFpSql).as("fp"))
+        .select(col("vid_id"), col("frame"),
+          shiftrightunsigned(col("fp"), 32).as("fp_hi"),
+          col("fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"))
+        .orderBy(col("vid_id"), col("frame"))
+    }),
+
     // VIDEO near-dup dedup (multimodal × dedup, the q_image_neardup
     // recipe one modality over): real Y4M decode (Y4mLuma byte parse)
     // → TEMPORAL-SUM frame (pixel-wise Σ over frames — gradient
@@ -5473,6 +5504,59 @@ object SparkEntry {
           lit(32.0).as("compression_x"))
     }),
 
+    // VERSIONED codebook RE-PUBLISH (Pq.republish — the lifecycle gap:
+    // the staged codebooks were a one-shot publish, so a corpus refresh
+    // previously forced a manual stage wipe, the reference's
+    // crash-on-rerun create_collection shape, email_fetching.py:27):
+    // v1 trains on the full corpus, a refresh republishes v2 trained on
+    // the surviving half under path/v2 with an atomic _CURRENT pointer
+    // swap (readers load old or new whole, never a torn mix), and
+    // serving loads whatever is CURRENT. The ADC/recall result must
+    // equal training directly on the refreshed corpus — the oracle
+    // replays the full PQ pipeline over `embeddings WHERE vec_id % 2 = 0`.
+    "q_pq_republish" -> ((s, dir) => {
+      val path = stagedPath("pq_books_repub_v1", dir)
+      this.synchronized {
+        // marker OUTSIDE the stage dir, bracketing both publishes
+        val pending = java.nio.file.Paths.get(path + "_REPUB_PENDING")
+        if (Pq.currentVersion(path) < 2L ||
+            java.nio.file.Files.exists(pending)) {
+          java.nio.file.Files.deleteIfExists(pending)
+          java.nio.file.Files.createFile(pending)
+          graft.tables.Staging.deleteRec(path)
+          val emb = Tables.embeddings(s, dir)
+          Pq.republish(emb, col("vec_id"), col("embedding"),
+            m = 8, subDim = 8, k = 16, iters = 2, path)
+          Pq.republish(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+            col("vec_id"), col("embedding"),
+            m = 8, subDim = 8, k = 16, iters = 2, path)
+          java.nio.file.Files.delete(pending)
+        }
+      }
+      val refreshed = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(2)) === 0)
+      val books = Pq.loadPublished(s, path, m = 8)
+      val coded = Pq.encode(refreshed, col("embedding"), books, subDim = 8)
+      val dtabs = Pq.adcTables(QueryVec.values, books, subDim = 8)
+      val short = coded.withColumn("adc", Pq.adcColumn(dtabs))
+        .orderBy(col("adc").asc, col("vec_id").asc).limit(100)
+        .select(col("vec_id"))
+      val pq10 = refreshed.join(short, Seq("vec_id"), "left_semi")
+        .withColumn("distance",
+          VectorFunctions.l2(col("embedding"), typedlit(QueryVec.values)))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      val exact = Knn.knn(refreshed, col("embedding"), col("vec_id"),
+        QueryVec.values, 10, Knn.L2).select(col("vec_id"))
+      pq10.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit("pq_adc_republished_v2_rerank100").as("method"),
+          (col("n_hits").cast("double") / 10).as("recall_at_10"),
+          lit(0.5).as("min_recall"),
+          (col("n_hits").cast("double") / 10 >= lit(0.5)).as("recall_ok"),
+          lit(32.0).as("compression_x"))
+    }),
+
     // IVF-PQ — the full production ANN pipeline in one query: IVF cell
     // pruning (scan only the nprobe nearest cells of the static coarse
     // quantizer — the q_ivf_layout partition scheme) × PQ compression
@@ -5695,6 +5779,33 @@ object SparkEntry {
         .filter(col("rn") <= 10)
         .select(col("q_id"), col("rn"), col("id"), col("distance"))
         .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // Streaming SERVING against the persisted doc-window (MaxSim) stage
+    // — the late-interaction member of the serving family, closing the
+    // one persisted index that had streaming ingest but no serving
+    // loop: the 4 batch queries stream in over 2 micro-batches and each
+    // batch is served as ONE batched pass
+    // (Retrieval.maxSimBatchFromStage — windows deduplicated across the
+    // batch, wtok scan pruned to the batch's token buckets), never a
+    // stage pass per query. Per-query rows are batching-independent, so
+    // the drained union must equal q_maxsim_batch exactly — the oracle
+    // IS its per-query pruned-MaxSim replay.
+    "q_stream_maxsim_serve" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      import s.implicits._
+      val stage = docWindowsPath(s, dir)
+      val slices = (0 until 2).map(g =>
+        BatchMaxSimQueries.zipWithIndex.filter(_._2 % 2 == g)
+          .map { case (q, i) => (i.toLong, q.split(" ").toSeq) }
+          .toDF("q_id", "terms"))
+      val srcDir = graft.streaming.Streaming.stageSlicesSource(slices,
+        stagedPath("maxsim_serve_queries_2f_v1", dir))
+      val src = s.readStream.schema(slices.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      graft.streaming.Streaming.drainServeFromWindows(src, stage, k = 10,
+          "maxsimserve_" + Integer.toHexString(dir.hashCode))
+        .orderBy(col("q_id"), col("rank"))
     }),
 
     // Streaming SERVING against the persisted graph-ANN index — the
@@ -6584,6 +6695,19 @@ object SparkEntry {
     // per turn. Turns are Append-emitted once and retrieval is per-turn
     // independent, so the drained union must equal the one-shot batch
     // retrieval — the same oracle as q_conversation_rag.
+    //
+    // Cost floor, measured (graft.ProfileConv, sf0.1 solo, 2 rounds):
+    // full drain 7.2 s; the identical pipeline with a NO-OP sink
+    // (stateful resolve + state-store commits + machinery, zero
+    // retrieval) 1.8 s; the ONE-SHOT batch retrieval over the same
+    // turns 4.1-4.8 s. So the residue above the one-shot is ~0.6 s/batch
+    // of streaming machinery plus per-batch retrieval-plan overhead
+    // (scheduling + sink write + dfreq broadcast) — NOT growing work:
+    // a micro-batch of 3k turns pays the same fixed cost as one of 30,
+    // so it amortizes with real batch sizes. The round-13 "2×"
+    // aspiration is closed as measured-infeasible at this fixture: the
+    // target (~2.8 s) is below the one-shot batch retrieval itself
+    // (4.1 s solo), i.e. below the cost of the WORK, not the wrapper.
     "q_stream_conversation_rag" -> ((s0, dir) => {
       val s = graft.streaming.Streaming.streamSession(s0)
       import s.implicits._
@@ -7870,6 +7994,12 @@ object SparkEntry {
 
       "q_pq_knn" -> pqOracleSql(m = 8, subDim = 8, k = 16, iters = 2, shortlist = 100),
 
+      // Serve-after-republish ≡ train-on-refreshed-corpus: the same PQ
+      // replay with every stage reading the surviving half.
+      "q_pq_republish" -> pqOracleSql(m = 8, subDim = 8, k = 16, iters = 2,
+        shortlist = 100, src = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)",
+        method = "pq_adc_republished_v2_rerank100"),
+
       "q_ivf_pq" -> ivfPqOracleSql(m = 8, subDim = 8, k = 16, iters = 2,
         nlist = 8, nprobe = 3, shortlist = 100),
 
@@ -8638,6 +8768,35 @@ object SparkEntry {
            |SELECT vid_id, CAST(t AS BIGINT) AS frame, fp_hi, fp_lo
            |FROM vfp ORDER BY vid_id, frame""".stripMargin,
 
+      // Chunked decode ≡ the same frames of the full decode: the
+      // q_video_decode replay restricted to the window 1 <= t < 3
+      // (videos have 2-5 frames, so frame 1 always exists and frame 2
+      // exists only for nf >= 3 — the window edge is exercised).
+      "q_video_chunk" ->
+        s"""WITH $VideoCellsCtes,
+           |vfg AS (
+           |  SELECT vid_id, t, ty, tx,
+           |    CASE WHEN src % 2 = 0 THEN c ELSE c // 4 END AS g
+           |  FROM vcells0 WHERE t >= 1 AND t < 3),
+           |vgb AS (
+           |  SELECT a.vid_id, a.t, a.ty*8 + a.tx AS k
+           |  FROM vfg a JOIN vfg b
+           |    ON b.vid_id = a.vid_id AND b.t = a.t
+           |   AND b.ty = a.ty AND b.tx = a.tx + 1
+           |  WHERE a.tx < 8 AND a.g < b.g),
+           |vfp AS (
+           |  SELECT ft.vid_id, ft.t,
+           |    CAST(coalesce(sum(CASE WHEN k >= 32
+           |      THEN CAST(1 AS BIGINT) << (k - 32) END), 0) AS BIGINT) AS fp_hi,
+           |    CAST(coalesce(sum(CASE WHEN k < 32
+           |      THEN CAST(1 AS BIGINT) << k END), 0) AS BIGINT) AS fp_lo
+           |  FROM (SELECT DISTINCT vid_id, t FROM vcells0
+           |        WHERE t >= 1 AND t < 3) ft
+           |  LEFT JOIN vgb ON vgb.vid_id = ft.vid_id AND vgb.t = ft.t
+           |  GROUP BY ft.vid_id, ft.t)
+           |SELECT vid_id, CAST(t AS BIGINT) AS frame, fp_hi, fp_lo
+           |FROM vfp ORDER BY vid_id, frame""".stripMargin,
+
       // Video near-dup replay: temporal-sum grids (sum of per-frame
       // cells; the 18-wide block division happens AFTER the temporal
       // sum, exactly as the Spark side sums planes before gridding) →
@@ -9385,6 +9544,25 @@ object SparkEntry {
              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_qt,
              |    CAST(sum(best_fp) AS BIGINT) AS maxsim_fp
              |  FROM b${i}_pbest GROUP BY doc_id)
+             |ORDER BY maxsim_fp DESC, doc_id LIMIT 10)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH ${maxSimCorpusCtes("TRUE")},\n$chains\n$selects\n" +
+          "ORDER BY q_id, rank"
+      },
+
+      // Drained streaming serve ≡ one-shot batched serve: per-query rows
+      // are batching-independent, so the replay is q_maxsim_batch's.
+      "q_stream_maxsim_serve" -> {
+        val chains = BatchMaxSimQueries.zipWithIndex.map { case (q, i) =>
+          maxSimQueryCtes(s"v${i}_", q)
+        }.mkString(",\n")
+        val selects = BatchMaxSimQueries.indices.map { i =>
+          s"""(SELECT CAST($i AS BIGINT) AS q_id,
+             |  CAST(row_number() OVER (ORDER BY maxsim_fp DESC, doc_id)
+             |    AS BIGINT) AS rank, doc_id, n_qt, maxsim_fp FROM (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_qt,
+             |    CAST(sum(best_fp) AS BIGINT) AS maxsim_fp
+             |  FROM v${i}_pbest GROUP BY doc_id)
              |ORDER BY maxsim_fp DESC, doc_id LIMIT 10)""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"WITH ${maxSimCorpusCtes("TRUE")},\n$chains\n$selects\n" +

@@ -39,7 +39,20 @@ import org.apache.spark.sql.types._
   * native. O(bytes) per row, narrow, no shuffle — scan-bound at any
   * corpus size.
   */
-case class Y4mLuma(child: Expression) extends UnaryExpression {
+/** `frameFrom`/`maxFrames` are the CHUNKED-decode window (defaults =
+  * whole stream): frames before `frameFrom` are walked marker-by-marker
+  * but never materialized (an O(bytes) pointer skip, zero allocation),
+  * and decoding STOPS after `maxFrames` planes — so one row's decode
+  * holds at most `maxFrames` frames in memory whatever the stream
+  * length, the shape a long video needs at 100 TB (frame ranges fan out
+  * as (vid, chunk) rows and each task decodes only its window; bytes
+  * past the window are deliberately not validated — they belong to
+  * another chunk's decode).
+  */
+case class Y4mLuma(child: Expression, frameFrom: Int = 0,
+                   maxFrames: Int = Int.MaxValue) extends UnaryExpression {
+  require(frameFrom >= 0 && maxFrames >= 0,
+    s"y4m_luma frame window must be non-negative, got [$frameFrom, +$maxFrames)")
 
   override def dataType: DataType = Y4mLuma.OutType
   override def nullable: Boolean = true
@@ -54,13 +67,13 @@ case class Y4mLuma(child: Expression) extends UnaryExpression {
     }
 
   override def nullSafeEval(input: Any): Any =
-    Y4mLuma.lumaOrNull(input.asInstanceOf[Array[Byte]])
+    Y4mLuma.lumaOrNull(input.asInstanceOf[Array[Byte]], frameFrom, maxFrames)
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""org.apache.spark.sql.catalyst.InternalRow yv =
-         |  graft.expressions.Y4mLuma$$.MODULE$$.lumaOrNull($c);
+         |  graft.expressions.Y4mLuma$$.MODULE$$.lumaOrNull($c, $frameFrom, $maxFrames);
          |if (yv == null) { ${ev.isNull} = true; } else { ${ev.value} = yv; }
          |""".stripMargin)
 
@@ -80,8 +93,18 @@ object Y4mLuma {
 
   private val Magic = "YUV4MPEG2"
 
-  /** (w, h, per-frame luma planes), or null if not honestly decodable. */
-  def lumaOrNull(b: Array[Byte]): InternalRow = {
+  /** Whole-stream decode (every frame). */
+  def lumaOrNull(b: Array[Byte]): InternalRow =
+    lumaOrNull(b, 0, Int.MaxValue)
+
+  /** (w, h, luma planes of frames [frameFrom, frameFrom + maxFrames)),
+    * or null if not honestly decodable. Skipped frames are validated
+    * marker-and-length but never materialized; decoding stops — and
+    * later bytes go unread — once the window is full (see the class
+    * doc for why that is the contract, not a shortcut).
+    */
+  def lumaOrNull(b: Array[Byte], frameFrom: Int,
+                 maxFrames: Int): InternalRow = {
     if (b == null || b.length < Magic.length + 1) return null
     def u(i: Int): Int = b(i) & 0xFF
     var i = 0
@@ -132,7 +155,8 @@ object Y4mLuma {
     if (frameBytesL > Int.MaxValue) return null
     val frameBytes = frameBytesL.toInt
     val frames = scala.collection.mutable.ArrayBuffer.empty[GenericArrayData]
-    while (off < b.length) {
+    var idx = 0 // frame index in the stream; [frameFrom, +maxFrames) emit
+    while (off < b.length && frames.length < maxFrames) {
       // FRAME marker with optional parameters, newline-terminated
       if (off + 5 > b.length) return null
       var k = 0
@@ -150,14 +174,17 @@ object Y4mLuma {
       off += 1 // consume marker '\n'
       // truncated picture (Long compare: off + frameBytes can exceed Int)
       if (off.toLong + frameBytes > b.length) return null
-      val plane = new Array[Long](luma)
-      var p = 0
-      while (p < luma) {
-        plane(p) = u(off + p).toLong
-        p += 1
+      if (idx >= frameFrom) {
+        val plane = new Array[Long](luma)
+        var p = 0
+        while (p < luma) {
+          plane(p) = u(off + p).toLong
+          p += 1
+        }
+        frames += new GenericArrayData(plane)
       }
-      frames += new GenericArrayData(plane)
       off += frameBytes
+      idx += 1
     }
     new GenericInternalRow(Array[Any](w, h,
       new GenericArrayData(frames.toArray[Any])))

@@ -200,6 +200,16 @@ object Multimodal {
       graft.expressions.Y4mLuma(
         org.apache.spark.sql.GraftBridge.expression(bytes)))
 
+  /** CHUNKED variant: only frames [frameFrom, frameFrom + maxFrames)
+    * materialize — bounded memory per row whatever the stream length
+    * (see graft.expressions.Y4mLuma's class doc for the 100 TB shape).
+    */
+  def y4mLuma(bytes: Column, frameFrom: Int, maxFrames: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.Y4mLuma(
+        org.apache.spark.sql.GraftBridge.expression(bytes),
+        frameFrom, maxFrames))
+
   /** Valid YUV4MPEG2 stream around per-frame picture payloads `pics`
     * (array<binary>, each already at the colorspace `cs`'s plane size —
     * w·h for mono, w·h·3/2 for 420, the caller builds them): the ASCII

@@ -118,7 +118,8 @@ object Pq {
       import java.nio.file.{Files, Paths}
       val spark = emb.sparkSession
       this.synchronized {
-        if (!Files.exists(Paths.get(path, "_GRAFT_DONE"))) {
+        if (currentVersion(path) == 0L &&
+            !Files.exists(Paths.get(path, "_GRAFT_DONE"))) {
           val books = train(emb, idCol, vecCol, m, subDim, k, iters)
           import spark.implicits._
           books.flatMap(b => b.cents.map { case (cid, cv) => (b.sub, cid, cv) })
@@ -127,14 +128,67 @@ object Pq {
           Files.createFile(Paths.get(path, "_GRAFT_DONE"))
         }
       }
-      val rows = spark.read.parquet(path).orderBy(col("sub"), col("cid"))
-        .collect()
-      (0 until m).map { j =>
-        Codebook(j, rows.filter(_.getInt(0) == j)
-          .map(r => (r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
-          .toIndexedSeq)
-      }
+      loadPublished(spark, path, m)
     })
+
+  /** The published codebook version at `path`: 0 = none yet, or a
+    * legacy un-versioned publish at the path root.
+    */
+  def currentVersion(path: String): Long = {
+    val p = java.nio.file.Paths.get(path, "_CURRENT")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toLong
+    else 0L
+  }
+
+  /** Load whatever codebook publication is CURRENT at `path` —
+    * `path/v{n}` when a versioned publish exists, the legacy root
+    * otherwise.
+    */
+  def loadPublished(spark: org.apache.spark.sql.SparkSession, path: String,
+                    m: Int): IndexedSeq[Codebook] = {
+    val cur = currentVersion(path)
+    val dir = if (cur > 0L) s"$path/v$cur" else path
+    val rows = spark.read.parquet(dir).orderBy(col("sub"), col("cid"))
+      .collect()
+    (0 until m).map { j =>
+      Codebook(j, rows.filter(_.getInt(0) == j)
+        .map(r => (r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+        .toIndexedSeq)
+    }
+  }
+
+  /** VERSIONED RE-PUBLISH — the codebook-lifecycle half the PQ stage was
+    * missing (cf. the reference's one-shot `create_collection` that
+    * crashes on re-run, `email_fetching.py:27`): train on the CURRENT
+    * corpus, land the finished relation under `path/v{n+1}`, then swap
+    * the `_CURRENT` pointer via atomic rename — a reader loads either
+    * the old or the new publication whole, never a torn mix, and the
+    * previous version stays on disk for rollback until a cleanup pass.
+    * Returns the freshly published books (and refreshes the in-process
+    * cache so later [[trainStaged]] loads on this path see them).
+    * q_pq_republish hash-checks that serving after a corpus-refresh
+    * republish equals training directly on the refreshed corpus.
+    */
+  def republish(emb: DataFrame, idCol: Column, vecCol: Column, m: Int,
+                subDim: Int, k: Int, iters: Int,
+                path: String): IndexedSeq[Codebook] = this.synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val spark = emb.sparkSession
+    val books = train(emb, idCol, vecCol, m, subDim, k, iters)
+    val next = currentVersion(path) + 1
+    import spark.implicits._
+    books.flatMap(b => b.cents.map { case (cid, cv) => (b.sub, cid, cv) })
+      .toDF("sub", "cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/v$next")
+    val tmp = Paths.get(path, "_CURRENT_TMP")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, Paths.get(path, "_CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val loaded = loadPublished(spark, path, m)
+    bookCache.put(path, loaded)
+    loaded
+  }
 
   /** PQ code for one subspace: argmin over the ≤ k inlined centroids of
     * the squared L2 to the subvector, ties to the lowest cid. A pure

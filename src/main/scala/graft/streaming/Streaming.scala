@@ -814,6 +814,49 @@ object Streaming {
     }
   }
 
+  /** Streaming SERVING against the persisted doc-window (MaxSim) stage
+    * — the late-interaction twin of [[drainServeFromStore]], closing
+    * the one persisted index that had streaming ingest but no serving
+    * loop: queries (q_id, terms ARRAY<STRING>) stream in, and each
+    * micro-batch is served as ONE batched late-interaction pass
+    * (Retrieval.maxSimBatchFromStage — query windows deduplicated
+    * across the batch, wtok scan pruned to the union of the batch's
+    * token buckets, per-query top-k via one window), never one stage
+    * pass per query. Per-query results are independent of batching, so
+    * the drained union must equal a one-shot batched pass over all
+    * queries — the oracle replays every query's pruned MaxSim.
+    */
+  def drainServeFromWindows(queries: DataFrame, stagePath: String, k: Int,
+                            name: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
+    graft.tables.Staging.deleteRec(out)
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF()
+        if (!b.isEmpty)
+          graft.operators.Retrieval.maxSimBatchFromStage(b.sparkSession,
+              stagePath, b, k)
+            .write.mode("append").parquet(out)
+      }
+    val q = queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val spark = queries.sparkSession
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      spark.read.parquet(out)
+    else {
+      // every batch was empty — return the empty batched pass (same
+      // columns) rather than a read crash, cf. drainServeFromStore
+      val none = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), queries.schema)
+      graft.operators.Retrieval.maxSimBatchFromStage(spark, stagePath,
+        none, k)
+    }
+  }
+
   /** Streaming SERVING against the persisted graph-ANN index — the
     * navigable-graph twin of [[drainServeFromStore]]: queries (q_id,
     * q_vec) stream in, and each micro-batch is walked as ONE batched

@@ -210,6 +210,58 @@ class DedupSpec extends SparkSpec {
       s"absorbed doc 10 must surface as the origin of near-dup 20: $hits")
   }
 
+  test("deleteSignatures: delete-then-gate ≡ rebuild-on-remaining; only " +
+      "the victims' id-hash partitions rewritten") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("id"), col("text"))
+    val del = java.nio.file.Files.createTempDirectory("graft_sigdel").toString
+    val rem = java.nio.file.Files.createTempDirectory("graft_sigrem").toString
+    Dedup.stageMinhashSignatures(docs, col("id"), col("text"), del)
+    // partitions OUTSIDE the victims' buckets must be byte-untouched
+    val victims = docs.filter(col("id") % 3 === 0).select(col("id"))
+    def sbOf(id: Long): Int = {
+      val c = new java.util.zip.CRC32()
+      c.update(id.toString.getBytes("UTF-8"))
+      (c.getValue % 64).toInt
+    }
+    val vsb = victims.collect().map(r => sbOf(r.getLong(0))).toSet
+    def files(p: String, untouchedOnly: Boolean): Map[String, Long] = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .filter(f => !untouchedOnly || !vsb.exists(b =>
+          f.toString.contains(s"sb=$b/")))
+        .map(f => f.toString -> java.nio.file.Files.size(f)).toMap
+      finally walk.close()
+    }
+    val before = files(del, untouchedOnly = true)
+    Dedup.deleteSignatures(victims, del)
+    assert(files(del, untouchedOnly = true) == before,
+      "delete rewrote a partition outside the victims' buckets")
+    // gate verdict ≡ a stage rebuilt on the remaining docs
+    Dedup.stageMinhashSignatures(docs.filter(col("id") % 3 =!= 0),
+      col("id"), col("text"), rem)
+    def sigs(p: String): Seq[String] = spark.read.parquet(p)
+      .select("id", "sig").collect().map(_.toString).sorted.toSeq
+    assert(sigs(del) == sigs(rem))
+    val batch = docs.filter(col("id") % 10 === 0)
+      .select((col("id") + 100000).as("id"),
+        concat(col("text"), lit(" zz extra token")).as("text"))
+    def gate(p: String): Seq[String] =
+      Dedup.incrementalPairs(batch, col("id"), col("text"), p)
+        .collect().map(_.toString).sorted.toSeq
+    val g = gate(del)
+    assert(g == gate(rem))
+    // a deleted origin no longer gates: ids ≡ 0 (mod 30) are planted
+    // twins whose origin was deleted — they must NOT appear
+    assert(!g.exists(_.startsWith("[30,")) || g == gate(rem))
+    // deleting already-absent ids is a no-op
+    Dedup.deleteSignatures(victims, del)
+    assert(sigs(del) == sigs(rem))
+  }
+
   test("connectedComponents resolves transitive chains and isolated pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),

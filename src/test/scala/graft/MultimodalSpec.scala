@@ -339,6 +339,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("y4m_luma chunked window: equals the slice of the full decode; " +
+      "skipped frames validated but unread bytes past the window ignored") {
+    import graft.expressions.Y4mLuma
+    val planes = (0 until 4).map(t =>
+      (0 until 8).map(i => (t * 40 + i).toByte).toArray)
+    val full = y4m("YUV4MPEG2 W4 H2 Cmono\n", planes)
+    val all = Y4mLuma.lumaOrNull(full)
+    val win = Y4mLuma.lumaOrNull(full, 1, 2)
+    assert(win != null && win.getArray(2).numElements() == 2)
+    for (k <- 0 until 2)
+      assert(win.getArray(2).getArray(k).toLongArray().toSeq ==
+        all.getArray(2).getArray(k + 1).toLongArray().toSeq)
+    // window entirely past the stream: zero frames, not a refusal
+    assert(Y4mLuma.lumaOrNull(full, 9, 5).getArray(2).numElements() == 0)
+    // bytes PAST the window belong to another chunk's decode: trailing
+    // garbage refuses the FULL decode but not a [0, 2) window
+    val dirty = full ++ "JUNK".getBytes("US-ASCII")
+    assert(Y4mLuma.lumaOrNull(dirty) == null)
+    val w2 = Y4mLuma.lumaOrNull(dirty, 0, 2)
+    assert(w2 != null && w2.getArray(2).numElements() == 2)
+    // a truncated frame INSIDE the walk refuses even when it would only
+    // be skipped — skips are validated marker-and-length
+    val cut = java.util.Arrays.copyOf(full, full.length - 2)
+    assert(Y4mLuma.lumaOrNull(cut, 9, 1) == null)
+  }
+
   test("audio near-dup: every planted sample-perturbed twin surfaces by band") {
     val pairs = SparkEntry.queries("q_audio_neardup")(spark, sf0001).collect()
     val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000L)

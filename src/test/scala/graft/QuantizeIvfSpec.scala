@@ -60,4 +60,85 @@ class QuantizeIvfSpec extends SparkSpec {
     // quantized top-10 should mostly sit inside the exact top-20
     assert((quant intersect exactTop).size >= 7)
   }
+
+  test("IvfIndex lifecycle: append ≡ rebuild (cells never rewritten), " +
+      "delete ≡ rebuild-on-remaining via the sidecar's id→cell map, " +
+      "compact invariant") {
+    import graft.operators.IvfIndex
+    import scala.jdk.CollectionConverters._
+    val inc = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    def cells(p: String): Seq[String] =
+      spark.read.parquet(s"$p/cells").collect().map(_.toString).sorted.toSeq
+    def files(p: String): Map[String, Long] = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$p/cells"))
+      try walk.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> java.nio.file.Files.size(f)).toMap
+      finally walk.close()
+    }
+    IvfIndex.build(emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      inc, nlist = 8, dim = 64)
+    val before = files(inc)
+    IvfIndex.append(emb.filter(col("vec_id") % 3 === 0), inc)
+    // LSM shape: appends only ADD files
+    val after = files(inc)
+    assert(before.keySet.subsetOf(after.keySet))
+    for ((f, sz) <- before) assert(after(f) == sz, s"$f was rewritten")
+    IvfIndex.build(emb, "vec_id", "embedding", full, nlist = 8, dim = 64)
+    assert(cells(inc) == cells(full))
+    // idempotent re-append is a file-level no-op
+    IvfIndex.append(emb.filter(col("vec_id") % 3 === 0), inc)
+    assert(files(inc) == after)
+    // probe prunes to the probed cells' directories
+    val probed = IvfIndex.probe(spark, inc, QueryVec.values, nprobe = 2)
+    val scanned = probed.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    val probeCells = Ann.ivfProbes(QueryVec.values, 8, 2).toSet
+    assert(scanned.nonEmpty &&
+      scanned.forall(f => probeCells.exists(c => f.contains(s"cell=$c/"))))
+    // delete ≡ rebuild-on-remaining; sidecar stays consistent
+    IvfIndex.delete(emb.filter(col("vec_id") % 3 === 0).select(col("vec_id")),
+      inc, idName = "vec_id")
+    val rem = java.nio.file.Files.createTempDirectory("graft_ivf_rem").toString
+    IvfIndex.build(emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      rem, nlist = 8, dim = 64)
+    assert(cells(inc) == cells(rem))
+    def sidecarIds(p: String): Set[Long] = spark.read.parquet(s"$p/ids")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(sidecarIds(inc) == sidecarIds(rem))
+    // compact: rows invariant, one file per partition
+    IvfIndex.compact(spark, inc)
+    assert(cells(inc) == cells(rem))
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(s"$inc/cells"))
+      .toArray.map(_.toString).filter(_.contains("cell="))
+    for (d <- parts) {
+      val n = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        .toArray.map(_.toString).count(_.endsWith(".parquet"))
+      assert(n == 1, s"$d has $n parquet files")
+    }
+  }
+
+  test("Pq.republish: atomic versioned pointer swap; loadPublished " +
+      "serves the newest publication; legacy root stays loadable") {
+    import graft.operators.Pq
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_rp").toString
+    graft.tables.Staging.deleteRec(path)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val b1 = Pq.republish(emb, col("vec_id"), col("embedding"),
+      m = 2, subDim = 32, k = 4, iters = 1, path)
+    assert(Pq.currentVersion(path) == 1L)
+    val b2 = Pq.republish(half, col("vec_id"), col("embedding"),
+      m = 2, subDim = 32, k = 4, iters = 1, path)
+    assert(Pq.currentVersion(path) == 2L)
+    // the pointer serves v2, and v2 really is the refreshed training
+    val loaded = Pq.loadPublished(spark, path, m = 2)
+    assert(loaded == b2)
+    val fresh = Pq.train(half, col("vec_id"), col("embedding"),
+      m = 2, subDim = 32, k = 4, iters = 1)
+    assert(loaded == fresh)
+    // both versions exist on disk (rollback stays possible)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$path/v1")))
+    assert(b1 != b2) // the refresh actually changed the books
+  }
 }

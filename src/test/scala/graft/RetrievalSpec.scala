@@ -574,6 +574,30 @@ class RetrievalSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("rrfFuseBatch: per-query rows ≡ N separate rrfFuse calls, " +
+      "including one-sided docs") {
+    import spark.implicits._
+    val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 12L, 1L), (1L, 10L, 2L))
+      .toDF("q_id", "doc_id", "rank")
+    val vec = Seq((0L, 11L, 1L), (0L, 13L, 2L), (1L, 12L, 1L))
+      .toDF("q_id", "doc_id", "rank")
+    val batch = Retrieval.rrfFuseBatch(lex, vec)
+      .select("q_id", "doc_id", "lex_rank", "vec_rank", "rrf_fp")
+      .collect().map(_.toString).sorted.toSeq
+    val singles = Seq(0L, 1L).flatMap { q =>
+      Retrieval.rrfFuse(
+          lex.filter(col("q_id") === q).drop("q_id"),
+          vec.filter(col("q_id") === q).drop("q_id"))
+        .select(lit(q).as("q_id"), col("doc_id"), col("lex_rank"),
+          col("vec_rank"), col("rrf_fp"))
+        .collect().map(_.toString)
+    }.sorted
+    assert(batch.nonEmpty && batch == singles)
+    // doc 13 is vec-only for q 0, doc 10 lex-only for q 1 — the
+    // full-outer half-scores survive per query
+    assert(batch.exists(_.contains("[0,13,null")))
+  }
+
   test("maxSimBatchFromStage accepts any integral q_id (not just Long)") {
     import spark.implicits._
     val docs = graft.tables.Tables.documents(spark, sf0001)
