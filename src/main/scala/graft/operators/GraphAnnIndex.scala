@@ -20,15 +20,19 @@ import org.apache.spark.sql.functions._
   * layout IS the index, no server process, nothing rebuilt on restart):
   *
   *   nodes/        (id, vec, bucket)    partitioned by LSH `bucket`
-  *   ids/          (id, ib)             partitioned by id-hash `ib` —
-  *                 the admission sidecar: nodes are partitioned by the
-  *                 VECTOR's bucket, so an "is this id already here?"
-  *                 lookup cannot prune them; this relation can, making
-  *                 the per-batch admission anti-join ∝ the batch's id
-  *                 buckets instead of a full id-column scan per append
-  *                 (and correct even when a stored id arrives with a
-  *                 CHANGED vector, which a vector-bucket prune of the
-  *                 node table would miss)
+  *   ids/          (id, bucket, ib)     partitioned by id-hash `ib` —
+  *                 the admission sidecar AND forward map: nodes are
+  *                 partitioned by the VECTOR's bucket, so an "is this
+  *                 id already here?" lookup cannot prune them; this
+  *                 relation can, making the per-batch admission
+  *                 anti-join ∝ the batch's id buckets instead of a
+  *                 full id-column scan per append (and correct even
+  *                 when a stored id arrives with a CHANGED vector,
+  *                 which a vector-bucket prune of the node table would
+  *                 miss). Recording each id's bucket also gives
+  *                 [[delete]] the victims' buckets from the same
+  *                 pruned lookup — no corpus scan anywhere in the
+  *                 maintenance surface
   *   coarse_adj/   (src, dst, d_bucket) partitioned by `d_bucket`
   *   base_adj/     (src, dst, d_bucket) partitioned by `d_bucket`
   *   _INDEX_META   parameters; written LAST via atomic rename — the
@@ -111,34 +115,52 @@ object GraphAnnIndex {
   private def ibCol(id: Column): Column =
     pmod(crc32(id.cast("string")), lit(NumIdBuckets.toLong)).cast("int")
 
-  /** The admission sidecar, backfilled from the node table on first
-    * touch of a pre-sidecar index (one full id-column scan, ONCE —
-    * after that every admission is bucket-pruned). Read with the
-    * DECLARED schema (ids are numeric throughout the engine — `id %
-    * sampleMod` is the coarse-layer membership test — and stored as
-    * LONG): schema inference would open an arbitrary file's footer,
-    * defeating the partition pruning this relation exists for.
+  /** The admission/forward-map sidecar — (id, bucket) partitioned by id
+    * hash. Besides pruned admission, recording each id's BUCKET makes
+    * it the forward index the bucket-partitioned node table lacks:
+    * [[delete]] learns the victims' buckets from an id-bucket-pruned
+    * lookup instead of scanning every node (the IvfIndex id→cell
+    * discipline). Backfilled from the node table on first touch of a
+    * pre-sidecar (or pre-bucket, `_IDS_V2`-less) index — one full scan,
+    * ONCE. Read with the DECLARED schema (ids are numeric throughout
+    * the engine — `id % sampleMod` is the coarse-layer membership test
+    * — and stored as LONG): schema inference would open an arbitrary
+    * file's footer, defeating the partition pruning this relation
+    * exists for.
     */
   private val IdsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("id",
       org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("ib",
       org.apache.spark.sql.types.IntegerType)))
 
+  private def idsMarker(path: String) =
+    java.nio.file.Paths.get(path, "ids", "_IDS_V2")
+
   private def idsRel(spark: SparkSession, path: String): DataFrame = {
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/ids")))
-      writeIds(spark.read.parquet(s"$path/nodes").select(col("id")), path,
-        overwrite = true)
+    if (!java.nio.file.Files.exists(idsMarker(path))) {
+      // absent OR pre-bucket layout: rebuild the sidecar whole from the
+      // node table (the one-time migration scan)
+      graft.tables.Staging.deleteRec(s"$path/ids")
+      writeIds(spark.read.parquet(s"$path/nodes")
+        .select(col("id"), col("bucket")), path, overwrite = true)
+    }
     spark.read.schema(IdsSchema).parquet(s"$path/ids")
   }
 
   private def writeIds(ids: DataFrame, path: String,
-                       overwrite: Boolean): Unit =
-    ids.select(col("id").cast("long").as("id"))
+                       overwrite: Boolean): Unit = {
+    ids.select(col("id").cast("long").as("id"),
+        col("bucket").cast("int").as("bucket"))
       .withColumn("ib", ibCol(col("id")))
       .repartition(col("ib")) // small-files guard, cf. the nodes write
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("ib").parquet(s"$path/ids")
+    if (!java.nio.file.Files.exists(idsMarker(path)))
+      java.nio.file.Files.createFile(idsMarker(path))
+  }
 
   /** Build the full index at `path` (wholesale overwrite of any previous
     * index there). The adjacency builds read the STAGED node table, so
@@ -157,7 +179,7 @@ object GraphAnnIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/nodes")
     val nodes = spark.read.parquet(s"$path/nodes")
     // admission sidecar from the STAGED nodes (no second corpus pass)
-    writeIds(nodes.select(col("id")), path, overwrite = true)
+    writeIds(nodes.select(col("id"), col("bucket")), path, overwrite = true)
     Ann.neighborEdges(nodes.filter(col("id") % sampleMod === 0),
         col("id"), col("vec"), edgesPerBucket, numPlanes, dim, probeBits)
       .repartition(col("d_bucket"))
@@ -340,7 +362,8 @@ object GraphAnnIndex {
         s"$path/coarse_adj", m)
       fresh.repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$path/nodes")
-      writeIds(fresh.select(col("id")), path, overwrite = false)
+      writeIds(fresh.select(col("id"), col("bucket")), path,
+        overwrite = false)
       java.nio.file.Files.delete(intentFile(path))
     }
   }
@@ -449,13 +472,26 @@ object GraphAnnIndex {
     val m = readMeta(path)
     val spark = ids.sparkSession
     val nodes = spark.read.parquet(s"$path/nodes")
-    val victims = nodes
-      .join(ids.select(col(idName).as("id")), Seq("id"), "left_semi")
+    // victims (id, bucket) from the sidecar's forward map, pruned to the
+    // deletion set's id-hash buckets — no node scan to find them
+    val idsB = ids.select(col(idName).cast("long").as("id"))
+      .withColumn("ib", ibCol(col("id")))
+      .localCheckpoint() // feeds the bucket collect AND the victim join
+    // metadata-sized collect: ib lives in [0, NumIdBuckets)
+    val vib = idsB.select(col("ib")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (vib.isEmpty) return
+    val victims = idsRel(spark, path).filter(col("ib").isin(vib: _*))
+      .join(idsB.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("bucket"), col("ib"))
       .localCheckpoint()
     if (!victims.isEmpty) {
       java.nio.file.Files.createFile(intentFile(path))
+      // LAZY remaining: each consumer prunes the node scan to its own
+      // affected buckets BEFORE the anti-join applies (a checkpoint
+      // here materialized the whole table per delete)
       val remaining = nodes.join(victims.select(col("id")), Seq("id"),
-        "left_anti").localCheckpoint()
+        "left_anti")
       val masks = Ann.probeMasks(m.numPlanes, m.probeBits)
       def affectedOf(vs: DataFrame): Seq[Int] =
         vs.select(col("bucket")).distinct().collect().map(_.getInt(0))
@@ -473,16 +509,16 @@ object GraphAnnIndex {
         .localCheckpoint()
       graft.tables.Staging.overwritePartitionsExact(keptRows, "bucket",
         s"$path/nodes", vb)
-      // admission sidecar: rewrite only the victims' id-hash partitions
-      val idsOld = idsRel(spark, path)
-      val vib = victims.select(ibCol(col("id")).as("ib")).distinct()
+      // admission sidecar: rewrite only the victims' OWN id-hash
+      // partitions (⊆ the deletion set's buckets)
+      val vibHit = victims.select(col("ib")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
-      val keptIds = idsOld.filter(col("ib").isin(vib: _*))
+      val keptIds = idsRel(spark, path).filter(col("ib").isin(vibHit: _*))
         .join(victims.select(col("id")), Seq("id"), "left_anti")
-        .select(col("id"), col("ib"))
+        .select(col("id"), col("bucket"), col("ib"))
         .localCheckpoint()
       graft.tables.Staging.overwritePartitionsExact(keptIds, "ib",
-        s"$path/ids", vib)
+        s"$path/ids", vibHit)
       java.nio.file.Files.delete(intentFile(path))
     }
   }
