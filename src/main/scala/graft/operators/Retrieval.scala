@@ -528,13 +528,19 @@ object Retrieval {
     val draw = readRel(spark, path, "dfreq", mk)
     // LSM resolution: a postings row is current iff its (tok, gen)
     // matches the token's authoritative generation in dfreq. The join
-    // carries pb — derived from tok on BOTH sides — so a consumer's
-    // partition-pruning pb filter and term filter propagate across the
-    // join keys to the dfreq scan too (a single-query read stays a
-    // |terms|-bucket read of each relation, never a corpus pass).
+    // keys are (tok, gen) ONLY — deliberately NOT pb, although both
+    // sides carry it: with pb in the keys, Catalyst plants a
+    // dynamic-partition-pruning subquery on the dfreq side whose
+    // pruning input is a SECOND FULL SCAN of the postings relation —
+    // the big side scanned twice to prune the vocabulary-sized side
+    // (measured 4x on the conversation family at 100x scale). Without
+    // pb, dfreq reads whole (vocabulary-sized, broadcast into the semi
+    // join) and a consumer's term filter still reaches it through the
+    // tok join key's constraint propagation; the consumer's pb filter
+    // prunes the POSTINGS scan, which is the side that matters.
     val resolved = praw
-      .join(draw.select(col("tok"), col("gen"), col("pb")),
-        Seq("tok", "gen", "pb"), "left_semi")
+      .join(draw.select(col("tok"), col("gen")),
+        Seq("tok", "gen"), "left_semi")
       .drop("gen")
     PostingsStage(resolved, draw,
       readRel(spark, path, "doclens", mk),
