@@ -52,7 +52,9 @@ def main(sf_dir, out_dir, json_out=None):
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
-            results[name] = {"status": "cols_mismatch"}
+            results[name] = {"status": "cols_mismatch",
+                             "spark_cols": sorted(got_cols),
+                             "oracle_cols": sorted(exp_cols)}
             n_fail += 1
             continue
         type_diffs = [
@@ -68,7 +70,8 @@ def main(sf_dir, out_dir, json_out=None):
         # values (both duplicates map to the first index)
         if len(set(got_cols)) != len(got_cols) or len(set(exp_cols)) != len(exp_cols):
             print(f"FAIL {name}: duplicate column names spark={got_cols} oracle={exp_cols}")
-            results[name] = {"status": "dup_cols"}
+            results[name] = {"status": "dup_cols",
+                             "spark_cols": got_cols, "oracle_cols": exp_cols}
             n_fail += 1
             continue
         # reorder got rows into oracle column order
