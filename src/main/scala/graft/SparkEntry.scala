@@ -1390,7 +1390,7 @@ object SparkEntry {
     * has (`rag.py:30-38`).
     */
   private def docPostingsPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_postings_v3", dir)
+    val stage = stagedPath("doc_postings_v4", dir)
     this.synchronized {
       if (!graft.operators.Retrieval.postingsExist(stage))
         graft.operators.Retrieval.stagePostings(Tables.documents(s, dir),
@@ -1505,7 +1505,7 @@ object SparkEntry {
     * replays the full-corpus BM25, so the equivalence is hash-checked.
     */
   private def docPostingsAppendedPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_postings_append_v3", dir)
+    val stage = stagedPath("doc_postings_append_v4", dir)
     this.synchronized {
       // marker OUTSIDE the stage dir (stagePostings wipes the dir),
       // bracketing the whole build+append sequence: a crash at any point
@@ -1539,7 +1539,7 @@ object SparkEntry {
     * hash-checked end to end.
     */
   private def docPostingsDeletedPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_postings_delete_v2", dir)
+    val stage = stagedPath("doc_postings_delete_v3", dir)
     this.synchronized {
       // marker OUTSIDE the stage dir, bracketing the whole build+delete
       // sequence (cf. docPostingsAppendedPath)
@@ -1600,7 +1600,7 @@ object SparkEntry {
     * re-embedding the corpus windows.
     */
   private def docWindowsPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_windows_v2", dir)
+    val stage = stagedPath("doc_windows_v3", dir)
     this.synchronized {
       if (!graft.operators.Retrieval.windowsExist(stage))
         graft.operators.Retrieval.stageWindows(Tables.documents(s, dir),
@@ -1616,7 +1616,7 @@ object SparkEntry {
     * the full-corpus pruned MaxSim, so the equivalence is hash-checked.
     */
   private def docWindowsAppendedPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_windows_append_v2", dir)
+    val stage = stagedPath("doc_windows_append_v3", dir)
     this.synchronized {
       // the in-progress marker lives OUTSIDE the stage dir (stageWindows
       // wipes the dir) and brackets the WHOLE build+append sequence, so
@@ -1649,7 +1649,7 @@ object SparkEntry {
     * rebuild-on-remaining is hash-checked.
     */
   private def docWindowsDeletedPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_windows_delete_v1", dir)
+    val stage = stagedPath("doc_windows_delete_v2", dir)
     this.synchronized {
       // marker OUTSIDE the stage dir, bracketing the whole
       // build+delete+compact sequence (cf. docWindowsAppendedPath)
@@ -1759,7 +1759,7 @@ object SparkEntry {
     * corpus — q_postings_upsert's oracle replays BM25 over it.
     */
   private def docPostingsUpsertedPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_postings_upsert_v2", dir)
+    val stage = stagedPath("doc_postings_upsert_v3", dir)
     this.synchronized {
       val pending = java.nio.file.Paths.get(stage + "_UPSERT_PENDING")
       if (!graft.operators.Retrieval.postingsExist(stage) ||
@@ -1781,7 +1781,7 @@ object SparkEntry {
     * MaxSim over the modified corpus).
     */
   private def docWindowsUpsertedPath(s: SparkSession, dir: String): String = {
-    val stage = stagedPath("doc_windows_upsert_v1", dir)
+    val stage = stagedPath("doc_windows_upsert_v2", dir)
     this.synchronized {
       val pending = java.nio.file.Paths.get(stage + "_UPSERT_PENDING")
       if (!graft.operators.Retrieval.windowsExist(stage) ||
@@ -2856,6 +2856,50 @@ object SparkEntry {
           VectorFunctions.l2(col("embedding"), typedlit(QueryVec.values)))
         .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
         .select(col("vec_id"), col("label"), col("cell"), col("distance"))
+    }),
+
+    // BATCHED IVF serving (IvfIndex.probeBatch): ONE plan probes the
+    // persisted cell layout for all 8 batch queries — each query's
+    // nprobe nearest cells come from the same driver-side arithmetic
+    // the single probe uses, the cells scan reads the UNION of probed
+    // cell partitions once (static isin partition filter + broadcast
+    // (q_id, cell) routing), per-query exact top-10 via one window —
+    // instead of 8 separate scans (the N+1 serving shape the other
+    // three persisted indexes already fixed). The oracle replays every
+    // query's probe chain, so batch ≡ per-query is hash-checked.
+    "q_ivf_probe_batch" -> ((s, dir) => {
+      import s.implicits._
+      val path = ivfIndexFullPath(s, dir)
+      val qs = BatchQueryIds.map(b =>
+          (b.toLong, OracleGen.QueryVec.shiftedValues(b)))
+        .toDF("q_id", "q_vec")
+      graft.operators.IvfIndex.probeBatch(s, path, qs, k = 10, nprobe = 2)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // Streaming SERVING against the persisted IVF index — the
+    // inverted-file completion of the serving family (store, windows,
+    // graph, lexical already stream): the batch queries stream in over
+    // 2 micro-batches (one batched-probe latency per batch regardless
+    // of batch size — the point of batching) and each batch is served
+    // as ONE IvfIndex.probeBatch. Per-query rows are batching-invariant,
+    // so the drained union must equal the one-shot batched probe — the
+    // oracle IS q_ivf_probe_batch's per-query replay.
+    "q_stream_ivf_serve" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      import s.implicits._
+      val path = ivfIndexFullPath(s, dir)
+      val slices = (0 until 2).map(g =>
+        BatchQueryIds.filter(_ % 2 == g)
+          .map(b => (b.toLong, OracleGen.QueryVec.shiftedValues(b)))
+          .toDF("q_id", "q_vec"))
+      val srcDir = graft.streaming.Streaming.stageSlicesSource(slices,
+        stagedPath("ivf_serve_queries_2f_v1", dir))
+      val src = s.readStream.schema(slices.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      graft.streaming.Streaming.drainServeFromIvf(src, path, k = 10,
+          nprobe = 2, "ivfserve_" + Integer.toHexString(dir.hashCode))
+        .orderBy(col("q_id"), col("rn"))
     }),
 
     // Persisted vector store (S7 at scale): vectors written partitioned
@@ -4828,6 +4872,50 @@ object SparkEntry {
         .select(col("doc_id"), col("n_terms"), col("score_fp"))
     }),
 
+    // AUTO-COMPACTION POLICY (Retrieval.compactIfStale): the stage is
+    // built on a third of the corpus and the rest appended in two LSM
+    // waves with the policy probe between them — the superseded-row
+    // fraction crosses the threshold and triggers exactly the compaction
+    // an operator would otherwise have to remember, bounding read
+    // amplification by policy. Queries are compact-invariant, so the
+    // oracle is the same full-corpus BM25 replay as q_postings_append;
+    // the query itself also asserts the policy actually FIRED (and that
+    // a fresh stage does not).
+    "q_postings_autocompact" -> ((s, dir) => {
+      val stage = stagedPath("doc_postings_autoc_v1", dir)
+      this.synchronized {
+        val pending = java.nio.file.Paths.get(stage + "_AUTOC_PENDING")
+        if (!graft.operators.Retrieval.postingsExist(stage) ||
+            java.nio.file.Files.exists(pending)) {
+          java.nio.file.Files.deleteIfExists(pending)
+          java.nio.file.Files.createFile(pending)
+          val docs = Tables.documents(s, dir)
+          graft.operators.Retrieval.stagePostings(
+            docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+            col("doc_id"), col("text"), stage)
+          require(!graft.operators.Retrieval.compactIfStale(s, stage),
+            "a fresh stage has no stale rows — the policy must not fire")
+          graft.operators.Retrieval.appendPostings(
+            docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+            col("doc_id"), col("text"), stage)
+          // a same-sized second corpus wave supersedes ~every touched
+          // token's rows — well past the 5% threshold used here
+          require(graft.operators.Retrieval.compactIfStale(s, stage, 0.05),
+            "the policy must fire once the stale fraction crosses the threshold")
+          graft.operators.Retrieval.appendPostings(
+            docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+            col("doc_id"), col("text"), stage)
+          graft.operators.Retrieval.compactIfStale(s, stage, 0.05)
+          java.nio.file.Files.delete(pending)
+        }
+      }
+      graft.operators.Retrieval.bm25FromStage(s, stage,
+          RagQuery.split(" ").toSeq)
+        .orderBy(col("score_fp").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("n_terms"), col("score_fp"))
+    }),
+
     // INCREMENTAL postings deletion (Retrieval.deletePostings — the
     // corpus-refresh path): the stage was built on the FULL corpus and
     // every third doc DELETED — touched tokens re-ranked over the
@@ -5514,6 +5602,59 @@ object SparkEntry {
     // serving loads whatever is CURRENT. The ADC/recall result must
     // equal training directly on the refreshed corpus — the oracle
     // replays the full PQ pipeline over `embeddings WHERE vec_id % 2 = 0`.
+    // PQ VERSION RETENTION (Pq.retain — the cleanup pass the versioned
+    // republish deferred): three publications accumulate, retain(keep=1)
+    // advances the durable floor (atomic rename, BEFORE any deletion)
+    // and reclaims v1/v2; serving from the surviving current publication
+    // must be bit-identical to training directly on the refreshed
+    // corpus — the same replay as q_pq_republish. The refusal of
+    // below-floor loads and the footprint shrink are asserted in PqSpec.
+    "q_pq_retain" -> ((s, dir) => {
+      val path = stagedPath("pq_books_retain_v1", dir)
+      this.synchronized {
+        val pending = java.nio.file.Paths.get(path + "_RETAIN_PENDING")
+        if (Pq.retentionFloor(path) < 3L ||
+            java.nio.file.Files.exists(pending)) {
+          java.nio.file.Files.deleteIfExists(pending)
+          java.nio.file.Files.createFile(pending)
+          graft.tables.Staging.deleteRec(path)
+          val emb = Tables.embeddings(s, dir)
+          Pq.republish(emb, col("vec_id"), col("embedding"),
+            m = 8, subDim = 8, k = 16, iters = 2, path)
+          Pq.republish(emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+            col("vec_id"), col("embedding"),
+            m = 8, subDim = 8, k = 16, iters = 2, path)
+          Pq.republish(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+            col("vec_id"), col("embedding"),
+            m = 8, subDim = 8, k = 16, iters = 2, path)
+          Pq.retain(path, keep = 1)
+          java.nio.file.Files.delete(pending)
+        }
+      }
+      val refreshed = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(2)) === 0)
+      val books = Pq.loadPublished(s, path, m = 8)
+      val coded = Pq.encode(refreshed, col("embedding"), books, subDim = 8)
+      val dtabs = Pq.adcTables(QueryVec.values, books, subDim = 8)
+      val short = coded.withColumn("adc", Pq.adcColumn(dtabs))
+        .orderBy(col("adc").asc, col("vec_id").asc).limit(100)
+        .select(col("vec_id"))
+      val pq10 = refreshed.join(short, Seq("vec_id"), "left_semi")
+        .withColumn("distance",
+          VectorFunctions.l2(col("embedding"), typedlit(QueryVec.values)))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      val exact = Knn.knn(refreshed, col("embedding"), col("vec_id"),
+        QueryVec.values, 10, Knn.L2).select(col("vec_id"))
+      pq10.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit("pq_adc_retained_v3_rerank100").as("method"),
+          (col("n_hits").cast("double") / 10).as("recall_at_10"),
+          lit(0.5).as("min_recall"),
+          (col("n_hits").cast("double") / 10 >= lit(0.5)).as("recall_ok"),
+          lit(32.0).as("compression_x"))
+    }),
+
     "q_pq_republish" -> ((s, dir) => {
       val path = stagedPath("pq_books_repub_v1", dir)
       this.synchronized {
@@ -6760,7 +6901,7 @@ object SparkEntry {
         .option("maxFilesPerTrigger", "1")
         .parquet(graft.streaming.Streaming.stageSplitSource(s, dir,
           "documents", "doc_id"))
-      val stage = stagedPath("stream_postings_v2", dir)
+      val stage = stagedPath("stream_postings_v3", dir)
       graft.streaming.Streaming.drainToPostingsStage(
         src.select(col("doc_id"), col("text")), stage, "doc_id", "text")
       graft.operators.Retrieval.bm25FromStage(s, stage,
@@ -6815,7 +6956,7 @@ object SparkEntry {
         .option("maxFilesPerTrigger", "1")
         .parquet(graft.streaming.Streaming.stageSplitSource(s, dir,
           "documents", "doc_id"))
-      val stage = stagedPath("stream_windows_v1", dir)
+      val stage = stagedPath("stream_windows_v2", dir)
       graft.streaming.Streaming.drainToWindowsStage(
         src.select(col("doc_id"), col("text")), stage, "doc_id", "text")
       graft.operators.Retrieval.maxSimPrunedFromStage(s, stage,
@@ -6975,6 +7116,55 @@ object SparkEntry {
     * top-10. `where` restricts the corpus (the delete-lifecycle oracle
     * replays on the remaining rows).
     */
+  /** Full-corpus persisted IVF index, built once per sf dir — the
+    * serving-side stage q_ivf_probe_batch / q_stream_ivf_serve probe.
+    */
+  private def ivfIndexFullPath(s: SparkSession, dir: String): String = {
+    val path = stagedPath("ivf_idx_full_v1", dir)
+    this.synchronized {
+      if (!graft.operators.IvfIndex.exists(path))
+        graft.operators.IvfIndex.build(Tables.embeddings(s, dir),
+          "vec_id", "embedding", path, nlist = 8, dim = 64)
+    }
+    path
+  }
+
+  /** Batched/streamed IVF serving replay: the shared static-centroid
+    * cell assignment, then one probe chain per batch query (its own
+    * driver-computed probe set + shifted l2), top-10 each, unioned.
+    */
+  private def ivfBatchOracleSql: String = {
+    val nlist = 8
+    val dCols = (0 until nlist)
+      .map(j => s"    ${OracleGen.l2ToCentroid("embedding", j, 64)} AS d$j")
+      .mkString(",\n")
+    val caseArms = (0 until nlist - 1)
+      .map(j => s"WHEN d$j = mind THEN $j").mkString(" ")
+    val selects = BatchQueryIds.map { b =>
+      val probes = Ann.ivfProbes(OracleGen.QueryVec.shiftedValues(b),
+        nlist, 2).mkString(", ")
+      s"""(SELECT CAST($b AS BIGINT) AS q_id,
+         |  CAST(row_number() OVER (ORDER BY distance ASC, vec_id ASC)
+         |    AS BIGINT) AS rn, vec_id, cell, distance FROM (
+         |  SELECT vec_id, cell,
+         |    ${OracleGen.l2ToQueryShifted("embedding", b)} AS distance
+         |  FROM cells)
+         |WHERE cell IN ($probes)
+         |ORDER BY distance ASC, vec_id ASC LIMIT 10)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH dists AS (
+       |  SELECT vec_id, embedding,
+       |$dCols
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, embedding,
+       |    CASE $caseArms ELSE ${nlist - 1} END AS cell
+       |  FROM (SELECT *, least(${(0 until nlist).map("d" + _).mkString(", ")}) AS mind
+       |        FROM dists))
+       |$selects
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
   private def ivfProbeOracleSqlOn(where: String): String = {
     val nlist = 8
     val probes = Ann.ivfProbes(QueryVec.values, nlist, 2)
@@ -8011,6 +8201,13 @@ object SparkEntry {
       "q_pq_republish" -> pqOracleSql(m = 8, subDim = 8, k = 16, iters = 2,
         shortlist = 100, src = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)",
         method = "pq_adc_republished_v2_rerank100"),
+
+      // Serve-after-retention ≡ train-on-refreshed-corpus: retention
+      // only deletes sub-floor history, so the current publication's
+      // replay is q_pq_republish's with the v3 corpus filter.
+      "q_pq_retain" -> pqOracleSql(m = 8, subDim = 8, k = 16, iters = 2,
+        shortlist = 100, src = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)",
+        method = "pq_adc_retained_v3_rerank100"),
 
       "q_ivf_pq" -> ivfPqOracleSql(m = 8, subDim = 8, k = 16, iters = 2,
         nlist = 8, nprobe = 3, shortlist = 100),
@@ -9417,6 +9614,15 @@ object SparkEntry {
            |FROM bm25_scored GROUP BY doc_id
            |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
 
+      // Compaction (auto-triggered or not) is query-invariant — same
+      // full-corpus BM25 replay as q_postings_append.
+      "q_postings_autocompact" ->
+        s"""WITH $Bm25Ctes
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           |  CAST(sum(idf_fp * tfpart_fp) AS BIGINT) AS score_fp
+           |FROM bm25_scored GROUP BY doc_id
+           |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
+
       // The streamed-in postings index (first batch builds, later
       // batches append incrementally, final compact) must converge to
       // the one-shot full build — same full-corpus BM25 replay as
@@ -9841,6 +10047,11 @@ object SparkEntry {
       // IVF lifecycle: append ≡ rebuild (full-corpus replay), delete ≡
       // rebuild-on-remaining (replay over the surviving rows).
       "q_ivf_append" -> ivfProbeOracleSql,
+      // Batched probe ≡ per-query probes (one replay per batch query);
+      // the streamed serve drains to the same batched probe, so its
+      // oracle is identical
+      "q_ivf_probe_batch" -> ivfBatchOracleSql,
+      "q_stream_ivf_serve" -> ivfBatchOracleSql,
       "q_ivf_delete" -> ivfProbeOracleSqlOn(" WHERE vec_id % 3 <> 0"),
 
       "q_vector_store_quantized" -> {

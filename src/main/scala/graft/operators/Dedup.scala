@@ -146,21 +146,51 @@ object Dedup {
     * q_dedup_sig_delete hash-checks it.
     */
   def deleteSignatures(ids: DataFrame, stagePath: String,
-                       idName: String = "id"): Unit = {
-    val spark = ids.sparkSession
-    val idsB = ids.select(col(idName).as("id"))
-      .withColumn("sb", sbCol(col("id")))
-      .localCheckpoint() // feeds the bucket collect AND the victim join
-    // metadata-sized collect: sb lives in [0, NumSigBuckets)
-    val vsb = idsB.select(col("sb")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    if (vsb.isEmpty) return
-    val kept = spark.read.parquet(stagePath)
-      .filter(col("sb").isin(vsb: _*))
-      .join(idsB.select(col("id")), Seq("id"), "left_anti")
-      .select(col("id"), col("sig"), col("sb"))
-      .localCheckpoint() // the write overwrites the dir it was read from
-    graft.tables.Staging.overwritePartitionsExact(kept, "sb", stagePath, vsb)
+                       idName: String = "id"): Unit =
+    graft.tables.WriterLock.withLock(stagePath) {
+      val spark = ids.sparkSession
+      val idsB = ids.select(col(idName).as("id"))
+        .withColumn("sb", sbCol(col("id")))
+        .localCheckpoint() // feeds the bucket collect AND the victim join
+      // metadata-sized collect: sb lives in [0, NumSigBuckets)
+      val vsb = idsB.select(col("sb")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (vsb.nonEmpty) {
+        val kept = readSigStage(spark, stagePath)
+          .filter(col("sb").isin(vsb: _*))
+          .join(idsB.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), col("sig"), col("sb"))
+        // crash-safe staged swap (graft.tables.Commit): the victims'
+        // partitions rewrite whole-or-not-at-all — a writer crash can no
+        // longer leave half the victim buckets rewritten and the other
+        // half still holding deleted docs' signatures for later gates to
+        // silently resurrect; readers refuse the torn middle and
+        // recoverSignatures rolls the logged commit forward
+        graft.tables.Commit.commit(stagePath, Seq(
+          graft.tables.Commit.Replace("", "sb", vsb, kept)))
+      }
+    }
+
+  /** The signature-stage read every consumer goes through: refuses a
+    * stage with an unfinished maintenance commit (writer crashed
+    * mid-apply or still running) instead of silently serving a
+    * half-deleted stage.
+    */
+  private def readSigStage(spark: org.apache.spark.sql.SparkSession,
+                           stagePath: String): DataFrame = {
+    if (graft.tables.Commit.pending(stagePath))
+      throw new IllegalStateException(
+        s"$stagePath has an unfinished maintenance commit (_COMMIT intent " +
+          "present) — heal with Dedup.recoverSignatures()")
+    spark.read.parquet(stagePath)
+  }
+
+  /** Heal the signature stage after a crashed writer — stale lock
+    * cleared (pid-checked), a logged delete commit rolled forward.
+    */
+  def recoverSignatures(stagePath: String): Unit = {
+    graft.tables.WriterLock.clearStale(stagePath)
+    graft.tables.Commit.recover(stagePath)
   }
 
   /** Banding join against a previously staged signature table. */
@@ -168,7 +198,7 @@ object Dedup {
                             stagePath: String, numHashes: Int = 8,
                             rowsPerBand: Int = 2,
                             maxBucket: Int = Int.MaxValue): DataFrame =
-    pairsFromSignatures(spark.read.parquet(stagePath), numHashes, rowsPerBand,
+    pairsFromSignatures(readSigStage(spark, stagePath), numHashes, rowsPerBand,
       maxBucket)
 
   /** Stage + join in one call (convenience; the stage is rewritten). */
@@ -208,7 +238,7 @@ object Dedup {
         posexplode(bands(col("sig"), numHashes, rowsPerBand)).as(Seq("band_idx", "band")))
       dropHotBuckets(b, Seq("band_idx", "band"), cap)
     }
-    val corpus = banded(newDf.sparkSession.read.parquet(stagePath), maxBucket)
+    val corpus = banded(readSigStage(newDf.sparkSession, stagePath), maxBucket)
       .select(col("id").as("corpus_id"), col("sig").as("corpus_sig"),
         col("band_idx"), col("band"))
     val fresh = banded(newDf.select(idCol.as("id"),

@@ -89,16 +89,20 @@ object GraphAnnIndex {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Read the index parameters; refuses an index with a torn append
-    * (crash between adjacency and node writes — state is flagged by the
-    * `_APPENDING` intent marker; heal by re-running [[build]]).
+  /** Read the index parameters; refuses an index with unfinished
+    * maintenance (flagged by the `_APPENDING` intent marker or a pending
+    * staged commit; heal with [[recover]] — every mutation is staged
+    * whole under the [[graft.tables.Commit]] protocol before any live
+    * directory is touched, so recovery rolls it forward or discards it,
+    * never a rebuild).
     */
   def readMeta(path: String): Meta = {
     require(exists(path), s"$path is not a graph-ANN index (no _INDEX_META)")
-    if (java.nio.file.Files.exists(intentFile(path)))
+    if (java.nio.file.Files.exists(intentFile(path)) ||
+        graft.tables.Commit.pending(path))
       throw new IllegalStateException(
-        s"$path has an unfinished append (_APPENDING intent present) — a " +
-          "writer crashed mid-append; rebuild the index with build()")
+        s"$path has unfinished maintenance (intent marker present) — a " +
+          "writer crashed or is still running; heal with recover()")
     val p = java.nio.file.Files.readString(metaFile(path)).trim
       .split(" ").map(_.toInt)
     Meta(p(0), p(1), p(2), p(3), p(4))
@@ -322,7 +326,11 @@ object GraphAnnIndex {
     * primary store (VectorStore) carries.
     */
   def append(df: DataFrame, idCol: Column, vecCol: Column,
-             path: String): Unit = {
+             path: String): Unit =
+    graft.tables.WriterLock.withLock(path)(appendImpl(df, idCol, vecCol, path))
+
+  private def appendImpl(df: DataFrame, idCol: Column, vecCol: Column,
+                         path: String): Unit = {
     val m = readMeta(path)
     val spark = df.sparkSession
     val old = spark.read.parquet(s"$path/nodes")
@@ -356,16 +364,36 @@ object GraphAnnIndex {
       val bNewCoarse = stats.filter(_.getBoolean(1)).map(_.getInt(0)).toSeq.sorted
       java.nio.file.Files.createFile(intentFile(path))
       val all = old.unionByName(fresh)
-      updateLayer(spark, all, fresh, bNewBase, s"$path/base_adj", m)
-      updateLayer(spark, all.filter(col("id") % m.sampleMod === 0),
-        fresh.filter(col("id") % m.sampleMod === 0), bNewCoarse,
-        s"$path/coarse_adj", m)
-      fresh.repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(s"$path/nodes")
-      writeIds(fresh.select(col("id"), col("bucket")), path,
-        overwrite = false)
+      // EVERY relation's mutation — both layers' replaced/added edge
+      // partitions, the node rows, the sidecar rows — stages whole and
+      // applies under ONE crash-safe commit: a crash leaves the index
+      // either fully pre-append or fully post-append (recover() rolls a
+      // logged commit forward), never torn between relations
+      val ops =
+        updateLayerOps(all, fresh, bNewBase, "base_adj", m) ++
+        updateLayerOps(all.filter(col("id") % m.sampleMod === 0),
+          fresh.filter(col("id") % m.sampleMod === 0), bNewCoarse,
+          "coarse_adj", m) ++
+        Seq(
+          graft.tables.Commit.Add("nodes", "bucket", fresh),
+          graft.tables.Commit.Add("ids", "ib",
+            fresh.select(col("id").cast("long").as("id"),
+                col("bucket").cast("int").as("bucket"))
+              .withColumn("ib", ibCol(col("id")))))
+      graft.tables.Commit.commit(path, ops)
       java.nio.file.Files.delete(intentFile(path))
     }
+  }
+
+  /** Heal the index after a crashed writer: a stale lock clears
+    * (pid-checked), a logged maintenance commit rolls forward, an
+    * unlogged one discards — see [[graft.tables.Commit.recover]].
+    * Idempotent; a no-op on a healthy index.
+    */
+  def recover(path: String): Unit = {
+    graft.tables.WriterLock.clearStale(path)
+    graft.tables.Commit.recover(path)
+    java.nio.file.Files.deleteIfExists(intentFile(path))
   }
 
   /** The bucket set a batch landing in `bNew` can TOUCH as edge sources:
@@ -400,10 +428,10 @@ object GraphAnnIndex {
     * identical — AnnSpec asserts both the equivalence and the pruned
     * scan.
     */
-  private def updateLayer(spark: SparkSession, all: DataFrame,
-                          freshL: DataFrame, bNew: Seq[Int], adjDir: String,
-                          m: Meta): Unit = {
-    if (bNew.isEmpty) return
+  private def updateLayerOps(all: DataFrame, freshL: DataFrame,
+                             bNew: Seq[Int], adjRel: String,
+                             m: Meta): Seq[graft.tables.Commit.Op] = {
+    if (bNew.isEmpty) return Nil
     val srcAff = affectedBuckets(bNew, m)
     // groups whose ranking may have moved: destination bucket ∈ bNew —
     // recomputed over every adjacent source (old and new) vs that
@@ -420,13 +448,8 @@ object GraphAnnIndex {
       probed(m, freshL).filter(!col("probe").isin(bNew: _*))
         .join(dstSide(prunedNodes(all, dstReach)),
           col("probe") === col("d_bucket") && col("src") =!= col("dst")))
-    // dynamic partition overwrite rewrites exactly the bNew partitions;
-    // a bNew partition that had rows before always has rows in
-    // `replaced` (its old sources and destinations are still in `all`),
-    // so no stale partition can survive the overwrite by being absent
-    graft.tables.Staging.dynamicOverwrite(replaced, "d_bucket", adjDir)
-    added.repartition(col("d_bucket"))
-      .write.mode("append").partitionBy("d_bucket").parquet(adjDir)
+    Seq(graft.tables.Commit.Replace(adjRel, "d_bucket", bNew, replaced),
+      graft.tables.Commit.Add(adjRel, "d_bucket", added))
   }
 
   private def probed(m: Meta, src: DataFrame): DataFrame =
@@ -468,7 +491,11 @@ object GraphAnnIndex {
     * maintenance-intent marker as [[append]]: a torn delete is refused
     * and healed by rebuild.
     */
-  def delete(ids: DataFrame, path: String, idName: String = "id"): Unit = {
+  def delete(ids: DataFrame, path: String, idName: String = "id"): Unit =
+    graft.tables.WriterLock.withLock(path)(deleteImpl(ids, path, idName))
+
+  private def deleteImpl(ids: DataFrame, path: String,
+                         idName: String): Unit = {
     val m = readMeta(path)
     val spark = ids.sparkSession
     val nodes = spark.read.parquet(s"$path/nodes")
@@ -496,29 +523,26 @@ object GraphAnnIndex {
       def affectedOf(vs: DataFrame): Seq[Int] =
         vs.select(col("bucket")).distinct().collect().map(_.getInt(0))
           .flatMap(b => masks.map(b ^ _)).distinct.sorted.toSeq
-      rewriteLayer(spark, remaining, affectedOf(victims),
-        s"$path/base_adj", m)
       val victimsC = victims.filter(col("id") % m.sampleMod === 0)
-      rewriteLayer(spark, remaining.filter(col("id") % m.sampleMod === 0),
-        affectedOf(victimsC), s"$path/coarse_adj", m)
       // node table: rewrite the victim buckets only (the other buckets'
-      // rows are untouched), dropping emptied bucket dirs
+      // rows are untouched, emptied bucket dirs drop); sidecar: rewrite
+      // only the victims' OWN id-hash partitions. All relations stage
+      // whole and swap under ONE crash-safe commit, cf. appendImpl.
       val vb = victims.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       val keptRows = remaining.filter(col("bucket").isin(vb: _*))
-        .localCheckpoint()
-      graft.tables.Staging.overwritePartitionsExact(keptRows, "bucket",
-        s"$path/nodes", vb)
-      // admission sidecar: rewrite only the victims' OWN id-hash
-      // partitions (⊆ the deletion set's buckets)
       val vibHit = victims.select(col("ib")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       val keptIds = idsRel(spark, path).filter(col("ib").isin(vibHit: _*))
         .join(victims.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), col("bucket"), col("ib"))
-        .localCheckpoint()
-      graft.tables.Staging.overwritePartitionsExact(keptIds, "ib",
-        s"$path/ids", vibHit)
+      val ops =
+        rewriteLayerOps(remaining, affectedOf(victims), "base_adj", m) ++
+        rewriteLayerOps(remaining.filter(col("id") % m.sampleMod === 0),
+          affectedOf(victimsC), "coarse_adj", m) ++
+        Seq(graft.tables.Commit.Replace("nodes", "bucket", vb, keptRows),
+          graft.tables.Commit.Replace("ids", "ib", vibHit, keptIds))
+      graft.tables.Commit.commit(path, ops)
       java.nio.file.Files.delete(intentFile(path))
     }
   }
@@ -531,10 +555,11 @@ object GraphAnnIndex {
     * crash between the halves detectable like any torn maintenance.
     */
   def upsert(df: DataFrame, idCol: Column, vecCol: Column,
-             path: String, idName: String = "id"): Unit = {
-    delete(df.select(idCol.as(idName)), path, idName)
-    append(df, idCol, vecCol, path)
-  }
+             path: String, idName: String = "id"): Unit =
+    graft.tables.WriterLock.withLock(path) {
+      deleteImpl(df.select(idCol.as(idName)), path, idName)
+      appendImpl(df, idCol, vecCol, path)
+    }
 
   /** Compact the index in place: rewrite every nodes/adjacency partition
     * into one file (repartition on the partition column routes each
@@ -543,35 +568,37 @@ object GraphAnnIndex {
     * Results are invariant (AnnSpec asserts identical edges/nodes and
     * query output); cost is one rewrite, no re-ranking.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val _ = readMeta(path) // validates the done marker + no torn maintenance
-    java.nio.file.Files.createFile(intentFile(path))
-    val nodes = spark.read.parquet(s"$path/nodes").localCheckpoint()
-    graft.tables.Staging.dynamicOverwrite(nodes, "bucket", s"$path/nodes")
-    Seq("coarse_adj", "base_adj").foreach { adj =>
-      val a = spark.read.parquet(s"$path/$adj").localCheckpoint()
-      graft.tables.Staging.dynamicOverwrite(a, "d_bucket", s"$path/$adj")
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.tables.WriterLock.withLock(path) {
+      val m = readMeta(path) // validates done marker + no torn maintenance
+      java.nio.file.Files.createFile(intentFile(path))
+      val allB = (0 until (1 << m.numPlanes)).toSeq
+      val allIb = (0 until NumIdBuckets).toSeq
+      graft.tables.Commit.commit(path, Seq(
+        graft.tables.Commit.Replace("nodes", "bucket", allB,
+          spark.read.parquet(s"$path/nodes")),
+        graft.tables.Commit.Replace("coarse_adj", "d_bucket", allB,
+          spark.read.parquet(s"$path/coarse_adj")),
+        graft.tables.Commit.Replace("base_adj", "d_bucket", allB,
+          spark.read.parquet(s"$path/base_adj")),
+        graft.tables.Commit.Replace("ids", "ib", allIb,
+          idsRel(spark, path))))
+      java.nio.file.Files.delete(intentFile(path))
     }
-    val ids = idsRel(spark, path).localCheckpoint()
-    graft.tables.Staging.dynamicOverwrite(ids, "ib", s"$path/ids")
-    java.nio.file.Files.delete(intentFile(path))
-  }
 
   /** Recompute the given adjacency partitions whole over the remaining
-    * node set, deleting any affected partition the recomputation left
-    * empty (see [[delete]]).
+    * node set as a staged Replace (any affected partition the
+    * recomputation left empty is erased at apply time — see [[delete]]).
     */
-  private def rewriteLayer(spark: SparkSession, all: DataFrame,
-                           affected: Seq[Int], adjDir: String,
-                           m: Meta): Unit = {
-    if (affected.isEmpty) return
+  private def rewriteLayerOps(all: DataFrame, affected: Seq[Int],
+                              adjRel: String,
+                              m: Meta): Seq[graft.tables.Commit.Op] = {
+    if (affected.isEmpty) return Nil
     val replaced = topEdges(m,
       probed(m, prunedNodes(all, affectedBuckets(affected, m)))
         .filter(col("probe").isin(affected: _*))
         .join(dstSide(prunedNodes(all, affected)),
           col("probe") === col("d_bucket") && col("src") =!= col("dst")))
-      .localCheckpoint() // feeds the write AND the written-bucket audit
-    graft.tables.Staging.overwritePartitionsExact(replaced, "d_bucket",
-      adjDir, affected)
+    Seq(graft.tables.Commit.Replace(adjRel, "d_bucket", affected, replaced))
   }
 }

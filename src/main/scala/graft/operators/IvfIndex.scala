@@ -53,12 +53,23 @@ object IvfIndex {
 
   def readMeta(path: String): Meta = {
     require(exists(path), s"$path is not an IVF index (no _IVF_META)")
-    if (java.nio.file.Files.exists(intentFile(path)))
+    if (java.nio.file.Files.exists(intentFile(path)) ||
+        graft.tables.Commit.pending(path))
       throw new IllegalStateException(
-        s"$path has unfinished maintenance (_APPENDING intent present) — a " +
-          "writer crashed mid-append/delete; rebuild with build()")
+        s"$path has unfinished maintenance (intent marker present) — a " +
+          "writer crashed or is still running; heal with recover()")
     val p = java.nio.file.Files.readString(metaFile(path)).trim.split(" ")
     Meta(p(0).toInt, p(1).toInt, p(2), p(3))
+  }
+
+  /** Heal the index after a crashed writer: stale lock cleared
+    * (pid-checked), a logged maintenance commit rolled forward, an
+    * unlogged one discarded — see [[graft.tables.Commit.recover]].
+    */
+  def recover(path: String): Unit = {
+    graft.tables.WriterLock.clearStale(path)
+    graft.tables.Commit.recover(path)
+    java.nio.file.Files.deleteIfExists(intentFile(path))
   }
 
   /** Id-hash bucket of the admission sidecar (crc32, cf. the Retrieval
@@ -82,6 +93,31 @@ object IvfIndex {
   private def idsRel(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(IdsSchema).parquet(s"$path/ids")
 
+  /** The cells relation read with the schema RECORDED AT BUILD TIME
+    * (`_IVF_SCHEMA`, caller columns + cell): schema inference opens an
+    * arbitrary file's footer at PLANNING time — before any partition
+    * filter exists — defeating the pruning this layout exists for.
+    * Pre-schema indexes fall back to inference.
+    */
+  private def cellsRel(spark: SparkSession, path: String): DataFrame = {
+    val sf = java.nio.file.Paths.get(path, "_IVF_SCHEMA")
+    if (java.nio.file.Files.exists(sf))
+      spark.read.schema(org.apache.spark.sql.types.DataType
+          .fromJson(java.nio.file.Files.readString(sf))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(s"$path/cells")
+    else spark.read.parquet(s"$path/cells")
+  }
+
+  /** `cell` and `ib` are the index's own partition/sidecar keys: an input
+    * that already carries either would be silently overwritten (and `ib`
+    * dropped from the stored rows — schema drift between built and
+    * appended partitions), so both are refused up front.
+    */
+  private def requireNoReservedCols(df: DataFrame): Unit =
+    Seq("cell", "ib").foreach(c => require(!df.columns.contains(c),
+      s"input already carries a '$c' column — rename it, the IVF index owns that name"))
+
   /** Build the index at `path` (wholesale overwrite): every caller
     * column rides into the cell partitions, the sidecar derives from
     * the STAGED rows (no second corpus pass).
@@ -89,13 +125,19 @@ object IvfIndex {
   def build(df: DataFrame, idName: String, vecName: String, path: String,
             nlist: Int = 8, dim: Int = 64): Unit = {
     val spark = df.sparkSession
+    // validation BEFORE the destructive deleteRec: a rejected input must
+    // leave a pre-existing index at `path` intact
+    requireNoReservedCols(df)
     graft.tables.Staging.deleteRec(path)
-    require(!df.columns.contains("cell"),
-      "input already carries a 'cell' column — rename it, the IVF cell owns that name")
-    df.withColumn("cell", Ann.cellOf(col(vecName), nlist, dim))
+    val withCell = df.withColumn("cell", Ann.cellOf(col(vecName), nlist, dim))
+    withCell
       .repartition(col("cell")) // one file per partition — small-files guard
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    val staged = spark.read.parquet(s"$path/cells")
+    // record the cells schema so every reader declares it instead of
+    // inferring (inference opens arbitrary footers pre-pruning — cellsRel)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_IVF_SCHEMA"), withCell.schema.json)
+    val staged = cellsRel(spark, path)
     staged.select(col(idName).cast("long").as("id"), col("cell"))
       .withColumn("ib", ibCol(col("id")))
       .repartition(col("ib"))
@@ -112,8 +154,12 @@ object IvfIndex {
     * their own cells; nothing that exists is read or rewritten —
     * append ≡ rebuild by construction, q_ivf_append hash-checks it.
     */
-  def append(df: DataFrame, path: String): Unit = {
+  def append(df: DataFrame, path: String): Unit =
+    graft.tables.WriterLock.withLock(path)(appendImpl(df, path))
+
+  private def appendImpl(df: DataFrame, path: String): Unit = {
     val m = readMeta(path)
+    requireNoReservedCols(df)
     val spark = df.sparkSession
     val batch = df
       .withColumn("cell", Ann.cellOf(col(m.vecName), m.nlist, m.dim))
@@ -130,12 +176,13 @@ object IvfIndex {
       .localCheckpoint() // feeds both writes under one lineage cut
     if (fresh.isEmpty) return
     java.nio.file.Files.createFile(intentFile(path))
-    fresh.drop("ib")
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-    fresh.select(col(m.idName).cast("long").as("id"), col("cell"), col("ib"))
-      .repartition(col("ib"))
-      .write.mode("append").partitionBy("ib").parquet(s"$path/ids")
+    // both relations' rows stage whole and move in under ONE crash-safe
+    // commit — a crash leaves the index fully pre- or fully post-append
+    graft.tables.Commit.commit(path, Seq(
+      graft.tables.Commit.Add("cells", "cell", fresh.drop("ib")),
+      graft.tables.Commit.Add("ids", "ib",
+        fresh.select(col(m.idName).cast("long").as("id"), col("cell"),
+          col("ib")))))
     java.nio.file.Files.delete(intentFile(path))
   }
 
@@ -145,7 +192,11 @@ object IvfIndex {
     * partitions rewrite. Delete-then-probe ≡ rebuild-on-remaining —
     * q_ivf_delete hash-checks it.
     */
-  def delete(ids: DataFrame, path: String, idName: String = "id"): Unit = {
+  def delete(ids: DataFrame, path: String, idName: String = "id"): Unit =
+    graft.tables.WriterLock.withLock(path)(deleteImpl(ids, path, idName))
+
+  private def deleteImpl(ids: DataFrame, path: String,
+                         idName: String): Unit = {
     val m = readMeta(path)
     val spark = ids.sparkSession
     val idsB = ids.select(col(idName).as("id"))
@@ -163,19 +214,19 @@ object IvfIndex {
     // metadata-sized: cell lives in [0, nlist)
     val vcells = victims.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val keptRows = spark.read.parquet(s"$path/cells")
+    val keptRows = cellsRel(spark, path)
       .filter(col("cell").isin(vcells: _*))
       .join(victims.select(col("id").as(m.idName)), Seq(m.idName),
         "left_anti")
-      .localCheckpoint() // the write overwrites the dir it was read from
-    graft.tables.Staging.overwritePartitionsExact(keptRows, "cell",
-      s"$path/cells", vcells)
     val keptIds = sidecar.filter(col("ib").isin(vib: _*))
       .join(victims.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("cell"), col("ib"))
-      .localCheckpoint()
-    graft.tables.Staging.overwritePartitionsExact(keptIds, "ib",
-      s"$path/ids", vib)
+    // staged whole, swapped under ONE crash-safe commit (the staging
+    // write happens before any live dir is touched — no checkpoint
+    // needed for the read-from-overwritten-dir hazard)
+    graft.tables.Commit.commit(path, Seq(
+      graft.tables.Commit.Replace("cells", "cell", vcells, keptRows),
+      graft.tables.Commit.Replace("ids", "ib", vib, keptIds)))
     java.nio.file.Files.delete(intentFile(path))
   }
 
@@ -183,25 +234,28 @@ object IvfIndex {
     * cf. [[GraphAnnIndex.upsert]]. A crash between the halves leaves
     * the consistent deleted state; re-running heals.
     */
-  def upsert(df: DataFrame, path: String): Unit = {
-    val m = readMeta(path)
-    delete(df.select(col(m.idName)), path, m.idName)
-    append(df, path)
-  }
+  def upsert(df: DataFrame, path: String): Unit =
+    graft.tables.WriterLock.withLock(path) {
+      val m = readMeta(path)
+      deleteImpl(df.select(col(m.idName)), path, m.idName)
+      appendImpl(df, path)
+    }
 
   /** Rewrite every partition into one file — the maintenance pass that
     * keeps file counts flat as streaming appends accumulate. Rows and
     * probe results are invariant (QuantizeIvfSpec asserts it).
     */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val _ = readMeta(path)
-    java.nio.file.Files.createFile(intentFile(path))
-    val cells = spark.read.parquet(s"$path/cells").localCheckpoint()
-    graft.tables.Staging.dynamicOverwrite(cells, "cell", s"$path/cells")
-    val ids = idsRel(spark, path).localCheckpoint()
-    graft.tables.Staging.dynamicOverwrite(ids, "ib", s"$path/ids")
-    java.nio.file.Files.delete(intentFile(path))
-  }
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.tables.WriterLock.withLock(path) {
+      val m = readMeta(path)
+      java.nio.file.Files.createFile(intentFile(path))
+      graft.tables.Commit.commit(path, Seq(
+        graft.tables.Commit.Replace("cells", "cell",
+          (0 until m.nlist).toSeq, cellsRel(spark, path)),
+        graft.tables.Commit.Replace("ids", "ib",
+          (0 until NumIdBuckets).toSeq, idsRel(spark, path))))
+      java.nio.file.Files.delete(intentFile(path))
+    }
 
   /** Partition-pruned probe scan: the query's nprobe nearest cells
     * ([[Ann.ivfProbes]], driver-side — static centroids), read as a
@@ -214,7 +268,54 @@ object IvfIndex {
     require(query.length == m.dim,
       s"query dim ${query.length} != index dim ${m.dim}")
     val cells = Ann.ivfProbes(query, m.nlist, nprobe)
-    spark.read.parquet(s"$path/cells")
+    cellsRel(spark, path)
       .filter(col("cell").isin(cells: _*))
+  }
+
+  /** BATCHED multi-query probe + exact top-k — the IVF member of the
+    * batched-serving family (VectorStore.queryL2Batch /
+    * GraphAnnIndex.queryBatch / Retrieval.bm25BatchFromStage), closing
+    * the last per-query-only serving path: ONE plan serves every query
+    * in `queries` (q_id, q_vec) instead of N per-query [[probe]] scans
+    * (the N+1 serving shape — the reference's per-item fetch loop,
+    * email_fetching.py:38-40). The batch is collected driver-side
+    * (broadcast-sized by declaration — it is broadcast into the cells
+    * join either way) and each query's nprobe nearest cells come from
+    * the SAME driver-side arithmetic the single-query probe uses
+    * ([[Ann.ivfProbes]]) — batch ≡ N probes by construction; the cells
+    * scan statically prunes to the UNION of the batch's probed cells
+    * (≤ nlist partitions whatever the batch size) and the broadcast
+    * (q_id, cell) routing joins each stored row to exactly the queries
+    * probing its cell; the per-query exact top-k is one window.
+    * Output: (q_id, rn, <id>, cell, distance) — per-query identical to
+    * N single probes + re-ranks (QuantizeIvfSpec asserts it;
+    * q_ivf_probe_batch hash-checks the per-query replay).
+    */
+  def probeBatch(spark: SparkSession, path: String, queries: DataFrame,
+                 k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val m = readMeta(path)
+    val qrows = queries.select(col("q_id"), col("q_vec")).collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getSeq[Double](1).toIndexedSeq))
+    qrows.foreach { case (_, v) => require(v.length == m.dim,
+      s"query dim ${v.length} != index dim ${m.dim}") }
+    val routing = qrows.toSeq.flatMap { case (qid, v) =>
+      Ann.ivfProbes(v, m.nlist, nprobe).map(c => (qid, c, v.toSeq))
+    }
+    val cells = routing.map(_._2).distinct.sorted
+    val route = routing.toDF("q_id", "cell", "q_vec")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("distance").asc, col(m.idName).asc)
+    val base = cellsRel(spark, path)
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(route), Seq("cell"))
+      .withColumn("distance",
+        graft.functions.VectorFunctions.l2(col(m.vecName), col("q_vec")))
+    base.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col(m.idName), col("cell"),
+        col("distance"))
   }
 }

@@ -190,6 +190,76 @@ object Pq {
     loaded
   }
 
+  /** The durable RETENTION FLOOR: publications below it are reclaimed
+    * (or mid-reclaim) and refused by [[loadVersion]]. 0 = nothing GC'd.
+    */
+  def retentionFloor(path: String): Long = {
+    val p = java.nio.file.Paths.get(path, "_FLOOR")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toLong
+    else 0L
+  }
+
+  /** HISTORY RETENTION GC — the versioned-republish twin of
+    * VectorStore.retain, closing "the previous version stays on disk for
+    * rollback until a cleanup pass" with the actual cleanup pass:
+    * keep the newest `keep` publications ([cur − keep + 1, cur]) loadable
+    * and reclaim every older version directory (plus the legacy
+    * un-versioned root files, which version 1 superseded). Crash-safe in
+    * the durable-intent-first ordering of VectorStore.retain: the floor
+    * file advances via atomic rename BEFORE any deletion and
+    * [[loadVersion]] refuses versions below the durable floor, so a
+    * crash mid-GC leaves only directories no read path consults — the
+    * next retain finishes reclaiming them. The floor never moves
+    * backward; the CURRENT publication is always retained (keep ≥ 1).
+    */
+  def retain(path: String, keep: Long): Unit = this.synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(keep >= 1, s"retain: keep must be ≥ 1, got $keep")
+    val cur = currentVersion(path)
+    require(cur >= 1,
+      s"$path has no versioned publication to retain (republish first)")
+    val floor = math.max(retentionFloor(path), cur - keep + 1)
+    if (floor > retentionFloor(path)) {
+      val tmp = Paths.get(path, "_FLOOR_TMP")
+      Files.writeString(tmp, floor.toString)
+      Files.move(tmp, Paths.get(path, "_FLOOR"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    for (n <- 1L until retentionFloor(path))
+      graft.tables.Staging.deleteRec(s"$path/v$n")
+    // the legacy root publication (pre-versioning) is below every
+    // versioned floor
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && (f.getName.endsWith(".parquet") ||
+        f.getName == "_GRAFT_DONE" || f.getName == "_SUCCESS"))
+      .foreach(f => f.delete())
+  }
+
+  /** Load a SPECIFIC publication version — the rollback read. Versions
+    * below the durable retention floor are REFUSED (their files are
+    * reclaimed or mid-reclaim), with the floor in the error.
+    */
+  def loadVersion(spark: org.apache.spark.sql.SparkSession, path: String,
+                  m: Int, version: Long): IndexedSeq[Codebook] = {
+    require(version >= 1 && version <= currentVersion(path),
+      s"version $version does not exist at $path " +
+        s"(current = ${currentVersion(path)})")
+    if (version < retentionFloor(path))
+      throw new IllegalStateException(
+        s"version $version at $path is below the retention floor " +
+          s"(${retentionFloor(path)}) — reclaimed by Pq.retain; only " +
+          "floor..current are loadable")
+    val rows = spark.read.parquet(s"$path/v$version")
+      .orderBy(col("sub"), col("cid")).collect()
+    (0 until m).map { j =>
+      Codebook(j, rows.filter(_.getInt(0) == j)
+        .map(r => (r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+        .toIndexedSeq)
+    }
+  }
+
   /** PQ code for one subspace: argmin over the ≤ k inlined centroids of
     * the squared L2 to the subvector, ties to the lowest cid. A pure
     * narrow expression — the codebook rides into codegen as literals.

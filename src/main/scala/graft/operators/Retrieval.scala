@@ -93,25 +93,38 @@ object Retrieval {
   //
   //   postings/ pb=N/ (tok, doc_id, tf, rank, gen)  pb = crc32(tok) % 64
   //   dfreq/    pb=N/ (tok, df, gen)                same key as postings
-  //   doclens/  db=N/ (doc_id, dl)                  db = crc32(id str) % 64
-  //   globals/        (n_docs, total, gen)          one row
-  //   _POSTINGS_DONE  done marker, written last via atomic rename
-  //   _APPENDING      maintenance-intent marker (crash ⇒ detected+refused)
+  //   doclens/  db=N/ (doc_id, dl, gen, tomb)       db = crc32(id str) % 64
+  //   fwd/      db=N/ (doc_id, pb)                  forward sidecar: the
+  //             token buckets each doc has postings in — [[deletePostings]]
+  //             learns the victims' pb set from an id-hash-pruned lookup
+  //             instead of scanning the postings relation (the IvfIndex
+  //             ids/ discipline). Append-only SUPERSET: rows of deleted
+  //             docs are retained (they prune extra, empty buckets —
+  //             harmless) and GC'd by [[compactPostings]].
+  //   _GEN            "G nDocs totalDl" — the COMMIT POINT (see below)
+  //   _POSTINGS_DONE  done marker, written last at build via atomic rename
+  //   _APPENDING      maintenance-intent marker (crash ⇒ detected, healed
+  //                   by [[recoverPostings]])
   //
-  // `gen` is the LSM generation that makes maintenance WRITES ∝ the
-  // touched posting lists instead of ∝ the touched partitions: an
-  // append/delete re-ranks only the tokens it touches and lands those
-  // rows as NEW files at generation g+1 — no partition is ever
-  // rewritten on the maintenance path. The superseded rows stay on disk
-  // (same token ⇒ same pb partition as their replacements) until
-  // [[compactPostings]] drops them; dfreq carries each token's
-  // AUTHORITATIVE generation, so a postings row is current iff
-  // (tok, gen) matches dfreq — [[readStage]] applies that semi-join
-  // once, co-keyed on (tok, gen, pb) so partition pruning and term
-  // filters propagate to both sides, and every consumer sees exactly
-  // the rebuild's rows. Without this, a realistic text batch touches
-  // most of the 64 token buckets and each append rewrote nearly the
-  // whole relation — cost ∝ corpus, the named 100 TB scale-killer.
+  // EVERY relation is LSM under maintenance: append/delete only ever add
+  // new files carrying rows at generation g = G+1 — deletion is a doclens
+  // TOMBSTONE row and a df-decremented (possibly 0 = dead) dfreq row, and
+  // no live partition is ever rewritten outside [[compactPostings]]. The
+  // atomic `_GEN` rename is the single commit point: rows above the
+  // committed G are invisible to [[readStage]]'s resolution, so a writer
+  // crash at ANY point before the rename leaves the stage readable at
+  // exactly its pre-maintenance state, and [[recoverPostings]] heals by
+  // garbage-collecting the orphaned generation (identifiable: gen > G)
+  // and clearing the intent — never a rebuild. Resolution: dfreq's
+  // per-token row of maximal generation is authoritative (df = 0 ⇒ the
+  // token is dead and every surviving stale postings row of it is
+  // invisible); a postings row is current iff (tok, gen) matches that
+  // authoritative row; a doclens row is current iff it is the doc's
+  // maximal-generation row and not a tombstone. A fresh or compacted
+  // stage (G = 0) is single-generation by construction and skips the
+  // resolution plan entirely. Without the LSM, a realistic text batch
+  // touches most of the 64 token buckets and each append rewrote nearly
+  // the whole relation — cost ∝ corpus, the named 100 TB scale-killer.
   //
   // crc32 (not Spark's murmur `hash`) because a literal query term's
   // bucket is trivially computable driver-side, so single-query lookups
@@ -141,6 +154,43 @@ object Retrieval {
     java.nio.file.Paths.get(path, "_POSTINGS_DONE")
   private def intentFile(path: String) =
     java.nio.file.Paths.get(path, "_APPENDING")
+  private def genFile(path: String) =
+    java.nio.file.Paths.get(path, "_GEN")
+
+  /** The committed state (G, nDocs, totalDl) — read from the atomic
+    * `_GEN` commit file, falling back to the legacy `globals/` parquet
+    * relation for stages written before the generation-commit protocol
+    * (those are READ back-compatibly; incremental maintenance on them is
+    * refused with a rebuild prescription, not silently mixed in).
+    */
+  private def readCommitted(spark: org.apache.spark.sql.SparkSession,
+                            path: String): (Long, Long, Long) =
+    if (java.nio.file.Files.exists(genFile(path))) {
+      val p = java.nio.file.Files.readString(genFile(path)).trim.split(" ")
+      (p(0).toLong, p(1).toLong, p(2).toLong)
+    } else {
+      val r = spark.read.parquet(s"$path/globals").collect().head
+      (if (r.length > 2) r.getLong(2) else 0L, r.getLong(0), r.getLong(1))
+    }
+
+  /** THE commit point of every maintenance pass: generation high-water
+    * mark + corpus globals advance together in one atomic rename. A
+    * reader sees either the whole pass or none of it.
+    */
+  private def writeCommitted(path: String, g: Long, nDocs: Long,
+                             total: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path, "_GEN_TMP")
+    Files.writeString(tmp, s"$g $nDocs $total")
+    Files.move(tmp, genFile(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def requireGenCommitted(path: String, op: String): Unit =
+    require(java.nio.file.Files.exists(genFile(path)),
+      s"postings stage at $path predates the generation-committed layout " +
+        s"— rebuild with stagePostings() (or run compactPostings(), the " +
+        s"in-place migration) before $op")
 
   /** Done-marker `key=value` properties: build parameters and the
     * written schema of each relation. Legacy markers carry the bare
@@ -198,6 +248,7 @@ object Retrieval {
         TextFunctions.tokens(textCol).as("tk"))
       .localCheckpoint()
     val doclensW = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        lit(0L).as("gen"), lit(false).as("tomb"),
         dbCol(col("doc_id")).as("db"))
     doclensW
       .repartition(col("db")) // one task per bucket -> one file per dir,
@@ -206,7 +257,7 @@ object Retrieval {
       .write.mode("overwrite").partitionBy("db").parquet(s"$path/doclens")
     val postings = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds ranked postings AND dfreq
+      .localCheckpoint() // feeds ranked postings, dfreq AND fwd
     val postingsW = withImpactRank(postings)
       .withColumn("gen", lit(0L)) // LSM generation (see layout comment)
       .withColumn("pb", pbCol(col("tok")))
@@ -219,20 +270,25 @@ object Retrieval {
     dfreqW
       .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/dfreq")
+    val fwdW = postings
+      .select(col("doc_id"), pbCol(col("tok")).as("pb")).distinct()
+      .withColumn("db", dbCol(col("doc_id")))
+    fwdW
+      .repartition(col("db"))
+      .write.mode("overwrite").partitionBy("db").parquet(s"$path/fwd")
     // globals computed from the same checkpointed plan that fed the
-    // doclens write (not a read-back of the files: an EMPTY corpus
-    // writes a fileless doclens dir, which schema inference refuses)
-    doclensW
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("total"),
-        lit(0L).as("gen"))
-      .write.mode("overwrite").parquet(s"$path/globals")
+    // doclens write and committed via the atomic _GEN rename
+    val g0 = toks.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("tk")).cast("long")), lit(0L)).as("total"))
+      .collect().head
+    writeCommitted(path, 0L, g0.getLong(0), g0.getLong(1))
     // each relation's written schema rides in the done marker so an
     // emptied relation stays readable — see readRel
     writeDoneMarker(path, Seq(
       "schema.postings" -> postingsW.schema.json,
       "schema.dfreq" -> dfreqW.schema.json,
-      "schema.doclens" -> doclensW.schema.json))
+      "schema.doclens" -> doclensW.schema.json,
+      "schema.fwd" -> fwdW.schema.json))
   }
 
   private def writeDoneMarker(path: String,
@@ -270,15 +326,25 @@ object Retrieval {
     * rebuild-then-query, hash-checked by q_postings_append against the
     * full-corpus replay.
     *
-    * Crash safety: the `_APPENDING` intent marker lands before the first
-    * write and clears after the last; [[readStage]] refuses a stage with
-    * the marker present (a writer died mid-append — rows could exist in
-    * doclens but not postings), healed by re-running [[stagePostings]].
+    * Crash safety: every write lands rows at the UNCOMMITTED generation
+    * g = G+1 (invisible to [[readStage]]'s resolution) under the
+    * `_APPENDING` intent marker, and the pass commits with ONE atomic
+    * `_GEN` rename at the end — a crash at any earlier point leaves the
+    * stage readable at exactly its pre-append state, healed by
+    * [[recoverPostings]] (GC the orphaned generation, clear the intent),
+    * never a rebuild. Mutators run under the shared [[WriterLock]]
+    * exclusive-writer discipline.
     */
   def appendPostings(docs: DataFrame, idCol: Column, textCol: Column,
-                     path: String): Unit = {
+                     path: String): Unit =
+    graft.tables.WriterLock.withLock(path)(
+      appendImpl(docs, idCol, textCol, path))
+
+  private def appendImpl(docs: DataFrame, idCol: Column, textCol: Column,
+                         path: String): Unit = {
     val spark = docs.sparkSession
     val st = readStage(spark, path)
+    requireGenCommitted(path, "appendPostings")
     val batch = docs.select(idCol.as("doc_id"),
         TextFunctions.tokens(textCol).as("tk"))
       .withColumn("db", dbCol(col("doc_id")))
@@ -299,8 +365,6 @@ object Retrieval {
       .collect().map(_.getInt(0)).toSeq.sorted
     java.nio.file.Files.createFile(intentFile(path))
     val g = st.gen + 1
-    // batch globals advance additively (old globals row collected —
-    // a parquet dir cannot be read and overwritten in one plan)
     val bg = fresh.agg(count(lit(1)).cast("long"),
       coalesce(sum(size(col("tk")).cast("long")), lit(0L))).collect().head
     if (touched.nonEmpty) {
@@ -320,59 +384,65 @@ object Retrieval {
           col("gen"), col("pb"))
         .repartition(col("pb")) // one new file per touched partition
         .write.mode("append").partitionBy("pb").parquet(s"$path/postings")
-      // dfreq: touched tokens advance df AND generation (their postings
-      // rows at g are now the current ones); untouched tokens in a
-      // touched partition keep their row — including its generation —
-      // verbatim
-      val oldDf = st.dfreq.filter(col("pb").isin(touched: _*))
+      // dfreq: ONE new row per TOUCHED token at generation g (its new
+      // authoritative df); untouched tokens' rows — and the touched
+      // tokens' superseded rows — stay on disk verbatim, invisible to
+      // resolution until compaction drops them. Writes ∝ the batch's
+      // vocabulary, and nothing is overwritten.
       val newDf = freshPost.groupBy(col("tok")).agg(count(lit(1)).as("df_new"))
-      val mergedDf = oldDf.select(col("tok"), col("df"), col("gen"))
-        .join(newDf, Seq("tok"), "full_outer")
+      val mergedDf = newDf
+        .join(st.dfreq.filter(col("pb").isin(touched: _*))
+          .select(col("tok"), col("df")), Seq("tok"), "left_outer")
         .select(col("tok"),
-          (coalesce(col("df"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"),
-          when(col("df_new").isNotNull, lit(g))
-            .otherwise(col("gen")).as("gen"),
+          (coalesce(col("df"), lit(0L)) + col("df_new")).as("df"),
+          lit(g).as("gen"),
           pbCol(col("tok")).as("pb"))
-        .localCheckpoint()
-      graft.tables.Staging.dynamicOverwrite(mergedDf,
-        "pb", s"$path/dfreq")
+      mergedDf
+        .repartition(col("pb"))
+        .write.mode("append").partitionBy("pb").parquet(s"$path/dfreq")
     }
     fresh.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        col("db"))
+        lit(g).as("gen"), lit(false).as("tomb"), col("db"))
       .repartition(col("db"))
       .write.mode("append").partitionBy("db").parquet(s"$path/doclens")
-    writeGlobals(spark, path, st.nDocs + bg.getLong(0),
-      st.totalDl + bg.getLong(1), g)
+    // forward sidecar: the batch docs' token buckets — append-only
+    freshPost.select(col("doc_id"), col("pb")).distinct()
+      .withColumn("db", dbCol(col("doc_id")))
+      .repartition(col("db"))
+      .write.mode("append").partitionBy("db").parquet(s"$path/fwd")
+    // THE commit: generation + globals advance atomically; everything
+    // above was invisible until this rename
+    writeCommitted(path, g, st.nDocs + bg.getLong(0),
+      st.totalDl + bg.getLong(1))
     java.nio.file.Files.delete(intentFile(path))
   }
 
-  private def writeGlobals(spark: org.apache.spark.sql.SparkSession,
-                           path: String, nDocs: Long, total: Long,
-                           gen: Long): Unit = {
-    import spark.implicits._
-    Seq((nDocs, total, gen)).toDF("n_docs", "total", "gen")
-      .write.mode("overwrite").parquet(s"$path/globals")
-  }
-
   /** Incremental DELETION — the corpus-refresh path (GDPR delete,
-    * dedup-then-reindex) that previously forced a full restage. One
-    * postings scan finds the victims' rows (a doc's tokens can hash
-    * anywhere — no forward index, so this scan is inherent); everything
-    * after is ∝ the victims' locality: the victims' tokens re-rank over
-    * the REMAINING postings and land as NEW files at generation g+1
-    * (the [[appendPostings]] LSM write — no partition rewritten), df
-    * decrements for exactly those tokens — a token whose df reaches 0
-    * DROPS from dfreq, which alone makes every surviving stale row of
-    * it invisible to [[readStage]]'s resolution — doclens rewrites only
-    * the victims' db partitions (id-hash pruned, like the admission
-    * join), globals retreat by the victims' (count, Σdl).
-    * Delete-then-query ≡ rebuild-on-remaining — q_postings_delete
-    * hash-checks it. Same intent marker as [[appendPostings]].
+    * dedup-then-reindex) that previously forced a full restage. The
+    * victims' token buckets come from the `fwd/` FORWARD SIDECAR with an
+    * id-hash-pruned lookup (no postings scan — the cost that was ∝ the
+    * corpus per delete wave is now ∝ the victims' buckets, the IvfIndex
+    * id→cell discipline); everything after is ∝ the victims' locality:
+    * the victims' tokens re-rank over the REMAINING postings and land as
+    * NEW files at generation g+1 (the [[appendPostings]] LSM write — no
+    * partition rewritten), dfreq gains one decremented row per victim
+    * token (df = 0 marks the token DEAD, which alone makes every
+    * surviving stale row of it invisible to [[readStage]]'s resolution),
+    * doclens gains one TOMBSTONE row per victim, globals retreat by the
+    * victims' (count, Σdl) at the same atomic `_GEN` commit. Nothing is
+    * overwritten anywhere. Delete-then-query ≡ rebuild-on-remaining —
+    * q_postings_delete hash-checks it. Same intent marker + writer lock
+    * + [[recoverPostings]] heal as [[appendPostings]].
     */
   def deletePostings(ids: DataFrame, path: String,
-                     idName: String = "doc_id"): Unit = {
+                     idName: String = "doc_id"): Unit =
+    graft.tables.WriterLock.withLock(path)(deleteImpl(ids, path, idName))
+
+  private def deleteImpl(ids: DataFrame, path: String,
+                         idName: String): Unit = {
     val spark = ids.sparkSession
     val st = readStage(spark, path)
+    requireGenCommitted(path, "deletePostings")
     val idsB = ids.select(col(idName).as("doc_id"))
       .withColumn("db", dbCol(col("doc_id")))
       .localCheckpoint() // feeds the bucket collect AND the victim lookup
@@ -388,9 +458,21 @@ object Retrieval {
     val g = st.gen + 1
     val vg = victims.agg(count(lit(1)).cast("long"),
       coalesce(sum(col("dl")), lit(0L))).collect().head
-    // the one full scan: victim posting rows → touched tokens (with the
-    // victims' contribution to each token's df)
-    val victimRows = st.postings
+    val vdb = victims.select(col("db")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    // the victims' token buckets from the forward sidecar — an id-hash-
+    // pruned lookup (a doc's fwd rows share its doclens bucket), then a
+    // metadata-sized collect: pb lives in [0, NumTokBuckets). fwd is an
+    // append-only superset (stale rows of PREVIOUSLY deleted docs prune
+    // extra buckets where the semi-join below finds nothing — harmless).
+    val fwd = readRel(spark, path, "fwd", postingsMarker(path))
+    val victimPbs = fwd.filter(col("db").isin(vdb: _*))
+      .join(victims.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("pb")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    // victim posting rows from the PRUNED scan → touched tokens (with
+    // the victims' contribution to each token's df)
+    val victimRows = st.postings.filter(col("pb").isin(victimPbs: _*))
       .join(victims.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("tok"), col("pb"))
       .localCheckpoint()
@@ -403,7 +485,7 @@ object Retrieval {
       val toksGone = victimDf.select(col("tok"))
       // remaining rows of the victims' tokens re-rank at generation g —
       // LSM append, cf. appendPostings; a token with NO remaining rows
-      // contributes nothing here and drops from dfreq below
+      // gets its df = 0 death-marker row below
       val rerank = withImpactRank(
         st.postings.filter(col("pb").isin(touched: _*))
           .join(toksGone, Seq("tok"), "left_semi")
@@ -416,25 +498,25 @@ object Retrieval {
           col("gen"), col("pb"))
         .repartition(col("pb"))
         .write.mode("append").partitionBy("pb").parquet(s"$path/postings")
+      // dfreq: ONE new row per VICTIM token at generation g with the
+      // decremented df — df = 0 is the death marker resolution filters
       val mergedDf = st.dfreq.filter(col("pb").isin(touched: _*))
-        .join(victimDf.select(col("tok"), col("df_gone")), Seq("tok"), "left_outer")
+        .join(victimDf.select(col("tok"), col("df_gone")), Seq("tok"))
         .select(col("tok"),
-          (col("df") - coalesce(col("df_gone"), lit(0L))).as("df"),
-          when(col("df_gone").isNotNull, lit(g))
-            .otherwise(col("gen")).as("gen"),
+          (col("df") - col("df_gone")).as("df"),
+          lit(g).as("gen"),
           col("pb"))
-        .filter(col("df") > 0L)
-        .localCheckpoint()
-      graft.tables.Staging.overwritePartitionsExact(mergedDf, "pb", s"$path/dfreq", touched)
+      mergedDf
+        .repartition(col("pb"))
+        .write.mode("append").partitionBy("pb").parquet(s"$path/dfreq")
     }
-    val vdb = victims.select(col("db")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val keptLens = st.doclens.filter(col("db").isin(vdb: _*))
-      .join(victims.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    graft.tables.Staging.overwritePartitionsExact(keptLens, "db", s"$path/doclens", vdb)
-    writeGlobals(spark, path, st.nDocs - vg.getLong(0),
-      st.totalDl - vg.getLong(1), g)
+    // doclens: one tombstone row per victim — nothing rewritten
+    victims.select(col("doc_id"), col("dl"), lit(g).as("gen"),
+        lit(true).as("tomb"), col("db"))
+      .repartition(col("db"))
+      .write.mode("append").partitionBy("db").parquet(s"$path/doclens")
+    writeCommitted(path, g, st.nDocs - vg.getLong(0),
+      st.totalDl - vg.getLong(1))
     java.nio.file.Files.delete(intentFile(path))
   }
 
@@ -451,70 +533,148 @@ object Retrieval {
     * over the modified corpus.
     */
   def upsertPostings(docs: DataFrame, idCol: Column, textCol: Column,
-                     path: String): Unit = {
-    deletePostings(docs.select(idCol.as("doc_id")), path)
-    appendPostings(docs, idCol, textCol, path)
-  }
+                     path: String): Unit =
+    graft.tables.WriterLock.withLock(path) {
+      deleteImpl(docs.select(idCol.as("doc_id")), path, "doc_id")
+      appendImpl(docs, idCol, textCol, path)
+    }
 
   /** Compact the stage in place: rewrite every hash-bucket partition
-    * into one file (repartition on the partition column routes each
-    * partition's rows to one task), DROP the superseded-generation
-    * postings rows the LSM appends left behind, and reset every
-    * generation to 0 — the maintenance pass that keeps both file counts
-    * AND stale-row read amplification flat as streaming appends
+    * into one file, DROP the superseded-generation rows, tombstones and
+    * forward-sidecar orphans the LSM maintenance left behind, and reset
+    * every generation to 0 — the maintenance pass that keeps both file
+    * counts AND stale-row read amplification flat as streaming appends
     * accumulate. After compaction the stage is relation-for-relation
     * identical to a fresh [[stagePostings]] on the same corpus
-    * (RetrievalSpec asserts it); resolved queries are invariant. Cost
-    * is one rewrite, no re-ranking — the deferred price of the
-    * maintenance path never rewriting a partition.
+    * (RetrievalSpec asserts it); resolved queries are invariant. The
+    * rewrite — the ONE maintenance pass that replaces live partitions —
+    * runs under the crash-safe [[graft.tables.Commit]] staged-swap
+    * protocol: a crash at any point either discards the staged rewrite
+    * whole or rolls it forward in [[recoverPostings]], never tearing a
+    * partition. Compacting a legacy (pre-generation-commit) stage is
+    * also the supported in-place MIGRATION to the current layout: it
+    * reads back-compatibly and writes gen/tomb/fwd/_GEN.
     */
   def compactPostings(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit =
+    graft.tables.WriterLock.withLock(path) {
+      val st = readStage(spark, path) // validates marker + resolves rows
+      java.nio.file.Files.createFile(intentFile(path))
+      val allB = (0 until NumTokBuckets).toSeq
+      val p0 = st.postings // resolved: current-generation rows only
+        .select(col("tok"), col("doc_id"), col("tf"), col("rank"),
+          lit(0L).as("gen"), col("pb"))
+      val d0 = st.dfreq // resolved: one current row per live token
+        .select(col("tok"), col("df"), lit(0L).as("gen"), col("pb"))
+      val l0 = st.doclens // resolved: tombstones and superseded rows gone
+        .select(col("doc_id"), col("dl"), lit(0L).as("gen"),
+          lit(false).as("tomb"), col("db"))
+      val f0 = st.postings // forward sidecar rebuilt from current rows —
+        // the deferred GC of delete's stale superset entries
+        .select(col("doc_id"), col("pb")).distinct()
+        .withColumn("db", dbCol(col("doc_id")))
+      graft.tables.Commit.commit(path, Seq(
+        graft.tables.Commit.Replace("postings", "pb", allB, p0),
+        graft.tables.Commit.Replace("dfreq", "pb", allB, d0),
+        graft.tables.Commit.Replace("doclens", "db", allB, l0),
+        graft.tables.Commit.Replace("fwd", "db", allB, f0)))
+      writeCommitted(path, 0L, st.nDocs, st.totalDl)
+      // refresh the marker schemas — a legacy stage gains gen/tomb/fwd
+      writeDoneMarker(path, Seq(
+        "schema.postings" -> p0.schema.json,
+        "schema.dfreq" -> d0.schema.json,
+        "schema.doclens" -> l0.schema.json,
+        "schema.fwd" -> f0.schema.json))
+      java.nio.file.Files.delete(intentFile(path))
+    }
+
+  /** The stage's STALE-ROW FRACTION: the share of on-disk postings rows
+    * that LSM maintenance has superseded (invisible to queries but still
+    * read-and-dropped by every resolution pass — the read amplification
+    * compaction exists to reclaim). 0.0 on a fresh/compacted stage.
+    * Cost: one postings count + the resolved count — a maintenance-
+    * policy probe, not a query-path cost.
+    */
+  def staleFraction(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Double = {
+    val st = readStage(spark, path)
+    if (st.gen == 0L) 0.0
+    else {
+      val raw = readRel(spark, path, "postings", postingsMarker(path)).count()
+      if (raw == 0L) 0.0 else (raw - st.postings.count()).toDouble / raw
+    }
+  }
+
+  /** AUTO-COMPACTION POLICY — bounds read amplification by policy
+    * instead of operator memory: compact when the stale-row fraction
+    * reaches `threshold` (default 30%: at that point every resolution
+    * pass re-reads ~1.4x the live rows, and one rewrite both reclaims
+    * the space and restores the zero-overhead G = 0 read path). Returns
+    * whether a compaction ran. Streaming ingest calls this per batch —
+    * cost stays amortized-constant: the fraction only crosses the
+    * threshold after ~threshold/(1−threshold) of the corpus has been
+    * superseded since the last compact.
+    */
+  def compactIfStale(spark: org.apache.spark.sql.SparkSession,
+                     path: String, threshold: Double = 0.3): Boolean = {
+    val f = staleFraction(spark, path)
+    if (f >= threshold && f > 0.0) { compactPostings(spark, path); true }
+    else false
+  }
+
+  /** Heal the stage after a crashed writer — the recovery path that
+    * replaces "rebuild with stagePostings()" (at 100 TB a day-long
+    * incident): a stale writer lock clears (pid-checked), a logged
+    * compaction commit rolls FORWARD (its intent certifies the staged
+    * rewrite completed), and an interrupted append/delete rolls BACK by
+    * garbage-collecting its orphaned generation — every row it landed
+    * sits at gen > the committed G (the `_GEN` rename it never reached),
+    * invisible to readers but a collision hazard for the next writer's
+    * g = G+1. The GC rewrites only the partitions that actually hold
+    * orphans, via the same crash-safe staged-swap protocol. Idempotent;
+    * a no-op on a healthy stage. Recover-then-query ≡ the last committed
+    * state — RetrievalSpec crash-injects every write boundary.
+    */
+  def recoverPostings(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
-    val st = readStage(spark, path) // validates marker + resolves postings
-    java.nio.file.Files.createFile(intentFile(path))
-    val allB = (0 until NumTokBuckets).toSeq
-    val p0 = st.postings // resolved: current-generation rows only
-      .select(col("tok"), col("doc_id"), col("tf"), col("rank"),
-        lit(0L).as("gen"), col("pb"))
-      .localCheckpoint() // the write overwrites the dir it was read from
-    // exact overwrite, not dynamic: a partition whose every row is stale
-    // must be ERASED, and dynamic overwrite cannot erase a partition it
-    // writes no rows into
-    graft.tables.Staging.overwritePartitionsExact(p0, "pb",
-      s"$path/postings", allB)
-    val d0 = readRel(spark, path, "dfreq", postingsMarker(path))
-      .select(col("tok"), col("df"), lit(0L).as("gen"), col("pb"))
-      .localCheckpoint()
-    graft.tables.Staging.overwritePartitionsExact(d0, "pb",
-      s"$path/dfreq", allB)
-    val l0 = readRel(spark, path, "doclens", postingsMarker(path))
-      .localCheckpoint()
-    graft.tables.Staging.dynamicOverwrite(l0, "db", s"$path/doclens")
-    writeGlobals(spark, path, st.nDocs, st.totalDl, 0L)
-    java.nio.file.Files.delete(intentFile(path))
+    graft.tables.WriterLock.clearStale(path)
+    graft.tables.Commit.recover(path)
+    if (java.nio.file.Files.exists(intentFile(path))) {
+      val (gc, _, _) = readCommitted(spark, path)
+      val mk = postingsMarker(path)
+      val ops = Seq(("postings", "pb"), ("dfreq", "pb"), ("doclens", "db"))
+        .flatMap { case (rel, pc) =>
+          val raw = readRel(spark, path, rel, mk)
+          if (!raw.columns.contains("gen")) None
+          else {
+            val bad = raw.filter(col("gen") > gc).select(col(pc)).distinct()
+              .collect().map(_.getInt(0)).toSeq.sorted
+            if (bad.isEmpty) None
+            else Some(graft.tables.Commit.Replace(rel, pc, bad,
+              raw.filter(col(pc).isin(bad: _*) && col("gen") <= gc)))
+          }
+        }
+      if (ops.nonEmpty) graft.tables.Commit.commit(path, ops)
+      // fwd rows carry no generation: an interrupted append's entries
+      // are a harmless prune superset, GC'd at the next compaction
+      java.nio.file.Files.delete(intentFile(path))
+    }
   }
 
   /** The staged relations, with LSM generations already RESOLVED:
     * `postings` carries exactly the current rows as (tok, doc_id, tf,
-    * rank, pb) — superseded-generation rows a maintenance append left
-    * on disk are dropped here, once, for every consumer; `dfreq`
-    * (tok, df, gen, pb); `doclens` (doc_id, dl, db); `globals` one row
-    * (n_docs, total, gen).
+    * rank, pb) — superseded-generation rows a maintenance pass left on
+    * disk are dropped here, once, for every consumer; `dfreq` carries
+    * one authoritative (tok, df, gen, pb) row per LIVE token; `doclens`
+    * one (doc_id, dl, db) row per live doc (tombstones and superseded
+    * rows dropped). (nDocs, totalDl, gen) are the committed globals,
+    * read DRIVER-SIDE from the `_GEN` commit file — index metadata, so
+    * consumers inline them as literals instead of cross-joining a 1-row
+    * scan into every plan.
     */
   final case class PostingsStage(postings: DataFrame, dfreq: DataFrame,
-                                 doclens: DataFrame, globals: DataFrame) {
-    /** The corpus globals read DRIVER-SIDE — the staged globals relation
-      * is one row of index metadata (readMeta's analogue), so consumers
-      * inline (n_docs, total) as literals instead of cross-joining a
-      * 1-row scan into every plan (a parquet scan has no known row
-      * bound, so that cross join plans as a BroadcastNestedLoopJoin —
-      * flagged scale-unsafe even though this one is benign).
-      */
-    lazy val (nDocs, totalDl, gen) = {
-      val r = globals.collect().head
-      (r.getLong(0), r.getLong(1), if (r.length > 2) r.getLong(2) else 0L)
-    }
-  }
+                                 doclens: DataFrame, nDocs: Long,
+                                 totalDl: Long, gen: Long)
 
   def readStage(spark: org.apache.spark.sql.SparkSession,
                 path: String): PostingsStage = {
@@ -522,29 +682,64 @@ object Retrieval {
     if (java.nio.file.Files.exists(intentFile(path)))
       throw new IllegalStateException(
         s"$path has unfinished maintenance (_APPENDING intent present) — a " +
-          "writer crashed mid-append/delete; rebuild with stagePostings()")
+          "writer crashed mid-append/delete; heal with recoverPostings()")
+    if (graft.tables.Commit.pending(path))
+      throw new IllegalStateException(
+        s"$path has an unfinished compaction commit (_COMMIT intent " +
+          "present) — heal with recoverPostings()")
     val mk = postingsMarker(path)
-    val praw = readRel(spark, path, "postings", mk)
-    val draw = readRel(spark, path, "dfreq", mk)
-    // LSM resolution: a postings row is current iff its (tok, gen)
-    // matches the token's authoritative generation in dfreq. The join
-    // keys are (tok, gen) ONLY — deliberately NOT pb, although both
-    // sides carry it: with pb in the keys, Catalyst plants a
-    // dynamic-partition-pruning subquery on the dfreq side whose
-    // pruning input is a SECOND FULL SCAN of the postings relation —
-    // the big side scanned twice to prune the vocabulary-sized side
-    // (measured 4x on the conversation family at 100x scale). Without
-    // pb, dfreq reads whole (vocabulary-sized, broadcast into the semi
-    // join) and a consumer's term filter still reaches it through the
-    // tok join key's constraint propagation; the consumer's pb filter
-    // prunes the POSTINGS scan, which is the side that matters.
-    val resolved = praw
-      .join(draw.select(col("tok"), col("gen")),
-        Seq("tok", "gen"), "left_semi")
-      .drop("gen")
-    PostingsStage(resolved, draw,
-      readRel(spark, path, "doclens", mk),
-      spark.read.parquet(s"$path/globals"))
+    val (g, nDocs, totalDl) = readCommitted(spark, path)
+    // pre-LSM stages (no gen columns) read back-compatibly as one
+    // committed generation 0 — never an opaque missing-column error
+    def withGen(df: DataFrame): DataFrame =
+      if (df.columns.contains("gen")) df else df.withColumn("gen", lit(0L))
+    val praw = withGen(readRel(spark, path, "postings", mk))
+    val draw = withGen(readRel(spark, path, "dfreq", mk))
+    val lraw0 = withGen(readRel(spark, path, "doclens", mk))
+    val lraw = if (lraw0.columns.contains("tomb")) lraw0
+      else lraw0.withColumn("tomb", lit(false))
+    if (g == 0L) {
+      // fresh or compacted stage — single-generation by construction, no
+      // tombstones possible: skip the whole resolution plan (the common
+      // serving case pays ZERO resolution overhead)
+      PostingsStage(praw.drop("gen"),
+        draw,
+        lraw.select(col("doc_id"), col("dl"), col("db")),
+        nDocs, totalDl, 0L)
+    } else {
+      // dfreq resolution: per token, the row of maximal generation is
+      // authoritative; df = 0 marks a dead token. Grouping carries pb
+      // (constant per token) so a consumer's pb filter pushes through.
+      val dres = draw.groupBy(col("tok"), col("pb"))
+        .agg(max(struct(col("gen"), col("df"))).as("m"))
+        .select(col("tok"), col("m.df").as("df"), col("m.gen").as("gen"),
+          col("pb"))
+        .filter(col("df") > 0L)
+      // postings resolution: a row is current iff its (tok, gen) matches
+      // the authoritative dfreq row. The join keys are (tok, gen) ONLY —
+      // deliberately NOT pb, although both sides carry it: with pb in
+      // the keys, Catalyst plants a dynamic-partition-pruning subquery
+      // on the dfreq side whose pruning input is a SECOND FULL SCAN of
+      // the postings relation — the big side scanned twice to prune the
+      // vocabulary-sized side (measured 4x on the conversation family at
+      // 100x scale). Without pb, dfreq reads whole (vocabulary-sized,
+      // broadcast into the semi join) and a consumer's term filter still
+      // reaches it through the tok join key's constraint propagation;
+      // the consumer's pb filter prunes the POSTINGS scan, which is the
+      // side that matters.
+      val resolved = praw
+        .join(dres.select(col("tok"), col("gen")),
+          Seq("tok", "gen"), "left_semi")
+        .drop("gen")
+      // doclens resolution: per doc, the maximal-generation row wins; a
+      // tombstone there means the doc is deleted. db rides the grouping
+      // key so bucket pruning pushes through.
+      val lres = lraw.groupBy(col("doc_id"), col("db"))
+        .agg(max(struct(col("gen"), col("tomb"), col("dl"))).as("m"))
+        .filter(!col("m.tomb"))
+        .select(col("doc_id"), col("m.dl").as("dl"), col("db"))
+      PostingsStage(resolved, dres, lres, nDocs, totalDl, g)
+    }
   }
 
   /** Back-compat accessor: (postings, doclens). */
@@ -768,6 +963,72 @@ object Retrieval {
                       rel: String): DataFrame =
     readRel(spark, path, rel, windowsMarker(path))
 
+  /** The window stage's committed generation (the `_GEN` atomic-rename
+    * commit point, cf. the postings stage — the window stage carries no
+    * globals, so the file holds just G). 0 = fresh/compacted or legacy.
+    */
+  private def readWinGen(path: String): Long =
+    if (java.nio.file.Files.exists(genFile(path)))
+      java.nio.file.Files.readString(genFile(path)).trim.toLong
+    else 0L
+
+  private def writeWinGen(path: String, g: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path, "_GEN_TMP")
+    Files.writeString(tmp, g.toString)
+    Files.move(tmp, genFile(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def requireWinGenCommitted(path: String, op: String): Unit =
+    require(java.nio.file.Files.exists(genFile(path)),
+      s"doc-window stage at $path predates the generation-committed " +
+        s"layout — rebuild with stageWindows() (or run compactWindows(), " +
+        s"the in-place migration) before $op")
+
+  /** The RESOLVED (doc_id, win, db) relation: rows above the committed
+    * generation (an interrupted maintenance pass) and rows killed by a
+    * doc-level tombstone of a later-or-equal generation (a committed
+    * delete) are dropped. A fresh/compacted stage (G = 0) is
+    * single-generation with no tombstones by construction and skips the
+    * resolution plan entirely; a maintained stage with no surviving
+    * tombs relation skips the anti-join half. The tombs join carries
+    * (doc_id, db) so a consumer's db bucket filter pushes to BOTH scans.
+    */
+  private[graft] def resolvedDwin(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): DataFrame = {
+    val raw0 = readWin(spark, path, "dwin")
+    val raw = if (raw0.columns.contains("gen")) raw0
+      else raw0.withColumn("gen", lit(0L)) // pre-LSM stage, back-compat
+    if (readWinGen(path) == 0L)
+      raw.select(col("doc_id"), col("win"), col("db"))
+    else {
+      val base =
+        if (!hasParquet(s"$path/tombs")) raw
+        else {
+          val tmax = spark.read.parquet(s"$path/tombs")
+            .groupBy(col("doc_id"), col("db")).agg(max(col("gen")).as("tg"))
+          raw.join(tmax, Seq("doc_id", "db"), "left_outer")
+            .filter(col("tg").isNull || col("gen") > col("tg"))
+        }
+      base.select(col("doc_id"), col("win"), col("db"))
+    }
+  }
+
+  /** True iff any parquet file exists under `dir` — the existence test
+    * for schema-inferred side relations (a dir whose every partition was
+    * ERASED still exists but would crash inference).
+    */
+  private def hasParquet(dir: String): Boolean = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) false
+    else {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.anyMatch(f => f.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+  }
+
   /** Refuse a call whose shape parameters differ from what the stage was
     * BUILT with (recorded in the done marker): appending windows derived
     * with a different windowN/dim/maxDocWindows than the build silently
@@ -793,7 +1054,11 @@ object Retrieval {
     if (java.nio.file.Files.exists(intentFile(path)))
       throw new IllegalStateException(
         s"$path has unfinished maintenance (_APPENDING intent present) — a " +
-          "writer crashed mid-append/delete; rebuild with stageWindows()")
+          "writer crashed mid-append/delete; heal with recoverWindows()")
+    if (graft.tables.Commit.pending(path))
+      throw new IllegalStateException(
+        s"$path has an unfinished compaction commit (_COMMIT intent " +
+          "present) — heal with recoverWindows()")
   }
 
   /** Build the doc-window stage: `path`/dwin (doc_id, win, db) by doc
@@ -811,10 +1076,12 @@ object Retrieval {
           maxDocWindows)).as("win"))
       .distinct()
       .localCheckpoint() // feeds dwin AND the vocabulary derivations
-    val dwinW = dwin.withColumn("db", dbCol(col("doc_id")))
+    val dwinW = dwin.withColumn("gen", lit(0L)) // LSM generation
+      .withColumn("db", dbCol(col("doc_id")))
     dwinW
       .repartition(col("db")) // small-files guard, cf. stagePostings
       .write.mode("overwrite").partitionBy("db").parquet(s"$path/dwin")
+    writeWinGen(path, 0L)
     val wembs = dwin.select(col("win")).distinct()
       .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
       .localCheckpoint() // feeds wemb AND wtok
@@ -866,11 +1133,20 @@ object Retrieval {
     */
   def appendWindows(docs: DataFrame, idCol: Column, textCol: Column,
                     path: String, maxDocWindows: Int = 16, windowN: Int = 3,
-                    dim: Int = 64): Unit = {
+                    dim: Int = 64): Unit =
+    graft.tables.WriterLock.withLock(path)(
+      appendWindowsImpl(docs, idCol, textCol, path, maxDocWindows, windowN,
+        dim))
+
+  private def appendWindowsImpl(docs: DataFrame, idCol: Column,
+                                textCol: Column, path: String,
+                                maxDocWindows: Int, windowN: Int,
+                                dim: Int): Unit = {
     refuseTornWindows(path)
     requireWindowKnobs(path, windowN, dim, Some(maxDocWindows))
+    requireWinGenCommitted(path, "appendWindows")
     val spark = docs.sparkSession
-    val oldDwin = readWin(spark, path, "dwin")
+    val oldDwin = resolvedDwin(spark, path)
     val batch = docs.select(idCol.as("doc_id"),
         explode(slice(TextFunctions.shingles(textCol, windowN), 1,
           maxDocWindows)).as("win"))
@@ -891,14 +1167,15 @@ object Retrieval {
       .localCheckpoint() // feeds dwin append AND the new-window derivation
     if (fresh.isEmpty) return
     java.nio.file.Files.createFile(intentFile(path))
+    val g = readWinGen(path) + 1
     val newWins = fresh.select(col("win")).distinct()
       .join(readWin(spark, path, "wemb").select(col("win")),
         Seq("win"), "left_anti")
       .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
       .localCheckpoint() // feeds wemb append AND wtok append
-    fresh.select(col("doc_id"), col("win"), col("db"))
-      .repartition(col("db"))
-      .write.mode("append").partitionBy("db").parquet(s"$path/dwin")
+    // vocabulary rows land FIRST: an embedding/posting row whose windows
+    // never gain a dwin row is an invisible orphan (candidates are
+    // driven by dwin), so a crash between these writes is benign
     if (!newWins.isEmpty) {
       newWins.withColumn("wb", pbCol(col("win")))
         .repartition(col("wb"))
@@ -909,40 +1186,60 @@ object Retrieval {
         .repartition(col("pb"))
         .write.mode("append").partitionBy("pb").parquet(s"$path/wtok")
     }
+    // dwin rows at the uncommitted generation g — invisible until the
+    // atomic _GEN rename below commits the pass (cf. appendPostings)
+    fresh.select(col("doc_id"), col("win"), lit(g).as("gen"), col("db"))
+      .repartition(col("db"))
+      .write.mode("append").partitionBy("db").parquet(s"$path/dwin")
+    writeWinGen(path, g)
     java.nio.file.Files.delete(intentFile(path))
   }
 
   /** Incremental doc-window DELETION — the corpus-refresh path the
-    * postings stage already has ([[deletePostings]]): the victims' dwin
-    * rows drop by rewriting ONLY the db partitions their ids hash into
-    * (untouched docs sharing a partition keep their rows verbatim —
-    * cost ∝ victims' partitions, never the corpus). Window-vocabulary
-    * rows (wemb/wtok) whose last referencing doc died are RETAINED as
-    * orphans: a window with no dwin row can never produce a candidate
-    * (cand = dwin ⋈ cpairs), so queries are exactly rebuild-on-remaining
-    * — q_windows_delete hash-checks it — and the orphans are garbage-
-    * collected by the next [[compactWindows]] pass (the lazy-GC split
-    * that keeps delete cost partition-local). Same `_APPENDING` intent
-    * marker as append: a crash mid-delete is detected and refused.
+    * postings stage already has ([[deletePostings]]): one doc-level
+    * TOMBSTONE row per victim lands in `tombs/` and the pass commits
+    * with the atomic `_GEN` rename — nothing is rewritten anywhere, so
+    * delete cost is ∝ the deletion set and a crash before the commit
+    * changes nothing ([[recoverWindows]] heals). Window-vocabulary rows
+    * (wemb/wtok) whose last referencing doc died are RETAINED as
+    * orphans: a window with no live dwin row can never produce a
+    * candidate (cand = dwin ⋈ cpairs), so queries are exactly
+    * rebuild-on-remaining — q_windows_delete hash-checks it — and the
+    * orphans (plus the applied tombstones and dead dwin rows) are
+    * garbage-collected by the next [[compactWindows]] pass.
     */
   def deleteWindows(ids: DataFrame, path: String,
-                    idName: String = "doc_id"): Unit = {
+                    idName: String = "doc_id"): Unit =
+    graft.tables.WriterLock.withLock(path)(
+      deleteWindowsImpl(ids, path, idName))
+
+  private def deleteWindowsImpl(ids: DataFrame, path: String,
+                                idName: String): Unit = {
     refuseTornWindows(path)
+    requireWinGenCommitted(path, "deleteWindows")
     val spark = ids.sparkSession
-    val dwin = readWin(spark, path, "dwin")
-    val victims = dwin
-      .join(ids.select(col(idName).as("doc_id")), Seq("doc_id"), "left_semi")
+    val idsB = ids.select(col(idName).as("doc_id"))
+      .withColumn("db", dbCol(col("doc_id")))
+      .localCheckpoint() // feeds the bucket collect AND the victim lookup
+    // metadata-sized collect: db lives in [0, NumTokBuckets) — the
+    // victim lookup prunes dwin to the DELETION SET's buckets
+    val idsDbs = idsB.select(col("db")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val victims = resolvedDwin(spark, path)
+      .filter(col("db").isin(idsDbs: _*))
+      .join(idsB.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("db")).distinct()
       .localCheckpoint()
     if (victims.isEmpty) return
     java.nio.file.Files.createFile(intentFile(path))
-    // metadata-sized collect: db lives in [0, NumTokBuckets)
-    val vdb = victims.select(col("db")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val kept = dwin.filter(col("db").isin(vdb: _*))
-      .join(victims.select(col("doc_id")).distinct(), Seq("doc_id"),
-        "left_anti")
-      .localCheckpoint() // the write overwrites the dir it was read from
-    graft.tables.Staging.overwritePartitionsExact(kept, "db", s"$path/dwin", vdb)
+    val g = readWinGen(path) + 1
+    // one doc-level TOMBSTONE row per victim — nothing is rewritten; the
+    // victims' dwin rows (gen < g) die at the atomic _GEN commit, their
+    // vocabulary rows become invisible orphans GC'd by compactWindows
+    victims.select(col("doc_id"), lit(g).as("gen"), col("db"))
+      .repartition(col("db"))
+      .write.mode("append").partitionBy("db").parquet(s"$path/tombs")
+    writeWinGen(path, g)
     java.nio.file.Files.delete(intentFile(path))
   }
 
@@ -959,10 +1256,12 @@ object Retrieval {
     */
   def upsertWindows(docs: DataFrame, idCol: Column, textCol: Column,
                     path: String, maxDocWindows: Int = 16, windowN: Int = 3,
-                    dim: Int = 64): Unit = {
-    deleteWindows(docs.select(idCol.as("doc_id")), path)
-    appendWindows(docs, idCol, textCol, path, maxDocWindows, windowN, dim)
-  }
+                    dim: Int = 64): Unit =
+    graft.tables.WriterLock.withLock(path) {
+      deleteWindowsImpl(docs.select(idCol.as("doc_id")), path, "doc_id")
+      appendWindowsImpl(docs, idCol, textCol, path, maxDocWindows, windowN,
+        dim)
+    }
 
   /** Compact the doc-window stage in place: every relation rewrites each
     * hash-bucket partition into one file (streaming/incremental appends
@@ -975,26 +1274,95 @@ object Retrieval {
     * maintenance pass, cf. [[compactPostings]].
     */
   def compactWindows(spark: org.apache.spark.sql.SparkSession,
-                     path: String, gcOrphans: Boolean = true): Unit = {
-    refuseTornWindows(path)
-    java.nio.file.Files.createFile(intentFile(path))
-    val dwin = readWin(spark, path, "dwin").localCheckpoint()
-    graft.tables.Staging.dynamicOverwrite(dwin, "db",
-      s"$path/dwin")
-    val live = dwin.select(col("win")).distinct()
-    val allB = 0 until NumTokBuckets
-    // gcOrphans = false skips the live-window semi-joins: correct ONLY
-    // when no deleteWindows ran since the last GC (appends never orphan
-    // a window — they only add references), which is exactly the
-    // append-only streaming-ingest drain's situation; the file-
-    // flattening half still runs in full
-    Seq("wemb" -> "wb", "wtok" -> "pb").foreach { case (rel, pc) =>
-      val rd = readWin(spark, path, rel)
-      val kept = (if (gcOrphans) rd.join(live, Seq("win"), "left_semi") else rd)
-        .localCheckpoint() // the write overwrites the dir it was read from
-      graft.tables.Staging.overwritePartitionsExact(kept, pc, s"$path/$rel", allB)
+                     path: String, gcOrphans: Boolean = true): Unit =
+    graft.tables.WriterLock.withLock(path) {
+      refuseTornWindows(path)
+      java.nio.file.Files.createFile(intentFile(path))
+      val allB = (0 until NumTokBuckets).toSeq
+      val dwin = resolvedDwin(spark, path) // tombstoned + superseded gone
+      val d0 = dwin.select(col("doc_id"), col("win"), lit(0L).as("gen"),
+        col("db"))
+      val live = dwin.select(col("win")).distinct()
+      // gcOrphans = false skips the live-window semi-joins: correct ONLY
+      // when no deleteWindows ran since the last GC (appends never orphan
+      // a window — they only add references), which is exactly the
+      // append-only streaming-ingest drain's situation; the file-
+      // flattening half still runs in full
+      val vocabOps = Seq("wemb" -> "wb", "wtok" -> "pb").map { case (rel, pc) =>
+        val rd = readWin(spark, path, rel)
+        val kept = if (gcOrphans) rd.join(live, Seq("win"), "left_semi") else rd
+        graft.tables.Commit.Replace(rel, pc, allB, kept)
+      }
+      // applied tombstones are erased IN the same commit as the dwin
+      // rewrite — erasing them later would let gen-0 rows die against a
+      // surviving tombstone if the writer crashed between the two
+      val tombsOp =
+        if (!hasParquet(s"$path/tombs")) Nil
+        else Seq(graft.tables.Commit.Replace("tombs", "db", allB,
+          spark.read.parquet(s"$path/tombs").filter(lit(false))))
+      graft.tables.Commit.commit(path,
+        graft.tables.Commit.Replace("dwin", "db", allB, d0) +:
+          (vocabOps ++ tombsOp))
+      // the emptied tombs dir goes whole (resolution treats a fileless
+      // dir as absent either way — hasParquet)
+      graft.tables.Staging.deleteRec(s"$path/tombs")
+      writeWinGen(path, 0L)
+      // refresh the marker schemas — a legacy stage gains gen here (the
+      // in-place migration); the recorded shape knobs are preserved
+      val props = markerProps(windowsMarker(path))
+      writeWindowsMarker(path,
+        props.view.filterKeys(!_.startsWith("schema.")).toSeq ++ Seq(
+          "schema.dwin" -> d0.schema.json,
+          "schema.wemb" -> readWin(spark, path, "wemb").schema.json,
+          "schema.wtok" -> readWin(spark, path, "wtok").schema.json))
+      java.nio.file.Files.delete(intentFile(path))
     }
-    java.nio.file.Files.delete(intentFile(path))
+
+  private def writeWindowsMarker(path: String,
+                                 props: Seq[(String, String)]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path, "_WINDOWS_DONE_TMP")
+    Files.writeString(tmp,
+      props.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+    Files.move(tmp, windowsMarker(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Heal the doc-window stage after a crashed writer — the window twin
+    * of [[recoverPostings]]: stale lock cleared (pid-checked), a logged
+    * compaction commit rolled forward, an interrupted append/delete
+    * rolled back by GC'ing its orphaned generation (dwin rows and
+    * tombstones above the committed G — invisible, but a collision
+    * hazard for the next writer's g = G+1); orphan wemb/wtok rows an
+    * interrupted append left are harmless (no dwin row ⇒ no candidate)
+    * and GC'd at the next compaction.
+    */
+  def recoverWindows(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit = {
+    graft.tables.WriterLock.clearStale(path)
+    graft.tables.Commit.recover(path)
+    if (java.nio.file.Files.exists(intentFile(path))) {
+      val g = readWinGen(path)
+      val dwin = readWin(spark, path, "dwin")
+      val ops = scala.collection.mutable.ArrayBuffer.empty[graft.tables.Commit.Op]
+      if (dwin.columns.contains("gen")) {
+        val bad = dwin.filter(col("gen") > g).select(col("db")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (bad.nonEmpty)
+          ops += graft.tables.Commit.Replace("dwin", "db", bad,
+            dwin.filter(col("db").isin(bad: _*) && col("gen") <= g))
+      }
+      if (hasParquet(s"$path/tombs")) {
+        val tombs = spark.read.parquet(s"$path/tombs")
+        val bad = tombs.filter(col("gen") > g).select(col("db")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (bad.nonEmpty)
+          ops += graft.tables.Commit.Replace("tombs", "db", bad,
+            tombs.filter(col("db").isin(bad: _*) && col("gen") <= g))
+      }
+      if (ops.nonEmpty) graft.tables.Commit.commit(path, ops.toSeq)
+      java.nio.file.Files.delete(intentFile(path))
+    }
   }
 
   /** [[maxSimPruned]] served from a staged doc-window index —
@@ -1011,7 +1379,7 @@ object Retrieval {
     import spark.implicits._
     refuseTornWindows(path)
     requireWindowKnobs(path, windowN, dim)
-    val dwin = readWin(spark, path, "dwin")
+    val dwin = resolvedDwin(spark, path)
     val wembs = readWin(spark, path, "wemb")
     val qwins = queryTerms.sliding(windowN).map(_.mkString(" ")).toSeq.distinct
     val qtoks = qwins.flatMap(_.split(" ")).distinct
@@ -1074,7 +1442,7 @@ object Retrieval {
       .select(col("qt"), TextFunctions.hashEmbed(col("qt"), dim).as("qemb"))
     val qtoks = wins.flatMap(_.split(" ")).distinct
     val pbs = qtoks.map(pbOf).distinct
-    val dwin = readWin(spark, path, "dwin")
+    val dwin = resolvedDwin(spark, path)
     val wembs = readWin(spark, path, "wemb")
     val wtok = readWin(spark, path, "wtok")
       .filter(col("pb").isin(pbs: _*) && col("tok").isin(qtoks: _*))

@@ -897,6 +897,47 @@ object Streaming {
     }
   }
 
+  /** Streaming SERVING against the persisted IVF index — the
+    * inverted-file twin of [[drainServeFromStore]], closing the last
+    * persisted index that had only single-query serving: queries (q_id,
+    * q_vec) stream in, and each micro-batch is served as ONE batched
+    * pruned probe + exact top-k (IvfIndex.probeBatch — the cells scan
+    * reads the union of the batch's probed cell partitions once, one
+    * top-k window), never one probe per query. Per-query results are
+    * batching-invariant, so the drained union must equal a one-shot
+    * batched probe over all queries — the oracle replays every query's
+    * probe chain.
+    */
+  def drainServeFromIvf(queries: DataFrame, indexPath: String, k: Int,
+                        nprobe: Int, name: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
+    graft.tables.Staging.deleteRec(out)
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF()
+        if (!b.isEmpty)
+          graft.operators.IvfIndex.probeBatch(b.sparkSession, indexPath,
+              b, k, nprobe)
+            .write.mode("append").parquet(out)
+      }
+    val q = queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val spark = queries.sparkSession
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      spark.read.parquet(out)
+    else {
+      // every batch was empty — return the empty batched probe (same
+      // columns) rather than a read crash, cf. drainServeFromStore
+      val none = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), queries.schema)
+      graft.operators.IvfIndex.probeBatch(spark, indexPath, none, k, nprobe)
+    }
+  }
+
   /** Drain a keyed change-log stream into a maintained snapshot: every
     * micro-batch is first collapsed to its latest row per key (largest
     * `orderCols`, e.g. event time then event id), then applied onto the

@@ -337,6 +337,46 @@ class AnnSpec extends SparkSpec {
     assert(sidecarIds() == nodeIds() && !nodeIds().contains(1L))
   }
 
+  test("graph-ANN recover: a logged maintenance commit rolls forward " +
+      "whole; an unlogged stage discards; second writer refused") {
+    import graft.operators.GraphAnnIndex
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_gann_rc").toString
+    GraphAnnIndex.build(emb, col("vec_id"), col("embedding"), idx,
+      sampleMod = 16, edgesPerBucket = 3)
+    def snap(rel: String): Seq[String] =
+      spark.read.parquet(s"$idx/$rel").collect().map(_.toString).sorted.toSeq
+    val nodesBefore = snap("nodes")
+    val adjBefore = snap("base_adj")
+    // crashed writer pre-intent: orphan stage + intent marker, reads
+    // refuse, recover discards — nothing happened
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(idx, "_COMMIT_STAGE", "0"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(idx, "_APPENDING"))
+    intercept[IllegalStateException](GraphAnnIndex.readMeta(idx))
+    GraphAnnIndex.recover(idx)
+    assert(snap("nodes") == nodesBefore && snap("base_adj") == adjBefore)
+    assert(GraphAnnIndex.readMeta(idx) != null) // healthy again
+    // second writer refused while the lock is held
+    graft.tables.WriterLock.withLock(idx) {
+      intercept[IllegalStateException](
+        GraphAnnIndex.delete(Seq(1L).toDF("id"), idx))
+    }
+    // a real delete after everything ≡ rebuild-on-remaining (the
+    // multi-relation commit applied whole)
+    GraphAnnIndex.delete(
+      emb.filter(col("vec_id") % 11 === 0).select(col("vec_id").as("id")),
+      idx)
+    val rem = java.nio.file.Files.createTempDirectory("graft_gann_rcr").toString
+    GraphAnnIndex.build(emb.filter(col("vec_id") % 11 =!= 0),
+      col("vec_id"), col("embedding"), rem,
+      sampleMod = 16, edgesPerBucket = 3)
+    def snapOf(p: String, rel: String): Seq[String] =
+      spark.read.parquet(s"$p/$rel").collect().map(_.toString).sorted.toSeq
+    for (rel <- Seq("nodes", "base_adj", "coarse_adj"))
+      assert(snapOf(idx, rel) == snapOf(rem, rel), rel)
+  }
+
   test("graph-ANN delete ≡ rebuild-on-remaining; only the victim's " +
       "neighbourhood partitions rewritten") {
     import graft.operators.GraphAnnIndex
@@ -431,10 +471,10 @@ class AnnSpec extends SparkSpec {
     val e = intercept[IllegalStateException] {
       GraphAnnIndex.query(spark, idx, QueryVec.values)
     }
-    assert(e.getMessage.contains("unfinished append"))
-    // rebuild heals: the wholesale overwrite clears the intent
-    GraphAnnIndex.build(emb.limit(100), col("vec_id"), col("embedding"), idx,
-      sampleMod = 16, edgesPerBucket = 3)
+    assert(e.getMessage.contains("unfinished maintenance"))
+    // recover heals in place (no rebuild): the intent clears and the
+    // committed state serves
+    GraphAnnIndex.recover(idx)
     assert(GraphAnnIndex.query(spark, idx, QueryVec.values).count() > 0)
   }
 }

@@ -118,6 +118,116 @@ class QuantizeIvfSpec extends SparkSpec {
     }
   }
 
+  test("IvfIndex.probeBatch ≡ N single probes + exact re-ranks; the " +
+      "scan reads only the union of probed cell partitions") {
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_pb").toString
+    IvfIndex.build(emb, "vec_id", "embedding", p, nlist = 8, dim = 64)
+    val qs = (0 until 4).map(b => (b.toLong, QueryVec.shiftedValues(b)))
+    val batch = IvfIndex.probeBatch(spark, p, qs.toDF("q_id", "q_vec"),
+        k = 5, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val singles = qs.flatMap { case (qid, v) =>
+      IvfIndex.probe(spark, p, v, nprobe = 2)
+        .withColumn("distance", graft.functions.VectorFunctions.l2(
+          col("embedding"), typedlit(v)))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(5)
+        .withColumn("q_id", lit(qid))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("distance").asc, col("vec_id").asc)).cast("long"))
+        .select(col("q_id"), col("rn"), col("vec_id"), col("cell"),
+          col("distance"))
+        .collect().map(_.toString)
+    }.sorted.toSeq
+    assert(batch.nonEmpty && batch == singles)
+    // pruned scan: an unreadable file planted in every NON-probed cell
+    // partition is never opened (the batch reads only the probed union)
+    val probedCells = qs.flatMap(q =>
+      graft.operators.Ann.ivfProbes(q._2, 8, 2)).toSet
+    for (c <- 0 until 8 if !probedCells(c)) {
+      val d = java.nio.file.Paths.get(s"$p/cells/cell=$c")
+      if (java.nio.file.Files.isDirectory(d))
+        java.nio.file.Files.write(d.resolve("corrupt.parquet"),
+          "not a parquet file".getBytes("US-ASCII"))
+    }
+    val again = IvfIndex.probeBatch(spark, p, qs.toDF("q_id", "q_vec"),
+        k = 5, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == singles)
+    for (c <- 0 until 8)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$p/cells/cell=$c/corrupt.parquet"))
+  }
+
+  test("IvfIndex.recover: a logged delete commit rolls forward; an " +
+      "unlogged staged append discards; a second writer is refused") {
+    import graft.operators.IvfIndex
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_rc").toString
+    IvfIndex.build(emb, "vec_id", "embedding", p, nlist = 8, dim = 64)
+    def cells(): Seq[String] =
+      spark.read.parquet(s"$p/cells").collect().map(_.toString).sorted.toSeq
+    val before = cells()
+    // crashed writer: intent marker present without a logged commit —
+    // reads refuse, recover clears, nothing changed
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_APPENDING"))
+    intercept[IllegalStateException](IvfIndex.readMeta(p))
+    IvfIndex.recover(p)
+    assert(cells() == before)
+    // second writer refused while the lock is held
+    graft.tables.WriterLock.withLock(p) {
+      intercept[IllegalStateException](
+        IvfIndex.delete(emb.limit(1).select(col("vec_id")), p,
+          idName = "vec_id"))
+    }
+    // and a real delete still works after everything
+    IvfIndex.delete(emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id")), p, idName = "vec_id")
+    val rem = java.nio.file.Files.createTempDirectory("graft_ivf_rcr").toString
+    IvfIndex.build(emb.filter(col("vec_id") % 7 =!= 0), "vec_id",
+      "embedding", rem, nlist = 8, dim = 64)
+    def cellsOf(path: String): Seq[String] =
+      spark.read.parquet(s"$path/cells").collect().map(_.toString).sorted.toSeq
+    assert(cellsOf(p) == cellsOf(rem))
+  }
+
+  test("Pq.retain: durable floor advances before deletion, below-floor " +
+      "loads refused, current serving identical, footprint shrinks") {
+    import graft.operators.Pq
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_rt").toString
+    graft.tables.Staging.deleteRec(path)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    Pq.republish(emb, col("vec_id"), col("embedding"),
+      m = 2, subDim = 32, k = 4, iters = 1, path)
+    Pq.republish(emb.filter(col("vec_id") % 3 === 0), col("vec_id"),
+      col("embedding"), m = 2, subDim = 32, k = 4, iters = 1, path)
+    val b3 = Pq.republish(half, col("vec_id"), col("embedding"),
+      m = 2, subDim = 32, k = 4, iters = 1, path)
+    assert(Pq.currentVersion(path) == 3L)
+    def dirSize(): Long = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try walk.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally walk.close()
+    }
+    val sizeBefore = dirSize()
+    Pq.retain(path, keep = 1)
+    assert(Pq.retentionFloor(path) == 3L)
+    assert(dirSize() < sizeBefore, "retention must reclaim bytes")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/v1")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/v2")))
+    // below-floor loads refused with the floor named; current loads fine
+    val e = intercept[IllegalStateException](
+      Pq.loadVersion(spark, path, m = 2, version = 2L))
+    assert(e.getMessage.contains("retention floor"))
+    assert(Pq.loadVersion(spark, path, m = 2, version = 3L) == b3)
+    assert(Pq.loadPublished(spark, path, m = 2) == b3)
+    // the floor never moves backward
+    Pq.retain(path, keep = 10)
+    assert(Pq.retentionFloor(path) == 3L)
+  }
+
   test("Pq.republish: atomic versioned pointer swap; loadPublished " +
       "serves the newest publication; legacy root stays loadable") {
     import graft.operators.Pq

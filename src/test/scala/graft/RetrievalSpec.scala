@@ -155,7 +155,12 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.stageWindows(docs, col("doc_id"), col("text"), full)
     def snap(path: String, rel: String): Seq[String] =
       spark.read.parquet(s"$path/$rel").collect().map(_.toString).sorted.toSeq
-    for (rel <- Seq("dwin", "wemb", "wtok"))
+    // dwin compares RESOLVED (modulo the LSM generation column — an
+    // incremental stage and a rebuild agree on content, not history)
+    def snapDwin(path: String): Seq[String] =
+      Retrieval.resolvedDwin(spark, path).collect().map(_.toString).sorted.toSeq
+    assert(snapDwin(inc) == snapDwin(full), "dwin")
+    for (rel <- Seq("wemb", "wtok"))
       assert(snap(inc, rel) == snap(full, rel), rel)
     val q = Seq("customer", "order", "for", "table", "part", "data")
     val a = Retrieval.maxSimPrunedFromStage(spark, inc, q)
@@ -166,7 +171,7 @@ class RetrievalSpec extends SparkSpec {
     // idempotent: re-appending the same docs is a no-op
     Retrieval.appendWindows(docs.filter(col("doc_id") % 3 === 0),
       col("doc_id"), col("text"), inc)
-    assert(snap(inc, "dwin") == snap(full, "dwin"))
+    assert(snapDwin(inc) == snapDwin(full))
     // torn append refused
     java.nio.file.Files.createFile(java.nio.file.Paths.get(inc, "_APPENDING"))
     intercept[IllegalStateException] {
@@ -264,8 +269,12 @@ class RetrievalSpec extends SparkSpec {
       "delete-then-query must equal rebuild-on-remaining")
     def snap(path: String, rel: String): Seq[String] =
       spark.read.parquet(s"$path/$rel").collect().map(_.toString).sorted.toSeq
-    // dwin already matches; vocabulary still carries orphans until compact
-    assert(snap(del, "dwin") == snap(rem, "dwin"))
+    // RESOLVED dwin already matches (raw rows differ by design: the
+    // delete tombstones, it does not rewrite); vocabulary still carries
+    // orphans until compact
+    def snapDwin(path: String): Seq[String] =
+      Retrieval.resolvedDwin(spark, path).collect().map(_.toString).sorted.toSeq
+    assert(snapDwin(del) == snapDwin(rem))
     Retrieval.compactWindows(spark, del)
     for (rel <- Seq("dwin", "wemb", "wtok"))
       assert(snap(del, rel) == snap(rem, rel), s"$rel after compact GC")
@@ -473,6 +482,164 @@ class RetrievalSpec extends SparkSpec {
         .toArray.map(_.toString).count(_.endsWith(".parquet"))
       assert(n == 1, s"$d has $n parquet files")
     }
+  }
+
+  test("recoverPostings: a writer killed between the postings write and " +
+      "the dfreq write rolls BACK — recover-then-query ≡ pre-append state") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 60)
+    val p = java.nio.file.Files.createTempDirectory("graft_post_cr1").toString
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), p)
+    val before = snapResolved(p)
+    val rawBefore = spark.read.parquet(s"$p/postings").count()
+    // the exact on-disk state of that crash: orphan postings rows at the
+    // uncommitted generation 1, intent present, nothing else advanced
+    spark.read.parquet(s"$p/postings")
+      .withColumn("gen", lit(1L))
+      .repartition(col("pb"))
+      .write.mode("append").partitionBy("pb").parquet(s"$p/postings")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_APPENDING"))
+    intercept[IllegalStateException](Retrieval.readStage(spark, p))
+    Retrieval.recoverPostings(spark, p)
+    assert(snapResolved(p) == before)
+    // the orphans are physically GONE (not merely invisible): the next
+    // writer's g = 1 must not collide with them
+    assert(spark.read.parquet(s"$p/postings").count() == rawBefore)
+    // and recover is idempotent
+    Retrieval.recoverPostings(spark, p)
+    assert(snapResolved(p) == before)
+  }
+
+  test("recoverPostings: a writer killed AFTER every relation write but " +
+      "before the _GEN commit rolls back; retrying the append then heals " +
+      "to ≡ rebuild") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 60)
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val p = java.nio.file.Files.createTempDirectory("graft_post_cr2").toString
+    Retrieval.stagePostings(base, col("doc_id"), col("text"), p)
+    val before = snapResolved(p)
+    val genBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(p, "_GEN"))
+    // run the real append, then reconstruct the crash state: _GEN back
+    // to its pre-append content, intent re-planted — byte-identical to a
+    // writer killed a breath before its commit rename
+    Retrieval.appendPostings(batch, col("doc_id"), col("text"), p)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p, "_GEN"), genBefore)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_APPENDING"))
+    Retrieval.recoverPostings(spark, p)
+    assert(snapResolved(p) == before, "recover-then-query ≡ pre-append")
+    // heal-by-retry: the same append lands cleanly (no generation
+    // collision with GC'd orphans) and equals the full rebuild
+    Retrieval.appendPostings(batch, col("doc_id"), col("text"), p)
+    val full = java.nio.file.Files.createTempDirectory("graft_post_cr2f").toString
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), full)
+    assert(snapResolved(p) == snapResolved(full))
+  }
+
+  test("recoverWindows: interrupted append AND interrupted delete both " +
+      "roll back to the committed state; retry heals") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 60)
+    val p = java.nio.file.Files.createTempDirectory("graft_win_cr").toString
+    Retrieval.stageWindows(docs, col("doc_id"), col("text"), p)
+    val q = Seq("customer", "order", "for", "table", "part", "data")
+    def ask(): Seq[String] = Retrieval.maxSimPrunedFromStage(spark, p, q)
+      .collect().map(_.toString).sorted.toSeq
+    val before = ask()
+    // torn append: orphan dwin rows at the uncommitted generation 1
+    spark.read.parquet(s"$p/dwin").withColumn("gen", lit(1L))
+      .limit(50)
+      .repartition(col("db"))
+      .write.mode("append").partitionBy("db").parquet(s"$p/dwin")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_APPENDING"))
+    intercept[IllegalStateException](Retrieval.maxSimPrunedFromStage(spark, p, q))
+    Retrieval.recoverWindows(spark, p)
+    assert(ask() == before)
+    // torn delete: orphan tombstones at the uncommitted generation 1
+    import spark.implicits._
+    Seq((1L, 1L, {
+      val c = new java.util.zip.CRC32()
+      c.update("1".getBytes("UTF-8")); (c.getValue % 64).toInt
+    })).toDF("doc_id", "gen", "db")
+      .repartition(col("db"))
+      .write.mode("append").partitionBy("db").parquet(s"$p/tombs")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_APPENDING"))
+    Retrieval.recoverWindows(spark, p)
+    assert(ask() == before, "an uncommitted tombstone must not survive recover")
+    // a real delete now works and is visible
+    Retrieval.deleteWindows(docs.filter(col("doc_id") === 1)
+      .select(col("doc_id")), p)
+    val after = Retrieval.maxSimPrunedFromStage(spark, p, q)
+      .filter(col("doc_id") === 1).count()
+    assert(after == 0)
+  }
+
+  test("deletePostings is fwd-sidecar PRUNED: unreadable files planted in " +
+      "every non-victim postings/doclens/fwd partition are never opened") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") > 0 && col("doc_id") < 60)
+    val p = java.nio.file.Files.createTempDirectory("graft_post_prn").toString
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), p)
+    val victimDb = {
+      val c = new java.util.zip.CRC32()
+      c.update("1".getBytes("UTF-8")); (c.getValue % 64).toInt
+    }
+    // the victim's token buckets, exactly what the fwd sidecar records
+    val victimPbs = spark.read.parquet(s"$p/fwd")
+      .filter(col("doc_id") === 1).select(col("pb")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    def plant(rel: String, pc: String, keep: Set[Int]): Unit =
+      for (b <- 0 until 64 if !keep(b)) {
+        val d = java.nio.file.Paths.get(s"$p/$rel/$pc=$b")
+        if (java.nio.file.Files.isDirectory(d))
+          java.nio.file.Files.write(d.resolve("corrupt.parquet"),
+            "not a parquet file".getBytes("US-ASCII"))
+      }
+    plant("doclens", "db", Set(victimDb))
+    plant("fwd", "db", Set(victimDb))
+    plant("postings", "pb", victimPbs)
+    // a delete that scanned any non-victim partition would crash here
+    Retrieval.deletePostings(docs.filter(col("doc_id") === 1)
+      .select(col("doc_id")), p)
+    for (rel <- Seq("doclens", "fwd", "postings"); b <- 0 until 64) {
+      val pc = if (rel == "postings") "pb" else "db"
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$p/$rel/$pc=$b/corrupt.parquet"))
+    }
+    // and the delete is CORRECT: ≡ rebuild on the remaining corpus
+    val rem = java.nio.file.Files.createTempDirectory("graft_post_prnr").toString
+    Retrieval.stagePostings(docs.filter(col("doc_id") =!= 1),
+      col("doc_id"), col("text"), rem)
+    val a = Retrieval.bm25FromStage(spark, p, Seq("the", "data"))
+      .collect().map(_.toString).sorted
+    val b = Retrieval.bm25FromStage(spark, rem, Seq("the", "data"))
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("writer exclusion: a second postings/windows writer is refused " +
+      "while the lock is held") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 40)
+    val p = java.nio.file.Files.createTempDirectory("graft_post_lk").toString
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), p)
+    graft.tables.WriterLock.withLock(p) {
+      val e = intercept[IllegalStateException](
+        Retrieval.appendPostings(docs, col("doc_id"), col("text"), p))
+      assert(e.getMessage.contains("_WRITER_LOCK"))
+    }
+    val w = java.nio.file.Files.createTempDirectory("graft_win_lk").toString
+    Retrieval.stageWindows(docs, col("doc_id"), col("text"), w)
+    graft.tables.WriterLock.withLock(w) {
+      intercept[IllegalStateException](
+        Retrieval.deleteWindows(docs.select(col("doc_id")), w))
+    }
+    // locks released — real maintenance proceeds
+    Retrieval.appendPostings(docs, col("doc_id"), col("text"), p)
+    Retrieval.deleteWindows(docs.limit(1).select(col("doc_id")), w)
   }
 
   test("torn maintenance is refused: _APPENDING intent present ⇒ readStage throws") {
