@@ -23,10 +23,20 @@ def norm(v):
 def rows_key(rows):
     return sorted(tuple(repr(x) for x in r) for r in rows)
 
-def main(sf_dir, out_dir, json_out=None):
+def fresh_con(sf_dir):
     con = duckdb.connect()
+    # an in-memory connection cannot spill by default: across ~250 oracle
+    # replays (recursive-CTE pagerank/kmeans, MaxSim chains) the buffer
+    # pool exhausts and every later query dies "Out of Memory" — give it
+    # a spill dir and a bounded limit so heavy oracles page instead
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+def main(sf_dir, out_dir, json_out=None):
+    con = fresh_con(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # An empty oracle map is a broken dump, not a green round (round 11's
     # driver artifact shipped as {} and read as silently green).
@@ -36,15 +46,23 @@ def main(sf_dir, out_dir, json_out=None):
     results = {}
     n_ok = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        def run_both(c):
+            got_rel = c.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gc, gt = list(got_rel.columns), [str(t) for t in got_rel.types]
+            g = got_rel.fetchall()
+            exp_rel = c.sql(sql)
+            ec, et = list(exp_rel.columns), [str(t) for t in exp_rel.types]
+            return gc, gt, g, ec, et, exp_rel.fetchall()
         try:
-            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = list(got_rel.columns)
-            got_types = [str(t) for t in got_rel.types]
-            got = got_rel.fetchall()
-            exp_rel = con.sql(sql)
-            exp_cols = list(exp_rel.columns)
-            exp_types = [str(t) for t in exp_rel.types]
-            exp = exp_rel.fetchall()
+            try:
+                got_cols, got_types, got, exp_cols, exp_types, exp = run_both(con)
+            except Exception:
+                # a transient engine failure (OOM after many replays) must
+                # not read as a wrong answer: retry once on a fresh
+                # connection before reporting
+                con.close()
+                con = fresh_con(sf_dir)
+                got_cols, got_types, got, exp_cols, exp_types, exp = run_both(con)
         except Exception as e:
             print(f"FAIL {name}: error {str(e)[:300]}")
             results[name] = {"status": "error", "detail": str(e)[:300]}

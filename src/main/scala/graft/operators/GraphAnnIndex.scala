@@ -318,12 +318,12 @@ object GraphAnnIndex {
     *    sidecar pruned to the batch's id-hash buckets — ∝ the batch's
     *    locality per micro-batch, never an O(corpus) id-column scan.
     *
-    * Crash safety is intent-marker coarse, not per-partition atomic: the
-    * `_APPENDING` marker lands before the first mutation and clears
-    * after the last, so a torn append is DETECTED ([[readMeta]] refuses)
-    * and healed by rebuild — the right trade for an index that is
-    * derivable from its corpus, vs. the full stage/swap protocol a
-    * primary store (VectorStore) carries.
+    * Crash safety: every relation's mutation stages whole and applies
+    * under ONE [[graft.tables.Commit]] protocol round, so a crash leaves
+    * the index fully pre-append (unlogged stage discarded) or fully
+    * post-append (logged commit rolled forward) — [[recover]] heals
+    * either way, never a rebuild; the `_APPENDING` marker brackets the
+    * pass so readers never race the apply window.
     */
   def append(df: DataFrame, idCol: Column, vecCol: Column,
              path: String): Unit =
@@ -488,8 +488,8 @@ object GraphAnnIndex {
     * rows (its bucket emptied) gets its directory deleted explicitly —
     * dynamic overwrite cannot erase a partition it writes nothing into.
     * AnnSpec proves delete-then-query ≡ rebuild-on-remaining. Same
-    * maintenance-intent marker as [[append]]: a torn delete is refused
-    * and healed by rebuild.
+    * single-commit crash safety as [[append]]: a torn delete either
+    * discards or rolls forward whole in [[recover]].
     */
   def delete(ids: DataFrame, path: String, idName: String = "id"): Unit =
     graft.tables.WriterLock.withLock(path)(deleteImpl(ids, path, idName))
