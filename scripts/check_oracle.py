@@ -8,17 +8,25 @@ is typed — DuckDB HUGEINT vs Spark BIGINT is a failure even when the
 values match, which Python fetchall() erases), row count, and the exact
 multiset of row values (floats compared bit-exact; small tolerance
 fallback reported separately so near-misses are visible).
+
+Process hygiene: the replays run in CHUNKED SUBPROCESSES (20 queries
+each). A single long-lived process accumulates un-reclaimed DuckDB
+resources across hundreds of heavy replays until EVERY later allocation
+fails ("Out of Memory ... bad allocation" for 2 KB blocks with >100 GB
+free, then a segfault) — observed twice, and connection recycling alone
+did not stop it because the growth is process-global, not per-connection.
+A chunk that dies (nonzero exit / missing results) is retried one query
+per subprocess, so one poisonous replay can neither hide other queries'
+results nor take down the run; only a query that fails in an ISOLATED
+process reports as a real failure.
 """
-import json, math, sys
+import json, math, os, subprocess, sys, tempfile
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    if isinstance(v, float):
-        return v
-    return v
+CHUNK = 20
 
 def rows_key(rows):
     return sorted(tuple(repr(x) for x in r) for r in rows)
@@ -35,85 +43,146 @@ def fresh_con(sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
 
-def main(sf_dir, out_dir, json_out=None):
+def check_one(con, sf_dir, out_dir, name, sql):
+    """Compare one query on the given connection. Returns (ok, result)."""
+    def run_both(c):
+        got_rel = c.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        gc, gt = list(got_rel.columns), [str(t) for t in got_rel.types]
+        g = got_rel.fetchall()
+        exp_rel = c.sql(sql)
+        ec, et = list(exp_rel.columns), [str(t) for t in exp_rel.types]
+        return gc, gt, g, ec, et, exp_rel.fetchall()
+    try:
+        got_cols, got_types, got, exp_cols, exp_types, exp = run_both(con)
+    except Exception as e:
+        return False, {"status": "error", "detail": str(e)[:300]}
+    if sorted(got_cols) != sorted(exp_cols):
+        return False, {"status": "cols_mismatch",
+                       "spark_cols": sorted(got_cols),
+                       "oracle_cols": sorted(exp_cols)}
+    type_diffs = [
+        (c, got_types[got_cols.index(c)], exp_types[exp_cols.index(c)])
+        for c in exp_cols
+        if got_types[got_cols.index(c)] != exp_types[exp_cols.index(c)]]
+    if type_diffs:
+        return False, {"status": "type_mismatch", "detail": repr(type_diffs)}
+    # duplicate column names would make index() silently misalign
+    # values (both duplicates map to the first index)
+    if len(set(got_cols)) != len(got_cols) or len(set(exp_cols)) != len(exp_cols):
+        return False, {"status": "dup_cols",
+                       "spark_cols": got_cols, "oracle_cols": exp_cols}
+    # reorder got rows into oracle column order
+    idx = [got_cols.index(c) for c in exp_cols]
+    got2 = [tuple(r[i] for i in idx) for r in got]
+    if len(got2) != len(exp):
+        return False, {"status": "rows_mismatch",
+                       "spark_rows": len(got2), "oracle_rows": len(exp)}
+    if rows_key(got2) == rows_key(exp):
+        return True, {"status": "ok", "rows": len(exp)}
+    # find first diff for diagnostics
+    gs, es = rows_key(got2), rows_key(exp)
+    diffs = [(a, b) for a, b in zip(gs, es) if a != b][:3]
+    approx = all(
+        all(_close(x, y) for x, y in zip(a, b))
+        for a, b in zip(sorted(got2, key=repr), sorted(exp, key=repr)))
+    tag = "approx-only" if approx else "mismatch"
+    return False, {"status": tag, "detail": repr(diffs)[:300]}
+
+def fail_line(name, r):
+    s = r["status"]
+    if s == "error":
+        return f"FAIL {name}: error {r['detail']}"
+    if s == "cols_mismatch":
+        return (f"FAIL {name}: cols spark={r['spark_cols']} "
+                f"oracle={r['oracle_cols']}")
+    if s == "type_mismatch":
+        return f"FAIL {name}: TYPE mismatch (col, spark, oracle): {r['detail']}"
+    if s == "dup_cols":
+        return (f"FAIL {name}: duplicate column names "
+                f"spark={r['spark_cols']} oracle={r['oracle_cols']}")
+    if s == "rows_mismatch":
+        return (f"FAIL {name}: rows spark={r['spark_rows']} "
+                f"oracle={r['oracle_rows']}")
+    return f"FAIL {name}: {s.upper()}; first diffs: {r.get('detail', '')}"
+
+def worker(sf_dir, out_dir, names, result_path):
+    """Subprocess mode: check `names`, write {name: result} JSON."""
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = fresh_con(sf_dir)
+    results = {}
+    for name in names:
+        ok, r = check_one(con, sf_dir, out_dir, name, oracle[name])
+        if not ok and r["status"] == "error":
+            # one transient engine failure must not read as a wrong
+            # answer: retry once on a fresh connection
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con(sf_dir)
+            ok, r = check_one(con, sf_dir, out_dir, name, oracle[name])
+        results[name] = r
+        # partial results land per query, so a mid-chunk crash loses
+        # nothing already checked
+        with open(result_path, "w") as f:
+            json.dump(results, f)
+    return 0
+
+def main(sf_dir, out_dir, json_out=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # An empty oracle map is a broken dump, not a green round (round 11's
     # driver artifact shipped as {} and read as silently green).
     if not oracle:
         print("FAIL: oracle_sql.json is EMPTY — refusing to report green")
         return 1
-    results = {}
-    n_ok = n_fail = 0
-    for name, sql in sorted(oracle.items()):
-        def run_both(c):
-            got_rel = c.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            gc, gt = list(got_rel.columns), [str(t) for t in got_rel.types]
-            g = got_rel.fetchall()
-            exp_rel = c.sql(sql)
-            ec, et = list(exp_rel.columns), [str(t) for t in exp_rel.types]
-            return gc, gt, g, ec, et, exp_rel.fetchall()
+    names = sorted(oracle.keys())
+    chunks = [names[i:i + CHUNK] for i in range(0, len(names), CHUNK)]
+
+    def run_chunk(chunk_names):
+        """Run names in one subprocess; return {name: result} for the
+        queries it managed to check (missing = the process died first)."""
+        with tempfile.NamedTemporaryFile("r", suffix=".json",
+                                         delete=False) as tf:
+            rp = tf.name
         try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sf_dir, out_dir,
+                 "--worker", rp, ",".join(chunk_names)],
+                check=False)
             try:
-                got_cols, got_types, got, exp_cols, exp_types, exp = run_both(con)
+                return json.load(open(rp))
             except Exception:
-                # a transient engine failure (OOM after many replays) must
-                # not read as a wrong answer: retry once on a fresh
-                # connection before reporting
-                con.close()
-                con = fresh_con(sf_dir)
-                got_cols, got_types, got, exp_cols, exp_types, exp = run_both(con)
-        except Exception as e:
-            print(f"FAIL {name}: error {str(e)[:300]}")
-            results[name] = {"status": "error", "detail": str(e)[:300]}
-            n_fail += 1
-            continue
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"FAIL {name}: cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
-            results[name] = {"status": "cols_mismatch",
-                             "spark_cols": sorted(got_cols),
-                             "oracle_cols": sorted(exp_cols)}
-            n_fail += 1
-            continue
-        type_diffs = [
-            (c, got_types[got_cols.index(c)], exp_types[exp_cols.index(c)])
-            for c in exp_cols
-            if got_types[got_cols.index(c)] != exp_types[exp_cols.index(c)]]
-        if type_diffs:
-            print(f"FAIL {name}: TYPE mismatch (col, spark, oracle): {type_diffs}")
-            results[name] = {"status": "type_mismatch", "detail": repr(type_diffs)}
-            n_fail += 1
-            continue
-        # duplicate column names would make index() silently misalign
-        # values (both duplicates map to the first index)
-        if len(set(got_cols)) != len(got_cols) or len(set(exp_cols)) != len(exp_cols):
-            print(f"FAIL {name}: duplicate column names spark={got_cols} oracle={exp_cols}")
-            results[name] = {"status": "dup_cols",
-                             "spark_cols": got_cols, "oracle_cols": exp_cols}
-            n_fail += 1
-            continue
-        # reorder got rows into oracle column order
-        idx = [got_cols.index(c) for c in exp_cols]
-        got2 = [tuple(r[i] for i in idx) for r in got]
-        if len(got2) != len(exp):
-            print(f"FAIL {name}: rows spark={len(got2)} oracle={len(exp)}")
-            results[name] = {"status": "rows_mismatch", "spark_rows": len(got2), "oracle_rows": len(exp)}
-            n_fail += 1
-            continue
-        if rows_key(got2) == rows_key(exp):
-            print(f"OK   {name}: {len(exp)} rows exact")
-            results[name] = {"status": "ok", "rows": len(exp)}
+                return {}
+        finally:
+            try:
+                os.unlink(rp)
+            except OSError:
+                pass
+
+    results = {}
+    for chunk_names in chunks:
+        got = run_chunk(chunk_names)
+        missing = [n for n in chunk_names if n not in got]
+        # the chunk process died (or an error poisoned its tail): isolate
+        # — one query per subprocess, so only a query that fails ALONE
+        # reports as a failure
+        retry = missing + [n for n, r in got.items()
+                           if r.get("status") == "error"]
+        for n in sorted(set(retry)):
+            solo = run_chunk([n])
+            got[n] = solo.get(n, got.get(n) or
+                              {"status": "error",
+                               "detail": "worker died before checking"})
+        results.update(got)
+
+    n_ok = n_fail = 0
+    for name in names:
+        r = results[name]
+        if r.get("status") == "ok":
+            print(f"OK   {name}: {r['rows']} rows exact")
             n_ok += 1
         else:
-            # find first diff for diagnostics
-            gs, es = rows_key(got2), rows_key(exp)
-            diffs = [(a, b) for a, b in zip(gs, es) if a != b][:3]
-            approx = all(
-                all(_close(x, y) for x, y in zip(a, b))
-                for a, b in zip(sorted(got2, key=repr), sorted(exp, key=repr)))
-            tag = "APPROX-ONLY" if approx else "MISMATCH"
-            print(f"FAIL {name}: {tag}; first diffs: {diffs}")
-            results[name] = {"status": tag.lower(), "detail": repr(diffs)[:300]}
+            print(fail_line(name, r))
             n_fail += 1
     print(f"== {n_ok} ok / {n_fail} fail ==")
     if json_out:
@@ -129,6 +198,9 @@ def _close(x, y):
     return repr(x) == repr(y)
 
 if __name__ == "__main__":
+    if len(sys.argv) > 4 and sys.argv[3] == "--worker":
+        sys.exit(worker(sys.argv[1], sys.argv[2], sys.argv[5].split(","),
+                        sys.argv[4]))
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     jout = sys.argv[3] if len(sys.argv) > 3 else None

@@ -459,6 +459,76 @@ object ScaleBench {
       (name, qScales, per, ratios, ratioViolations, topoSame, unsafe)
     }
 
+    // ---- maintenance family: fixed batch vs growing corpus ------------
+    // The round's persisted-index claims as a measurement: append a
+    // FIXED 200-doc wave to a pre-staged postings index of scale S (the
+    // LSM — writes ∝ touched posting lists), then delete that wave (the
+    // fwd/ forward sidecar — victim lookup ∝ the victims' id buckets).
+    // The staging itself is timed separately (it IS ∝ corpus, by
+    // design). NB the generator's Zipf-1000 vocabulary is the honest
+    // worst case for the append: every batch touches the vocabulary
+    // head, whose posting lists are corpus-length, so the re-rank term
+    // (rank ≡ rebuild) grows with the corpus — the measured curve is
+    // the real bound, not the new-vocab best case. Bound: the same
+    // 1.5×-linear the batch family uses; the interesting number is how
+    // far BELOW it the curve sits.
+    val maintBatchDocs = 200L
+    val maintScales: Seq[Long] =
+      (if (onlyFilter.forall(_.contains("maint_postings"))) Seq(1L, 10L, 100L)
+       else Seq.empty[Long])
+        .filter(sc => maxScale.forall(sc <= _))
+    val maintResults = maintScales.map { sc =>
+      val stage = s"$baseDir/x$sc/postings_maint"
+      graft.tables.Staging.deleteRec(stage)
+      val corpus = genDocuments(spark, 5000L * sc)
+      val tS0 = System.nanoTime()
+      graft.operators.Retrieval.stagePostings(
+        corpus, col("doc_id"), col("text"), stage)
+      val tStage = (System.nanoTime() - tS0) / 1e9
+      // two independent waves per op → min-of-2 without replaying a
+      // mutation (a second append of the SAME ids is an admission no-op)
+      val waves = Seq(0L, 1L).map { w =>
+        val lo = 5000L * sc + w * maintBatchDocs
+        genDocuments(spark, lo + maintBatchDocs)
+          .filter(col("doc_id") >= lo).localCheckpoint()
+      }
+      val tAppends = waves.map { b =>
+        val t0 = System.nanoTime()
+        graft.operators.Retrieval.appendPostings(
+          b, col("doc_id"), col("text"), stage)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tDeletes = waves.map { b =>
+        val t0 = System.nanoTime()
+        graft.operators.Retrieval.deletePostings(
+          b.select(col("doc_id")), stage)
+        (System.nanoTime() - t0) / 1e9
+      }
+      // sanity: both waves fully retracted — staged n_docs == corpus
+      val n = graft.operators.Retrieval.readStage(spark, stage).nDocs
+      require(n == 5000L * sc,
+        s"maintenance x$sc: staged n_docs $n != corpus ${5000L * sc}")
+      System.err.println(f"[scale] maint_postings x$sc: stage $tStage%.2f s, " +
+        f"append ${tAppends.map(t => f"$t%.2f").mkString("/")} s, " +
+        f"delete ${tDeletes.map(t => f"$t%.2f").mkString("/")} s")
+      (sc, tStage, tAppends, tDeletes)
+    }
+    // ratios vs 1× per op, against the batch family's linear bound
+    def maintRatio(ts: Map[Long, Double]): Map[Long, Double] =
+      maintScales.filter(_ > 1L)
+        .map(sc => sc -> ts(sc) / math.max(ts(1L), 1e-3)).toMap
+    val maintOps: Seq[(String, Map[Long, Double])] =
+      if (maintResults.isEmpty) Nil
+      else Seq(
+        "maint_postings_append" ->
+          maintResults.map(r => r._1 -> r._3.min).toMap,
+        "maint_postings_delete" ->
+          maintResults.map(r => r._1 -> r._4.min).toMap)
+    val maintViolations = maintOps.flatMap { case (n, ts) =>
+      maintRatio(ts).filter { case (sc, r) => r > maxRatio(sc) }
+        .map { case (sc, r) => (n, sc, r) }
+    }
+
     // ---- streaming family: S× batches at constant per-batch volume ----
     val streamScales = Seq(1, 10)
     val streamDirs = streamScales.map(sc =>
@@ -516,6 +586,14 @@ object ScaleBench {
       }.mkString(",")
       s""""$n":{$fields,"ratio10":${r3(tRatio)},"state_ratio10":${r3(stRatio)}}"""
     }.mkString("{", ",", "}")
+    val mJson = maintOps.map { case (n, ts) =>
+      val tsJ = maintScales.map(sc => s""""t$sc":${r3(ts(sc))}""").mkString(",")
+      val rsJ = maintRatio(ts).toSeq.sortBy(_._1)
+        .map { case (sc, r) => s""""ratio$sc":${r3(r)}""" }.mkString(",")
+      s""""$n":{$tsJ,$rsJ}"""
+    }.mkString("{", ",", if (maintResults.isEmpty) "}" else
+      s""","stage_secs":{${maintResults.map(r =>
+        s""""t${r._1}":${r3(r._2)}""").mkString(",")}},"batch_docs":$maintBatchDocs}""")
     val json =
       s"""{"metric":"scale_growth_vs_linear_max","value":${r3(worstNorm)},""" +
         s""""unit":"x_linear","max_allowed":1.5,""" +
@@ -526,6 +604,7 @@ object ScaleBench {
         s""""stream_batches_per_scale":$StreamSplitsAt1x,""" +
         s""""stream_state_bound":3.0,""" +
         s""""scales":[${allScales.mkString(",")}],"queries":$qJson,""" +
+        s""""maintenance":$mJson,""" +
         s""""streaming":$sJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (json + "\n").getBytes("UTF-8"))
@@ -536,14 +615,16 @@ object ScaleBench {
     val badUnsafe = results.filter(_._7.nonEmpty)
     val badStream = streamResults.filter(_._5)
     if (badRatio.nonEmpty || badTopo.nonEmpty || badUnsafe.nonEmpty ||
-        badStream.nonEmpty) {
+        badStream.nonEmpty || maintViolations.nonEmpty) {
       System.err.println("[scale] VIOLATIONS:" +
         badRatio.map(b => s" ratio:${b._1}=" +
           b._5.map { case (sc, r) => s"x$sc:${r3(r)}" }.mkString("/")).mkString +
         badTopo.map(b => s" topology:${b._1}").mkString +
         badUnsafe.map(b => s" unsafe:${b._1}=${b._7.mkString("/")}").mkString +
         badStream.map(b =>
-          s" stream:${b._1}=t${r3(b._3)}/state${r3(b._4)}").mkString)
+          s" stream:${b._1}=t${r3(b._3)}/state${r3(b._4)}").mkString +
+        maintViolations.map { case (n, sc, r) =>
+          s" maint:$n=x$sc:${r3(r)}" }.mkString)
       sys.exit(1)
     }
   }

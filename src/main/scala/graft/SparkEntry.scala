@@ -713,17 +713,32 @@ object SparkEntry {
     * and the final recall check against the exact top-10.
     */
   /** The per-subspace PQ CTE block (training, final-centroid encode,
-    * ADC tables) shared by q_pq_knn and q_ivf_pq.
+    * ADC tables) shared by q_pq_knn, q_ivf_pq and q_ivf_pq_batch.
+    * `batchBs` empty → the single-query block (qd/adc against the
+    * QueryVec); non-empty → one qd/adc chain per batch member b
+    * (suffixed `qd$b` / `adc_$b`, against QueryVec.shiftedValues(b)) —
+    * the expensive training + encode CTEs are emitted ONCE and shared
+    * by every member's chain, exactly as the engine's staged codebooks
+    * serve the whole batch.
     */
   private def pqCtesSql(m: Int, subDim: Int, k: Int, iters: Int,
-                        src: String = "embeddings"): String = {
+                        src: String = "embeddings",
+                        batchBs: Seq[Int] = Nil): String = {
+    // In batch mode every per-query chain references the shared training
+    // CTEs, and DuckDB's default CTE INLINING re-expands the whole Lloyd
+    // chain (cross joins and all, recursively through d/a/c) at every
+    // reference — measured >12 GB and an OOM at 8 batch members where
+    // the materialized plan is a few MB. AS MATERIALIZED pins each
+    // training CTE to one evaluation; single-query oracles keep the
+    // default (they are reference-linear and already green).
+    val asCte = if (batchBs.isEmpty) "AS (" else "AS MATERIALIZED ("
     val sb = new StringBuilder
     for (j <- 0 until m) {
       val lo = j * subDim
       val p = s"s$j"
       if (j > 0) sb.append(",\n")
       sb.append(
-        s"""${p}seeds AS (
+        s"""${p}seeds $asCte
            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
            |    list_transform(range(1, ${subDim + 1}),
            |      i -> CAST(embedding[CAST(i + $lo AS INTEGER)] AS DOUBLE)) AS cvec
@@ -732,22 +747,22 @@ object SparkEntry {
       for (it <- 1 to iters) {
         sb.append(
           s""",
-             |${p}d$it AS (
+             |${p}d$it $asCte
              |  SELECT e.vec_id, e.embedding, c.cid,
              |    ${OracleGen.l2FloatColsOffset("e.embedding", "c.cvec", lo, subDim)} AS dist
              |  FROM $src e CROSS JOIN $prev c),
-             |${p}a$it AS (
+             |${p}a$it $asCte
              |  SELECT vec_id, embedding, cid FROM (
              |    SELECT vec_id, embedding, cid,
              |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
              |    FROM ${p}d$it) WHERE rn = 1),
-             |${p}c${it}p AS (
+             |${p}c${it}p $asCte
              |  SELECT cid, i AS pos, count(*) AS n,
              |    CAST(sum(CAST(floor(CAST(embedding[CAST(i + $lo AS INTEGER)] AS DOUBLE)
              |        * 1000000000000.0) AS BIGINT)) AS BIGINT) AS sum_fp
              |  FROM ${p}a$it, range(1, ${subDim + 1}) t(i)
              |  GROUP BY cid, i),
-             |${p}c$it AS (
+             |${p}c$it $asCte
              |  SELECT cid,
              |    list(CAST(sum_fp AS DOUBLE) / 1000000000000.0 / n ORDER BY pos) AS cvec
              |  FROM ${p}c${it}p GROUP BY cid)""".stripMargin)
@@ -755,27 +770,41 @@ object SparkEntry {
       }
       sb.append(
         s""",
-           |${p}enc AS (
+           |${p}enc $asCte
            |  SELECT vec_id, cid FROM (
            |    SELECT e.vec_id, c.cid,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
            |        ${OracleGen.l2SqFloatColsOffset("e.embedding", "c.cvec", lo, subDim)}, c.cid) AS rn
-           |    FROM $src e CROSS JOIN ${p}c$iters c) WHERE rn = 1),
-           |${p}qd AS (
-           |  SELECT cid,
-           |    ${OracleGen.l2SqToQueryOffset("cvec", lo, subDim)} AS d
-           |  FROM ${p}c$iters)""".stripMargin)
+           |    FROM $src e CROSS JOIN ${p}c$iters c) WHERE rn = 1)""".stripMargin)
+      if (batchBs.isEmpty)
+        sb.append(
+          s""",
+             |${p}qd AS (
+             |  SELECT cid,
+             |    ${OracleGen.l2SqToQueryOffset("cvec", lo, subDim)} AS d
+             |  FROM ${p}c$iters)""".stripMargin)
+      else batchBs.foreach { b =>
+        sb.append(
+          s""",
+             |${p}qd$b AS MATERIALIZED (
+             |  SELECT cid,
+             |    ${OracleGen.l2SqToQueryOffsetShifted("cvec", lo, subDim, b)} AS d
+             |  FROM ${p}c$iters)""".stripMargin)
+      }
     }
     val encJoins = (1 until m)
       .map(j => s"JOIN s${j}enc e$j USING (vec_id)").mkString(" ")
-    val qdJoins = (0 until m)
-      .map(j => s"JOIN s${j}qd q$j ON q$j.cid = e$j.cid").mkString(" ")
-    val adcSum = (0 until m).map(j => s"q$j.d").mkString(" + ")
-    sb.append(
+    def adcCte(name: String, qdSuffix: String): String = {
+      val qdJoins = (0 until m)
+        .map(j => s"JOIN s${j}qd$qdSuffix q$j ON q$j.cid = e$j.cid").mkString(" ")
+      val adcSum = (0 until m).map(j => s"q$j.d").mkString(" + ")
       s""",
-         |adc AS (
+         |$name AS (
          |  SELECT e0.vec_id, $adcSum AS adc
-         |  FROM s0enc e0 $encJoins $qdJoins)""".stripMargin)
+         |  FROM s0enc e0 $encJoins $qdJoins)""".stripMargin
+    }
+    if (batchBs.isEmpty) sb.append(adcCte("adc", ""))
+    else batchBs.foreach(b => sb.append(adcCte(s"adc_$b", b.toString)))
     sb.toString
   }
 
@@ -848,6 +877,61 @@ object SparkEntry {
        |  CAST(h.n AS DOUBLE) / 10 >= CAST(0.3 AS DOUBLE) AS recall_ok,
        |  nc.nc AS n_candidates
        |FROM hits h CROSS JOIN ncand nc""".stripMargin
+  }
+
+  /** BATCHED IVF-PQ replay (q_ivf_pq_batch): the training + encode CTEs
+    * emitted once (pqCtesSql batch mode — the staged-codebook sharing),
+    * the query-independent cell assignment computed once, then one
+    * probe/shortlist/rerank/recall chain per batch member b against
+    * QueryVec.shiftedValues(b), UNION ALL'd with q_id = b.
+    */
+  private def ivfPqBatchOracleSql(m: Int, subDim: Int, k: Int, iters: Int,
+                                  nlist: Int, nprobe: Int,
+                                  shortlist: Int, bs: Seq[Int]): String = {
+    val dCols = (0 until nlist)
+      .map(j => s"    ${OracleGen.l2ToCentroid("embedding", j, 64)} AS d$j")
+      .mkString(",\n")
+    val caseArms = (0 until nlist - 1)
+      .map(j => s"WHEN d$j = mind THEN $j").mkString(" ")
+    val perB = bs.map { b =>
+      val probes = Ann.ivfProbes(OracleGen.QueryVec.shiftedValues(b),
+        nlist, nprobe)
+      s"""cellsf_$b AS (
+         |  SELECT vec_id FROM cellsAll WHERE cell IN (${probes.mkString(", ")})),
+         |ncand_$b AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM cellsf_$b),
+         |short_$b AS (
+         |  SELECT vec_id FROM adc_$b JOIN cellsf_$b USING (vec_id)
+         |  ORDER BY adc ASC, vec_id ASC LIMIT $shortlist),
+         |pq10_$b AS (
+         |  SELECT e.vec_id FROM embeddings e JOIN short_$b USING (vec_id)
+         |  ORDER BY ${OracleGen.l2ToQueryShifted("e.embedding", b)} ASC, e.vec_id ASC LIMIT 10),
+         |exact_$b AS (
+         |  SELECT vec_id FROM embeddings
+         |  ORDER BY ${OracleGen.l2ToQueryShifted("embedding", b)} ASC, vec_id ASC LIMIT 10),
+         |hits_$b AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM pq10_$b JOIN exact_$b USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val unionB = bs.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS q_id,
+         |  'ivf_pq_nprobe${nprobe}_m${m}_k${k}_rerank$shortlist' AS method,
+         |  CAST(h.n AS DOUBLE) / 10 AS recall_at_10,
+         |  CAST(0.3 AS DOUBLE) AS min_recall,
+         |  CAST(h.n AS DOUBLE) / 10 >= CAST(0.3 AS DOUBLE) AS recall_ok,
+         |  nc.nc AS n_candidates
+         |FROM hits_$b h CROSS JOIN ncand_$b nc""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${pqCtesSql(m, subDim, k, iters, batchBs = bs)},
+       |dists AS (
+       |  SELECT vec_id, embedding,
+       |$dCols
+       |  FROM embeddings),
+       |cellsAll AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CASE $caseArms ELSE ${nlist - 1} END AS cell
+       |  FROM (SELECT *, least(${(0 until nlist).map("d" + _).mkString(", ")}) AS mind
+       |        FROM dists)),
+       |$perB
+       |SELECT * FROM ($unionB) ORDER BY q_id""".stripMargin
   }
 
   /** Convergence-stopped Lloyd replay (q_kmeans_converged): unrolls
@@ -5050,6 +5134,45 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // AUTO-COMPACTION POLICY for the window stage
+    // (Retrieval.compactWindowsIfStale — the q_postings_autocompact
+    // twin): built on the full corpus (policy must NOT fire — appends
+    // and fresh builds have no tombstoned rows), every third doc
+    // deleted (the tombstoned fraction crosses the threshold and the
+    // policy fires the compaction an operator would otherwise have to
+    // remember — bounding resolution read amplification AND the
+    // orphaned-vocabulary footprint). Queries are compact-invariant, so
+    // the oracle is the same surviving-corpus replay as
+    // q_windows_delete.
+    "q_windows_autocompact" -> ((s, dir) => {
+      val stage = stagedPath("doc_windows_autoc_v1", dir)
+      this.synchronized {
+        val pending = java.nio.file.Paths.get(stage + "_AUTOC_PENDING")
+        if (!graft.operators.Retrieval.windowsExist(stage) ||
+            java.nio.file.Files.exists(pending)) {
+          java.nio.file.Files.deleteIfExists(pending)
+          java.nio.file.Files.createFile(pending)
+          val docs = Tables.documents(s, dir)
+          graft.operators.Retrieval.stageWindows(docs,
+            col("doc_id"), col("text"), stage)
+          require(!graft.operators.Retrieval.compactWindowsIfStale(s, stage),
+            "a fresh window stage has no stale rows — the policy must not fire")
+          graft.operators.Retrieval.deleteWindows(
+            docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+              .select(col("doc_id")), stage)
+          require(graft.operators.Retrieval.compactWindowsIfStale(s, stage, 0.05),
+            "the policy must fire once the tombstoned fraction crosses the threshold")
+          require(!graft.operators.Retrieval.compactWindowsIfStale(s, stage, 0.05),
+            "a just-compacted stage is back at G=0 — the policy must not re-fire")
+          java.nio.file.Files.delete(pending)
+        }
+      }
+      graft.operators.Retrieval.maxSimPrunedFromStage(s, stage,
+          RagQuery.split(" ").toSeq)
+        .orderBy(col("maxsim_fp").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // BATCHED late-interaction serving (Retrieval.maxSimBatchFromStage):
     // ONE plan serves all 4 MaxSim queries from the staged doc-window
     // index — query windows DEDUPLICATED across the batch (the
@@ -5735,6 +5858,74 @@ object SparkEntry {
           lit(0.3).as("min_recall"),
           (col("n_hits").cast("double") / 10 >= lit(0.3)).as("recall_ok"),
           col("n_candidates"))
+    }),
+
+    // BATCHED IVF-PQ serving — the multi-query twin of q_ivf_pq and the
+    // last single-query-only serving path in the ANN family: ONE plan
+    // serves all 8 batch queries. The staged codebooks train once and
+    // serve the whole batch; the candidate scan prunes to the UNION of
+    // the batch's probed cells and the broadcast (q_id, cell) routing
+    // joins each code row to exactly the queries probing its cell (the
+    // IvfIndex.probeBatch recipe); the per-query ADC distance is one
+    // CASE-dispatched map-literal chain (Pq.adcBatchColumn — batch ≡ N
+    // single adcColumns by construction, all inside codegen); shortlist,
+    // exact rerank and recall are per-query windows over shared scans.
+    // At 100 TB the batch amortizes the cell scan across queries instead
+    // of N+1 separate probe passes. The oracle replays training once and
+    // every member's probe/shortlist/rerank chain per q_id.
+    "q_ivf_pq_batch" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val books = Pq.trainStaged(emb, col("vec_id"), col("embedding"),
+        m = 8, subDim = 8, k = 16, iters = 2,
+        stagedPath("pq_books_m8s8k16i2_v1", dir))
+      val qs = BatchQueryIds.map(b =>
+        (b.toLong, OracleGen.QueryVec.shiftedValues(b)))
+      val routing = qs.flatMap { case (qid, v) =>
+        Ann.ivfProbes(v, nlist = 8, nprobe = 3).map(c => (qid, c)) }
+      val cells = routing.map(_._2).distinct.sorted
+      val route = routing.toDF("q_id", "cell")
+      val qvecs = qs.toDF("q_id", "q_vec")
+      val cand = Pq.encode(emb, col("embedding"), books, subDim = 8)
+        .withColumn("cell", Ann.cellOf(col("embedding"), 8, 64))
+        .filter(col("cell").isin(cells: _*))
+        .join(broadcast(route), Seq("cell"))
+        .localCheckpoint() // feeds the shortlist AND the per-query count
+      val nCand = cand.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val wShort = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc").asc, col("vec_id").asc)
+      val short = cand
+        .withColumn("adc", Pq.adcBatchColumn(
+          qs.map { case (qid, v) => qid -> Pq.adcTables(v, books, subDim = 8) }))
+        .withColumn("rn", row_number().over(wShort))
+        .filter(col("rn") <= 100)
+        .select(col("q_id"), col("vec_id"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+      val pq10 = short.join(emb, Seq("vec_id"))
+        .join(broadcast(qvecs), Seq("q_id"))
+        .withColumn("distance",
+          VectorFunctions.l2(col("embedding"), col("q_vec")))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id"))
+      val exact = Knn.knnJoin(qvecs, emb, col("q_id"), col("q_vec"),
+          col("vec_id"), col("embedding"), k = 10)
+        .select(col("q_id"), col("c_id").as("vec_id"))
+      val hits = pq10.join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      qvecs.select(col("q_id")).join(hits, Seq("q_id"), "left_outer")
+        .join(nCand, Seq("q_id"), "left_outer")
+        .select(col("q_id"),
+          lit("ivf_pq_nprobe3_m8_k16_rerank100").as("method"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10)
+            .as("recall_at_10"),
+          lit(0.3).as("min_recall"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10 >= lit(0.3))
+            .as("recall_ok"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy(col("q_id"))
     }),
 
     // IR evaluation metrics for the batch ANN path: per query, MRR
@@ -8209,6 +8400,9 @@ object SparkEntry {
         shortlist = 100, src = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)",
         method = "pq_adc_retained_v3_rerank100"),
 
+      "q_ivf_pq_batch" -> ivfPqBatchOracleSql(m = 8, subDim = 8, k = 16,
+        iters = 2, nlist = 8, nprobe = 3, shortlist = 100,
+        bs = BatchQueryIds),
       "q_ivf_pq" -> ivfPqOracleSql(m = 8, subDim = 8, k = 16, iters = 2,
         nlist = 8, nprobe = 3, shortlist = 100),
 
@@ -9702,6 +9896,7 @@ object SparkEntry {
       // stage on everything, deleted every third doc, and compacted, so
       // matching proves delete-then-query ≡ rebuild-on-remaining.
       "q_windows_delete" -> maxSimPrunedOracleSqlWhere("doc_id % 3 <> 0"),
+      "q_windows_autocompact" -> maxSimPrunedOracleSqlWhere("doc_id % 3 <> 0"),
 
       // Replay over the MODIFIED corpus — the Spark side built the
       // stage on the originals and upserted every fifth doc's revision,

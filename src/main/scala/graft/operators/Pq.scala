@@ -306,4 +306,25 @@ object Pq {
         .flatMap { case (cid, d) => Seq(lit(cid), lit(d)) }
       element_at(map(kvs: _*), col(s"code_$j"))
     }.reduceLeft(_ + _)
+
+  /** BATCHED ADC distance — the multi-query twin of [[adcColumn]] for
+    * the batched IVF-PQ serving path: each query's ADC tables ride in
+    * as the same map literals the single-query column uses, dispatched
+    * on the row's `q_id` with one CASE chain — so batch ≡ N per-query
+    * columns BY CONSTRUCTION (same doubles, same lookups), everything
+    * stays inside whole-stage codegen (no join, no explode of the code
+    * columns), and per-row cost is one branch + m map lookups
+    * regardless of batch size. Batch-sized by declaration: Q·m·k
+    * literal doubles (e.g. 8·8·16 = 1k) inline into the generated code
+    * exactly like the single-query path's m·k.
+    */
+  def adcBatchColumn(perQuery: Seq[(Long, Seq[(Int, Map[Int, Double])])],
+                     qidCol: Column = col("q_id")): Column = {
+    require(perQuery.nonEmpty, "adcBatchColumn needs at least one query")
+    perQuery.tail.foldLeft(
+      when(qidCol === lit(perQuery.head._1), adcColumn(perQuery.head._2))) {
+      case (acc, (qid, tabs)) =>
+        acc.when(qidCol === lit(qid), adcColumn(tabs))
+    }
+  }
 }

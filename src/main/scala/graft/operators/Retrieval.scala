@@ -1318,6 +1318,38 @@ object Retrieval {
       java.nio.file.Files.delete(intentFile(path))
     }
 
+  /** The window stage's STALE-ROW FRACTION — the share of on-disk dwin
+    * rows a committed delete's tombstones have killed (invisible to
+    * queries, but read-and-dropped by every [[resolvedDwin]] pass, and
+    * each one anchors orphaned wemb/wtok vocabulary rows until
+    * compaction GCs them). Appends never supersede a window row (the
+    * stage is purely additive under insertion), so a fresh or
+    * append-only stage reads 0.0 without counting anything.
+    */
+  def windowsStaleFraction(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Double = {
+    refuseTornWindows(path)
+    if (readWinGen(path) == 0L || !hasParquet(s"$path/tombs")) 0.0
+    else {
+      val raw = readWin(spark, path, "dwin").count()
+      if (raw == 0L) 0.0
+      else (raw - resolvedDwin(spark, path).count()).toDouble / raw
+    }
+  }
+
+  /** AUTO-COMPACTION POLICY for the window stage — the
+    * [[compactIfStale]] twin: compact when the tombstoned fraction
+    * reaches `threshold`, bounding both the resolution read
+    * amplification and the orphaned-vocabulary footprint by policy
+    * instead of operator memory. Returns whether a compaction ran.
+    */
+  def compactWindowsIfStale(spark: org.apache.spark.sql.SparkSession,
+                            path: String, threshold: Double = 0.3): Boolean = {
+    val f = windowsStaleFraction(spark, path)
+    if (f >= threshold && f > 0.0) { compactWindows(spark, path); true }
+    else false
+  }
+
   private def writeWindowsMarker(path: String,
                                  props: Seq[(String, String)]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}

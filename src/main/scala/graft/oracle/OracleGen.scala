@@ -152,6 +152,16 @@ object OracleGen {
       s"($cvecCol[$k] - $q) * ($cvecCol[$k] - $q)"
     }.mkString(" + ")
 
+  /** [[l2SqToQueryOffset]] against batch query b (QueryVec.shiftedValues)
+    * — the per-query ADC table entry of the batched IVF-PQ replay.
+    */
+  def l2SqToQueryOffsetShifted(cvecCol: String, lo: Int, subDim: Int,
+                               b: Int): String =
+    (1 to subDim).map { k =>
+      val q = QueryVec.sqlTermShifted(lo + k, b)
+      s"($cvecCol[$k] - $q) * ($cvecCol[$k] - $q)"
+    }.mkString(" + ")
+
   // ---- hash-embedding oracle (mirrors graft.expressions.HashEmbed) ----
 
   private def hv(t: String, pos: Int): String =

@@ -84,6 +84,33 @@ class PqSpec extends SparkSpec {
     assert(short.count() > 0)
   }
 
+  test("adcBatchColumn equals per-query adcColumn for every batch member") {
+    // the batched serving contract: the CASE-dispatched batch column
+    // must reproduce each member's single-query map-literal chain bit
+    // for bit — same doubles, same lookups, just routed on q_id
+    import spark.implicits._
+    val bs = Seq(0, 3, 5)
+    val perQuery = bs.map(b =>
+      b.toLong -> Pq.adcTables(QueryVec.shiftedValues(b), books, SubDim))
+    val codes = Pq.encode(emb, col("embedding"), books, SubDim)
+    val batched = bs.map(b => codes.withColumn("q_id", lit(b.toLong)))
+      .reduce(_.unionByName(_))
+      .withColumn("adc", Pq.adcBatchColumn(perQuery))
+      .select(col("q_id"), col("vec_id"), col("adc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    bs.foreach { b =>
+      val solo = codes
+        .withColumn("adc", Pq.adcColumn(
+          Pq.adcTables(QueryVec.shiftedValues(b), books, SubDim)))
+        .select(col("vec_id"), col("adc"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      solo.foreach { case (vid, d) =>
+        assert(batched((b.toLong, vid)) == d,
+          s"q$b vec $vid: batched ADC != single-query ADC")
+      }
+    }
+  }
+
   test("adc approximates true distance: shortlist-rerank beats floor") {
     val dtabs = Pq.adcTables(QueryVec.values, books, SubDim)
     val short = Pq.encode(emb, col("embedding"), books, SubDim)

@@ -286,6 +286,43 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("compactWindowsIfStale: 0.0 on fresh AND append-only stages, fires " +
+      "past the tombstoned fraction, post-compact back to the G=0 read path") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val p = java.nio.file.Files.createTempDirectory("graft_win_autoc").toString
+    Retrieval.stageWindows(docs.filter(col("doc_id") % 3 =!= 0),
+      col("doc_id"), col("text"), p)
+    assert(Retrieval.windowsStaleFraction(spark, p) == 0.0)
+    assert(!Retrieval.compactWindowsIfStale(spark, p, 0.05),
+      "a fresh stage must not trigger the policy")
+    // appends are purely additive — no window row is superseded, so the
+    // probe reads 0.0 WITHOUT counting anything (G>0 but no tombs)
+    Retrieval.appendWindows(docs.filter(col("doc_id") % 3 === 0),
+      col("doc_id"), col("text"), p)
+    assert(Retrieval.windowsStaleFraction(spark, p) == 0.0)
+    assert(!Retrieval.compactWindowsIfStale(spark, p, 0.05))
+    // a delete tombstones ~1/3 of the docs — the fraction crosses any
+    // reasonable threshold and the policy fires exactly once
+    Retrieval.deleteWindows(
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")), p)
+    val f = Retrieval.windowsStaleFraction(spark, p)
+    assert(f > 0.05 && f < 1.0, s"tombstoned fraction $f")
+    assert(Retrieval.compactWindowsIfStale(spark, p, 0.05),
+      "the policy must fire past the threshold")
+    assert(Retrieval.windowsStaleFraction(spark, p) == 0.0)
+    assert(!Retrieval.compactWindowsIfStale(spark, p, 0.05),
+      "a just-compacted stage must not re-fire")
+    // queries are policy-invariant: ≡ a fresh build on the survivors
+    val rem = java.nio.file.Files.createTempDirectory("graft_win_autor").toString
+    Retrieval.stageWindows(docs.filter(col("doc_id") % 3 =!= 0),
+      col("doc_id"), col("text"), rem)
+    val q = Seq("customer", "order", "for", "table", "part", "data")
+    def ask(path: String): Seq[String] =
+      Retrieval.maxSimPrunedFromStage(spark, path, q)
+        .collect().map(_.toString).sorted.toSeq
+    assert(ask(p).nonEmpty && ask(p) == ask(rem))
+  }
+
   test("upsertPostings/upsertWindows: upsert ≡ rebuild on the modified corpus") {
     val docs = graft.tables.Tables.documents(spark, sf0001)
     val changed = docs.filter(col("doc_id") % 5 === 0)
