@@ -513,17 +513,73 @@ object ScaleBench {
         f"delete ${tDeletes.map(t => f"$t%.2f").mkString("/")} s")
       (sc, tStage, tAppends, tDeletes)
     }
+    // IVF-index maintenance twin: the same fixed 200-row wave, with the
+    // partition count SCALED with the corpus (nlist 8/32/128 — the
+    // 100 TB layout discipline: more cells, not fatter cells; cellOf's
+    // nlist-way distance chain caps how far this harness can push it),
+    // so the additive append stays ∝ the wave and the delete's
+    // victim-cell rewrite grows with the per-cell size, never the
+    // corpus. The graph index is deliberately absent from this family:
+    // its append recomputes the batch's bucket NEIGHBOURHOOD
+    // (probeBits-reach), which for a clustered wave spans a constant
+    // fraction of the index at any plane count — its maintenance
+    // guarantee is append ≡ rebuild correctness at bounded locality
+    // (q_graph_ann_append/delete hash-check it), not a fixed-wave
+    // growth curve.
+    val ivfScales: Seq[Long] =
+      (if (onlyFilter.forall(_.contains("maint_ivf"))) Seq(1L, 10L, 100L)
+       else Seq.empty[Long])
+        .filter(sc => maxScale.forall(sc <= _))
+    val ivfResults = ivfScales.map { sc =>
+      val path = s"$baseDir/x$sc/ivf_maint"
+      graft.tables.Staging.deleteRec(path)
+      val nlist = sc match { case 1L => 8; case 10L => 32; case _ => 128 }
+      val corpus = genEmbeddings(spark, 2000L * sc)
+      val tS0 = System.nanoTime()
+      graft.operators.IvfIndex.build(corpus, "vec_id", "embedding", path,
+        nlist = nlist, dim = 64)
+      val tStage = (System.nanoTime() - tS0) / 1e9
+      val waves = Seq(0L, 1L).map { w =>
+        val lo = 2000L * sc + w * maintBatchDocs
+        genEmbeddings(spark, lo + maintBatchDocs)
+          .filter(col("vec_id") >= lo).localCheckpoint()
+      }
+      val tAppends = waves.map { b =>
+        val t0 = System.nanoTime()
+        graft.operators.IvfIndex.append(b, path)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tDeletes = waves.map { b =>
+        val t0 = System.nanoTime()
+        graft.operators.IvfIndex.delete(b.select(col("vec_id")), path,
+          idName = "vec_id")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val n = spark.read.parquet(s"$path/cells").count()
+      require(n == 2000L * sc,
+        s"maintenance ivf x$sc: stored rows $n != corpus ${2000L * sc}")
+      System.err.println(f"[scale] maint_ivf x$sc (nlist=$nlist): " +
+        f"build $tStage%.2f s, " +
+        f"append ${tAppends.map(t => f"$t%.2f").mkString("/")} s, " +
+        f"delete ${tDeletes.map(t => f"$t%.2f").mkString("/")} s")
+      (sc, tStage, tAppends, tDeletes)
+    }
+
     // ratios vs 1× per op, against the batch family's linear bound
     def maintRatio(ts: Map[Long, Double]): Map[Long, Double] =
-      maintScales.filter(_ > 1L)
+      ts.keys.filter(_ > 1L).toSeq
         .map(sc => sc -> ts(sc) / math.max(ts(1L), 1e-3)).toMap
     val maintOps: Seq[(String, Map[Long, Double])] =
-      if (maintResults.isEmpty) Nil
-      else Seq(
+      (if (maintResults.isEmpty) Nil
+       else Seq(
         "maint_postings_append" ->
           maintResults.map(r => r._1 -> r._3.min).toMap,
         "maint_postings_delete" ->
-          maintResults.map(r => r._1 -> r._4.min).toMap)
+          maintResults.map(r => r._1 -> r._4.min).toMap)) ++
+      (if (ivfResults.isEmpty) Nil
+       else Seq(
+        "maint_ivf_append" -> ivfResults.map(r => r._1 -> r._3.min).toMap,
+        "maint_ivf_delete" -> ivfResults.map(r => r._1 -> r._4.min).toMap))
     val maintViolations = maintOps.flatMap { case (n, ts) =>
       maintRatio(ts).filter { case (sc, r) => r > maxRatio(sc) }
         .map { case (sc, r) => (n, sc, r) }
@@ -586,14 +642,22 @@ object ScaleBench {
       }.mkString(",")
       s""""$n":{$fields,"ratio10":${r3(tRatio)},"state_ratio10":${r3(stRatio)}}"""
     }.mkString("{", ",", "}")
-    val mJson = maintOps.map { case (n, ts) =>
-      val tsJ = maintScales.map(sc => s""""t$sc":${r3(ts(sc))}""").mkString(",")
+    def stageSecsJ(rs: Seq[(Long, Double, Seq[Double], Seq[Double])]): String =
+      rs.map(r => s""""t${r._1}":${r3(r._2)}""").mkString("{", ",", "}")
+    val mExtras =
+      (if (maintResults.isEmpty) Nil
+       else Seq(s""""stage_secs":${stageSecsJ(maintResults)}""")) ++
+      (if (ivfResults.isEmpty) Nil
+       else Seq(s""""stage_secs_ivf":${stageSecsJ(ivfResults)}""")) ++
+      (if (maintOps.isEmpty) Nil
+       else Seq(s""""batch_docs":$maintBatchDocs"""))
+    val mJson = (maintOps.map { case (n, ts) =>
+      val tsJ = ts.keys.toSeq.sorted
+        .map(sc => s""""t$sc":${r3(ts(sc))}""").mkString(",")
       val rsJ = maintRatio(ts).toSeq.sortBy(_._1)
         .map { case (sc, r) => s""""ratio$sc":${r3(r)}""" }.mkString(",")
       s""""$n":{$tsJ,$rsJ}"""
-    }.mkString("{", ",", if (maintResults.isEmpty) "}" else
-      s""","stage_secs":{${maintResults.map(r =>
-        s""""t${r._1}":${r3(r._2)}""").mkString(",")}},"batch_docs":$maintBatchDocs}""")
+    } ++ mExtras).mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_growth_vs_linear_max","value":${r3(worstNorm)},""" +
         s""""unit":"x_linear","max_allowed":1.5,""" +

@@ -1441,6 +1441,47 @@ object SparkEntry {
     stage
   }
 
+  /** One-time AUTO-COMPACTED graph-ANN index: built on 2/3 of the
+    * embeddings, the remaining third appended in THREE waves (each wave
+    * lands one new file per touched nodes/ids partition — maintenance
+    * debt the policy, not an operator, must notice), then
+    * GraphAnnIndex.compactIfFragmented fires once files-per-partition
+    * crosses the threshold. Fire/no-fire is asserted at build, post-
+    * waves and post-compact; queries are compaction-invariant so the
+    * oracle replays the full-corpus build.
+    */
+  private def graphAnnAutocPath(s: SparkSession, dir: String): String = {
+    val stage = stagedPath("graph_ann_autoc_idx_v1", dir)
+    this.synchronized {
+      // marker OUTSIDE the stage dir, bracketing the whole
+      // build+append+policy sequence (cf. graphAnnAppendedPath)
+      val pending = java.nio.file.Paths.get(stage + "_AUTOC_PENDING")
+      if (!graft.operators.GraphAnnIndex.exists(stage) ||
+          java.nio.file.Files.exists(pending)) {
+        java.nio.file.Files.deleteIfExists(pending)
+        java.nio.file.Files.createFile(pending)
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.GraphAnnIndex.build(
+          emb.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+          col("vec_id"), col("embedding"), stage, sampleMod = 16,
+          edgesPerBucket = 3)
+        require(!graft.operators.GraphAnnIndex.compactIfFragmented(s, stage),
+          "a fresh build is one file per partition — the policy must not fire")
+        Seq(0L, 3L, 6L).foreach { w =>
+          graft.operators.GraphAnnIndex.append(
+            emb.filter(pmod(col("vec_id"), lit(9)) === w),
+            col("vec_id"), col("embedding"), stage)
+        }
+        require(graft.operators.GraphAnnIndex.compactIfFragmented(s, stage),
+          "three append waves must push files-per-partition past the threshold")
+        require(!graft.operators.GraphAnnIndex.compactIfFragmented(s, stage),
+          "a just-compacted index is back at one file per partition")
+        java.nio.file.Files.delete(pending)
+      }
+    }
+    stage
+  }
+
   /** The shared recall-row tail of the graph-ANN queries: visited set →
     * (method, recall_at_10, min_recall, recall_ok, n_scored). `corpus`
     * is the relation the exact top-k is computed over (the remaining
@@ -2911,6 +2952,129 @@ object SparkEntry {
           VectorFunctions.l2(col("embedding"), typedlit(QueryVec.values)))
         .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
         .select(col("vec_id"), col("label"), col("cell"), col("distance"))
+    }),
+
+    // AUTO-COMPACTION POLICY for the IVF layout
+    // (IvfIndex.compactIfFragmented — the q_postings_autocompact twin
+    // for an index whose maintenance debt is FILES, not tombstones:
+    // every append lands exactly one new file per touched partition, so
+    // probe read amplification grows with appends-since-compact). Built
+    // on 2/3 of the corpus (fresh build = one file per partition, the
+    // policy must NOT fire), the last third appended in three waves
+    // (files-per-partition crosses the threshold and the policy fires
+    // the compaction an operator would otherwise have to remember),
+    // then a re-probe must NOT re-fire. Probe results are
+    // compaction-invariant, so the oracle is the same full-corpus
+    // pruned-probe replay as q_ivf_append.
+    "q_ivf_autocompact" -> ((s, dir) => {
+      val path = stagedPath("ivf_idx_autoc_v1", dir)
+      this.synchronized {
+        val pending = java.nio.file.Paths.get(path + "_AUTOC_PENDING")
+        if (!graft.operators.IvfIndex.exists(path) ||
+            java.nio.file.Files.exists(pending)) {
+          java.nio.file.Files.deleteIfExists(pending)
+          java.nio.file.Files.createFile(pending)
+          val emb = Tables.embeddings(s, dir)
+          graft.operators.IvfIndex.build(
+            emb.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+            "vec_id", "embedding", path, nlist = 8, dim = 64)
+          require(!graft.operators.IvfIndex.compactIfFragmented(s, path),
+            "a fresh build is one file per partition — the policy must not fire")
+          Seq(0L, 3L, 6L).foreach { w =>
+            graft.operators.IvfIndex.append(
+              emb.filter(pmod(col("vec_id"), lit(9)) === w), path)
+          }
+          require(graft.operators.IvfIndex.compactIfFragmented(s, path),
+            "three append waves must push files-per-partition past the threshold")
+          require(!graft.operators.IvfIndex.compactIfFragmented(s, path),
+            "a just-compacted index is back at one file per partition")
+          java.nio.file.Files.delete(pending)
+        }
+      }
+      graft.operators.IvfIndex.probe(s, path, QueryVec.values, nprobe = 2)
+        .withColumn("distance",
+          VectorFunctions.l2(col("embedding"), typedlit(QueryVec.values)))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), col("label"), col("cell"), col("distance"))
+    }),
+
+    // FLEET HEALTH surface (StageAdmin.health): one dashboard row per
+    // persisted index — serving? torn maintenance? writer crashed
+    // lock-in-hand? past its compaction policy's threshold? and the
+    // prescribed heal. Probed against the run's five live shared stages
+    // (all healthy by construction) plus five deliberate fixtures: an
+    // LSM stage two append waves past the stale threshold, a
+    // three-wave-fragmented IVF index, a torn index (intent marker left
+    // by a "crashed" writer), a store with a held writer lock, and a
+    // stage that was never built. Every probe is metadata-sized (file
+    // stats, driver readdirs, one stage-pruned count for the LSM
+    // fractions) and — the point — NOTHING throws on an unhealthy
+    // stage: the readers refuse torn state, the dashboard reports it.
+    "q_stage_health" -> ((s, dir) => {
+      import graft.operators.StageAdmin.Probe
+      val stalePostings = stagedPath("health_postings_stale_v1", dir)
+      val fragIvf = stagedPath("health_ivf_frag_v1", dir)
+      val tornIvf = stagedPath("health_ivf_torn_v1", dir)
+      val lockedStore = stagedPath("health_store_locked_v1", dir)
+      val missing = stagedPath("health_missing_v1", dir)
+      this.synchronized {
+        // one group done-marker brackets ALL fixtures: a crash anywhere
+        // mid-build leaves it absent and the whole set rebuilds (each
+        // builder starts from deleteRec/overwrite, clearing junk state)
+        val done = java.nio.file.Paths.get(
+          stagedPath("health_fixtures_done_v1", dir))
+        if (!java.nio.file.Files.exists(done)) {
+          val docs = Tables.documents(s, dir)
+          val emb = Tables.embeddings(s, dir)
+          // stale LSM stage: two same-sized append waves supersede most
+          // touched posting lists — past the 0.3 default, left
+          // uncompacted so the policy column must flag it
+          graft.tables.Staging.deleteRec(stalePostings)
+          graft.operators.Retrieval.stagePostings(
+            docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+            col("doc_id"), col("text"), stalePostings)
+          graft.operators.Retrieval.appendPostings(
+            docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+            col("doc_id"), col("text"), stalePostings)
+          graft.operators.Retrieval.appendPostings(
+            docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+            col("doc_id"), col("text"), stalePostings)
+          // fragmented file-granular index: three waves, uncompacted
+          graft.operators.IvfIndex.build(
+            emb.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+            "vec_id", "embedding", fragIvf, nlist = 8, dim = 64)
+          Seq(0L, 3L, 6L).foreach { w =>
+            graft.operators.IvfIndex.append(
+              emb.filter(pmod(col("vec_id"), lit(9)) === w), fragIvf)
+          }
+          // torn maintenance: a writer "crashed" intent-in-hand
+          graft.operators.IvfIndex.build(emb.filter(col("vec_id") < 64),
+            "vec_id", "embedding", tornIvf, nlist = 8, dim = 64)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(tornIvf, "_APPENDING"))
+          // held writer lock (crashed or still running — either way the
+          // stage must report locked, not serve a second writer)
+          graft.operators.VectorStore.write(
+            emb.filter(col("vec_id") < 64)
+              .select(col("vec_id"), col("embedding")),
+            col("embedding"), lockedStore)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lockedStore, "_WRITER_LOCK"))
+          java.nio.file.Files.createFile(done)
+        }
+      }
+      graft.operators.StageAdmin.health(s, Seq(
+        Probe("docs_postings", "postings", docPostingsPath(s, dir)),
+        Probe("docs_windows", "windows", docWindowsPath(s, dir)),
+        Probe("emb_graph_ann", "graph_ann", graphAnnIndexPath(s, dir)),
+        Probe("emb_ivf", "ivf", ivfIndexFullPath(s, dir)),
+        Probe("emb_store", "vector_store", docEmbedStorePath(s, dir)),
+        Probe("postings_stale", "postings", stalePostings),
+        Probe("ivf_fragmented", "ivf", fragIvf),
+        Probe("ivf_torn", "ivf", tornIvf),
+        Probe("store_locked", "vector_store", lockedStore),
+        Probe("postings_missing", "postings", missing)
+      )).orderBy(col("name"))
     }),
 
     // IVF lifecycle — DELETE: full build, every vec_id % 3 == 0 removed
@@ -6073,6 +6237,19 @@ object SparkEntry {
       graphAnnRecallRow(s, dir, visited, "graph_append", 0.8)
     }),
 
+    // AUTO-COMPACTION POLICY for the graph-ANN index
+    // (GraphAnnIndex.compactIfFragmented — closes the maintenance-policy
+    // asymmetry: postings/windows auto-compact on tombstoned-row
+    // fraction, the file-granular indexes now auto-compact on
+    // files-per-partition; see graphAnnAutocPath for the fire/no-fire
+    // assertions). Append ≡ rebuild and compaction is row-invariant, so
+    // the oracle replays the FULL-corpus build like q_graph_ann_append.
+    "q_graph_ann_autocompact" -> ((s, dir) => {
+      val visited = graft.operators.GraphAnnIndex.query(s,
+        graphAnnAutocPath(s, dir), QueryVec.values, beam = 16, hops = 6)
+      graphAnnRecallRow(s, dir, visited, "graph_autoc", 0.8)
+    }),
+
     // Incremental DELETION (GraphAnnIndex.delete — the tombstone path a
     // corpus refresh needs): every vec_id ≡ 0 (mod 7) was deleted from
     // the staged index, recomputing only the victims' neighbourhood
@@ -8522,6 +8699,13 @@ object SparkEntry {
         graphAnnOracleSql(edgesPerBucket = 3, beam = 16, hops = 6, k = 10,
           sampleMod = 16, floor = 0.8, method = "graph_append"),
 
+      // Waved appends then policy-fired compaction must equal the
+      // one-shot full build (append ≡ rebuild, compact row-invariant) —
+      // same full-corpus replay, method-tagged.
+      "q_graph_ann_autocompact" ->
+        graphAnnOracleSql(edgesPerBucket = 3, beam = 16, hops = 6, k = 10,
+          sampleMod = 16, floor = 0.8, method = "graph_autoc"),
+
       // The streamed-in index (first batch builds, later batches append
       // incrementally) must converge to the one-shot full build — same
       // replay, method-tagged.
@@ -10242,6 +10426,29 @@ object SparkEntry {
       // IVF lifecycle: append ≡ rebuild (full-corpus replay), delete ≡
       // rebuild-on-remaining (replay over the surviving rows).
       "q_ivf_append" -> ivfProbeOracleSql,
+      // Waved appends then policy-fired compaction ≡ one-shot build on
+      // the full corpus — the same pruned-probe replay as q_ivf_append.
+      "q_ivf_autocompact" -> ivfProbeOracleSql,
+
+      // The fleet-health rows are fully determined by the fixtures the
+      // query constructs (healthy shared stages; a stale LSM stage; a
+      // fragmented IVF index; a torn index; a held lock; a missing
+      // stage), so the oracle IS the expected dashboard, literally.
+      "q_stage_health" ->
+        """SELECT * FROM (VALUES
+          |  ('docs_postings','postings',TRUE,FALSE,FALSE,FALSE,TRUE,''),
+          |  ('docs_windows','windows',TRUE,FALSE,FALSE,FALSE,TRUE,''),
+          |  ('emb_graph_ann','graph_ann',TRUE,FALSE,FALSE,FALSE,TRUE,''),
+          |  ('emb_ivf','ivf',TRUE,FALSE,FALSE,FALSE,TRUE,''),
+          |  ('emb_store','vector_store',TRUE,FALSE,FALSE,FALSE,TRUE,''),
+          |  ('ivf_fragmented','ivf',TRUE,FALSE,FALSE,TRUE,TRUE,'compact'),
+          |  ('ivf_torn','ivf',TRUE,TRUE,FALSE,FALSE,FALSE,'IvfIndex.recover'),
+          |  ('postings_missing','postings',FALSE,FALSE,FALSE,FALSE,FALSE,'build'),
+          |  ('postings_stale','postings',TRUE,FALSE,FALSE,TRUE,TRUE,'compact'),
+          |  ('store_locked','vector_store',TRUE,FALSE,TRUE,FALSE,FALSE,'VectorStore.recover')
+          |) AS t(name, kind, stage_exists, torn_commit, writer_locked,
+          |       needs_compact, healthy, heal)
+          |ORDER BY name""".stripMargin,
       // Batched probe ≡ per-query probes (one replay per batch query);
       // the streamed serve drains to the same batched probe, so its
       // oracle is identical

@@ -586,6 +586,36 @@ object GraphAnnIndex {
       java.nio.file.Files.delete(intentFile(path))
     }
 
+  /** The WORST relation's mean parquet files per live partition across
+    * all four relations — the fragmentation streaming appends accrue
+    * (each append lands one new file per touched nodes/ids partition
+    * and rewrites its affected adjacency partitions to one; builds and
+    * compacts leave exactly one everywhere): the graph twin of
+    * IvfIndex.fragmentation, measuring walk-side read amplification.
+    * Max, not a blended mean — each walk stage reads ONE relation, and
+    * the adjacency relations' rewrite-to-one would otherwise dilute the
+    * nodes/ids debt below any threshold. Driver-side readdir only;
+    * refuses a torn stage via readMeta.
+    */
+  def fragmentation(path: String): Double = {
+    readMeta(path)
+    Seq("nodes", "base_adj", "coarse_adj", "ids").map(r =>
+      graft.tables.Staging.filesPerPartition(Seq(s"$path/$r"))).max
+  }
+
+  /** The auto-compaction policy (cf. Retrieval.compactIfStale /
+    * IvfIndex.compactIfFragmented): compact when mean files-per-partition
+    * exceeds `maxFilesPerPartition`, so beam-walk read amplification
+    * between maintenance passes is bounded by policy rather than operator
+    * memory. Returns whether it fired; q_graph_ann_autocompact proves
+    * fire/no-fire and that walk results are compaction-invariant.
+    */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          maxFilesPerPartition: Double = 2.0): Boolean = {
+    val f = fragmentation(path)
+    if (f > maxFilesPerPartition) { compact(spark, path); true } else false
+  }
+
   /** Recompute the given adjacency partitions whole over the remaining
     * node set as a staged Replace (any affected partition the
     * recomputation left empty is erased at apply time — see [[delete]]).

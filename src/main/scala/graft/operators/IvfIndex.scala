@@ -257,6 +257,37 @@ object IvfIndex {
       java.nio.file.Files.delete(intentFile(path))
     }
 
+  /** The WORST relation's mean parquet files per live partition (cells/
+    * and ids/) — the fragmentation this layout accrues as appends
+    * accumulate (every append lands exactly one new file per touched
+    * partition, builds and compacts leave exactly one): the IVF twin of
+    * the postings stage's staleFraction, measuring probe-side read
+    * amplification instead of superseded rows. Max, not a blended mean:
+    * a scan reads ONE relation's partitions, so the worst relation
+    * bounds the amplification and averaging would let a clean sibling
+    * hide another's debt. Driver-side readdir only; refuses a torn
+    * stage.
+    */
+  def fragmentation(path: String): Double = {
+    readMeta(path) // validates done marker + no torn maintenance
+    Seq("cells", "ids").map(r =>
+      graft.tables.Staging.filesPerPartition(Seq(s"$path/$r"))).max
+  }
+
+  /** The auto-compaction policy (cf. Retrieval.compactIfStale): compact
+    * when the mean files-per-partition exceeds `maxFilesPerPartition`,
+    * bounding probe read amplification between maintenance passes by
+    * policy rather than operator memory. Returns whether it fired; a
+    * freshly built or just-compacted index sits at 1.0 and never
+    * re-triggers. q_ivf_autocompact proves fire/no-fire and that probe
+    * results are compaction-invariant.
+    */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          maxFilesPerPartition: Double = 2.0): Boolean = {
+    val f = fragmentation(path)
+    if (f > maxFilesPerPartition) { compact(spark, path); true } else false
+  }
+
   /** Partition-pruned probe scan: the query's nprobe nearest cells
     * ([[Ann.ivfProbes]], driver-side — static centroids), read as a
     * PartitionFilters-pruned scan of nprobe/nlist of the store. The

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fleet-operations health surface over every persisted-index layout the
+  * engine maintains (postings, doc-window, IVF, graph-ANN, vector store,
+  * dedup signatures) — ONE dashboard relation answering, per stage: is it
+  * serving? is a maintenance pass torn or a writer crashed lock-in-hand?
+  * has it accrued enough maintenance debt (superseded rows for the LSM
+  * stages, files-per-partition for the file-granular indexes) that the
+  * compaction policy would fire? and which heal applies.
+  *
+  * At 100 TB a deployment runs dozens of these stages; the individual
+  * probes (Commit.pending, staleFraction, fragmentation, ...) each answer
+  * one question about one stage — this is the roll-up an operator pages
+  * through FIRST. Every probe is metadata-sized: marker/lock checks are
+  * single file stats, fragmentation is a driver readdir, and the
+  * stale-row fractions run one stage-pruned count apiece. Nothing here
+  * throws on an unhealthy stage — reporting torn state is the point —
+  * so the debt probes (which refuse torn stages by design) only run on
+  * stages that are clean to read.
+  *
+  * The reference has no multi-index operations story (its one index is a
+  * Chroma collection, email_fetching.py:21-27); this is engine-side
+  * surface a production deployment of the same pipelines needs.
+  */
+object StageAdmin {
+
+  /** One stage to probe: display `name`, layout `kind` (one of
+    * `postings | windows | ivf | graph_ann | vector_store | signatures`)
+    * and `path`. `compactThreshold` overrides the kind's policy default
+    * (0.3 stale-row fraction for the LSM stages, 2.0 files/partition for
+    * the file-granular indexes); NaN keeps the default.
+    */
+  final case class Probe(name: String, kind: String, path: String,
+                         compactThreshold: Double = Double.NaN)
+
+  private val Kinds = Set("postings", "windows", "ivf", "graph_ann",
+    "vector_store", "signatures")
+
+  private def fexists(p: java.nio.file.Path) = java.nio.file.Files.exists(p)
+  private def marker(path: String, name: String) =
+    java.nio.file.Paths.get(path, name)
+
+  /** One health row per probe:
+    * (name, kind, stage_exists, torn_commit, writer_locked,
+    * needs_compact, healthy, heal). `healthy` = exists and no torn
+    * maintenance and no held lock — the stage serves reads correctly
+    * (possibly with bounded read amplification, which is what
+    * `needs_compact` flags separately: a stage past its compaction
+    * threshold still answers queries exactly). `heal` is the prescribed
+    * operator action: "" when nothing to do, "compact" when only debt,
+    * the stage's recover entry point when torn/locked, "build" when the
+    * stage does not exist.
+    */
+  def health(spark: SparkSession, probes: Seq[Probe]): DataFrame = {
+    val rows = probes.map { pr =>
+      require(Kinds(pr.kind), s"unknown stage kind '${pr.kind}' — " +
+        s"one of ${Kinds.toSeq.sorted.mkString("/")}")
+      val exists = pr.kind match {
+        case "postings" => Retrieval.postingsExist(pr.path)
+        case "windows" => Retrieval.windowsExist(pr.path)
+        case "ivf" => IvfIndex.exists(pr.path)
+        case "graph_ann" => GraphAnnIndex.exists(pr.path)
+        // the store/signature layouts are bare partitioned relations
+        // with no done marker of their own — presence of the directory
+        // written by their (atomic-per-commit) writers is the check
+        case _ => fexists(java.nio.file.Paths.get(pr.path))
+      }
+      val torn = exists && (fexists(marker(pr.path, "_APPENDING")) ||
+        graft.tables.Commit.pending(pr.path))
+      val locked = exists && fexists(marker(pr.path, "_WRITER_LOCK"))
+      val threshold = (kind: String) =>
+        if (!pr.compactThreshold.isNaN) pr.compactThreshold
+        else if (kind == "ivf" || kind == "graph_ann") 2.0
+        else 0.3
+      // debt probes only on stages clean to read: the stale/fragmentation
+      // probes refuse torn stages by design (readers must not observe a
+      // half-applied maintenance pass), and this report must not throw
+      val needsCompact = exists && !torn && !locked && (pr.kind match {
+        case "postings" =>
+          Retrieval.staleFraction(spark, pr.path) >= threshold("postings")
+        case "windows" =>
+          Retrieval.windowsStaleFraction(spark, pr.path) >= threshold("windows")
+        case "ivf" => IvfIndex.fragmentation(pr.path) > threshold("ivf")
+        case "graph_ann" =>
+          GraphAnnIndex.fragmentation(pr.path) > threshold("graph_ann")
+        // the store's debt dimension is retention history, governed by
+        // VectorStore.retain's explicit floor; signatures rewrite exact
+        case _ => false
+      })
+      val heal =
+        if (!exists) "build"
+        else if (torn || locked) pr.kind match {
+          case "postings" => "Retrieval.recoverPostings"
+          case "windows" => "Retrieval.recoverWindows"
+          case "ivf" => "IvfIndex.recover"
+          case "graph_ann" => "GraphAnnIndex.recover"
+          case "vector_store" => "VectorStore.recover"
+          case _ => "Dedup.recoverSignatures"
+        }
+        else if (needsCompact) "compact"
+        else ""
+      (pr.name, pr.kind, exists, torn, locked, needsCompact,
+        exists && !torn && !locked, heal)
+    }
+    spark.createDataFrame(rows).toDF("name", "kind", "stage_exists",
+      "torn_commit", "writer_locked", "needs_compact", "healthy", "heal")
+  }
+}

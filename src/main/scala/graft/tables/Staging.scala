@@ -75,6 +75,34 @@ object Staging {
     }
   }
 
+  /** Mean parquet files per live partition directory across the given
+    * relation roots — the fragmentation probe behind the compact-if-
+    * fragmented policies. Every staged write here leaves exactly ONE
+    * file per partition (the repartition-on-partition-column guard), and
+    * every LSM/additive append lands exactly one NEW file per touched
+    * partition, so this ratio is precisely 1 + appends-since-compact per
+    * partition: a pure driver-side readdir (no Spark job, no data read)
+    * that measures read amplification the same way the postings stage's
+    * staleFraction measures superseded rows. Relations that don't exist
+    * (or have no partitions yet) contribute nothing; an empty stage
+    * probes as 0.0 so no policy fires on it.
+    */
+  def filesPerPartition(relDirs: Seq[String]): Double = {
+    var parts = 0L
+    var files = 0L
+    relDirs.foreach { rd =>
+      val root = new java.io.File(rd)
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(d => d.isDirectory && d.getName.contains("="))
+        .foreach { pd =>
+          parts += 1
+          files += Option(pd.listFiles()).getOrElse(Array.empty[java.io.File])
+            .count(f => f.isFile && f.getName.endsWith(".parquet"))
+        }
+    }
+    if (parts == 0L) 0.0 else files.toDouble / parts
+  }
+
   /** [[dynamicOverwrite]] plus the drop-empty audit every exact
     * partition rewrite needs: dynamic overwrite cannot ERASE a partition
     * it writes no rows into, so any of the `affected` integer partitions

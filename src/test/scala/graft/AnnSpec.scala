@@ -461,6 +461,31 @@ class AnnSpec extends SparkSpec {
       "each compacted partition must hold exactly one data file")
   }
 
+  test("graph-ANN fragmentation: 1.0 on a fresh build, appends add files " +
+      "to touched partitions, compactIfFragmented fires past the " +
+      "threshold and walks are invariant") {
+    import graft.operators.GraphAnnIndex
+    val p = java.nio.file.Files.createTempDirectory("graft_gann_frag").toString
+    GraphAnnIndex.build(emb.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+      col("vec_id"), col("embedding"), p, sampleMod = 16, edgesPerBucket = 3)
+    assert(GraphAnnIndex.fragmentation(p) == 1.0)
+    assert(!GraphAnnIndex.compactIfFragmented(spark, p))
+    Seq(0, 3, 6).foreach { w =>
+      GraphAnnIndex.append(emb.filter(pmod(col("vec_id"), lit(9)) === w),
+        col("vec_id"), col("embedding"), p)
+    }
+    val frag = GraphAnnIndex.fragmentation(p)
+    assert(frag > 2.0, s"3 waves must fragment past 2 files/partition: $frag")
+    val before = GraphAnnIndex.query(spark, p, QueryVec.values)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(GraphAnnIndex.compactIfFragmented(spark, p))
+    assert(GraphAnnIndex.fragmentation(p) == 1.0)
+    assert(!GraphAnnIndex.compactIfFragmented(spark, p))
+    val after = GraphAnnIndex.query(spark, p, QueryVec.values)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(before == after)
+  }
+
   test("graph-ANN index: a torn append is refused, not silently served") {
     import graft.operators.GraphAnnIndex
     val idx = java.nio.file.Files.createTempDirectory("graft_gann_torn").toString

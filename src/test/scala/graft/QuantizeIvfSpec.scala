@@ -118,6 +118,30 @@ class QuantizeIvfSpec extends SparkSpec {
     }
   }
 
+  test("IvfIndex fragmentation: 1.0 on a fresh build, grows one file per " +
+      "touched partition per append, compactIfFragmented fires past the " +
+      "threshold and probe rows are invariant") {
+    import graft.operators.IvfIndex
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_frag").toString
+    IvfIndex.build(emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      p, nlist = 8, dim = 64)
+    assert(IvfIndex.fragmentation(p) == 1.0)
+    assert(!IvfIndex.compactIfFragmented(spark, p))
+    Seq(0, 3, 6).foreach { w =>
+      IvfIndex.append(emb.filter(col("vec_id") % 9 === w), p)
+    }
+    val frag = IvfIndex.fragmentation(p)
+    assert(frag > 2.0, s"3 waves must fragment past 2 files/partition: $frag")
+    val before = IvfIndex.probe(spark, p, QueryVec.values, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(IvfIndex.compactIfFragmented(spark, p))
+    assert(IvfIndex.fragmentation(p) == 1.0)
+    assert(!IvfIndex.compactIfFragmented(spark, p))
+    val after = IvfIndex.probe(spark, p, QueryVec.values, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(before == after)
+  }
+
   test("IvfIndex.probeBatch ≡ N single probes + exact re-ranks; the " +
       "scan reads only the union of probed cell partitions") {
     import graft.operators.IvfIndex
