@@ -3150,6 +3150,33 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // Streaming ingest INTO the persisted IVF index
+    // (Streaming.drainToIvfIndex): the embeddings stream in over ≥3
+    // micro-batches, the first builds, every later batch lands purely
+    // additively in its own cells, and the FRAGMENTATION POLICY
+    // (IvfIndex.compactIfFragmented) runs per batch so a long drain's
+    // files-per-partition is bounded by policy, not operator memory —
+    // the ingest twin of q_stream_ivf_serve, completing ingest AND
+    // serving loops for the IVF family like the other persisted
+    // indexes. Drained ≡ one-shot full build (append ≡ rebuild, compact
+    // invariant), so the oracle is the same pruned-probe replay as
+    // q_ivf_layout.
+    "q_stream_ivf_ingest" -> ((s0, dir) => {
+      val s = graft.streaming.Streaming.streamSession(s0)
+      val src = s.readStream.schema(Tables.embeddings(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(graft.streaming.Streaming.stageSplitSource(s, dir,
+          "embeddings", "vec_id"))
+      val path = stagedPath("stream_ivf_ingest_v1", dir)
+      graft.streaming.Streaming.drainToIvfIndex(src, path,
+        "vec_id", "embedding", nlist = 8, dim = 64)
+      graft.operators.IvfIndex.probe(s, path, QueryVec.values, nprobe = 2)
+        .withColumn("distance",
+          VectorFunctions.l2(col("embedding"), typedlit(QueryVec.values)))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), col("label"), col("cell"), col("distance"))
+    }),
+
     // Persisted vector store (S7 at scale): vectors written partitioned
     // by LSH bucket (one-time setup per sf dir), multi-probe query reads
     // ONLY the probed bucket directories — partition pruning makes the
@@ -10429,6 +10456,10 @@ object SparkEntry {
       // Waved appends then policy-fired compaction ≡ one-shot build on
       // the full corpus — the same pruned-probe replay as q_ivf_append.
       "q_ivf_autocompact" -> ivfProbeOracleSql,
+      // Streamed-in index (first batch builds, later batches append,
+      // fragmentation policy compacts mid-drain) converges to the
+      // one-shot full build — same replay.
+      "q_stream_ivf_ingest" -> ivfProbeOracleSql,
 
       // The fleet-health rows are fully determined by the fixtures the
       // query constructs (healthy shared stages; a stale LSM stage; a

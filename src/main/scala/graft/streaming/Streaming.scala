@@ -685,13 +685,56 @@ object Streaming {
     import java.util.Comparator
     graft.tables.Staging.deleteRec(idxPath)
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) =>
+      (batch, _) => {
         if (!graft.operators.GraphAnnIndex.exists(idxPath))
           graft.operators.GraphAnnIndex.build(batch, col(idName),
             col(vecColName), idxPath, sampleMod, edgesPerBucket)
         else
           graft.operators.GraphAnnIndex.append(batch, col(idName),
             col(vecColName), idxPath)
+        // FRAGMENTATION POLICY per batch: every append lands one new
+        // file per touched nodes/ids partition, so a long-running drain
+        // would otherwise accrue unbounded walk-side read amplification
+        // between manual compacts; the policy (driver readdir + a
+        // row-invariant rewrite past the threshold) bounds it while the
+        // index stays query-ready throughout the drain
+        graft.operators.GraphAnnIndex.compactIfFragmented(
+          batch.sparkSession, idxPath)
+      }
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming ingest INTO the persisted IVF index — the cell-partitioned
+    * twin of [[drainToGraphAnnIndex]]: the first micro-batch builds the
+    * index (IvfIndex.build), every later batch lands purely additively in
+    * its own cells (IvfIndex.append — admission pruned to the batch's id
+    * buckets, nothing existing rewritten), and after every batch the
+    * fragmentation policy (IvfIndex.compactIfFragmented) bounds the
+    * files-per-partition the drain accrues — compaction is policy-driven,
+    * not operator memory, and the index serves probes after every batch.
+    * Because append ≡ rebuild by construction and compaction is
+    * row-invariant, the drained index serves exactly what a one-shot
+    * full-corpus build serves — which is what the oracle replays.
+    */
+  def drainToIvfIndex(stream: DataFrame, idxPath: String,
+                      idName: String, vecColName: String,
+                      nlist: Int = 8, dim: Int = 64): Unit = {
+    graft.tables.Staging.deleteRec(idxPath)
+    val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        if (!graft.operators.IvfIndex.exists(idxPath))
+          graft.operators.IvfIndex.build(batch.toDF(), idName, vecColName,
+            idxPath, nlist, dim)
+        else
+          graft.operators.IvfIndex.append(batch.toDF(), idxPath)
+        graft.operators.IvfIndex.compactIfFragmented(
+          batch.sparkSession, idxPath)
+      }
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch(writeBatch)

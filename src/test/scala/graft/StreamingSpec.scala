@@ -358,4 +358,33 @@ class StreamingSpec extends SparkSpec {
     assert(drained.nonEmpty && drained == oneShot,
       "drained union must equal the one-shot batched walk")
   }
+
+  test("drainToIvfIndex: drained ≡ one-shot build, and the per-batch " +
+      "fragmentation policy keeps files-per-partition bounded") {
+    import graft.operators.IvfIndex
+    val emb = graft.tables.Tables.embeddings(spark, sf0001)
+    // 4 disjoint slices — enough appends that WITHOUT the policy the
+    // cells relation would sit at ~4 files/partition
+    val slices = (0 until 4).map(g =>
+      emb.filter(pmod(col("vec_id"), lit(4)) === g))
+    val srcDir = Streaming.stageSlicesSource(slices,
+      java.nio.file.Files.createTempDirectory("graft_ivf_ing").toString
+        + "/src")
+    val src = spark.readStream.schema(slices.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_ingi")
+      .toString + "/idx"
+    Streaming.drainToIvfIndex(src, idx, "vec_id", "embedding",
+      nlist = 8, dim = 64)
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_ingf")
+      .toString
+    IvfIndex.build(emb, "vec_id", "embedding", full, nlist = 8, dim = 64)
+    def cells(p: String): Seq[String] =
+      spark.read.parquet(s"$p/cells").collect().map(_.toString).sorted.toSeq
+    assert(cells(idx) == cells(full),
+      "drained index must hold exactly the one-shot build's rows")
+    assert(IvfIndex.fragmentation(idx) <= 2.0,
+      "the per-batch policy must have compacted — 4 appends without it " +
+        "would leave ~4 files/partition")
+  }
 }
