@@ -610,10 +610,12 @@ object Retrieval {
     * reaches `threshold` (default 30%: at that point every resolution
     * pass re-reads ~1.4x the live rows, and one rewrite both reclaims
     * the space and restores the zero-overhead G = 0 read path). Returns
-    * whether a compaction ran. Streaming ingest calls this per batch —
-    * cost stays amortized-constant: the fraction only crosses the
-    * threshold after ~threshold/(1−threshold) of the corpus has been
-    * superseded since the last compact.
+    * whether a compaction ran. Streaming ingest calls this per batch
+    * behind the [[committedGen]] ≥ 4 gate (the probe itself runs a
+    * resolution-sized count — the gate keeps the per-batch cost at one
+    * marker-file stat); overall cost stays amortized-constant: the
+    * fraction only crosses the threshold after ~threshold/(1−threshold)
+    * of the corpus has been superseded since the last compact.
     */
   def compactIfStale(spark: org.apache.spark.sql.SparkSession,
                      path: String, threshold: Double = 0.3): Boolean = {
@@ -962,6 +964,24 @@ object Retrieval {
   private def readWin(spark: org.apache.spark.sql.SparkSession, path: String,
                       rel: String): DataFrame =
     readRel(spark, path, rel, windowsMarker(path))
+
+  /** The postings stage's committed generation — ONE marker-file read,
+    * no job. 0 = fresh or just-compacted. The cheap signal ingest loops
+    * GATE the stale-row policy on: [[staleFraction]] itself runs a
+    * resolution-sized count, so probing it on every micro-batch charges
+    * that count per batch — probing only past a few committed
+    * generations keeps the policy's amortized-constant cost while still
+    * bounding read amplification (resolution overhead between probes is
+    * at most the gate width's generations).
+    */
+  def committedGen(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Long =
+    readCommitted(spark, path)._1
+
+  /** The window stage's committed generation — the [[committedGen]]
+    * twin (one marker-file read), same gating role for window ingest.
+    */
+  def committedWinGen(path: String): Long = readWinGen(path)
 
   /** The window stage's committed generation (the `_GEN` atomic-rename
     * commit point, cf. the postings stage — the window stage carries no

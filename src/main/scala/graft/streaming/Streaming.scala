@@ -748,13 +748,19 @@ object Streaming {
     * stage (Retrieval.stagePostings), every later batch goes through the
     * INCREMENTAL append (touched tokens re-ranked and LSM-appended at
     * the next generation — written bytes ∝ the batch's posting lists,
-    * no partition rewritten; df merged additively, globals advanced),
-    * and a final compact pass drops the superseded-generation rows and
-    * keeps the file counts flat against the small files streaming
-    * appends accumulate. Because append ≡ rebuild
-    * and compact is invariant, the drained index must serve exactly what
-    * a one-shot build over the whole corpus serves — the oracle replays
-    * the full-corpus BM25.
+    * no partition rewritten; df merged additively, globals advanced).
+    * The STALE-ROW POLICY (Retrieval.compactIfStale) runs per batch
+    * behind a generation gate, so a continuously-running ingest — which
+    * never reaches a "final" pass — has its resolution read
+    * amplification bounded by policy at amortized-constant cost: the
+    * gate reads one marker file per batch and only admits the
+    * (resolution-count-sized) stale probe once the stage is ≥4
+    * committed generations past its last compact. The drain's closing
+    * compact additionally flattens the remaining small files before
+    * serving.
+    * Because append ≡ rebuild and compact is invariant, the drained
+    * index must serve exactly what a one-shot build over the whole
+    * corpus serves — the oracle replays the full-corpus BM25.
     */
   def drainToPostingsStage(stream: DataFrame, stagePath: String,
                            idName: String, textName: String): Unit = {
@@ -762,13 +768,22 @@ object Streaming {
     import java.util.Comparator
     graft.tables.Staging.deleteRec(stagePath)
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) =>
+      (batch, _) => {
         if (!graft.operators.Retrieval.postingsExist(stagePath))
           graft.operators.Retrieval.stagePostings(batch.toDF(), col(idName),
             col(textName), stagePath)
         else
           graft.operators.Retrieval.appendPostings(batch.toDF(), col(idName),
             col(textName), stagePath)
+        // gen-gated: the stale probe costs a resolution-sized count, so
+        // it runs only once the stage is ≥4 committed generations past
+        // its last compact (generation reads are one marker-file stat —
+        // free per batch); a fire resets G to 0 and re-arms the gate
+        if (graft.operators.Retrieval.committedGen(
+            batch.sparkSession, stagePath) >= 4)
+          graft.operators.Retrieval.compactIfStale(
+            batch.sparkSession, stagePath)
+      }
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch(writeBatch)
@@ -796,13 +811,23 @@ object Streaming {
     import java.util.Comparator
     graft.tables.Staging.deleteRec(stagePath)
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) =>
+      (batch, _) => {
         if (!graft.operators.Retrieval.windowsExist(stagePath))
           graft.operators.Retrieval.stageWindows(batch.toDF(), col(idName),
             col(textName), stagePath)
         else
           graft.operators.Retrieval.appendWindows(batch.toDF(), col(idName),
             col(textName), stagePath)
+        // the per-batch policy every ingest drain now carries, behind
+        // the same gen gate as the postings drain: free for an
+        // append-only stream either way (no tombs dir -> the probe
+        // answers 0.0 without counting anything), and the right wiring
+        // the moment a delete wave lands between batches of a
+        // long-running drain
+        if (graft.operators.Retrieval.committedWinGen(stagePath) >= 4)
+          graft.operators.Retrieval.compactWindowsIfStale(
+            batch.sparkSession, stagePath)
+      }
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch(writeBatch)
