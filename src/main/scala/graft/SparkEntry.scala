@@ -3002,11 +3002,14 @@ object SparkEntry {
     // persisted index — serving? torn maintenance? writer crashed
     // lock-in-hand? past its compaction policy's threshold? and the
     // prescribed heal. Probed against the run's five live shared stages
-    // (all healthy by construction) plus five deliberate fixtures: an
+    // (all healthy by construction) plus eight deliberate fixtures: an
     // LSM stage two append waves past the stale threshold, a
     // three-wave-fragmented IVF index, a torn index (intent marker left
-    // by a "crashed" writer), a store with a held writer lock, and a
-    // stage that was never built. Every probe is metadata-sized (file
+    // by a "crashed" writer), a store with a held writer lock, a stage
+    // that was never built, a healthy signature stage, and two
+    // versioned PQ publications (one inside its retention budget, one
+    // five republishes deep with no floor — retention debt flagged with
+    // Pq.retain prescribed). Every probe is metadata-sized (file
     // stats, driver readdirs, one stage-pruned count for the LSM
     // fractions) and — the point — NOTHING throws on an unhealthy
     // stage: the readers refuse torn state, the dashboard reports it.
@@ -3017,12 +3020,15 @@ object SparkEntry {
       val tornIvf = stagedPath("health_ivf_torn_v1", dir)
       val lockedStore = stagedPath("health_store_locked_v1", dir)
       val missing = stagedPath("health_missing_v1", dir)
+      val sigStage = stagedPath("health_signatures_v1", dir)
+      val pqOk = stagedPath("health_pq_ok_v1", dir)
+      val pqDeep = stagedPath("health_pq_deep_v1", dir)
       this.synchronized {
         // one group done-marker brackets ALL fixtures: a crash anywhere
         // mid-build leaves it absent and the whole set rebuilds (each
         // builder starts from deleteRec/overwrite, clearing junk state)
         val done = java.nio.file.Paths.get(
-          stagedPath("health_fixtures_done_v1", dir))
+          stagedPath("health_fixtures_done_v2", dir))
         if (!java.nio.file.Files.exists(done)) {
           val docs = Tables.documents(s, dir)
           val emb = Tables.embeddings(s, dir)
@@ -3060,15 +3066,33 @@ object SparkEntry {
             col("embedding"), lockedStore)
           java.nio.file.Files.createFile(
             java.nio.file.Paths.get(lockedStore, "_WRITER_LOCK"))
+          // signature stage (healthy), and two versioned PQ
+          // publications: two republishes retain 2 ≤ 3 (healthy), five
+          // retain 5 > 3 with no retention floor yet (Pq.retain debt)
+          graft.operators.Dedup.stageMinhashSignatures(
+            docs.filter(col("doc_id") < 64), col("doc_id"), col("text"),
+            sigStage)
+          val pqEmb = emb.filter(col("vec_id") < 64)
+          graft.tables.Staging.deleteRec(pqOk)
+          graft.tables.Staging.deleteRec(pqDeep)
+          (1 to 2).foreach(_ => graft.operators.Pq.republish(pqEmb,
+            col("vec_id"), col("embedding"), m = 4, subDim = 16, k = 4,
+            iters = 1, path = pqOk))
+          (1 to 5).foreach(_ => graft.operators.Pq.republish(pqEmb,
+            col("vec_id"), col("embedding"), m = 4, subDim = 16, k = 4,
+            iters = 1, path = pqDeep))
           java.nio.file.Files.createFile(done)
         }
       }
       graft.operators.StageAdmin.health(s, Seq(
         Probe("docs_postings", "postings", docPostingsPath(s, dir)),
         Probe("docs_windows", "windows", docWindowsPath(s, dir)),
+        Probe("docs_signatures", "signatures", sigStage),
         Probe("emb_graph_ann", "graph_ann", graphAnnIndexPath(s, dir)),
         Probe("emb_ivf", "ivf", ivfIndexFullPath(s, dir)),
         Probe("emb_store", "vector_store", docEmbedStorePath(s, dir)),
+        Probe("emb_pq", "pq", pqOk),
+        Probe("emb_pq_deep", "pq", pqDeep),
         Probe("postings_stale", "postings", stalePostings),
         Probe("ivf_fragmented", "ivf", fragIvf),
         Probe("ivf_torn", "ivf", tornIvf),
@@ -10468,9 +10492,12 @@ object SparkEntry {
       "q_stage_health" ->
         """SELECT * FROM (VALUES
           |  ('docs_postings','postings',TRUE,FALSE,FALSE,FALSE,TRUE,''),
+          |  ('docs_signatures','signatures',TRUE,FALSE,FALSE,FALSE,TRUE,''),
           |  ('docs_windows','windows',TRUE,FALSE,FALSE,FALSE,TRUE,''),
           |  ('emb_graph_ann','graph_ann',TRUE,FALSE,FALSE,FALSE,TRUE,''),
           |  ('emb_ivf','ivf',TRUE,FALSE,FALSE,FALSE,TRUE,''),
+          |  ('emb_pq','pq',TRUE,FALSE,FALSE,FALSE,TRUE,''),
+          |  ('emb_pq_deep','pq',TRUE,FALSE,FALSE,TRUE,TRUE,'Pq.retain'),
           |  ('emb_store','vector_store',TRUE,FALSE,FALSE,FALSE,TRUE,''),
           |  ('ivf_fragmented','ivf',TRUE,FALSE,FALSE,TRUE,TRUE,'compact'),
           |  ('ivf_torn','ivf',TRUE,TRUE,FALSE,FALSE,FALSE,'IvfIndex.recover'),

@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Fleet-operations health surface over every persisted-index layout the
   * engine maintains (postings, doc-window, IVF, graph-ANN, vector store,
-  * dedup signatures) — ONE dashboard relation answering, per stage: is it
-  * serving? is a maintenance pass torn or a writer crashed lock-in-hand?
-  * has it accrued enough maintenance debt (superseded rows for the LSM
-  * stages, files-per-partition for the file-granular indexes) that the
-  * compaction policy would fire? and which heal applies.
+  * dedup signatures, versioned PQ publications) — ONE dashboard relation
+  * answering, per stage: is it serving? is a maintenance pass torn or a
+  * writer crashed lock-in-hand? has it accrued enough maintenance debt
+  * (superseded rows for the LSM stages, files-per-partition for the
+  * file-granular indexes, retained-versions-past-the-floor for the PQ
+  * publications) that the maintenance policy would fire? and which heal
+  * applies.
   *
   * At 100 TB a deployment runs dozens of these stages; the individual
   * probes (Commit.pending, staleFraction, fragmentation, ...) each answer
@@ -27,16 +29,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StageAdmin {
 
   /** One stage to probe: display `name`, layout `kind` (one of
-    * `postings | windows | ivf | graph_ann | vector_store | signatures`)
-    * and `path`. `compactThreshold` overrides the kind's policy default
-    * (0.3 stale-row fraction for the LSM stages, 2.0 files/partition for
-    * the file-granular indexes); NaN keeps the default.
+    * `postings | windows | ivf | graph_ann | vector_store | signatures |
+    * pq`) and `path`. `compactThreshold` overrides the kind's policy
+    * default (0.3 stale-row fraction for the LSM stages, 2.0
+    * files/partition for the file-granular indexes, 3 retained
+    * publications for pq); NaN keeps the default.
     */
   final case class Probe(name: String, kind: String, path: String,
                          compactThreshold: Double = Double.NaN)
 
   private val Kinds = Set("postings", "windows", "ivf", "graph_ann",
-    "vector_store", "signatures")
+    "vector_store", "signatures", "pq")
 
   private def fexists(p: java.nio.file.Path) = java.nio.file.Files.exists(p)
   private def marker(path: String, name: String) =
@@ -62,17 +65,23 @@ object StageAdmin {
         case "windows" => Retrieval.windowsExist(pr.path)
         case "ivf" => IvfIndex.exists(pr.path)
         case "graph_ann" => GraphAnnIndex.exists(pr.path)
+        case "pq" => Pq.currentVersion(pr.path) > 0L
         // the store/signature layouts are bare partitioned relations
         // with no done marker of their own — presence of the directory
         // written by their (atomic-per-commit) writers is the check
         case _ => fexists(java.nio.file.Paths.get(pr.path))
       }
-      val torn = exists && (fexists(marker(pr.path, "_APPENDING")) ||
-        graft.tables.Commit.pending(pr.path))
-      val locked = exists && fexists(marker(pr.path, "_WRITER_LOCK"))
+      // the PQ layout publishes by atomic _CURRENT pointer swap — no
+      // intent or lock file ever exists in it, so it can't be torn
+      val torn = exists && pr.kind != "pq" &&
+        (fexists(marker(pr.path, "_APPENDING")) ||
+          graft.tables.Commit.pending(pr.path))
+      val locked = exists && pr.kind != "pq" &&
+        fexists(marker(pr.path, "_WRITER_LOCK"))
       val threshold = (kind: String) =>
         if (!pr.compactThreshold.isNaN) pr.compactThreshold
         else if (kind == "ivf" || kind == "graph_ann") 2.0
+        else if (kind == "pq") 3.0 // retained publications past the floor
         else 0.3
       // debt probes only on stages clean to read: the stale/fragmentation
       // probes refuse torn stages by design (readers must not observe a
@@ -85,6 +94,12 @@ object StageAdmin {
         case "ivf" => IvfIndex.fragmentation(pr.path) > threshold("ivf")
         case "graph_ann" =>
           GraphAnnIndex.fragmentation(pr.path) > threshold("graph_ann")
+        // the PQ layout's debt is RETENTION: every republish parks the
+        // previous version for rollback until Pq.retain reclaims it —
+        // live versions = current − floor, flagged past the threshold
+        case "pq" =>
+          (Pq.currentVersion(pr.path) - Pq.retentionFloor(pr.path)) >
+            threshold("pq")
         // the store's debt dimension is retention history, governed by
         // VectorStore.retain's explicit floor; signatures rewrite exact
         case _ => false
@@ -99,7 +114,7 @@ object StageAdmin {
           case "vector_store" => "VectorStore.recover"
           case _ => "Dedup.recoverSignatures"
         }
-        else if (needsCompact) "compact"
+        else if (needsCompact) (if (pr.kind == "pq") "Pq.retain" else "compact")
         else ""
       (pr.name, pr.kind, exists, torn, locked, needsCompact,
         exists && !torn && !locked, heal)

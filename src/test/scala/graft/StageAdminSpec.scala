@@ -64,6 +64,22 @@ class StageAdminSpec extends SparkSpec {
     assert(!lax.getBoolean(5) && lax.getString(7) == "")
   }
 
+  test("pq kind: retention debt past the threshold prescribes Pq.retain; " +
+      "retain clears it; atomic-swap layout is never torn/locked") {
+    import graft.operators.Pq
+    val p = java.nio.file.Files.createTempDirectory("graft_sa_pq")
+      .toString + "/pub"
+    val pqEmb = emb.filter(col("vec_id") < 64)
+    (1 to 5).foreach(_ => Pq.republish(pqEmb, col("vec_id"),
+      col("embedding"), m = 4, subDim = 16, k = 4, iters = 1, path = p))
+    val deep = row("p", Seq(Probe("p", "pq", p)))
+    assert(deep.getBoolean(2) && !deep.getBoolean(3) && !deep.getBoolean(4))
+    assert(deep.getBoolean(5) && deep.getString(7) == "Pq.retain")
+    Pq.retain(p, keep = 2) // floor -> 3: live versions 5 - 3 = 2 <= 3
+    val ok = row("p", Seq(Probe("p", "pq", p)))
+    assert(!ok.getBoolean(5) && ok.getBoolean(6) && ok.getString(7) == "")
+  }
+
   test("a missing stage reports build; a fresh one reports nothing") {
     val p = java.nio.file.Files.createTempDirectory("graft_sa_ok").toString
     IvfIndex.build(emb, "vec_id", "embedding", p, nlist = 8, dim = 64)
