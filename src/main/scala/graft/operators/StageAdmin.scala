@@ -81,7 +81,7 @@ object StageAdmin {
       val threshold = (kind: String) =>
         if (!pr.compactThreshold.isNaN) pr.compactThreshold
         else if (kind == "ivf" || kind == "graph_ann") 2.0
-        else if (kind == "pq") 3.0 // retained publications past the floor
+        else if (kind == "pq") 3.0 // live (loadable) retained publications
         else 0.3
       // debt probes only on stages clean to read: the stale/fragmentation
       // probes refuse torn stages by design (readers must not observe a
@@ -95,11 +95,14 @@ object StageAdmin {
         case "graph_ann" =>
           GraphAnnIndex.fragmentation(pr.path) > threshold("graph_ann")
         // the PQ layout's debt is RETENTION: every republish parks the
-        // previous version for rollback until Pq.retain reclaims it —
-        // live versions = current − floor, flagged past the threshold
+        // previous version for rollback until Pq.retain reclaims it.
+        // Live publications are [max(floor, 1), current] INCLUSIVE
+        // (retain(keep) sets floor = cur − keep + 1 and keeps the floor
+        // version loadable), so the count is cur − max(floor − 1, 0) —
+        // flagged when more than `threshold` publications are live
         case "pq" =>
-          (Pq.currentVersion(pr.path) - Pq.retentionFloor(pr.path)) >
-            threshold("pq")
+          (Pq.currentVersion(pr.path) -
+            math.max(Pq.retentionFloor(pr.path) - 1, 0)) > threshold("pq")
         // the store's debt dimension is retention history, governed by
         // VectorStore.retain's explicit floor; signatures rewrite exact
         case _ => false
@@ -121,5 +124,105 @@ object StageAdmin {
     }
     spark.createDataFrame(rows).toDF("name", "kind", "stage_exists",
       "torn_commit", "writer_locked", "needs_compact", "healthy", "heal")
+  }
+
+  /** AUTO-HEAL entry point over the same probe fleet: executes each
+    * unhealthy row's prescribed heal from [[health]] — the recover entry
+    * for torn/locked stages, the layout's compaction (or `Pq.retain`)
+    * for maintenance debt — and reports what ran. `apply = false` is the
+    * DRY RUN: the same plan relation with nothing executed, so an
+    * operator reviews the exact actions an apply would take.
+    *
+    * Exclusion discipline is the layouts' own: every executed action is
+    * either a recover entry (designed to run against a crashed writer's
+    * leavings; live-pid locks REFUSE to clear and surface as an error
+    * row rather than stealing a running writer's lock) or a maintenance
+    * pass that takes the stage's writer lock itself — heal adds no
+    * second locking layer that could deadlock with them.
+    *
+    * Two passes, because the prescription is one action deep: a stage
+    * both torn AND past its debt threshold prescribes recover first
+    * (debt probes refuse torn stages), and only the post-recover
+    * re-probe can see the debt — pass 2 runs the revealed compaction.
+    * `build` is prescribed but never executed (rebuilding needs the
+    * corpus, which is the operator's call, not the dashboard's).
+    *
+    * Returns one row per probe: (name, kind, action — the executed
+    * action chain, "+"-joined across passes, or the non-executable
+    * prescription; applied; error — "" or the refusal message; then the
+    * post-heal `stage_exists`/`needs_compact`/`healthy`/`heal` from a
+    * final re-probe). After a clean apply, every existing stage's
+    * remaining prescription is "".
+    */
+  def heal(spark: SparkSession, probes: Seq[Probe],
+           apply: Boolean = false): DataFrame = {
+    val acted = scala.collection.mutable.Map[String, List[String]]()
+      .withDefaultValue(Nil)
+    val errors = scala.collection.mutable.Map[String, String]()
+    def runOne(pr: Probe, action: String): Unit =
+      try {
+        action match {
+          case "Retrieval.recoverPostings" =>
+            Retrieval.recoverPostings(spark, pr.path)
+          case "Retrieval.recoverWindows" =>
+            Retrieval.recoverWindows(spark, pr.path)
+          case "IvfIndex.recover" => IvfIndex.recover(pr.path)
+          case "GraphAnnIndex.recover" => GraphAnnIndex.recover(pr.path)
+          case "VectorStore.recover" => VectorStore.recover(pr.path)
+          case "Dedup.recoverSignatures" => Dedup.recoverSignatures(pr.path)
+          case "Pq.retain" =>
+            // retain down to the probe's live-publication budget: the
+            // dashboard flags live > threshold, so keeping floor(threshold)
+            // publications clears the flag with maximal rollback history
+            val keep = math.max(1L,
+              (if (pr.compactThreshold.isNaN) 3.0
+               else pr.compactThreshold).toLong)
+            Pq.retain(pr.path, keep)
+          case "compact" => pr.kind match {
+            case "postings" => Retrieval.compactPostings(spark, pr.path)
+            case "windows" => Retrieval.compactWindows(spark, pr.path)
+            case "ivf" => IvfIndex.compact(spark, pr.path)
+            case "graph_ann" => GraphAnnIndex.compact(spark, pr.path)
+            case k => throw new IllegalStateException(
+              s"no compaction entry for kind '$k'")
+          }
+          case other => throw new IllegalStateException(
+            s"unknown heal action '$other'")
+        }
+        acted(pr.name) = acted(pr.name) :+ action
+      } catch { case e: Exception =>
+        errors(pr.name) = s"$action: ${e.getMessage}".take(200)
+      }
+    val byName = probes.map(p => p.name -> p).toMap
+    val plan0 = health(spark, probes).collect()
+      .map(r => r.getString(0) -> r.getString(7)).toMap
+    if (apply) {
+      var pending = plan0.filter { case (n, a) =>
+        a.nonEmpty && a != "build" && !errors.contains(n) }
+      var pass = 0
+      while (pending.nonEmpty && pass < 2) {
+        pending.foreach { case (n, a) => runOne(byName(n), a) }
+        pass += 1
+        pending =
+          if (pass >= 2) Map.empty
+          else health(spark, probes.filter(p => pending.contains(p.name)))
+            .collect().map(r => r.getString(0) -> r.getString(7)).toMap
+            .filter { case (n, a) =>
+              a.nonEmpty && a != "build" && !errors.contains(n) }
+      }
+    }
+    val after = health(spark, probes).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = probes.map { pr =>
+      val executed = acted(pr.name)
+      val action =
+        if (executed.nonEmpty) executed.mkString("+") else plan0(pr.name)
+      val a = after(pr.name)
+      (pr.name, pr.kind, action, executed.nonEmpty,
+        errors.getOrElse(pr.name, ""), a.getBoolean(2), a.getBoolean(5),
+        a.getBoolean(6), a.getString(7))
+    }
+    spark.createDataFrame(rows).toDF("name", "kind", "action", "applied",
+      "error", "stage_exists", "needs_compact", "healthy", "heal")
   }
 }

@@ -778,9 +778,14 @@ object Streaming {
         // gen-gated: the stale probe costs a resolution-sized count, so
         // it runs only once the stage is ≥4 committed generations past
         // its last compact (generation reads are one marker-file stat —
-        // free per batch); a fire resets G to 0 and re-arms the gate
-        if (graft.operators.Retrieval.committedGen(
-            batch.sparkSession, stagePath) >= 4)
+        // free per batch), and then only every 4th generation: a fire
+        // resets G to 0 and re-arms naturally, but when the stale
+        // fraction plateaus BELOW the threshold (append-dominated
+        // stream) the modulo keeps the probe at once per gate-width
+        // instead of every batch past the gate
+        val gen = graft.operators.Retrieval.committedGen(
+          batch.sparkSession, stagePath)
+        if (gen >= 4 && gen % 4 == 0)
           graft.operators.Retrieval.compactIfStale(
             batch.sparkSession, stagePath)
       }
@@ -819,12 +824,14 @@ object Streaming {
           graft.operators.Retrieval.appendWindows(batch.toDF(), col(idName),
             col(textName), stagePath)
         // the per-batch policy every ingest drain now carries, behind
-        // the same gen gate as the postings drain: free for an
-        // append-only stream either way (no tombs dir -> the probe
+        // the same gen-and-modulo gate as the postings drain: free for
+        // an append-only stream either way (no tombs dir -> the probe
         // answers 0.0 without counting anything), and the right wiring
         // the moment a delete wave lands between batches of a
-        // long-running drain
-        if (graft.operators.Retrieval.committedWinGen(stagePath) >= 4)
+        // long-running drain; the modulo bounds the probe to once per
+        // gate-width even when the fraction never crosses the threshold
+        val winGen = graft.operators.Retrieval.committedWinGen(stagePath)
+        if (winGen >= 4 && winGen % 4 == 0)
           graft.operators.Retrieval.compactWindowsIfStale(
             batch.sparkSession, stagePath)
       }

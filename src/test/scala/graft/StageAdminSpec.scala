@@ -75,9 +75,113 @@ class StageAdminSpec extends SparkSpec {
     val deep = row("p", Seq(Probe("p", "pq", p)))
     assert(deep.getBoolean(2) && !deep.getBoolean(3) && !deep.getBoolean(4))
     assert(deep.getBoolean(5) && deep.getString(7) == "Pq.retain")
-    Pq.retain(p, keep = 2) // floor -> 3: live versions 5 - 3 = 2 <= 3
+    Pq.retain(p, keep = 2) // floor -> 4: live v4..v5 = 2 publications <= 3
     val ok = row("p", Seq(Probe("p", "pq", p)))
     assert(!ok.getBoolean(5) && ok.getBoolean(6) && ok.getString(7) == "")
+  }
+
+  private def healRow(name: String, probes: Seq[Probe], apply: Boolean) =
+    StageAdmin.heal(spark, probes, apply).collect()
+      .map(r => r.getString(0) -> r).toMap.apply(name)
+
+  test("heal dry-run plans the prescribed actions and executes NOTHING") {
+    val p = java.nio.file.Files.createTempDirectory("graft_sa_dry").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 64), "vec_id", "embedding",
+      p, nlist = 8, dim = 64)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(p, "_APPENDING"))
+    val r = healRow("d", Seq(Probe("d", "ivf", p)), apply = false)
+    assert(r.getString(2) == "IvfIndex.recover" && !r.getBoolean(3))
+    // nothing ran: the stage is still torn
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p, "_APPENDING")))
+    assert(!r.getBoolean(7) && r.getString(8) == "IvfIndex.recover")
+  }
+
+  test("heal apply: torn index recovers, stale lock clears, debt " +
+      "compacts, PQ retains, missing stays build — then all-clean") {
+    import graft.operators.{Dedup, Pq}
+    val base = java.nio.file.Files.createTempDirectory("graft_sa_heal")
+    val torn = base.resolve("torn").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 64), "vec_id", "embedding",
+      torn, nlist = 8, dim = 64)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(torn, "_APPENDING"))
+    val locked = base.resolve("locked").toString
+    VectorStore.write(emb.filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("embedding")), col("embedding"), locked)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(locked, "_WRITER_LOCK"))
+    val stale = base.resolve("stale").toString
+    Retrieval.stagePostings(docs.filter(col("doc_id") % 3 === 1),
+      col("doc_id"), col("text"), stale)
+    Retrieval.appendPostings(docs.filter(col("doc_id") % 3 === 2),
+      col("doc_id"), col("text"), stale)
+    Retrieval.appendPostings(docs.filter(col("doc_id") % 3 === 0),
+      col("doc_id"), col("text"), stale)
+    val pq = base.resolve("pq").toString
+    val pqEmb = emb.filter(col("vec_id") < 64)
+    (1 to 5).foreach(_ => Pq.republish(pqEmb, col("vec_id"),
+      col("embedding"), m = 4, subDim = 16, k = 4, iters = 1, path = pq))
+    val probes = Seq(Probe("torn", "ivf", torn),
+      Probe("locked", "vector_store", locked),
+      Probe("stale", "postings", stale), Probe("pq", "pq", pq),
+      Probe("missing", "postings", base.resolve("nope").toString))
+    val rs = StageAdmin.heal(spark, probes, apply = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rs("torn").getString(2) == "IvfIndex.recover" &&
+      rs("torn").getBoolean(3) && rs("torn").getBoolean(7))
+    assert(rs("locked").getString(2) == "VectorStore.recover" &&
+      rs("locked").getBoolean(3) && rs("locked").getBoolean(7))
+    assert(rs("stale").getString(2) == "compact" &&
+      rs("stale").getBoolean(3) && !rs("stale").getBoolean(6))
+    assert(rs("pq").getString(2) == "Pq.retain" &&
+      rs("pq").getBoolean(3) && !rs("pq").getBoolean(6))
+    // Pq.retain kept floor(threshold)=3 publications: floor 3, live v3..v5
+    assert(Pq.retentionFloor(pq) == 3L && Pq.currentVersion(pq) == 5L)
+    assert(rs("missing").getString(2) == "build" &&
+      !rs("missing").getBoolean(3) && rs("missing").getString(8) == "build")
+    rs.values.foreach(r => assert(r.getString(4) == ""))
+    // a second apply finds nothing executable (idempotent fleet)
+    val again = StageAdmin.heal(spark, probes, apply = true).collect()
+    assert(again.forall(!_.getBoolean(3)))
+  }
+
+  test("heal two-pass: a stage both torn AND past its debt threshold " +
+      "recovers first, then compacts the debt the re-probe reveals") {
+    val p = java.nio.file.Files.createTempDirectory("graft_sa_2p")
+      .resolve("s").toString
+    Retrieval.stagePostings(docs.filter(col("doc_id") % 3 === 1),
+      col("doc_id"), col("text"), p)
+    Retrieval.appendPostings(docs.filter(col("doc_id") % 3 === 2),
+      col("doc_id"), col("text"), p)
+    Retrieval.appendPostings(docs.filter(col("doc_id") % 3 === 0),
+      col("doc_id"), col("text"), p)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_APPENDING"))
+    // prescription is recover (debt probes refuse torn stages) …
+    assert(row("s", Seq(Probe("s", "postings", p)))
+      .getString(7) == "Retrieval.recoverPostings")
+    val r = healRow("s", Seq(Probe("s", "postings", p)), apply = true)
+    // … and apply chains the revealed compaction in pass 2
+    assert(r.getString(2) == "Retrieval.recoverPostings+compact")
+    assert(r.getBoolean(7) && !r.getBoolean(6) && r.getString(8) == "")
+  }
+
+  test("heal refuses to steal a LIVE writer's lock: the refusal is an " +
+      "error row, the lock survives") {
+    val p = java.nio.file.Files.createTempDirectory("graft_sa_live")
+      .resolve("s").toString
+    VectorStore.write(emb.filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("embedding")), col("embedding"), p)
+    // a lock held by THIS (live) process must not be cleared
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p, "_WRITER_LOCK"),
+      s"${ProcessHandle.current.pid}@test")
+    val r = healRow("s", Seq(Probe("s", "vector_store", p)), apply = true)
+    assert(!r.getBoolean(3) && r.getString(4).contains("LIVE"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p, "_WRITER_LOCK")))
+    assert(!r.getBoolean(7) && r.getString(8) == "VectorStore.recover")
   }
 
   test("a missing stage reports build; a fresh one reports nothing") {
