@@ -90,8 +90,31 @@ object IvfIndex {
       org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("ib",
       org.apache.spark.sql.types.IntegerType)))
-  private def idsRel(spark: SparkSession, path: String): DataFrame =
+  /** Sidecar format marker: v2 = (id, cell, ib). A sidecar written
+    * before the ib bucket column existed would read as all-null ib
+    * under the declared schema — every stored id then INVISIBLE to the
+    * bucket-pruned admission anti-join, i.e. silent re-admission
+    * duplicates. Backward compat is a one-time MIGRATION, not a
+    * refusal: the sidecar is derivable whole from the cells relation
+    * (cf. GraphAnnIndex's `_IDS_V2` rebuild-from-nodes), so an old
+    * index upgrades on first maintenance touch and serves identically.
+    */
+  private def idsMarker(path: String) =
+    java.nio.file.Paths.get(path, "ids", "_IDS_V2")
+
+  private def idsRel(spark: SparkSession, path: String): DataFrame = {
+    if (!java.nio.file.Files.exists(idsMarker(path))) {
+      val m = readMeta(path)
+      val rebuilt = cellsRel(spark, path)
+        .select(col(m.idName).cast("long").as("id"), col("cell"))
+        .withColumn("ib", ibCol(col("id")))
+      graft.tables.Staging.deleteRec(s"$path/ids")
+      rebuilt.repartition(col("ib"))
+        .write.mode("overwrite").partitionBy("ib").parquet(s"$path/ids")
+      java.nio.file.Files.createFile(idsMarker(path))
+    }
     spark.read.schema(IdsSchema).parquet(s"$path/ids")
+  }
 
   /** The cells relation read with the schema RECORDED AT BUILD TIME
     * (`_IVF_SCHEMA`, caller columns + cell): schema inference opens an
@@ -142,6 +165,7 @@ object IvfIndex {
       .withColumn("ib", ibCol(col("id")))
       .repartition(col("ib"))
       .write.mode("overwrite").partitionBy("ib").parquet(s"$path/ids")
+    java.nio.file.Files.createFile(idsMarker(path))
     writeMeta(path, Meta(nlist, dim, idName, vecName))
   }
 
@@ -321,9 +345,18 @@ object IvfIndex {
     * Output: (q_id, rn, <id>, cell, distance) — per-query identical to
     * N single probes + re-ranks (QuantizeIvfSpec asserts it;
     * q_ivf_probe_batch hash-checks the per-query replay).
+    *
+    * BOUNDED-PLAN GUARD (cf. Retrieval.bm25BatchFromStage): the probed
+    * cell union is ≤ nlist whatever the batch size, but a production
+    * nlist is tens of thousands — past `pruneLiteralLimit` probed cells
+    * the isin literal list is dropped and pruning rides the broadcast
+    * cell equi-join itself (dynamic partition pruning on the `cell`
+    * partition key; the join was always the routing semantics), keeping
+    * the plan constant-size at any batch size, identical rows.
     */
   def probeBatch(spark: SparkSession, path: String, queries: DataFrame,
-                 k: Int, nprobe: Int): DataFrame = {
+                 k: Int, nprobe: Int,
+                 pruneLiteralLimit: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val m = readMeta(path)
@@ -340,7 +373,8 @@ object IvfIndex {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("distance").asc, col(m.idName).asc)
     val base = cellsRel(spark, path)
-      .filter(col("cell").isin(cells: _*))
+      .filter(if (cells.size <= pruneLiteralLimit)
+        col("cell").isin(cells: _*) else lit(true))
       .join(broadcast(route), Seq("cell"))
       .withColumn("distance",
         graft.functions.VectorFunctions.l2(col(m.vecName), col("q_vec")))

@@ -609,10 +609,18 @@ object VectorStore {
     * driver-computed probes) lands as an isin partition filter on the
     * scan; the broadcast probe equi-join then carries each row's query
     * vector for the distance.
+    *
+    * BOUNDED-PLAN GUARD (cf. Retrieval.bm25BatchFromStage): at a
+    * production numPlanes the bucket space is tens of thousands — past
+    * `pruneLiteralLimit` probed buckets the isin literal list is
+    * dropped and pruning rides the broadcast bucket equi-join itself
+    * (dynamic partition pruning on the `bucket` partition key), keeping
+    * the plan constant-size at any batch size, identical rows.
     */
   def queryL2Batch(spark: SparkSession, path: String, vecName: String,
                    idName: String, queries: DataFrame, k: Int,
-                   numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+                   numPlanes: Int = 4, dim: Int = 64,
+                   pruneLiteralLimit: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // own bucket + single-bit flips — the same mask set every probe
     // path derives (Ann.probeMasks; probesOf is its driver-side twin)
@@ -627,7 +635,8 @@ object VectorStore {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("distance").asc, col(idName).asc)
     spark.read.parquet(path)
-      .filter(col("bucket").isin(probed: _*))
+      .filter(if (probed.size <= pruneLiteralLimit)
+        col("bucket").isin(probed: _*) else lit(true))
       .join(broadcast(qprobes), "bucket")
       .withColumn("distance", l2(col(vecName), col("q_vec")))
       .withColumn("rn", row_number().over(w).cast("long"))

@@ -142,6 +142,26 @@ class QuantizeIvfSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("IvfIndex.probeBatch bounded-plan guard: past the literal limit " +
+      "the cell isin drops and routing rides the broadcast join — " +
+      "identical rows") {
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_bpg").toString
+    IvfIndex.build(emb, "vec_id", "embedding", p, nlist = 8, dim = 64)
+    val qs = (0 until 4).map(b => (b.toLong, QueryVec.shiftedValues(b)))
+      .toDF("q_id", "q_vec")
+    val stat = IvfIndex.probeBatch(spark, p, qs, k = 5, nprobe = 2)
+    val joined = IvfIndex.probeBatch(spark, p, qs, k = 5, nprobe = 2,
+      pruneLiteralLimit = 0)
+    val a = stat.collect().map(_.toString).sorted.toSeq
+    val b = joined.collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+    assert(stat.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [cell"),
+      "static path keeps the literal cell partition filter")
+  }
+
   test("IvfIndex.probeBatch ≡ N single probes + exact re-ranks; the " +
       "scan reads only the union of probed cell partitions") {
     import graft.operators.IvfIndex

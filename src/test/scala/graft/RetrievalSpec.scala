@@ -206,6 +206,43 @@ class RetrievalSpec extends SparkSpec {
       "batch must be row-identical to per-query staged BM25")
   }
 
+  test("bounded-plan guard: past the literal limit the tok filtering " +
+      "moves into the joins — identical rows, no vocabulary-sized isin " +
+      "in the plan") {
+    import spark.implicits._
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val stP = java.nio.file.Files.createTempDirectory("graft_bpg_p").toString
+    val stW = java.nio.file.Files.createTempDirectory("graft_bpg_w").toString
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), stP)
+    Retrieval.stageWindows(docs, col("doc_id"), col("text"), stW)
+    val queries = Seq("customer order for table part data",
+      "customer part data table", "order table data for", "part customer data")
+    val qs = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, q.split(" ").toSeq) }
+      .toDF("q_id", "terms")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // bm25: forced-join path ≡ static-literal path, and the semi-join
+    // plan embeds no term literal while the static plan does
+    val stat = Retrieval.bm25BatchFromStage(spark, stP, qs, k = 10)
+    val joined = Retrieval.bm25BatchFromStage(spark, stP, qs, k = 10,
+      pruneLiteralLimit = 0)
+    assert(rows(stat).nonEmpty && rows(stat) == rows(joined))
+    val statPlan = stat.queryExecution.executedPlan.toString
+    val joinPlan = joined.queryExecution.executedPlan.toString
+    assert(statPlan.contains("customer"),
+      "static path pushes term literals into the scan filter")
+    assert(!joinPlan.contains("customer"),
+      s"guarded path must embed NO term literal:\n$joinPlan")
+    // maxsim: same contract
+    val statM = Retrieval.maxSimBatchFromStage(spark, stW, qs, k = 10)
+    val joinM = Retrieval.maxSimBatchFromStage(spark, stW, qs, k = 10,
+      pruneLiteralLimit = 0)
+    assert(rows(statM).nonEmpty && rows(statM) == rows(joinM))
+    assert(!joinM.queryExecution.executedPlan.toString.contains(
+      "IN (customer"), "guarded MaxSim plan must embed no tok isin list")
+  }
+
   test("maxSimBatchFromStage: per-query rows ≡ N separate " +
       "maxSimPrunedFromStage calls") {
     import spark.implicits._

@@ -123,6 +123,25 @@ class ScaleLayoutSpec extends SparkSpec {
       "batch must be row-identical to per-query multi-probe")
   }
 
+  test("VectorStore queryL2Batch bounded-plan guard: past the literal " +
+      "limit the bucket isin drops and pruning rides the broadcast " +
+      "join — identical rows") {
+    import graft.operators.VectorStore
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_vs_bpg").toFile
+      .getAbsolutePath + "/store"
+    VectorStore.write(Tables.embeddings(spark, sf0001), col("embedding"), out)
+    val qs = (0 until 4).map(b => (b.toLong, QueryVec.shiftedValues(b)))
+      .toDF("q_id", "q_vec")
+    val stat = VectorStore.queryL2Batch(spark, out, "embedding", "vec_id",
+      qs, k = 5)
+    val joined = VectorStore.queryL2Batch(spark, out, "embedding", "vec_id",
+      qs, k = 5, pruneLiteralLimit = 0)
+    val a = stat.collect().map(_.toString).sorted.toSeq
+    val b = joined.collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("VectorStore append: idempotent on vec_id, pruning preserved, equals fresh write") {
     import graft.operators.VectorStore
     val out = Files.createTempDirectory("graft_vs_app").toFile.getAbsolutePath + "/store"
