@@ -46,8 +46,36 @@ object BatchedInference {
       texts.map(t => graft.expressions.HashEmbed.embed(t, dim))
   }
 
+  /** Enforce the [[BatchScorer]] OUTPUT contract on one batch's result:
+    * exactly one vector per input text (anything else would silently
+    * MISALIGN ids with vectors downstream — the zip truncates, it does
+    * not throw) and every vector at the declared dim (a wrong-dim
+    * vector poisons every fixed-width consumer: the store layout, the
+    * distance kernels, the PQ codebooks). A misbehaving model must die
+    * loudly at the seam, not corrupt quietly past it.
+    */
+  private def validated(vecs: Array[Array[Double]], nTexts: Int,
+                        dim: Int): Array[Array[Double]] = {
+    if (vecs.length != nTexts) throw new IllegalStateException(
+      s"scorer returned ${vecs.length} vectors for $nTexts texts — a " +
+        "model dropping or duplicating rows would silently misalign ids")
+    var i = 0
+    while (i < vecs.length) {
+      if (vecs(i) == null || vecs(i).length != dim)
+        throw new IllegalStateException(
+          s"scorer returned a ${if (vecs(i) == null) "null"
+            else vecs(i).length.toString}-dim vector at batch offset $i " +
+            s"— the declared dim is $dim")
+      i += 1
+    }
+    vecs
+  }
+
   /** (id, text) → (id, embedding) through `scorer`, one call per
     * ≤`batchSize` rows. Output column is `embedding` ARRAY<DOUBLE>.
+    * STRICT: a scorer violating the output contract (row count, dim)
+    * or throwing fails the task — use [[embedBatchedSafe]] when poison
+    * rows must be isolated instead of aborting the job.
     */
   def embedBatched(df: DataFrame, idName: String, textName: String,
                    scorer: BatchScorer, batchSize: Int = 256): DataFrame = {
@@ -58,12 +86,65 @@ object BatchedInference {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          val vecs = scorer.score(batch.iterator.map(_._2).toArray)
+          val vecs = validated(
+            scorer.score(batch.iterator.map(_._2).toArray),
+            batch.size, scorer.dim)
           batch.iterator.zip(vecs.iterator)
             .map { case ((id, _), v) => (id, v) }
         }
       }
       .toDF(idName, "embedding")
+  }
+
+  /** FAULT-ISOLATING variant of [[embedBatched]] — the seam contract a
+    * real model needs under real inputs: a batch whose scorer call
+    * throws (one poison row — an OOM-ing sequence, a tokenizer crash)
+    * is retried ONE ROW PER CALL, so errors surface PER-ROW, never
+    * per-partition: the poison row comes back as (id, null,
+    * embed_error) and every innocent row in its batch still embeds.
+    * Batch boundaries stay invisible in the results either way —
+    * q_embed_batched-family oracles hold at any batchSize. Output:
+    * (id, embedding, embed_error) with exactly one of the last two
+    * null per row. Contract violations (wrong row count / wrong dim)
+    * are isolated the same way: the strict [[validated]] check runs
+    * per call, so a batch-level violation bisects to the row(s) that
+    * caused it. Cost: the row-at-a-time retry is the inference
+    * anti-pattern by design — it prices the POISON rows only; healthy
+    * batches keep the one-call-per-batch shape.
+    */
+  def embedBatchedSafe(df: DataFrame, idName: String, textName: String,
+                       scorer: BatchScorer,
+                       batchSize: Int = 256): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be ≥ 1, got $batchSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idName).cast("long"), col(textName).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val texts = batch.iterator.map(_._2).toArray
+          val whole: Option[Array[Array[Double]]] =
+            try Some(validated(scorer.score(texts), texts.length,
+              scorer.dim))
+            catch { case _: Exception => None }
+          whole match {
+            case Some(vecs) =>
+              batch.iterator.zip(vecs.iterator)
+                .map { case ((id, _), v) => (id, v, null: String) }
+            case None => // bisect to rows: isolate the poison
+              batch.iterator.map { case (id, t) =>
+                try {
+                  val v = validated(scorer.score(Array(t)), 1, scorer.dim)
+                  (id, v(0), null: String)
+                } catch { case e: Exception =>
+                  (id, null: Array[Double],
+                    s"${e.getClass.getSimpleName}: ${e.getMessage}".take(200))
+                }
+              }
+          }
+        }
+      }
+      .toDF(idName, "embedding", "embed_error")
   }
 
   /** The batched PAIR-scorer contract — the cross-encoder boundary. A

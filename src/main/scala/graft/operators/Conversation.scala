@@ -231,10 +231,27 @@ object Conversation {
     * well-spread (every turn its own group) so the repartition has no
     * skew hazard.
     */
+  /** Deterministic broadcast decision for the terms ⋈ postings join:
+    * the terms side GROWS with the corpus (turns derive from docs —
+    * deriveTurns keeps every 5th doc), so at mid scales its estimated
+    * size sits exactly on AQE's broadcast threshold and the chosen
+    * strategy FLAPS run-to-run (measured: the ScaleBench ×10 decade ran
+    * 6.8–57 s on identical code — broadcast-hash on the fast runs,
+    * sort-merge on the slow). The builder knows the size law, so the
+    * decision is made HERE on a counted row bound, not left to
+    * estimate sampling: ≤ the bound broadcasts explicitly (hundreds of
+    * MB of headroom — terms rows are a conv_id/turn/tok tuple),
+    * above it the hint forces the shuffle join both sides need anyway.
+    */
+  private val BroadcastTermsMaxRows = 400000L
+
   private def scoreTerms(terms: DataFrame, plist: DataFrame,
                          dfreq: DataFrame, k: Int): DataFrame = {
+    val t = terms.localCheckpoint() // feeds the row count AND the join
+    val termsSide =
+      if (t.count() <= BroadcastTermsMaxRows) broadcast(t) else t.hint("shuffle_merge")
     val scored = plist.join(broadcast(dfreq), "tok")
-      .join(terms, "tok")
+      .join(termsSide, "tok")
       .repartition(col("conv_id"), col("turn_no"))
       .groupBy(col("conv_id"), col("turn_no"), col("is_followup"), col("doc_id"))
       .agg(sum(col("tf") * col("idf_fp")).as("score_fp"))

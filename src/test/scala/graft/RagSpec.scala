@@ -51,6 +51,71 @@ class RagSpec extends SparkSpec {
       "batched inference must stay one narrow stage")
   }
 
+  test("model seam under failure modes: poison rows isolate per-row, " +
+      "dim/count contract violations die loudly, batch boundaries stay " +
+      "invisible") {
+    import spark.implicits._
+    import graft.operators.BatchedInference
+    import graft.operators.BatchedInference.BatchScorer
+    // a scorer with a real model's failure surface: throws on a poison
+    // text, returns a wrong-dim vector on another, variable per-batch
+    // latency on the rest (latency must be invisible in results)
+    class FlakyScorer(val dim: Int) extends BatchScorer {
+      def score(texts: Array[String]): Array[Array[Double]] = {
+        if (texts.exists(_.contains("POISON")))
+          throw new RuntimeException("tokenizer exploded")
+        Thread.sleep(texts.length % 3) // variable batch latency
+        texts.map {
+          case t if t.contains("BADDIM") => Array(1.0, 2.0) // wrong dim
+          case t => graft.expressions.HashEmbed.embed(t, dim)
+        }
+      }
+    }
+    val rows = (0L until 40L).map { i =>
+      (i, if (i == 17L) s"POISON doc $i"
+          else if (i == 23L) s"BADDIM doc $i"
+          else s"plain document number $i about customers")
+    }
+    val df = rows.toDF("doc_id", "text").repartition(3)
+    def safe(bs: Int) = BatchedInference.embedBatchedSafe(df, "doc_id",
+        "text", new FlakyScorer(64), batchSize = bs)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getSeq[Double](1)).map(_.toVector),
+        Option(r.getString(2)))).sortBy(_._1).toVector
+    val got = safe(7)
+    assert(got.length == 40, "every input row must come back exactly once")
+    // errors are PER-ROW: only the poison and bad-dim rows carry one
+    val errs = got.filter(_._3.nonEmpty).map(x => (x._1, x._3.get))
+    assert(errs.map(_._1) == Vector(17L, 23L), s"wrong error rows: $errs")
+    assert(errs.exists(_._2.contains("tokenizer exploded")))
+    assert(errs.exists(_._2.contains("2-dim vector")))
+    // every innocent row — including the poison rows' batch-mates — is
+    // bit-identical to the expression path
+    got.filter(_._3.isEmpty).foreach { case (id, vec, _) =>
+      assert(vec.get == graft.expressions.HashEmbed
+        .embed(rows(id.toInt)._2, 64).toVector, s"row $id drifted")
+    }
+    // batch boundaries invisible: any batchSize gives the same relation
+    assert(safe(3) == got && safe(64) == got)
+    // the STRICT path dies loudly, naming the contract breach
+    val eDim = intercept[org.apache.spark.SparkException] {
+      BatchedInference.embedBatched(df.filter(col("doc_id") =!= 17),
+        "doc_id", "text", new FlakyScorer(64), batchSize = 7).collect()
+    }
+    assert(eDim.getMessage.contains("2-dim vector"))
+    // a scorer that DROPS a row (count mismatch → silent id
+    // misalignment without the check) is refused by name
+    class DroppingScorer(val dim: Int) extends BatchScorer {
+      def score(texts: Array[String]): Array[Array[Double]] =
+        texts.drop(1).map(graft.expressions.HashEmbed.embed(_, dim))
+    }
+    val eCnt = intercept[org.apache.spark.SparkException] {
+      BatchedInference.embedBatched(df, "doc_id", "text",
+        new DroppingScorer(64), batchSize = 7).collect()
+    }
+    assert(eCnt.getMessage.contains("misalign"))
+  }
+
   test("ragQuery takes advisory path for niche_advice intent (rag.py:187-191)") {
     import graft.tables.Tables
     val corpus = Rag.embedCorpus(Tables.documents(spark, sf0001), col("text"))
