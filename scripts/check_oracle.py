@@ -135,7 +135,10 @@ def main(sf_dir, out_dir, json_out=None):
     if not oracle:
         print("FAIL: oracle_sql.json is EMPTY — refusing to report green")
         return 1
-    names = sorted(oracle.keys())
+    # preserve the file's key order — Verify writes it cheapest-first so
+    # a dying checker still reports a maximal prefix (json.load keeps
+    # insertion order)
+    names = list(oracle.keys())
     chunks = [names[i:i + CHUNK] for i in range(0, len(names), CHUNK)]
 
     def run_chunk(chunk_names):
@@ -186,11 +189,36 @@ def main(sf_dir, out_dir, json_out=None):
             n_fail += 1
     print(f"== {n_ok} ok / {n_fail} fail ==")
     if json_out:
+        # Primary artifact in the DRIVER'S exact per-query schema (cf.
+        # CORRECTNESS_r10.json) so the self-gate and the driver artifact
+        # are directly diffable; the internal statuses ride in `err`.
         with open(json_out, "w") as f:
+            json.dump({n: driver_schema(results[n]) for n in names},
+                      f, indent=1, sort_keys=True)
+        # Detail sibling keeps the summary counts + raw statuses.
+        detail = json_out + ".detail.json"
+        with open(detail, "w") as f:
             json.dump({"n_ok": n_ok, "n_fail": n_fail, "sf_dir": sf_dir,
                        "queries": results}, f, indent=1, sort_keys=True)
-        print(f"wrote {json_out}")
+        print(f"wrote {json_out} (driver schema) + {detail}")
     return 1 if n_fail else 0
+
+def driver_schema(r):
+    """Map an internal check result onto the driver artifact's per-query
+    shape: {rows_match, schema_match, hash_match, spark_rows,
+    oracle_rows, err} — err is None exactly when everything matched."""
+    s = r.get("status")
+    if s == "ok":
+        return {"rows_match": True, "schema_match": True,
+                "hash_match": True, "spark_rows": r["rows"],
+                "oracle_rows": r["rows"], "err": None}
+    schema_ok = s not in ("cols_mismatch", "type_mismatch", "dup_cols")
+    rows_ok = schema_ok and s != "rows_mismatch" and s != "error"
+    return {"rows_match": rows_ok, "schema_match": schema_ok and s != "error",
+            "hash_match": False,
+            "spark_rows": r.get("spark_rows"),
+            "oracle_rows": r.get("oracle_rows"),
+            "err": fail_line("", r)[6:]}
 
 def _close(x, y):
     if isinstance(x, float) and isinstance(y, float):
