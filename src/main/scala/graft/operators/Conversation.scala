@@ -239,20 +239,40 @@ object Conversation {
     * 6.8–57 s on identical code — broadcast-hash on the fast runs,
     * sort-merge on the slow). The builder knows the size law, so the
     * decision is made HERE on a counted row bound, not left to
-    * estimate sampling: ≤ the bound broadcasts explicitly (hundreds of
-    * MB of headroom — terms rows are a conv_id/turn/tok tuple),
-    * above it the hint forces the shuffle join both sides need anyway.
+    * estimate sampling: ≤ the bound broadcasts explicitly, above it the
+    * hint forces the shuffle join. The bound is set from BROADCAST
+    * CAPACITY, not the optimizer's default 10 MB threshold: a terms row
+    * is a compact (conv_id, turn_no, is_followup, tok) tuple (~50 B —
+    * 4M rows ≈ 200 MB, well inside executor memory), and the join key
+    * is VOCABULARY-bounded (~1k distinct tokens in corpus text), so the
+    * shuffle path concentrates thousands of terms rows per key on top
+    * of the per-token posting groups — skew the broadcast-hash plan
+    * never sees (measured: forcing shuffle-merge at the ScaleBench ×100
+    * decade, 800k terms rows, ran 230 s vs ~15 s broadcast).
     */
-  private val BroadcastTermsMaxRows = 400000L
+  private val BroadcastTermsMaxRows = 4000000L
 
   private def scoreTerms(terms: DataFrame, plist: DataFrame,
                          dfreq: DataFrame, k: Int): DataFrame = {
     val t = terms.localCheckpoint() // feeds the row count AND the join
+    val nTerms = t.count()
     val termsSide =
-      if (t.count() <= BroadcastTermsMaxRows) broadcast(t) else t.hint("shuffle_merge")
+      if (nTerms <= BroadcastTermsMaxRows) broadcast(t)
+      else t.hint("shuffle_merge")
+    // the scoring shuffle's width scales with the batch: the join emits
+    // up to |terms| × maxPostings candidate rows through this ONE
+    // exchange (it serves the aggregation AND the top-k window), and a
+    // fixed default width makes each task sort a 10×-decade more rows
+    // until it spills — super-linear wall-clock on linear work
+    // (measured: the ×100 ScaleBench decade at 32 fixed partitions ran
+    // 213 s; the width below keeps per-task sorts memory-resident).
+    // ~2k terms rows per partition ⇒ a few M joined rows per task.
+    val width = math.max(
+      t.sparkSession.sessionState.conf.numShufflePartitions,
+      math.min(2048L, nTerms / 2000L).toInt)
     val scored = plist.join(broadcast(dfreq), "tok")
       .join(termsSide, "tok")
-      .repartition(col("conv_id"), col("turn_no"))
+      .repartition(width, col("conv_id"), col("turn_no"))
       .groupBy(col("conv_id"), col("turn_no"), col("is_followup"), col("doc_id"))
       .agg(sum(col("tf") * col("idf_fp")).as("score_fp"))
     val w = Window.partitionBy(col("conv_id"), col("turn_no"))

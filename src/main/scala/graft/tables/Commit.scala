@@ -93,20 +93,35 @@ object Commit {
         "crashed mid-apply or is still running; run Commit.recover first")
     val stg = stageDir(root)
     Staging.deleteRec(stg)
-    ops.zipWithIndex.foreach { case (op, i) =>
-      op.rows.repartition(col(op.partCol)) // one file per partition —
-        // the small-files guard every partitioned stage write applies
-        .write.mode("overwrite").partitionBy(op.partCol).parquet(s"$stg/$i")
-      op match {
-        case Replace(_, pc, affected, _) =>
-          // explicit empty dir for every affected partition the rewrite
-          // emptied — swapping it in is how a partition is erased
-          affected.foreach { p =>
-            val d = Paths.get(s"$stg/$i", s"$pc=$p")
-            if (!Files.exists(d)) Files.createDirectories(d)
-          }
-        case _ => ()
-      }
+    // the STAGE writes run CONCURRENTLY: each op stages into its own
+    // `$stg/$i` and only READS live directories (nothing live is touched
+    // until the post-intent apply), so overlap changes wall-clock, never
+    // the protocol — at micro-batch sizes each write is mostly fixed
+    // per-job cost, and a 2-3-op commit was paying it sequentially on
+    // every streaming-drain batch. First failure rethrows after all
+    // writes settle (a quiesced stage dir for the caller's rollback).
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val staged = ops.zipWithIndex.map { case (op, i) => Future {
+        op.rows.repartition(col(op.partCol)) // one file per partition —
+          // the small-files guard every partitioned stage write applies
+          .write.mode("overwrite").partitionBy(op.partCol).parquet(s"$stg/$i")
+        op match {
+          case Replace(_, pc, affected, _) =>
+            // explicit empty dir for every affected partition the rewrite
+            // emptied — swapping it in is how a partition is erased
+            affected.foreach { p =>
+              val d = Paths.get(s"$stg/$i", s"$pc=$p")
+              if (!Files.exists(d)) Files.createDirectories(d)
+            }
+          case _ => ()
+        }
+      }}
+      val settled = staged.map(f =>
+        scala.util.Try(Await.result(f, Duration.Inf)))
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
     }
     val lines = "v1" +: ops.zipWithIndex.map { case (op, i) =>
       val mode = op match { case _: Replace => "replace"; case _: Add => "add" }
