@@ -3700,6 +3700,27 @@ object SparkEntry {
           col("val"))
     }),
 
+    // The M2 GENERATION seam as an engine operator (reference
+    // rag.py:126-166 — one POST per composed prompt to an external
+    // LLM): prompts composed by the engine's own template stage
+    // (Rag.promptOf over each doc as its context) routed through
+    // BatchedInference.generateBatched — one generator call per
+    // ≤batchSize prompts, the batching a real LLM client needs. The
+    // stand-in generator is deterministic string arithmetic on the
+    // prompt (extractive first-context-line answer), so the oracle
+    // replays the batched generation path exactly; a real client slots
+    // in behind the same trait with zero plan change.
+    "q_generate_batched" -> ((s, dir) => {
+      val prompts = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Rag.promptOf(col("text"), RagQuery).as("prompt"))
+      graft.operators.BatchedInference.generateBatched(
+          prompts, "doc_id", "prompt",
+          new graft.operators.BatchedInference.ExtractiveGenerator(80),
+          batchSize = 16)
+        .select(col("doc_id"), col("completion"))
+    }),
+
     // E3 retrieval (rag.py:65-90): embed query + corpus, exact KNN, join
     // back to metadata (the join the reference denormalizes away).
     "q_rag_topk" -> ((s, dir) => {
@@ -8706,6 +8727,19 @@ object SparkEntry {
         s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)}
            |SELECT id AS doc_id, i AS pos, emb[CAST(i AS INTEGER)] AS val
            |FROM d_emb, range(1, 65) t(i) ORDER BY doc_id, pos""".stripMargin,
+
+      // the batched generation seam: the stand-in generator is pure
+      // string arithmetic on the M2 prompt (extractive first-context-
+      // line answer), replayed verbatim — prompt template from the
+      // engine's own promptOf stage, so the replay covers both
+      "q_generate_batched" ->
+        """SELECT doc_id,
+          |  'A: ' || substr(split_part(
+          |    split_part('Context:' || chr(10) || text || chr(10) ||
+          |               chr(10) || 'Question: customer order for table part data',
+          |               'Context:' || chr(10), 2),
+          |    chr(10), 1), 1, 80) AS completion
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_rag_topk" ->
         s"""WITH ${OracleGen.embedCte("d", "documents", "doc_id", "text", 64)},

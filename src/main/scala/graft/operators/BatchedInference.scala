@@ -147,6 +147,69 @@ object BatchedInference {
       .toDF(idName, "embedding", "embed_error")
   }
 
+  /** The batched GENERATION contract — the M2 boundary (reference
+    * `rag.py:126-166`: one POST per composed prompt to an external
+    * LLM). The engine owns everything up to and after this seam —
+    * context assembly, the prompt template (Rag.promptOf), JSON
+    * response shaping (Rag.shapeResponse) — and a real LLM client
+    * (HTTP batch endpoint, local llama.cpp, ONNX decoder) slots in
+    * behind this trait with zero plan change: one call per ≤batchSize
+    * prompts, same batching rationale as [[BatchScorer]] (per-prompt
+    * calls are the N+1 serving shape; batch amortizes connection /
+    * weight access / KV-cache setup).
+    */
+  trait Generator extends Serializable {
+    /** One completion per prompt, same order. */
+    def generate(prompts: Array[String]): Array[String]
+  }
+
+  /** Deterministic stand-in generator: an EXTRACTIVE answer — the first
+    * context line of the M2 prompt template ("Context:\n{context}\n\n
+    * Question: {query}"), truncated to `maxChars`, prefixed "A: ". Pure
+    * string arithmetic on the prompt, so the DuckDB oracle replays the
+    * batched generation path exactly (q_generate_batched) — the
+    * generation twin of [[HashEmbedScorer]].
+    */
+  final class ExtractiveGenerator(maxChars: Int = 80) extends Generator {
+    def generate(prompts: Array[String]): Array[String] =
+      prompts.map { p =>
+        val body = p.indexOf("Context:\n") match {
+          case -1 => p
+          case i => p.substring(i + "Context:\n".length)
+        }
+        "A: " + body.takeWhile(_ != '\n').take(maxChars)
+      }
+  }
+
+  /** (id, prompt) → (id, completion) through `gen`, one call per
+    * ≤`batchSize` prompts — the M2 generation stage as an engine
+    * operator. STRICT on the output contract (exactly one completion
+    * per prompt — a generator dropping or duplicating rows would
+    * silently misalign ids, cf. [[validated]]); a generator that throws
+    * fails the task. Narrow stage: no shuffle, batch memory bounded,
+    * parallelism = input partitions.
+    */
+  def generateBatched(df: DataFrame, idName: String, promptName: String,
+                      gen: Generator, batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be ≥ 1, got $batchSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idName).cast("long"), col(promptName).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val outs = gen.generate(batch.iterator.map(_._2).toArray)
+          if (outs.length != batch.size) throw new IllegalStateException(
+            s"generator returned ${outs.length} completions for " +
+              s"${batch.size} prompts — a model dropping or duplicating " +
+              "rows would silently misalign ids")
+          batch.iterator.zip(outs.iterator)
+            .map { case ((id, _), o) => (id, o) }
+        }
+      }
+      .toDF(idName, "completion")
+  }
+
   /** The batched PAIR-scorer contract — the cross-encoder boundary. A
     * cross-encoder reads query and document JOINTLY (one forward pass
     * per pair), which is why it reranks better than any bi-encoder dot

@@ -116,6 +116,35 @@ class RagSpec extends SparkSpec {
     assert(eCnt.getMessage.contains("misalign"))
   }
 
+  test("generateBatched: batch boundaries invisible, dropped-completion " +
+      "contract violation dies loudly") {
+    import spark.implicits._
+    import graft.operators.BatchedInference
+    import graft.operators.BatchedInference.{ExtractiveGenerator, Generator}
+    val prompts = (0L until 23L).map(i =>
+      (i, s"Context:\ndoc body $i about customers\nmore\n\nQuestion: q"))
+      .toDF("id", "prompt").repartition(2)
+    def run(bs: Int) = BatchedInference.generateBatched(prompts, "id",
+        "prompt", new ExtractiveGenerator(80), batchSize = bs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toVector
+    val got = run(4)
+    assert(got.length == 23)
+    got.foreach { case (id, c) =>
+      assert(c == s"A: doc body $id about customers", s"row $id: $c")
+    }
+    assert(run(1) == got && run(64) == got,
+      "any batchSize must give the same relation")
+    class Dropping extends Generator {
+      def generate(ps: Array[String]): Array[String] =
+        ps.drop(1).map(_ => "x")
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      BatchedInference.generateBatched(prompts, "id", "prompt",
+        new Dropping, batchSize = 4).collect()
+    }
+    assert(e.getMessage.contains("misalign"))
+  }
+
   test("ragQuery takes advisory path for niche_advice intent (rag.py:187-191)") {
     import graft.tables.Tables
     val corpus = Rag.embedCorpus(Tables.documents(spark, sf0001), col("text"))
