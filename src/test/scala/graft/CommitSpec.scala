@@ -40,6 +40,31 @@ class CommitSpec extends SparkSpec {
       java.nio.file.Paths.get(root, "_COMMIT_STAGE")))
   }
 
+  test("commit: a failing op among CONCURRENT staging writes leaves " +
+      "live relations untouched and no intent — the op never happened") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cmtf").toString
+    mkRel(root, "a", Seq((1L, 0), (2L, 1)))
+    mkRel(root, "b", Seq((10L, 0)))
+    val boom = udf((v: Long) =>
+      if (v == 99L) throw new RuntimeException("staging boom") else v)
+    val e = intercept[Exception] {
+      Commit.commit(root, Seq(
+        Commit.Replace("a", "p", Seq(0, 1), Seq((20L, 0)).toDF("v", "p")),
+        Commit.Add("b", "p", Seq((99L, 0)).toDF("v", "p")
+          .select(boom(col("v")).as("v"), col("p")))))
+    }
+    assert(e.getMessage != null)
+    // every write settled before the rethrow: live dirs exactly as
+    // before, no _COMMIT intent, and recover() discards the orphan stage
+    assert(readRel(root, "a") == Set((1L, 0), (2L, 1)))
+    assert(readRel(root, "b") == Set((10L, 0)))
+    assert(!Commit.pending(root))
+    Commit.recover(root)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_COMMIT_STAGE")))
+    assert(readRel(root, "a") == Set((1L, 0), (2L, 1)))
+  }
+
   test("recover: a logged commit rolls FORWARD (stage certified by the " +
       "intent), idempotently, even from a partially applied state") {
     val root = java.nio.file.Files.createTempDirectory("graft_cmt_rf").toString
