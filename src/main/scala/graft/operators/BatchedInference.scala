@@ -147,6 +147,101 @@ object BatchedInference {
       .toDF(idName, "embedding", "embed_error")
   }
 
+  /** An ONNX-RUNTIME-SHAPED scorer: the full lifecycle and compute
+    * shape of a MiniLM-family sentence encoder behind ONNX Runtime
+    * (reference `rag.py:27,49` — SentenceTransformer.encode), with the
+    * runtime itself replaced by deterministic arithmetic. What it
+    * proves about the seam, beyond [[HashEmbedScorer]]'s plumbing:
+    *
+    *  - WEIGHTS LOAD ONCE PER EXECUTOR, in the JVM-level
+    *    [[OnnxShapedScorer.sessions]] cache — NOT a per-instance
+    *    `@transient lazy val`, which re-initializes on every task's
+    *    deserialized closure copy (the classic seam trap: a 90 MB model
+    *    re-loaded per task). RagSpec asserts exactly one init across a
+    *    multi-partition, multi-batch run.
+    *  - The per-call shape is a real encoder's: tokenize → pad/truncate
+    *    to `maxSeqLen` int ids → ONE batched pass over the embedding
+    *    matrix → mean-pool non-pad positions → L2 normalize. Swapping
+    *    the pass body for `session.run(inputIds, attentionMask)` is the
+    *    whole integration.
+    *
+    * Deterministic (hash-derived weights), so results are reproducible
+    * and batch-size-invariant — but NOT SQL-replayable cheaply; the
+    * oracle-checked path stays [[HashEmbedScorer]]. This class is the
+    * day-one template a real user copies.
+    */
+  final class OnnxShapedScorer(val dim: Int = 64, maxSeqLen: Int = 32,
+                               vocabSize: Int = 4096) extends BatchScorer {
+    private def session: Array[Array[Double]] =
+      OnnxShapedScorer.sessionFor(dim, vocabSize)
+
+    private def tokenIds(text: String): Array[Int] = {
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      val ids = toks.iterator.take(maxSeqLen).map { t =>
+        math.floorMod(scala.util.hashing.MurmurHash3.stringHash(t, 42),
+          vocabSize - 1) + 1 // 0 is the pad id
+      }.toArray
+      ids ++ Array.fill(maxSeqLen - ids.length)(0)
+    }
+
+    def score(texts: Array[String]): Array[Array[Double]] = {
+      val w = session // one cache hit per call; one BUILD per executor
+      texts.map { t =>
+        val ids = tokenIds(t)
+        val out = new Array[Double](dim)
+        var n = 0
+        var i = 0
+        while (i < ids.length) { // the "batched pass": gather + mean-pool
+          if (ids(i) != 0) {
+            val row = w(ids(i))
+            var j = 0
+            while (j < dim) { out(j) += row(j); j += 1 }
+            n += 1
+          }
+          i += 1
+        }
+        if (n > 0) { var j = 0; while (j < dim) { out(j) /= n; j += 1 } }
+        var norm = 0.0
+        var j = 0
+        while (j < dim) { norm += out(j) * out(j); j += 1 }
+        if (norm > 0) {
+          val inv = 1.0 / math.sqrt(norm)
+          j = 0
+          while (j < dim) { out(j) *= inv; j += 1 }
+        }
+        out
+      }
+    }
+  }
+
+  object OnnxShapedScorer {
+    /** Executor-wide session cache — the JVM singleton a real ONNX
+      * `OrtSession` belongs in (keyed by model identity). A plain
+      * `@transient lazy val` on the scorer instance is WRONG at this
+      * seam: every task deserializes its own closure copy and would
+      * rebuild the "weights" per task.
+      */
+    private val sessions =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int),
+        Array[Array[Double]]]()
+
+    /** Builds observable for the lifecycle spec. */
+    val initCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    private def sessionFor(dim: Int, vocabSize: Int): Array[Array[Double]] =
+      sessions.computeIfAbsent((dim, vocabSize), { _ =>
+        initCount.incrementAndGet()
+        Array.tabulate(vocabSize) { t =>
+          Array.tabulate(dim) { j =>
+            val h = scala.util.hashing.MurmurHash3
+              .productHash((t, j), 1337)
+            math.floorMod(h, 2000) / 1000.0 - 1.0
+          }
+        }
+      })
+  }
+
   /** The batched GENERATION contract — the M2 boundary (reference
     * `rag.py:126-166`: one POST per composed prompt to an external
     * LLM). The engine owns everything up to and after this seam —

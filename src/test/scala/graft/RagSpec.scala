@@ -116,6 +116,33 @@ class RagSpec extends SparkSpec {
     assert(eCnt.getMessage.contains("misalign"))
   }
 
+  test("OnnxShapedScorer: weights build ONCE per executor JVM across a " +
+      "multi-partition multi-batch run; output unit-norm, batch-size " +
+      "invariant") {
+    import graft.operators.BatchedInference
+    import graft.operators.BatchedInference.OnnxShapedScorer
+    val docs = graft.tables.Tables.documents(spark, sf0001).repartition(8)
+    BatchedInference.OnnxShapedScorer.initCount.set(0)
+    def run(bs: Int) = BatchedInference.embedBatched(docs, "doc_id",
+        "text", new OnnxShapedScorer(64), batchSize = bs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val a = run(7)
+    assert(a.nonEmpty)
+    // 8 partitions × many batches × a fresh scorer instance per run —
+    // the JVM-level session cache must have built the weights exactly
+    // once (a per-instance lazy val would rebuild per task closure)
+    assert(BatchedInference.OnnxShapedScorer.initCount.get() == 1,
+      s"weights built ${BatchedInference.OnnxShapedScorer.initCount.get()}×")
+    val b = run(64)
+    assert(b == a, "batch size must be invisible in results")
+    assert(BatchedInference.OnnxShapedScorer.initCount.get() == 1)
+    a.values.foreach { v =>
+      val norm = v.map(x => x * x).sum
+      assert(norm == 0.0 || math.abs(norm - 1.0) < 1e-9,
+        s"encoder output must be L2-normalized, got $norm")
+    }
+  }
+
   test("generateBatched: batch boundaries invisible, dropped-completion " +
       "contract violation dies loudly") {
     import spark.implicits._
