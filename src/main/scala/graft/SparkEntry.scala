@@ -7878,15 +7878,31 @@ object SparkEntry {
     * occurring in its own body (false positives just skip the hint).
     */
   private def materializeCtes(sql: String): String = {
+    // Per-char in-string-literal mask: parens (and `name AS (` matches)
+    // inside a quoted SQL literal are TEXT, not structure — counting
+    // them would mis-extract a body whose literal holds an unbalanced
+    // paren and could stamp MATERIALIZED on a recursive CTE (DuckDB
+    // rejects that). The naive quote TOGGLE is exactly right for SQL's
+    // doubled-quote escape: `''` toggles out-then-in, so the escaped
+    // quote's tail stays marked in-string.
+    val inStr = new Array[Boolean](sql.length)
+    var q = false
+    var i = 0
+    while (i < sql.length) {
+      if (sql(i) == '\'') { inStr(i) = true; q = !q } else inStr(i) = q
+      i += 1
+    }
     val m = java.util.regex.Pattern.compile("(\\w+) AS\\s*\\(").matcher(sql)
     var edits = List.empty[(Int, String)] // prepend ⇒ descending positions
-    while (m.find()) {
+    while (m.find()) if (!inStr(m.start())) {
       val name = m.group(1)
       var depth = 1
       var j = m.end()
       while (depth > 0 && j < sql.length) {
-        if (sql(j) == '(') depth += 1
-        else if (sql(j) == ')') depth -= 1
+        if (!inStr(j)) {
+          if (sql(j) == '(') depth += 1
+          else if (sql(j) == ')') depth -= 1
+        }
         j += 1
       }
       val body = sql.substring(m.end(), j - 1)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -250,14 +250,26 @@ object Conversation {
     * never sees (measured: forcing shuffle-merge at the ScaleBench ×100
     * decade, 800k terms rows, ran 230 s vs ~15 s broadcast).
     */
-  private val BroadcastTermsMaxRows = 4000000L
+  private val BroadcastTermsMaxRowsDefault = 4000000L
+
+  /** The row bound above, overridable per session: 4M rows ≈ 200 MB
+    * assumes a driver/executor heap sized like the bench's (128 GiB
+    * local[32]); a constrained deployment can lower it
+    * (`spark.conf.set(...)`) without a code change, keeping the
+    * counted-row decision deterministic either way.
+    */
+  val BroadcastTermsMaxRowsConf = "graft.conversation.broadcastTermsMaxRows"
+
+  private def broadcastTermsMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption(BroadcastTermsMaxRowsConf).map(_.toLong)
+      .getOrElse(BroadcastTermsMaxRowsDefault)
 
   private def scoreTerms(terms: DataFrame, plist: DataFrame,
                          dfreq: DataFrame, k: Int): DataFrame = {
     val t = terms.localCheckpoint() // feeds the row count AND the join
     val nTerms = t.count()
     val termsSide =
-      if (nTerms <= BroadcastTermsMaxRows) broadcast(t)
+      if (nTerms <= broadcastTermsMaxRows(t.sparkSession)) broadcast(t)
       else t.hint("shuffle_merge")
     // the scoring shuffle's width scales with the batch: the join emits
     // up to |terms| × maxPostings candidate rows through this ONE

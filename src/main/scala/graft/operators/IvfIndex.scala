@@ -272,12 +272,18 @@ object IvfIndex {
   def compact(spark: SparkSession, path: String): Unit =
     graft.tables.WriterLock.withLock(path) {
       val m = readMeta(path)
+      // idsRel FIRST: on a pre-_IDS_V2 index it runs the one-time
+      // sidecar migration, which re-reads meta — creating the intent
+      // marker before that call would make readMeta refuse the index
+      // mid-compact (and strand the marker on the throw), exactly on
+      // the legacy layouts a maintenance pass is meant to upgrade.
+      val ids = idsRel(spark, path)
       java.nio.file.Files.createFile(intentFile(path))
       graft.tables.Commit.commit(path, Seq(
         graft.tables.Commit.Replace("cells", "cell",
           (0 until m.nlist).toSeq, cellsRel(spark, path)),
         graft.tables.Commit.Replace("ids", "ib",
-          (0 until NumIdBuckets).toSeq, idsRel(spark, path))))
+          (0 until NumIdBuckets).toSeq, ids)))
       java.nio.file.Files.delete(intentFile(path))
     }
 

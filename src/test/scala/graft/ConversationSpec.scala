@@ -91,6 +91,34 @@ class ConversationSpec extends SparkSpec {
       got.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_fp"))).toSeq)
   }
 
+  test("broadcastTermsMaxRows conf forces the shuffle-merge path at 0 with identical rows") {
+    val resolved = turnsDf(Seq((1L, 1L, "alpha rareword")))
+      .withColumn("is_followup", lit(false))
+      .withColumn("resolved_query", col("utterance"))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "alpha beta"), Row(2L, "alpha rareword"),
+          Row(3L, "gamma rareword"))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    def run() = Conversation.retrieveForTurns(resolved, docs, k = 10)
+    val broadcastRows = run().orderBy(col("rank"), col("doc_id"))
+      .collect().map(_.toString).toSeq
+    assert(run().queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    spark.conf.set(Conversation.BroadcastTermsMaxRowsConf, "0")
+    try {
+      val df = run()
+      // the bound is a plan decision only — rows must be identical
+      assert(df.orderBy(col("rank"), col("doc_id"))
+        .collect().map(_.toString).toSeq === broadcastRows)
+      // and at 0 the terms side must NOT broadcast: a constrained
+      // deployment lowering the conf gets the estimate-free merge join
+      assert(df.queryExecution.executedPlan.toString
+        .contains("SortMergeJoin"))
+    } finally spark.conf.unset(Conversation.BroadcastTermsMaxRowsConf)
+  }
+
   test("stateful resolver (fMGWS twin) agrees with the batch window on the derived corpus") {
     import spark.implicits._
     val turns = Conversation.deriveTurns(

@@ -88,6 +88,40 @@ class LayoutCompatSpec extends SparkSpec {
     assert(kept == emb.filter(col("vec_id") % 3 =!= 0).count())
   }
 
+  test("ivf: compact on a pre-ib sidecar migrates then compacts — it " +
+      "must not strand an intent marker (heal's own prescription for a " +
+      "fragmented legacy index)") {
+    import spark.implicits._
+    val p = tmp("ivfc")
+    IvfIndex.build(emb, "vec_id", "embedding", p, nlist = 8, dim = 64)
+    val probe = () => IvfIndex.probe(spark, p, QueryVec.values, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val before = probe()
+    // same degrade as above: (id, cell) sidecar, no _IDS_V2 marker
+    val old = spark.read.schema("id LONG, cell INT, ib INT")
+      .parquet(s"$p/ids").select(col("id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    graft.tables.Staging.deleteRec(s"$p/ids")
+    old.toSeq.toDF("id", "cell").coalesce(1).write
+      .mode("overwrite").parquet(s"$p/ids")
+    // compact's FIRST maintenance touch triggers the sidecar migration,
+    // which re-reads meta — if the intent marker goes down before that
+    // read, readMeta refuses the index mid-compact and the thrown
+    // exception strands the marker (index then refuses ALL probes until
+    // recover(): compact would take a serving legacy index offline)
+    IvfIndex.compact(spark, p)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p, "_APPENDING")),
+      "compact must not strand the intent marker on a legacy sidecar")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p, "ids", "_IDS_V2")))
+    assert(probe() == before, "compact is probe-invariant across the " +
+      "migration")
+    // and the migrated+compacted index still takes normal maintenance
+    IvfIndex.append(emb.limit(64), p)
+    assert(probe() == before)
+  }
+
   test("graph-ann: a pre-bucket sidecar (no _IDS_V2 marker) rebuilds " +
       "whole from the node table on first maintenance touch") {
     import spark.implicits._
