@@ -43,8 +43,38 @@ def fresh_con(sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
 
+def prepare_check(sf_dir, oracle):
+    """Syntax/bind-check EVERY oracle via DuckDB PREPARE (no replay) —
+    ~4 min on the 259-query set (planning the big unrolled CTE chains
+    dominates), so a broken oracle fails the gate up front instead of
+    20+ minutes into a replay (or never, if a fragile checker dies on an
+    earlier heavy query first). Returns [(name, error), ...]."""
+    con = fresh_con(sf_dir)
+    bad = []
+    for name, sql in oracle.items():
+        try:
+            con.execute(f"PREPARE _graft_chk AS {sql}")
+            con.execute("DEALLOCATE _graft_chk")
+        except Exception as e:
+            bad.append((name, str(e)[:200]))
+    con.close()
+    return bad
+
+# A replay slower than this that is NOT in Verify.heavyOrder sorts into
+# the cheapest-first PREFIX of oracle_sql.json, where it can stall a
+# fragile checker before the cheap queries report — the order guard
+# fails the run (exit 2) and names the query to add.
+HEAVY_SECS = 10.0
+
 def check_one(con, sf_dir, out_dir, name, sql):
     """Compare one query on the given connection. Returns (ok, result)."""
+    import time
+    t0 = time.monotonic()
+    ok, r = _check_one(con, sf_dir, out_dir, name, sql)
+    r["secs"] = round(time.monotonic() - t0, 3)
+    return ok, r
+
+def _check_one(con, sf_dir, out_dir, name, sql):
     def run_both(c):
         got_rel = c.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         gc, gt = list(got_rel.columns), [str(t) for t in got_rel.types]
@@ -135,6 +165,15 @@ def main(sf_dir, out_dir, json_out=None):
     if not oracle:
         print("FAIL: oracle_sql.json is EMPTY — refusing to report green")
         return 1
+    # fast pre-pass: PREPARE every oracle before any replay
+    bad = prepare_check(sf_dir, oracle)
+    if bad:
+        for name, err in bad:
+            print(f"FAIL {name}: PREPARE rejected: {err}")
+        print(f"== PREPARE pre-pass: {len(bad)} oracle(s) malformed — "
+              "aborting before replay ==")
+        return 1
+    print(f"PREPARE pre-pass: all {len(oracle)} oracles bind clean")
     # preserve the file's key order — Verify writes it cheapest-first so
     # a dying checker still reports a maximal prefix (json.load keeps
     # insertion order)
@@ -201,6 +240,23 @@ def main(sf_dir, out_dir, json_out=None):
             json.dump({"n_ok": n_ok, "n_fail": n_fail, "sf_dir": sf_dir,
                        "queries": results}, f, indent=1, sort_keys=True)
         print(f"wrote {json_out} (driver schema) + {detail}")
+    # order guard: every measured-heavy replay must be in Verify's
+    # heavyOrder (dumped as oracle_meta.json) so it sorts LAST — a heavy
+    # query in the cheap prefix can stall a fragile checker before the
+    # cheap queries report
+    meta_path = f"{out_dir}/oracle_meta.json"
+    if os.path.exists(meta_path):
+        heavy = set(json.load(open(meta_path)).get("heavy_order", []))
+        slow = [(n, results[n].get("secs", 0.0)) for n in names
+                if n not in heavy
+                and (results[n].get("secs") or 0.0) > HEAVY_SECS]
+        if slow:
+            for n, s in slow:
+                print(f"ORDER-GUARD FAIL {n}: replayed {s:.1f}s but is not "
+                      "in Verify.heavyOrder — add it so the cheapest-first "
+                      "dump keeps it out of the prefix")
+            return 2
+        print(f"order guard: no un-listed replay above {HEAVY_SECS:.0f}s")
     return 1 if n_fail else 0
 
 def driver_schema(r):

@@ -585,6 +585,91 @@ object ScaleBench {
         .map { case (sc, r) => (n, sc, r) }
     }
 
+    // ---- serving family: batch size × guard mode ----------------------
+    // q_batch_serving_plan proves the bounded-plan guard keeps PLAN SIZE
+    // flat; this family proves it earns its keep at RUNTIME: the same
+    // batched lexical/IVF serving calls at 100/1k/10k queries under both
+    // modes. Guarded (pruneLiteralLimit=0: broadcast-semi-join / DPP
+    // pruning) must grow ∝ batch work (bound: the batch family's
+    // 1.5×-linear, decade = batch/100); literal (limit=MaxValue: the
+    // per-term/per-cell isin list) is expected to go super-linear on the
+    // lexical surface — its literal count grows with the batch's
+    // vocabulary, so PLANNING cost compounds — and is reported, not
+    // bounded (being worse at scale is the finding). Each query carries
+    // two corpus tokens (real scoring work every decade) plus one unique
+    // synthetic token (distinct-term growth ∝ batch, like a production
+    // vocabulary). IVF's literal list caps at nlist by construction, so
+    // its two modes mostly tie — recorded to show the guard is free.
+    val servingBatches: Seq[Int] = Seq(100, 1000, 10000)
+      .filter(n => maxScale.forall(n / 100 <= _))
+    val servingOn = onlyFilter.forall(f =>
+      f.contains("serving_bm25") || f.contains("serving_ivf"))
+    val servingResults: Seq[(String, Map[String, Map[Int, Double]])] =
+      if (!servingOn || servingBatches.isEmpty) Nil
+      else {
+        import spark.implicits._
+        val sDir = s"$baseDir/serving"
+        graft.tables.Staging.deleteRec(sDir)
+        val corpus = genDocuments(spark, 5000L).localCheckpoint()
+        graft.operators.Retrieval.stagePostings(
+          corpus, col("doc_id"), col("text"), s"$sDir/postings")
+        graft.operators.IvfIndex.build(genEmbeddings(spark, 2000L),
+          "vec_id", "embedding", s"$sDir/ivf", nlist = 128, dim = 64)
+        val corpusToks = corpus
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0).distinct()
+          .orderBy(col("tok")).collect().map(_.getString(0))
+        val nToks = corpusToks.length
+        def lexBatch(n: Int) = (0 until n).map(i =>
+          (i.toLong, Seq(corpusToks(i % nToks),
+            corpusToks((i * 7 + 3) % nToks), f"synth_term_$i%05d")))
+          .toDF("q_id", "terms").localCheckpoint()
+        def vecBatch(n: Int) = (0 until n).map(i =>
+          (i.toLong, graft.oracle.OracleGen.QueryVec.shiftedValues(i % 64)))
+          .toDF("q_id", "q_vec").localCheckpoint()
+        def timed(f: => Long): Double = {
+          val t0 = System.nanoTime()
+          val n = f
+          require(n > 0, "serving family returned an empty result")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val modes = Seq("guarded" -> 0, "literal" -> Int.MaxValue)
+        val bm = modes.map { case (mode, lim) =>
+          mode -> servingBatches.map { n =>
+            val b = lexBatch(n)
+            val ts = Seq.fill(2)(timed(
+              graft.operators.Retrieval.bm25BatchFromStage(spark,
+                s"$sDir/postings", b, k = 10, pruneLiteralLimit = lim)
+                .count()))
+            System.err.println(f"[scale] serving_bm25 $mode ${n}q: " +
+              ts.map(t => f"$t%.2f").mkString(" / ") + " s")
+            n -> ts.min
+          }.toMap
+        }.toMap
+        val ivf = modes.map { case (mode, lim) =>
+          mode -> servingBatches.map { n =>
+            val b = vecBatch(n)
+            val ts = Seq.fill(2)(timed(
+              graft.operators.IvfIndex.probeBatch(spark, s"$sDir/ivf", b,
+                k = 10, nprobe = 2, pruneLiteralLimit = lim).count()))
+            System.err.println(f"[scale] serving_ivf $mode ${n}q: " +
+              ts.map(t => f"$t%.2f").mkString(" / ") + " s")
+            n -> ts.min
+          }.toMap
+        }.toMap
+        Seq("serving_bm25" -> bm, "serving_ivf" -> ivf)
+      }
+    // bound: the GUARDED path only, vs linear in batch size
+    val servingViolations = servingResults.flatMap { case (name, byMode) =>
+      val g = byMode("guarded")
+      g.keys.filter(_ > servingBatches.min).flatMap { n =>
+        val decade = n.toLong / servingBatches.min
+        val r = g(n) / math.max(g(servingBatches.min), 1e-3)
+        if (r > maxRatio(decade)) Some((s"${name}_guarded", decade, r))
+        else None
+      }
+    }
+
     // ---- streaming family: S× batches at constant per-batch volume ----
     val streamScales = Seq(1, 10)
     val streamDirs = streamScales.map(sc =>
@@ -674,6 +759,20 @@ object ScaleBench {
       "66 s (ratio100 13.6 vs the 150 bound), and 5 consecutive solo " +
       "x10 runs on the final code landed in a 1.14x band " +
       "(t10 7.33-8.38 s, ratio10 3.2-3.7)."
+    val servJson = servingResults.map { case (name, byMode) =>
+      val modesJ = byMode.toSeq.sortBy(_._1).map { case (mode, ts) =>
+        val tsJ = ts.toSeq.sortBy(_._1)
+          .map { case (n, t) => s""""t$n":${r3(t)}""" }.mkString(",")
+        s""""$mode":{$tsJ}"""
+      }.mkString(",")
+      val top = servingBatches.max
+      val overhead =
+        if (byMode("guarded").contains(top))
+          s""","literal_vs_guarded_at_$top":${r3(byMode("literal")(top) /
+            math.max(byMode("guarded")(top), 1e-3))}"""
+        else ""
+      s""""$name":{$modesJ$overhead}"""
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_growth_vs_linear_max","value":${r3(worstNorm)},""" +
         s""""unit":"x_linear","max_allowed":1.5,""" +
@@ -686,6 +785,7 @@ object ScaleBench {
         s""""stream_state_bound":3.0,""" +
         s""""scales":[${allScales.mkString(",")}],"queries":$qJson,""" +
         s""""maintenance":$mJson,""" +
+        s""""serving":$servJson,""" +
         s""""streaming":$sJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (json + "\n").getBytes("UTF-8"))
@@ -696,7 +796,8 @@ object ScaleBench {
     val badUnsafe = results.filter(_._7.nonEmpty)
     val badStream = streamResults.filter(_._5)
     if (badRatio.nonEmpty || badTopo.nonEmpty || badUnsafe.nonEmpty ||
-        badStream.nonEmpty || maintViolations.nonEmpty) {
+        badStream.nonEmpty || maintViolations.nonEmpty ||
+        servingViolations.nonEmpty) {
       System.err.println("[scale] VIOLATIONS:" +
         badRatio.map(b => s" ratio:${b._1}=" +
           b._5.map { case (sc, r) => s"x$sc:${r3(r)}" }.mkString("/")).mkString +
@@ -705,7 +806,9 @@ object ScaleBench {
         badStream.map(b =>
           s" stream:${b._1}=t${r3(b._3)}/state${r3(b._4)}").mkString +
         maintViolations.map { case (n, sc, r) =>
-          s" maint:$n=x$sc:${r3(r)}" }.mkString)
+          s" maint:$n=x$sc:${r3(r)}" }.mkString +
+        servingViolations.map { case (n, sc, r) =>
+          s" serving:$n=x$sc:${r3(r)}" }.mkString)
       sys.exit(1)
     }
   }

@@ -128,5 +128,12 @@ object Verify {
       sys.error("[verify] oracle map is EMPTY — refusing to write an " +
         "empty oracle_sql.json (would read as a silently-green round)")
     Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
+    // sidecar for the checker's order guard (check_oracle.py): the
+    // heavy-last list, so a measured-heavy replay missing from it fails
+    // the self-gate instead of silently stalling the cheap prefix.
+    // A separate file — the driver consumes oracle_sql.json as a pure
+    // name→sql map, so no extra keys may ride in it.
+    Files.writeString(Paths.get(s"$outDir/oracle_meta.json"),
+      heavyOrder.map(q).mkString("{\"heavy_order\": [", ",", "]}"))
   }
 }

@@ -428,30 +428,34 @@ object Ann {
     // each hop's two direction joins into one semi-join. Same
     // staged-relation discipline as the pagerank rounds: an index is
     // built once, then looked up.
-    val g = stage.cut(graph.select(col("src"), col("dst"))
-      .unionAll(graph.select(col("dst").as("src"), col("src").as("dst"))),
-      "graph_ann_adj")
-    val vecs = corpus.select(idCol.as("id"), vecCol.as("vec"))
-    def score(ids: DataFrame): DataFrame =
-      ids.join(vecs, "id")
-        .select(col("id"), l2(col("vec"), typedlit(query)).as("distance"))
-    // visited stays metadata-sized; localCheckpoint pins each hop so the
-    // next hop's joins don't re-run the whole prefix (same staged-cut
-    // idiom as the pagerank rounds)
-    var visited = score(seeds.select(col("id")).distinct()).localCheckpoint()
-    for (_ <- 1 to hops) {
-      val frontier = visited
-        .orderBy(col("distance").asc, col("id").asc).limit(beam)
-      val fresh = g
-        .join(broadcast(frontier.select(col("id").as("src"))), Seq("src"),
-          "left_semi")
-        .select(col("dst").as("id"))
-        .distinct()
-        .join(broadcast(visited.select(col("id"))), Seq("id"), "left_anti")
-      visited = visited.unionByName(score(fresh)).localCheckpoint()
-    }
-    visited
+    val g = stage.cut(doubledAdj(graph), "graph_ann_adj")
+    graphAnnBeamFromPrepared(g,
+      corpus.select(idCol.as("id"), vecCol.as("vec")), seeds, query,
+      beam, hops)
   }
+
+  /** Undirected view of a directed edge list: own ∪ reversed edges. */
+  def doubledAdj(graph: DataFrame): DataFrame =
+    graph.select(col("src"), col("dst"))
+      .unionAll(graph.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** [[graphAnnBeamFrom]] with the adjacency ALREADY doubled and
+    * materialized (and the corpus projected to (id, vec)) — the entry
+    * the persisted index's generation-keyed relation cache uses
+    * ([[GraphAnnIndex]]): a streaming serve re-walks the same committed
+    * index every micro-batch, and re-doubling + re-pinning the full
+    * adjacency per batch was the top fixed cost of the whole bench's
+    * streaming family.
+    */
+  def graphAnnBeamFromPrepared(g: DataFrame, vecs: DataFrame,
+                               seeds: DataFrame, query: Seq[Double],
+                               beam: Int, hops: Int): DataFrame =
+    graphAnnBeamBatchFromPrepared(g, vecs,
+      seeds.select(lit(0L).as("q_id"), col("id")),
+      seeds.sparkSession.range(1)
+        .select(lit(0L).as("q_id"), typedlit(query).as("q_vec")),
+      beam, hops)
+      .select(col("id"), col("distance"))
 
   /** MULTI-QUERY batched beam search — the serving twin of
     * [[graphAnnBeamFrom]] (and the graph-walk analogue of Knn.knnJoin's
@@ -478,33 +482,116 @@ object Ann {
                             idCol: Column, vecCol: Column,
                             beam: Int, hops: Int,
                             stage: Stage = Stage.Local): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = stage.cut(graph.select(col("src"), col("dst"))
-      .unionAll(graph.select(col("dst").as("src"), col("src").as("dst"))),
-      "graph_ann_adj")
-    val vecs = corpus.select(idCol.as("id"), vecCol.as("vec"))
-    val qv = queries.select(col("q_id"), col("q_vec"))
-    def score(ids: DataFrame): DataFrame =
-      ids.join(vecs, "id").join(broadcast(qv), "q_id")
-        .select(col("q_id"), col("id"),
+    val g = stage.cut(doubledAdj(graph), "graph_ann_adj")
+    graphAnnBeamBatchFromPrepared(g,
+      corpus.select(idCol.as("id"), vecCol.as("vec")), seeds, queries,
+      beam, hops)
+  }
+
+  /** [[graphAnnBeamBatchFrom]] with the adjacency already doubled and
+    * materialized — the batched twin of [[graphAnnBeamFromPrepared]].
+    *
+    * The walk STATE lives on the driver. This is not a departure from
+    * distributed design but the honest form of what the relational walk
+    * already did: frontier, fresh set and visited set are metadata-sized
+    * by construction (≤ |queries|·(seeds + hops·beam·degree) rows), and
+    * the relational formulation re-COLLECTED them to the driver every
+    * hop anyway — that is what `broadcast()` does — then paid a
+    * broadcast-build job per relation per hop (frontier, visited
+    * anti-join side, the query batch again) plus a window exchange and a
+    * distinct exchange, ~6 scheduler round-trips per hop of pure
+    * overhead (measured: a warm 4-query batched walk spent ~4 s on
+    * ~2 000 rows). Holding the same rows in driver arrays makes each hop
+    * exactly TWO single-stage jobs over the corpus-scale relations,
+    * which stay fully distributed:
+    *
+    *   1. expand — scan the pinned adjacency against the frontier as a
+    *      broadcast LOCAL relation (its broadcast build is a driver-side
+    *      LocalTableScan: no job), collect the reached (q_id, dst) pairs;
+    *   2. score — scan the pinned vector relation against the
+    *      driver-deduped fresh ids, same local-relation broadcast shape,
+    *      collect (q_id, id, distance).
+    *
+    * Per-query results are row-identical to the relational walk (AnnSpec
+    * asserts batch ≡ single per query): the driver-side per-query
+    * (distance, id) sort is the frontier window's ordering, the `seen`
+    * set is the anti-join, and a hop whose SCORED fresh set is empty
+    * ends the walk — once nothing new lands, every frontier is fixed and
+    * all later hops are provably no-ops.
+    *
+    * `seeds` = (q_id, id); `queries` = (q_id, q_vec). Output: the
+    * distinct visited set (q_id, id, distance) per query.
+    */
+  def graphAnnBeamBatchFromPrepared(g: DataFrame, vecs: DataFrame,
+                                    seeds: DataFrame, queries: DataFrame,
+                                    beam: Int, hops: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val spark = g.sparkSession
+    // the query batch, request-sized by declaration — the same rows the
+    // relational shape re-broadcast every hop, collected ONCE
+    val qvSchema = org.apache.spark.sql.types.StructType(
+      queries.schema("q_id") :: queries.schema("q_vec") :: Nil)
+    val qvRows = queries.select(col("q_id"), col("q_vec")).collect()
+    val qvRel = spark.createDataFrame(qvRows.toSeq.asJava, qvSchema)
+    val pairSchema = org.apache.spark.sql.types.StructType(
+      queries.schema("q_id") ::
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType) :: Nil)
+    def pairsRel(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, pairSchema)
+    // (q_id, id, distance) — one distributed scan of the pinned vectors;
+    // every small side is a LOCAL relation, so no broadcast-build jobs
+    def score(pairs: Seq[Row]): Array[Row] =
+      vecs.join(broadcast(pairsRel(pairs)), "id")
+        .join(broadcast(qvRel), "q_id")
+        .select(col("q_id"), col("id").cast("long").as("id"),
           graft.functions.VectorFunctions.l2(col("vec"), col("q_vec"))
             .as("distance"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("distance").asc, col("id").asc)
-    var visited = score(seeds.select(col("q_id"), col("id")).distinct())
-      .localCheckpoint()
-    for (_ <- 1 to hops) {
-      val frontier = visited.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= beam)
-        .select(col("q_id"), col("id").as("src"))
-      val fresh = g.join(broadcast(frontier), "src")
-        .select(col("q_id"), col("dst").as("id"))
-        .distinct()
-        .join(broadcast(visited.select(col("q_id"), col("id"))),
-          Seq("q_id", "id"), "left_anti")
-      visited = visited.unionByName(score(fresh)).localCheckpoint()
+        .collect()
+    def pairOf(r: Row): Row = Row(r.get(0), r.getLong(1))
+    // visited/seen — the walk's metadata-sized state
+    val visited = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val seen = scala.collection.mutable.HashSet.empty[(Any, Long)]
+    def admit(scored: Array[Row]): Int = {
+      var n = 0
+      scored.foreach { r =>
+        if (seen.add((r.get(0), r.getLong(1)))) { visited += r; n += 1 }
+      }
+      n
     }
-    visited
+    val seedPairs = seeds.select(col("q_id"), col("id").cast("long"))
+      .collect().map(pairOf).distinct.toSeq
+    admit(score(seedPairs))
+    var hop = 0
+    var converged = false
+    while (hop < hops && !converged) {
+      // per-query top-beam frontier: the window's (distance asc, id asc)
+      // ordering, driver-side
+      val frontier = visited.groupBy(_.get(0)).iterator.flatMap {
+        case (_, rows) =>
+          rows.sortBy(r => (r.getDouble(2), r.getLong(1))).take(beam)
+      }.map(pairOf).toSeq
+      // expand: ONE scan of the corpus-scale adjacency; the reached set
+      // is ≤ |frontier|·degree rows (dedup + anti-join happen driver-side
+      // against `seen`, so no shuffle at all in this job)
+      val reached = g.join(broadcast(pairsRel(frontier)
+            .withColumnRenamed("id", "src")), "src")
+        .select(col("q_id"), col("dst").cast("long").as("id"))
+        .collect()
+      val fresh = reached.iterator.map(pairOf)
+        .filter(p => !seen.contains((p.get(0), p.getLong(1))))
+        .toSeq.distinct
+      if (fresh.isEmpty || admit(score(fresh)) == 0) converged = true
+      hop += 1
+    }
+    if (sys.env.contains("GRAFT_WALK_DEBUG"))
+      println(s"[walk] $hop hops, converged=$converged")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      pairSchema("q_id"), pairSchema("id"),
+      org.apache.spark.sql.types.StructField("distance",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(visited.toSeq.asJava, outSchema)
   }
 
   /** HIERARCHICAL graph ANN — the distributed HNSW shape proper. A

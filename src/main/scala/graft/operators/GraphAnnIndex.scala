@@ -73,6 +73,29 @@ object GraphAnnIndex {
     java.nio.file.Paths.get(path, "_INDEX_META")
   private def intentFile(path: String) =
     java.nio.file.Paths.get(path, "_APPENDING")
+  private def genFile(path: String) =
+    java.nio.file.Paths.get(path, "_GEN")
+
+  /** Committed-generation token (cf. Retrieval.committedGen): one
+    * marker-file stat, rewritten (atomic rename, nanotime token — unique
+    * across delete-and-rebuild at the same path, which a counter reset
+    * to 0 would alias) at the END of every completed mutation. 0 = a
+    * legacy index no new-writer mutation has touched yet. Its one job is
+    * keying [[queryRels]]'s cache: same token ⟺ byte-identical committed
+    * relations.
+    */
+  def committedGen(path: String): Long =
+    if (java.nio.file.Files.exists(genFile(path)))
+      java.nio.file.Files.readString(genFile(path)).trim.toLong
+    else 0L
+
+  private def bumpGen(path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path, "_GEN_TMP")
+    Files.writeString(tmp, System.nanoTime().toString)
+    Files.move(tmp, genFile(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** True iff a completed build exists at `path` (the done marker is
     * written last, so its presence certifies the whole layout).
@@ -182,19 +205,86 @@ object GraphAnnIndex {
       // every partitioned index write here applies
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/nodes")
     val nodes = spark.read.parquet(s"$path/nodes")
-    // admission sidecar from the STAGED nodes (no second corpus pass)
-    writeIds(nodes.select(col("id"), col("bucket")), path, overwrite = true)
-    Ann.neighborEdges(nodes.filter(col("id") % sampleMod === 0),
-        col("id"), col("vec"), edgesPerBucket, numPlanes, dim, probeBits)
-      .repartition(col("d_bucket"))
-      .write.mode("overwrite").partitionBy("d_bucket")
-      .parquet(s"$path/coarse_adj")
-    Ann.neighborEdges(nodes, col("id"), col("vec"), edgesPerBucket,
-        numPlanes, dim, probeBits)
-      .repartition(col("d_bucket"))
-      .write.mode("overwrite").partitionBy("d_bucket")
-      .parquet(s"$path/base_adj")
+    // the three derived relations (sidecar + both adjacency layers) each
+    // read only the STAGED nodes and write disjoint directories — run
+    // them CONCURRENTLY (the Commit.commit staging discipline): the done
+    // marker below still lands strictly after all three, so crash
+    // atomicity is unchanged. First failure rethrows after all settle.
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val writes = Seq(
+        // admission sidecar from the STAGED nodes (no second corpus pass)
+        Future(writeIds(nodes.select(col("id"), col("bucket")), path,
+          overwrite = true)),
+        Future(Ann.neighborEdges(nodes.filter(col("id") % sampleMod === 0),
+            col("id"), col("vec"), edgesPerBucket, numPlanes, dim, probeBits)
+          .repartition(col("d_bucket"))
+          .write.mode("overwrite").partitionBy("d_bucket")
+          .parquet(s"$path/coarse_adj")),
+        Future(Ann.neighborEdges(nodes, col("id"), col("vec"), edgesPerBucket,
+            numPlanes, dim, probeBits)
+          .repartition(col("d_bucket"))
+          .write.mode("overwrite").partitionBy("d_bucket")
+          .parquet(s"$path/base_adj")))
+      val settled = writes.map(f =>
+        scala.util.Try(Await.result(f, Duration.Inf)))
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
+    }
     writeMeta(path, Meta(sampleMod, edgesPerBucket, numPlanes, dim, probeBits))
+    bumpGen(path)
+  }
+
+  /** The query path's relations, pinned per COMMITTED GENERATION: the
+    * node table and both layers' pre-doubled adjacency, localCheckpointed
+    * and reused by every walk against the same committed index. A
+    * streaming serve re-walks one static index every micro-batch, and
+    * each walk used to re-read + re-double both adjacency relations AND
+    * re-scan nodes/ once per hop for the vector fetch — per-batch fixed
+    * cost that dwarfed the walk's useful work (the top two bench
+    * queries). Invalidation is the one `_GEN` stat: token changed ⟹
+    * drop the entry, rebuild (old checkpoint blocks free via the context
+    * cleaner once unreferenced). One entry per index path, so the
+    * cache's footprint is the LIVE indexes' working set, not history.
+    *
+    * localCheckpoint, NOT persist(): Spark's CacheManager substitutes a
+    * persisted plan into ANY later plan reading the same parquet path —
+    * and external commits (this index's own maintenance moves files
+    * directly) never invalidate that cache, so a persisted nodes/ read
+    * would silently serve PRE-MUTATION bytes to every subsequent reader,
+    * including the maintenance passes themselves (caught by AnnSpec's
+    * pruned-scan assertion). A checkpointed plan is a LogicalRDD — it
+    * matches nothing, so fresh reads stay reads. The cost is the
+    * Stage.Local durability trade the walk already makes: losing an
+    * executor fails the query, which simply re-runs.
+    */
+  private final case class QueryRels(gen: Long, nodes: DataFrame,
+                                     g0: DataFrame, g1: DataFrame)
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[String, QueryRels]()
+
+  private def queryRels(spark: SparkSession, path: String): QueryRels = {
+    val gen = committedGen(path)
+    val hit = relCache.get(path)
+    if (hit != null && hit.gen == gen &&
+        (hit.nodes.sparkSession.sparkContext eq spark.sparkContext)) hit
+    else relCache.synchronized {
+      val again = relCache.get(path)
+      if (again != null && again.gen == gen &&
+          (again.nodes.sparkSession.sparkContext eq spark.sparkContext))
+        again
+      else {
+        val fresh = QueryRels(gen,
+          spark.read.parquet(s"$path/nodes").localCheckpoint(),
+          Ann.doubledAdj(spark.read.parquet(s"$path/base_adj"))
+            .select(col("src"), col("dst")).localCheckpoint(),
+          Ann.doubledAdj(spark.read.parquet(s"$path/coarse_adj"))
+            .select(col("src"), col("dst")).localCheckpoint())
+        relCache.put(path, fresh)
+        fresh
+      }
+    }
   }
 
   /** Hierarchical beam-search query against the staged index — the walk
@@ -208,30 +298,29 @@ object GraphAnnIndex {
     val m = readMeta(path)
     require(queryVec.length == m.dim,
       s"query dim ${queryVec.length} != index dim ${m.dim}")
-    val nodes = spark.read.parquet(s"$path/nodes")
-    val coarse = nodes.filter(col("id") % m.sampleMod === 0)
-    val g1 = spark.read.parquet(s"$path/coarse_adj")
-      .select(col("src"), col("dst"))
+    val r = queryRels(spark, path)
+    val coarse = r.nodes.filter(col("id") % m.sampleMod === 0)
     // coarse entry: min id per bucket over the whole (small) coarse layer
     val seeds1 = coarse.groupBy(col("bucket")).agg(min(col("id")).as("id"))
       .select(col("id"))
-    val v1 = Ann.graphAnnBeamFrom(g1, coarse, seeds1, col("id"), col("vec"),
-      queryVec, beam, hops)
-    val g0 = spark.read.parquet(s"$path/base_adj")
-      .select(col("src"), col("dst"))
+    val v1 = Ann.graphAnnBeamFromPrepared(r.g1,
+      coarse.select(col("id"), col("vec")), seeds1, queryVec, beam, hops)
     // base entry: best coarse hits ∪ the query's probe-bucket min-ids —
-    // the probe filter is a PARTITION-PRUNED scan of nodes/ (bucket is
-    // the partition key), the layout paying off at query time
+    // the probe filter hits the pinned node relation (and, cache-cold,
+    // a partition-pruned scan of nodes/ — bucket is the partition key)
     val probes = Ann.probesOf(queryVec, m.numPlanes)
-    val probeSeeds = nodes.filter(col("bucket").isin(probes: _*))
+    val probeSeeds = r.nodes.filter(col("bucket").isin(probes: _*))
       .groupBy(col("bucket")).agg(min(col("id")).as("id"))
       .select(col("id"))
     val entry0 = v1.orderBy(col("distance").asc, col("id").asc)
       .limit(beam).select(col("id"))
       .unionAll(probeSeeds)
-    val v0 = Ann.graphAnnBeamFrom(g0, nodes, entry0, col("id"), col("vec"),
-      queryVec, beam, hops)
-    v1.unionByName(v0).distinct()
+    val v0 = Ann.graphAnnBeamFromPrepared(r.g0,
+      r.nodes.select(col("id"), col("vec")), entry0, queryVec, beam, hops)
+    // both walks return LOCAL relations — driver-side dedup, no shuffle
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      (v1.collect() ++ v0.collect()).distinct.toSeq.asJava, v1.schema)
   }
 
   /** BATCHED multi-query serving against the staged index — ONE job set
@@ -241,65 +330,76 @@ object GraphAnnIndex {
     * single-query path per query: the coarse walk starts from the global
     * per-bucket min-ids (query-independent — crossed with the query
     * batch), the base walk from each query's best coarse hits ∪ its own
-    * probe-bucket min-ids, the probe set computed IN-PLAN from q_vec
-    * (bucket ⊕ single-bit masks — the same own+flips set
-    * Ann.probesOf builds driver-side). Walking N queries costs ~1 walk's
-    * job count instead of N — the serving fix for the per-query N+1.
+    * probe-bucket min-ids (the single-query path's own Ann.probesOf,
+    * per collected query — the batch is request-sized by declaration).
+    * Walking N queries costs ~1 walk's job count instead of N — the
+    * serving fix for the per-query N+1.
     */
   def queryBatch(spark: SparkSession, path: String,
                  queries: DataFrame, beam: Int = 16,
                  hops: Int = 6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import scala.jdk.CollectionConverters._
     val m = readMeta(path)
-    val nodes = spark.read.parquet(s"$path/nodes")
-    val coarse = nodes.filter(col("id") % m.sampleMod === 0)
-    val g1 = spark.read.parquet(s"$path/coarse_adj")
-      .select(col("src"), col("dst"))
-    // the query batch feeds every hop's score join and both entry
-    // derivations — pin it once (it is request-sized by definition)
-    val qv = queries.select(col("q_id"), col("q_vec")).localCheckpoint()
+    val r = queryRels(spark, path)
+    val coarse = r.nodes.filter(col("id") % m.sampleMod === 0)
+    // the query batch is request-sized by declaration — collect it ONCE;
+    // the dim check, the per-query probe sets (the single-query path's
+    // own Ann.probesOf, so batch ≡ single by construction) and both
+    // walks' query side all come from these rows with zero further jobs
+    val qvSel = queries.select(col("q_id"), col("q_vec"))
+    val qvSchema = qvSel.schema
+    val qvRows = qvSel.collect()
     // the single-query path's require(queryVec.length == m.dim), batch
-    // form: one cheap job over the pinned request-sized batch — without
-    // it a wrong-dim vector probes wrong buckets and walks to a
-    // plausible-looking but wrong visited set with no error anywhere
-    require(qv.filter(size(col("q_vec")) =!= m.dim).isEmpty,
+    // form — without it a wrong-dim vector probes wrong buckets and
+    // walks to a plausible-looking but wrong visited set, no error
+    // anywhere
+    require(qvRows.forall(_.getSeq[Double](1).length == m.dim),
       s"query batch contains a q_vec whose dim != index dim ${m.dim}")
+    val qvRel = spark.createDataFrame(qvRows.toSeq.asJava, qvSchema)
     val seeds1 = coarse.groupBy(col("bucket")).agg(min(col("id")).as("id"))
       .select(col("id"))
-      .crossJoin(broadcast(qv.select(col("q_id"))))
-    val v1 = Ann.graphAnnBeamBatchFrom(g1, coarse, seeds1, qv,
-      col("id"), col("vec"), beam, hops)
-    val g0 = spark.read.parquet(s"$path/base_adj")
-      .select(col("src"), col("dst"))
-    // per-query probe seeds: own bucket + single-bit flips (the
-    // single-query path's Ann.probesOf), as an in-plan explode so the
-    // whole batch derives its probes in one pass; min-id per (query,
-    // probed bucket) against the bucket-partitioned node table
-    val probeMasksArr = Ann.probeMasks(m.numPlanes, 1).map(lit(_))
-    val qprobes = qv.select(col("q_id"),
-      explode(array(probeMasksArr.map(mk =>
-        Ann.bucketOf(col("q_vec"), m.numPlanes, m.dim).bitwiseXOR(mk)): _*))
-        .as("bucket"))
-      .localCheckpoint() // feeds the probed-bucket collect AND the join
-    // static partition pruning, not dynamic-partition-pruning luck: the
-    // distinct probed buckets are ≤ 2^numPlanes whatever the batch size
-    // (same metadata-sized collect as the single-query path's driver-
-    // computed Ann.probesOf), so the seed scan reads only those dirs
-    val probedBuckets = qprobes.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val probeSeeds = nodes.filter(col("bucket").isin(probedBuckets: _*))
+      .crossJoin(broadcast(qvRel.select(col("q_id"))))
+    val v1 = Ann.graphAnnBeamBatchFromPrepared(r.g1,
+      coarse.select(col("id"), col("vec")), seeds1, qvRel, beam, hops)
+    // per-query probe seeds: own bucket + single-bit flips — driver-side
+    // Ann.probesOf per query (≤ 2^numPlanes distinct buckets whatever
+    // the batch size); min-id per (query, probed bucket) against the
+    // pinned node relation, bucket-pruned to the probed set (and on a
+    // cache-cold recompute, the same static partition prune as the
+    // single-query path)
+    val qprobeRows = qvRows.flatMap { qr =>
+      Ann.probesOf(qr.getSeq[Double](1), m.numPlanes)
+        .map(b => org.apache.spark.sql.Row(qr.get(0), b))
+    }
+    val qprobes = spark.createDataFrame(qprobeRows.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(qvSchema("q_id") ::
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType) :: Nil))
+    val probedBuckets = qprobeRows.map(_.getInt(1)).distinct.toSeq
+    val probeSeeds = r.nodes.filter(col("bucket").isin(probedBuckets: _*))
       .join(broadcast(qprobes), "bucket")
       .groupBy(col("q_id"), col("bucket")).agg(min(col("id")).as("id"))
       .select(col("q_id"), col("id"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("distance").asc, col("id").asc)
-    val entry0 = v1.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= beam)
-      .select(col("q_id"), col("id"))
-      .unionAll(probeSeeds)
-    val v0 = Ann.graphAnnBeamBatchFrom(g0, nodes, entry0, qv,
-      col("id"), col("vec"), beam, hops)
-    v1.unionByName(v0).distinct()
+    // per-query top-beam of the coarse walk — v1 is a local relation
+    // (the walk state lives on the driver), so this is a driver-side
+    // sort, exactly the frontier window's (distance asc, id asc) order
+    val entry0 = v1.collect().groupBy(_.get(0)).iterator.flatMap {
+      case (_, rows) =>
+        rows.sortBy(x => (x.getDouble(2), x.getLong(1))).take(beam)
+    }.map(x => org.apache.spark.sql.Row(x.get(0), x.getLong(1))).toSeq
+    val entry0Rel = spark.createDataFrame(entry0.asJava,
+      org.apache.spark.sql.types.StructType(qvSchema("q_id") ::
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType) :: Nil))
+    val v0 = Ann.graphAnnBeamBatchFromPrepared(r.g0,
+      r.nodes.select(col("id"), col("vec")),
+      entry0Rel.unionByName(probeSeeds.select(col("q_id"),
+        col("id").cast("long").as("id"))), qvRel, beam, hops)
+    // both walks return LOCAL relations (driver-held state) — the
+    // distinct is a driver-side dedup, not a shuffle; distances for a
+    // shared (q_id, id) are bit-identical (same kernel, same rows)
+    spark.createDataFrame(
+      (v1.collect() ++ v0.collect()).distinct.toSeq.asJava, v1.schema)
   }
 
   /** Incremental maintenance: admit new vectors (ids already present are
@@ -382,6 +482,7 @@ object GraphAnnIndex {
               .withColumn("ib", ibCol(col("id")))))
       graft.tables.Commit.commit(path, ops)
       java.nio.file.Files.delete(intentFile(path))
+      bumpGen(path)
     }
   }
 
@@ -394,6 +495,9 @@ object GraphAnnIndex {
     graft.tables.WriterLock.clearStale(path)
     graft.tables.Commit.recover(path)
     java.nio.file.Files.deleteIfExists(intentFile(path))
+    // recovery may have rolled a logged commit forward — the committed
+    // relations changed without the crashed writer's own gen bump
+    if (exists(path)) bumpGen(path)
   }
 
   /** The bucket set a batch landing in `bNew` can TOUCH as edge sources:
@@ -544,6 +648,7 @@ object GraphAnnIndex {
           graft.tables.Commit.Replace("ids", "ib", vibHit, keptIds))
       graft.tables.Commit.commit(path, ops)
       java.nio.file.Files.delete(intentFile(path))
+      bumpGen(path)
     }
   }
 
@@ -584,6 +689,7 @@ object GraphAnnIndex {
         graft.tables.Commit.Replace("ids", "ib", allIb,
           idsRel(spark, path))))
       java.nio.file.Files.delete(intentFile(path))
+      bumpGen(path)
     }
 
   /** The WORST relation's mean parquet files per live partition across

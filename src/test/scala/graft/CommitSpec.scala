@@ -94,6 +94,59 @@ class CommitSpec extends SparkSpec {
       java.nio.file.Paths.get(root, "_COMMIT_STAGE")))
   }
 
+  test("recover: a crash with CONCURRENT staging futures in flight — " +
+      "some ops fully staged, one mid-write, one never started — " +
+      "restores the pre-commit state byte-for-byte") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_cmt_cc").toString
+    mkRel(root, "a", Seq((1L, 0), (2L, 1)))
+    mkRel(root, "b", Seq((10L, 0)))
+    mkRel(root, "c", Seq((7L, 2)))
+    // byte-level snapshot of every live relation's files
+    def snapshot(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val r = Paths.get(root)
+      Files.walk(r).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .map(p => r.relativize(p).toString ->
+          ((Files.size(p), Files.getLastModifiedTime(p).toMillis)))
+        .toMap
+    }
+    val before = snapshot()
+    // the exact disk state a crash mid-staging leaves: staging runs the
+    // ops on concurrent futures (Commit.commit), so at the crash point
+    // op 0 is fully staged, op 1 is MID-WRITE (a _temporary task dir and
+    // an orphan part file, no parquet footer committed), and op 2's
+    // future never got a slot — and because the intent file is written
+    // only after ALL writes settle, no _COMMIT exists
+    mkRel(s"$root/_COMMIT_STAGE", "0", Seq((9L, 0), (8L, 1)))
+    val partial = Paths.get(root, "_COMMIT_STAGE", "1", "p=0")
+    Files.createDirectories(partial)
+    Files.writeString(partial.resolve(
+      "part-00000-dead.snappy.parquet"), "torn half-written bytes")
+    Files.createDirectories(
+      Paths.get(root, "_COMMIT_STAGE", "1", "_temporary", "0"))
+    assert(!Commit.pending(root), "no intent ⇒ the commit never happened")
+    Commit.recover(root)
+    // the orphan stage (complete, partial and absent op dirs alike) is
+    // discarded whole; every live byte is exactly pre-commit
+    assert(!Files.exists(Paths.get(root, "_COMMIT_STAGE")))
+    assert(snapshot() == before,
+      "recover must not touch a single live byte")
+    assert(readRel(root, "a") == Set((1L, 0), (2L, 1)))
+    assert(readRel(root, "b") == Set((10L, 0)))
+    assert(readRel(root, "c") == Set((7L, 2)))
+    // and the protocol is immediately reusable: the same logical commit
+    // re-runs clean after recovery
+    Commit.commit(root, Seq(
+      Commit.Replace("a", "p", Seq(0, 1), Seq((9L, 0), (8L, 1)).toDF("v", "p")),
+      Commit.Add("b", "p", Seq((11L, 3)).toDF("v", "p")),
+      Commit.Add("c", "p", Seq((12L, 4)).toDF("v", "p"))))
+    assert(readRel(root, "a") == Set((9L, 0), (8L, 1)))
+    assert(readRel(root, "b") == Set((10L, 0), (11L, 3)))
+    assert(readRel(root, "c") == Set((7L, 2), (12L, 4)))
+  }
+
   test("a second writer is refused while the lock is held; a stale lock " +
       "of a dead pid clears, a live pid's does not") {
     val root = java.nio.file.Files.createTempDirectory("graft_lock").toString

@@ -170,6 +170,39 @@ class RagSpec extends SparkSpec {
         new Dropping, batchSize = 4).collect()
     }
     assert(e.getMessage.contains("misalign"))
+    // over-returning is the same contract violation as dropping: one
+    // duplicated completion shifts every later id's answer by one
+    class Duplicating extends Generator {
+      def generate(ps: Array[String]): Array[String] =
+        ps.map(_ => "x") :+ "extra"
+    }
+    val e2 = intercept[org.apache.spark.SparkException] {
+      BatchedInference.generateBatched(prompts, "id", "prompt",
+        new Duplicating, batchSize = 4).collect()
+    }
+    assert(e2.getMessage.contains("misalign"))
+    // a generator THROWING mid-run (a model/client error on one batch)
+    // fails the job loudly — never a partial relation: the batches that
+    // succeeded before the throw must not surface as output rows
+    class ThrowingOn(marker: String) extends Generator {
+      def generate(ps: Array[String]): Array[String] = {
+        if (ps.exists(_.contains(marker)))
+          throw new RuntimeException("model backend exploded")
+        ps.map(_ => "ok")
+      }
+    }
+    val e3 = intercept[org.apache.spark.SparkException] {
+      BatchedInference.generateBatched(prompts, "id", "prompt",
+        new ThrowingOn("body 19"), batchSize = 4).collect()
+    }
+    assert(e3.getMessage.contains("model backend exploded"))
+    // and a throw-free subset still generates whole — the failure above
+    // was the generator's, not residue in the operator
+    val ok = BatchedInference.generateBatched(
+        prompts.filter(!col("prompt").contains("body 19")), "id", "prompt",
+        new ThrowingOn("body 19"), batchSize = 4)
+      .collect()
+    assert(ok.length == 22 && ok.forall(_.getString(1) == "ok"))
   }
 
   test("ragQuery takes advisory path for niche_advice intent (rag.py:187-191)") {
