@@ -461,6 +461,56 @@ class AnnSpec extends SparkSpec {
       "each compacted partition must hold exactly one data file")
   }
 
+  test("graph-ANN query-relation cache invalidates on EVERY mutation — " +
+      "a walk after append/delete/compact/rebuild never serves the " +
+      "pre-mutation relations") {
+    import graft.operators.GraphAnnIndex
+    val p = java.nio.file.Files.createTempDirectory("graft_gann_gen")
+      .toString + "/idx"
+    val oldPart = emb.filter(col("vec_id") < 128)
+    val newPart = emb.filter(col("vec_id") >= 128 && col("vec_id") < 256)
+    GraphAnnIndex.build(oldPart, col("vec_id"), col("embedding"), p,
+      sampleMod = 16, edgesPerBucket = 3)
+    def visitedIds() = GraphAnnIndex.query(spark, p, QueryVec.values,
+      beam = 16, hops = 6).collect().map(_.getLong(0)).toSet
+    val gen0 = GraphAnnIndex.committedGen(p)
+    assert(gen0 != 0L, "build must commit a generation token")
+    val v0 = visitedIds() // populates the cache at gen0
+    assert(v0.forall(_ < 128))
+    // append: gen bumps, and the cached pre-append relations must NOT
+    // serve — the new ids are reachable immediately
+    GraphAnnIndex.append(newPart, col("vec_id"), col("embedding"), p)
+    val gen1 = GraphAnnIndex.committedGen(p)
+    assert(gen1 != gen0, "append must bump the generation")
+    val v1 = visitedIds()
+    assert(v1.exists(id => id >= 128 && id < 256),
+      "post-append walk must see admitted ids (stale cache would not)")
+    // delete: victims vanish from the walk at once
+    GraphAnnIndex.delete(
+      emb.filter(col("vec_id") >= 128).select(col("vec_id")), p,
+      idName = "vec_id")
+    assert(GraphAnnIndex.committedGen(p) != gen1)
+    assert(visitedIds().forall(_ < 128))
+    // compact: row-invariant, still a fresh generation (files moved)
+    val before = visitedIds()
+    GraphAnnIndex.compact(spark, p)
+    assert(visitedIds() == before)
+    // a NO-OP append (all ids already stored) commits nothing and must
+    // not bump — the cache keeps serving, which is the cheap case
+    val genC = GraphAnnIndex.committedGen(p)
+    GraphAnnIndex.append(oldPart, col("vec_id"), col("embedding"), p)
+    assert(GraphAnnIndex.committedGen(p) == genC,
+      "an admission no-op must not invalidate the cache")
+    // delete-and-REBUILD at the same path: the token is nanotime-unique,
+    // so a fresh index can never alias a stale cache entry
+    GraphAnnIndex.build(newPart, col("vec_id"), col("embedding"), p,
+      sampleMod = 16, edgesPerBucket = 3)
+    assert(GraphAnnIndex.committedGen(p) != genC)
+    val vR = visitedIds()
+    assert(vR.nonEmpty && vR.forall(id => id >= 128 && id < 256),
+      "post-rebuild walk must serve the NEW corpus only")
+  }
+
   test("graph-ANN fragmentation: 1.0 on a fresh build, appends add files " +
       "to touched partitions, compactIfFragmented fires past the " +
       "threshold and walks are invariant") {
