@@ -250,13 +250,33 @@ def main(sf_dir, out_dir, json_out=None):
         slow = [(n, results[n].get("secs", 0.0)) for n in names
                 if n not in heavy
                 and (results[n].get("secs") or 0.0) > HEAVY_SECS]
-        if slow:
-            for n, s in slow:
-                print(f"ORDER-GUARD FAIL {n}: replayed {s:.1f}s but is not "
-                      "in Verify.heavyOrder — add it so the cheapest-first "
-                      "dump keeps it out of the prefix")
+        # A single wall-clock point on a box that intermittently stalls
+        # machine-wide (the reason the bench itself is min-of-passes) is
+        # not evidence of a heavy replay: re-time each offender once,
+        # solo, and judge the MIN of the two passes — same discipline as
+        # Bench. One transient stall then reads as the noise it is; a
+        # genuinely heavy query is slow both times.
+        confirmed = []
+        for n, s in slow:
+            con = fresh_con(sf_dir)
+            try:
+                _, r2 = check_one(con, sf_dir, out_dir, n, oracle[n])
+            finally:
+                con.close()
+            s2 = r2.get("secs") or 0.0
+            if min(s, s2) > HEAVY_SECS:
+                confirmed.append((n, min(s, s2)))
+            else:
+                print(f"order guard: {n} pass-1 {s:.1f}s was a transient "
+                      f"stall (re-timed {s2:.1f}s) — not flagged")
+        if confirmed:
+            for n, s in confirmed:
+                print(f"ORDER-GUARD FAIL {n}: replayed {s:.1f}s (min of 2 "
+                      "passes) but is not in Verify.heavyOrder — add it so "
+                      "the cheapest-first dump keeps it out of the prefix")
             return 2
-        print(f"order guard: no un-listed replay above {HEAVY_SECS:.0f}s")
+        print(f"order guard: no un-listed replay above {HEAVY_SECS:.0f}s "
+              "(min-of-2 basis)")
     return 1 if n_fail else 0
 
 def driver_schema(r):

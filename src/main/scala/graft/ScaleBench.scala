@@ -795,7 +795,19 @@ object ScaleBench {
       "carries every earlier measurement's cached relations and " +
       "localCheckpoint blocks, inflating pass 1. Each (query, scale) " +
       "pair now starts from a cleared SQL cache + GC'd context " +
-      "(isolate()), restoring the solo steady state."
+      "(isolate()), restoring the solo steady state. " +
+      "serving_ivf literal_vs_guarded ~1.0 at every batch size is the " +
+      "expected shape, not a missing hazard: IVF's literal list is the " +
+      "probed-cell UNION, a CLOSED set capped at nlist (128 here — " +
+      "saturated by the 10k batch), so the isin stays constant-size at " +
+      "any batch size and the literal plan never compounds the way " +
+      "BM25's OPEN per-query vocabulary does (1.54x at 10k). The " +
+      "default pruneLiteralLimit=1024 therefore keeps the static " +
+      "literal prune for every realistic probe union and engages the " +
+      "join-pruned path only at production nlist (tens of thousands of " +
+      "cells probed), which is exactly where literal planning would " +
+      "start compounding; the forced-guard 0.97 shows the guard costs " +
+      "~nothing even when engaged unnecessarily."
     val servJson = servingResults.map { case (name, byMode) =>
       val modesJ = byMode.toSeq.sortBy(_._1).map { case (mode, ts) =>
         val tsJ = ts.toSeq.sortBy(_._1)

@@ -7877,19 +7877,32 @@ object SparkEntry {
     * a CTE is `name AS (`...matched close...`)`, recursion is the name
     * occurring in its own body (false positives just skip the hint).
     */
-  private def materializeCtes(sql: String): String = {
-    // Per-char in-string-literal mask: parens (and `name AS (` matches)
-    // inside a quoted SQL literal are TEXT, not structure — counting
-    // them would mis-extract a body whose literal holds an unbalanced
-    // paren and could stamp MATERIALIZED on a recursive CTE (DuckDB
-    // rejects that). The naive quote TOGGLE is exactly right for SQL's
-    // doubled-quote escape: `''` toggles out-then-in, so the escaped
-    // quote's tail stays marked in-string.
+  private[graft] def materializeCtes(sql: String): String = {
+    // Per-char non-structural mask: parens (and `name AS (` matches)
+    // inside a single-quoted literal, a double-quoted identifier, or a
+    // `--` line comment are TEXT, not structure — counting them would
+    // mis-extract a body whose literal/identifier/comment holds an
+    // unbalanced paren (e.g. a "col(1)" identifier) and could stamp
+    // MATERIALIZED on a recursive CTE (DuckDB rejects that). The naive
+    // quote TOGGLE is exactly right for SQL's doubled-quote escape in
+    // both quote kinds: `''`/`""` toggles out-then-in, so the escaped
+    // quote's tail stays marked in-string. Block comments (/* */) are
+    // the one remaining exclusion — no oracle generator emits them.
     val inStr = new Array[Boolean](sql.length)
-    var q = false
+    var q = false      // inside '...'
+    var dq = false     // inside "..."
+    var cmt = false    // inside -- ... \n
     var i = 0
     while (i < sql.length) {
-      if (sql(i) == '\'') { inStr(i) = true; q = !q } else inStr(i) = q
+      val c = sql(i)
+      if (cmt) { inStr(i) = true; if (c == '\n') cmt = false }
+      else if (q) { inStr(i) = true; if (c == '\'') q = false }
+      else if (dq) { inStr(i) = true; if (c == '"') dq = false }
+      else if (c == '\'') { inStr(i) = true; q = true }
+      else if (c == '"') { inStr(i) = true; dq = true }
+      else if (c == '-' && i + 1 < sql.length && sql(i + 1) == '-') {
+        inStr(i) = true; cmt = true
+      } else inStr(i) = false
       i += 1
     }
     val m = java.util.regex.Pattern.compile("(\\w+) AS\\s*\\(").matcher(sql)

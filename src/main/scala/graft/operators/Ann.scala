@@ -532,7 +532,22 @@ object Ann {
     // relational shape re-broadcast every hop, collected ONCE
     val qvSchema = org.apache.spark.sql.types.StructType(
       queries.schema("q_id") :: queries.schema("q_vec") :: Nil)
+    // "request-sized" is enforced, not just declared: the driver state is
+    // ≤ |queries|·beam·degree rows per hop, so an unbounded caller batch
+    // turns graceful distributed execution into a silent driver OOM.
+    // Checked AFTER the one collect (a limit here would turn the collect
+    // into CollectLimit's multi-step partition scan — extra jobs on
+    // every walk): the walk state multiplies the batch by beam·degree,
+    // so failing on the collected batch still fires orders of magnitude
+    // before the state the bound protects against.
+    val maxBatch = spark.conf.getOption("graft.ann.maxWalkBatch")
+      .map(_.toInt).getOrElse(8192)
     val qvRows = queries.select(col("q_id"), col("q_vec")).collect()
+    require(qvRows.length <= maxBatch,
+      s"graph-ANN walk batch of ${qvRows.length} exceeds " +
+        s"graft.ann.maxWalkBatch=$maxBatch; split the batch (or raise " +
+        "the bound for a driver sized to hold batch*beam*degree rows " +
+        "per hop)")
     val qvRel = spark.createDataFrame(qvRows.toSeq.asJava, qvSchema)
     val pairSchema = org.apache.spark.sql.types.StructType(
       queries.schema("q_id") ::

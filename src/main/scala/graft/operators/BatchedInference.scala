@@ -187,31 +187,7 @@ object BatchedInference {
 
     def score(texts: Array[String]): Array[Array[Double]] = {
       val w = session // one cache hit per call; one BUILD per executor
-      texts.map { t =>
-        val ids = tokenIds(t)
-        val out = new Array[Double](dim)
-        var n = 0
-        var i = 0
-        while (i < ids.length) { // the "batched pass": gather + mean-pool
-          if (ids(i) != 0) {
-            val row = w(ids(i))
-            var j = 0
-            while (j < dim) { out(j) += row(j); j += 1 }
-            n += 1
-          }
-          i += 1
-        }
-        if (n > 0) { var j = 0; while (j < dim) { out(j) /= n; j += 1 } }
-        var norm = 0.0
-        var j = 0
-        while (j < dim) { norm += out(j) * out(j); j += 1 }
-        if (norm > 0) {
-          val inv = 1.0 / math.sqrt(norm)
-          j = 0
-          while (j < dim) { out(j) *= inv; j += 1 }
-        }
-        out
-      }
+      texts.map(t => OnnxShapedScorer.meanPoolNormalize(w, tokenIds(t), dim))
     }
   }
 
@@ -229,6 +205,36 @@ object BatchedInference {
     /** Builds observable for the lifecycle spec. */
     val initCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
+    /** The encoder's compute body (gather → mean-pool non-pad positions
+      * → L2 normalize), shared with [[FileWeightsScorer]]: id 0 is pad.
+      */
+    private[operators] def meanPoolNormalize(w: Array[Array[Double]],
+                                             ids: Array[Int],
+                                             dim: Int): Array[Double] = {
+      val out = new Array[Double](dim)
+      var n = 0
+      var i = 0
+      while (i < ids.length) { // the "batched pass": gather + mean-pool
+        if (ids(i) != 0) {
+          val row = w(ids(i))
+          var j = 0
+          while (j < dim) { out(j) += row(j); j += 1 }
+          n += 1
+        }
+        i += 1
+      }
+      if (n > 0) { var j = 0; while (j < dim) { out(j) /= n; j += 1 } }
+      var norm = 0.0
+      var j = 0
+      while (j < dim) { norm += out(j) * out(j); j += 1 }
+      if (norm > 0) {
+        val inv = 1.0 / math.sqrt(norm)
+        j = 0
+        while (j < dim) { out(j) *= inv; j += 1 }
+      }
+      out
+    }
+
     private def sessionFor(dim: Int, vocabSize: Int): Array[Array[Double]] =
       sessions.computeIfAbsent((dim, vocabSize), { _ =>
         initCount.incrementAndGet()
@@ -240,6 +246,144 @@ object BatchedInference {
           }
         }
       })
+  }
+
+  /** The DISK-LOADED scorer — [[OnnxShapedScorer]] with the weights
+    * coming from a distributed artifact file instead of in-memory
+    * synthesis: the lifecycle a REAL integration hits first (RagSpec
+    * proved one-session-per-executor, but a real model's day-one
+    * failure modes are the ARTIFACT PATH — file not distributed to an
+    * executor, torn/corrupt download, a weights file that doesn't match
+    * the tokenizer/encoder configuration). Every poison case fails
+    * LOUDLY at session init, naming the artifact and the mismatch —
+    * never a quiet garbage embedding:
+    *
+    *  - missing file → error naming the path and the distribution fix;
+    *  - wrong magic / truncated body → "corrupt artifact" with the path;
+    *  - unsupported format version → names both versions;
+    *  - artifact dim ≠ the scorer's configured dim (the model/tokenizer
+    *    version-mismatch class) → names both dims.
+    *
+    * The session cache is the executor-wide JVM singleton (cf.
+    * [[OnnxShapedScorer.sessions]]), keyed by (canonical path, length,
+    * mtime, dim) so a REPUBLISHED artifact at the same path is a new
+    * session, never a stale hit — the same stale-cache discipline the
+    * staged indexes' gen tokens enforce. Swapping [[FileWeightsScorer
+    * .load]]'s body for `OrtEnvironment.createSession(bytes)` is the
+    * whole real-runtime integration.
+    */
+  final class FileWeightsScorer(weightsPath: String, val dim: Int,
+                                maxSeqLen: Int = 32) extends BatchScorer {
+    def score(texts: Array[String]): Array[Array[Double]] = {
+      val w = FileWeightsScorer.sessionFor(weightsPath, dim)
+      val vocabSize = w.length
+      texts.map { t =>
+        val toks = t.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        val ids = toks.iterator.take(maxSeqLen).map { tok =>
+          math.floorMod(scala.util.hashing.MurmurHash3.stringHash(tok, 42),
+            vocabSize - 1) + 1 // 0 is the pad id
+        }.toArray
+        OnnxShapedScorer.meanPoolNormalize(w, ids, dim)
+      }
+    }
+  }
+
+  object FileWeightsScorer {
+    private val Magic = 0x47524657 // "GRFW"
+    private val Version = 1
+
+    private final case class SessionKey(path: String, len: Long,
+                                        mtime: Long, dim: Int)
+    private val sessions = new java.util.concurrent.ConcurrentHashMap[
+      SessionKey, Array[Array[Double]]]()
+
+    /** Loads observable for the lifecycle spec (cf.
+      * [[OnnxShapedScorer.initCount]]).
+      */
+    val loadCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    /** Write a deterministic weights artifact (magic, version,
+      * vocabSize, dim, then vocabSize×dim doubles) — the test/dev twin
+      * of exporting a real model; rows match [[OnnxShapedScorer]]'s
+      * synthesized matrix so the two scorers agree given the same
+      * (dim, vocabSize).
+      */
+    def writeWeights(path: String, dim: Int, vocabSize: Int): Unit = {
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(path)))
+      try {
+        out.writeInt(Magic)
+        out.writeInt(Version)
+        out.writeInt(vocabSize)
+        out.writeInt(dim)
+        var t = 0
+        while (t < vocabSize) {
+          var j = 0
+          while (j < dim) {
+            val h = scala.util.hashing.MurmurHash3.productHash((t, j), 1337)
+            out.writeDouble(math.floorMod(h, 2000) / 1000.0 - 1.0)
+            j += 1
+          }
+          t += 1
+        }
+      } finally out.close()
+    }
+
+    private[operators] def sessionFor(path: String,
+                                      dim: Int): Array[Array[Double]] = {
+      val f = new java.io.File(path)
+      if (!f.exists()) throw new IllegalStateException(
+        s"weights artifact MISSING at $path on ${java.net.InetAddress
+          .getLocalHost.getHostName} — distribute it to every executor " +
+          "(spark.files / --files / a shared filesystem) before running " +
+          "the embed stage")
+      val key = SessionKey(f.getCanonicalPath, f.length(), f.lastModified(),
+        dim)
+      sessions.computeIfAbsent(key, { _ => load(f, dim) })
+    }
+
+    private def load(f: java.io.File, dim: Int): Array[Array[Double]] = {
+      loadCount.incrementAndGet()
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
+      try {
+        val magic = in.readInt()
+        if (magic != Magic) throw new IllegalStateException(
+          s"weights artifact at $f is CORRUPT (magic 0x${magic.toHexString}" +
+            s", expected 0x${Magic.toHexString}) — re-export or re-download it")
+        val ver = in.readInt()
+        if (ver != Version) throw new IllegalStateException(
+          s"weights artifact at $f has format version $ver; this build " +
+            s"supports $Version — upgrade the artifact or the library")
+        val vocabSize = in.readInt()
+        val fdim = in.readInt()
+        if (vocabSize <= 1 || fdim <= 0) throw new IllegalStateException(
+          s"weights artifact at $f is CORRUPT (vocabSize=$vocabSize, " +
+            s"dim=$fdim)")
+        if (fdim != dim) throw new IllegalStateException(
+          s"weights artifact at $f encodes dim $fdim but the scorer is " +
+            s"configured for dim $dim — model/tokenizer version mismatch; " +
+            "align the artifact with the pipeline's declared dim")
+        val w = Array.ofDim[Array[Double]](vocabSize)
+        var t = 0
+        try {
+          while (t < vocabSize) {
+            val row = new Array[Double](fdim)
+            var j = 0
+            while (j < fdim) { row(j) = in.readDouble(); j += 1 }
+            w(t) = row
+            t += 1
+          }
+        } catch { case _: java.io.EOFException =>
+          throw new IllegalStateException(
+            s"weights artifact at $f is TRUNCATED (ends inside row $t of " +
+              s"$vocabSize) — a torn download/copy; re-distribute it")
+        }
+        w
+      } finally in.close()
+    }
   }
 
   /** The batched GENERATION contract — the M2 boundary (reference

@@ -97,6 +97,34 @@ object GraphAnnIndex {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Best-effort stored-node-count HINT — the cost-model input that picks
+    * between [[updateLayerOps]]'s two edge-identical `replaced` shapes
+    * (full bucket recompute vs incremental top-k merge). It is ONLY a
+    * hint: both shapes produce the same edges, so a stale or missing
+    * count can never corrupt the index — it just picks the slower of two
+    * correct plans (missing ⟹ full recompute, the small-index default;
+    * a crash between commit and the hint write leaves it one wave low,
+    * which only delays the switch by a batch). Written by build
+    * (overlapped with the derived-relation writes) and maintained by
+    * append/delete from counts their admission passes already collect.
+    */
+  private def countFile(path: String) =
+    java.nio.file.Paths.get(path, "_COUNT")
+
+  private def readCountHint(path: String): Option[Long] =
+    if (java.nio.file.Files.exists(countFile(path)))
+      scala.util.Try(java.nio.file.Files.readString(countFile(path))
+        .trim.toLong).toOption
+    else None
+
+  private def writeCountHint(path: String, n: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path, "_COUNT_TMP")
+    Files.writeString(tmp, n.toString)
+    Files.move(tmp, countFile(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** True iff a completed build exists at `path` (the done marker is
     * written last, so its presence certifies the whole layout).
     */
@@ -214,6 +242,9 @@ object GraphAnnIndex {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
+      // the count-hint read overlaps the derived-relation writes below
+      // (same staged nodes, zero extra wall-clock on the critical path)
+      val counted = Future(nodes.count())
       val writes = Seq(
         // admission sidecar from the STAGED nodes (no second corpus pass)
         Future(writeIds(nodes.select(col("id"), col("bucket")), path,
@@ -231,6 +262,8 @@ object GraphAnnIndex {
       val settled = writes.map(f =>
         scala.util.Try(Await.result(f, Duration.Inf)))
       settled.collectFirst { case scala.util.Failure(e) => throw e }
+      scala.util.Try(Await.result(counted, Duration.Inf))
+        .foreach(writeCountHint(path, _))
     }
     writeMeta(path, Meta(sampleMod, edgesPerBucket, numPlanes, dim, probeBits))
     bumpGen(path)
@@ -245,7 +278,8 @@ object GraphAnnIndex {
     * cost that dwarfed the walk's useful work (the top two bench
     * queries). Invalidation is the one `_GEN` stat: token changed ⟹
     * drop the entry, rebuild (old checkpoint blocks free via the context
-    * cleaner once unreferenced). One entry per index path, so the
+    * cleaner once unreferenced). One entry per index path, and each
+    * cache miss sweeps entries whose path no longer exists, so the
     * cache's footprint is the LIVE indexes' working set, not history.
     *
     * localCheckpoint, NOT persist(): Spark's CacheManager substitutes a
@@ -266,6 +300,21 @@ object GraphAnnIndex {
 
   private def queryRels(spark: SparkSession, path: String): QueryRels = {
     val gen = committedGen(path)
+    if (gen == 0L) {
+      // NEVER cache gen 0. `_GEN` is written AFTER the done marker, so
+      // gen 0 aliases "legacy index, stable" with "rebuild crashed
+      // between writeMeta and bumpGen" — and every legacy layout at
+      // this path shares the token, so a cached gen-0 entry could keep
+      // serving pre-rebuild bytes exactly the token exists to prevent.
+      // Fall through to fresh (un-pinned) reads; the first completed
+      // mutation assigns a real token and pinning resumes.
+      return QueryRels(0L,
+        spark.read.parquet(s"$path/nodes"),
+        Ann.doubledAdj(spark.read.parquet(s"$path/base_adj"))
+          .select(col("src"), col("dst")),
+        Ann.doubledAdj(spark.read.parquet(s"$path/coarse_adj"))
+          .select(col("src"), col("dst")))
+    }
     val hit = relCache.get(path)
     if (hit != null && hit.gen == gen &&
         (hit.nodes.sparkSession.sparkContext eq spark.sparkContext)) hit
@@ -275,6 +324,16 @@ object GraphAnnIndex {
           (again.nodes.sparkSession.sparkContext eq spark.sparkContext))
         again
       else {
+        // Miss ⟹ we pay a rebuild anyway; piggyback an eviction sweep
+        // so entries for deleted/rotated index paths (temp test dirs,
+        // per-scale bench dirs, rebuild-at-new-path rotations) don't
+        // pin checkpoint blocks for the context's lifetime. One stat
+        // per OTHER cached path, only on the cold path.
+        val it = relCache.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey != path && !exists(e.getKey)) it.remove()
+        }
         val fresh = QueryRels(gen,
           spark.read.parquet(s"$path/nodes").localCheckpoint(),
           Ann.doubledAdj(spark.read.parquet(s"$path/base_adj"))
@@ -348,7 +407,16 @@ object GraphAnnIndex {
     // walks' query side all come from these rows with zero further jobs
     val qvSel = queries.select(col("q_id"), col("q_vec"))
     val qvSchema = qvSel.schema
+    // same loud bound as Ann.graphAnnBeamBatchFromPrepared (which this
+    // feeds): "request-sized" is enforced, not assumed (checked after
+    // the one collect — see the walk's note on why not limit())
+    val maxBatch = spark.conf.getOption("graft.ann.maxWalkBatch")
+      .map(_.toInt).getOrElse(8192)
     val qvRows = qvSel.collect()
+    require(qvRows.length <= maxBatch,
+      s"graph-ANN query batch of ${qvRows.length} exceeds " +
+        s"graft.ann.maxWalkBatch=$maxBatch; split the batch or raise " +
+        "the bound")
     // the single-query path's require(queryVec.length == m.dim), batch
     // form — without it a wrong-dim vector probes wrong buckets and
     // walks to a plausible-looking but wrong visited set, no error
@@ -409,8 +477,9 @@ object GraphAnnIndex {
     *
     *  - a stored (src, d_bucket) group re-ranks iff a new node entered
     *    d_bucket → those partitions (≤ |batch bucket set| ≤ 2^numPlanes)
-    *    are recomputed over ALL adjacent sources and rewritten via
-    *    dynamic partition overwrite;
+    *    are rewritten via an INCREMENTAL MERGE of the stored top-k edges
+    *    (re-scored) with only the NEW candidate pairs — identical edges
+    *    to a bucket rebuild at cost ∝ the wave, see [[updateLayerOps]];
     *  - new sources' edges into untouched buckets are purely additive
     *    (nothing in those buckets moved) → plain partition append;
     *  - every other partition is never read or written;
@@ -453,27 +522,44 @@ object GraphAnnIndex {
         .select(col("id")), Seq("id"), "left_anti")
       .drop("ib")
       .localCheckpoint()
-    // ONE metadata-sized action answers is-empty AND both layers'
-    // touched-bucket sets (bucket ids live in [0, 2^numPlanes)) — the
-    // per-layer collects were 3 driver round-trips per append
+    // ONE metadata-sized action answers is-empty, both layers'
+    // touched-bucket sets (bucket ids live in [0, 2^numPlanes)) AND the
+    // wave size for the cost-model switch below — the per-layer collects
+    // were 3 driver round-trips per append
     val stats = fresh.groupBy(col("bucket"))
-      .agg(max(col("id") % m.sampleMod === 0).as("has_coarse"))
+      .agg(max(col("id") % m.sampleMod === 0).as("has_coarse"),
+        count(lit(1)).as("n"))
       .collect()
     if (stats.nonEmpty) {
       val bNewBase = stats.map(_.getInt(0)).toSeq.sorted
       val bNewCoarse = stats.filter(_.getBoolean(1)).map(_.getInt(0)).toSeq.sorted
+      val waveRows = stats.map(_.getLong(2)).sum
+      // Cost-model switch for the `replaced` shape (both are
+      // edge-identical — see updateLayerOps): the incremental merge's
+      // extra joins only pay off once the buckets' accumulated
+      // population dwarfs the wave (measured at sf0.1: 667-row waves on
+      // a ≤1.3k-node index ran ~1 s/append SLOWER merged — stage count
+      // dominates small data; at steady-state streaming scale the full
+      // recompute's |srcAff pop|×|bucket pop| candidate set is the term
+      // that grows with the corpus while the merge's stays ∝ wave).
+      // Missing hint (legacy index) ⟹ full recompute, the safe default.
+      val minRatio = spark.conf.getOption("graft.graphann.incrementalMinRatio")
+        .map(_.toLong).getOrElse(8L)
+      val prior = readCountHint(path)
+      val incremental = prior.exists(_ >= minRatio * waveRows)
       java.nio.file.Files.createFile(intentFile(path))
-      val all = old.unionByName(fresh)
       // EVERY relation's mutation — both layers' replaced/added edge
       // partitions, the node rows, the sidecar rows — stages whole and
       // applies under ONE crash-safe commit: a crash leaves the index
       // either fully pre-append or fully post-append (recover() rolls a
       // logged commit forward), never torn between relations
       val ops =
-        updateLayerOps(all, fresh, bNewBase, "base_adj", m) ++
-        updateLayerOps(all.filter(col("id") % m.sampleMod === 0),
+        updateLayerOps(spark, path, old, fresh, bNewBase, "base_adj", m,
+          incremental) ++
+        updateLayerOps(spark, path,
+          old.filter(col("id") % m.sampleMod === 0),
           fresh.filter(col("id") % m.sampleMod === 0), bNewCoarse,
-          "coarse_adj", m) ++
+          "coarse_adj", m, incremental) ++
         Seq(
           graft.tables.Commit.Add("nodes", "bucket", fresh),
           graft.tables.Commit.Add("ids", "ib",
@@ -482,6 +568,7 @@ object GraphAnnIndex {
               .withColumn("ib", ibCol(col("id")))))
       graft.tables.Commit.commit(path, ops)
       java.nio.file.Files.delete(intentFile(path))
+      prior.foreach(p => writeCountHint(path, p + waveRows))
       bumpGen(path)
     }
   }
@@ -532,18 +619,70 @@ object GraphAnnIndex {
     * identical — AnnSpec asserts both the equivalence and the pruned
     * scan.
     */
-  private def updateLayerOps(all: DataFrame, freshL: DataFrame,
-                             bNew: Seq[Int], adjRel: String,
-                             m: Meta): Seq[graft.tables.Commit.Op] = {
+  private def updateLayerOps(spark: SparkSession, path: String,
+                             oldL: DataFrame, freshL: DataFrame,
+                             bNew: Seq[Int], adjRel: String, m: Meta,
+                             incremental: Boolean)
+      : Seq[graft.tables.Commit.Op] = {
     if (bNew.isEmpty) return Nil
+    val all = oldL.unionByName(freshL)
     val srcAff = affectedBuckets(bNew, m)
-    // groups whose ranking may have moved: destination bucket ∈ bNew —
-    // recomputed over every adjacent source (old and new) vs that
-    // bucket's full population, exactly what a rebuild would rank
-    val replaced = topEdges(m,
-      probed(m, prunedNodes(all, srcAff)).filter(col("probe").isin(bNew: _*))
-        .join(dstSide(prunedNodes(all, bNew)),
-          col("probe") === col("d_bucket") && col("src") =!= col("dst")))
+    // Groups whose ranking may have moved: destination bucket ∈ bNew.
+    // TWO edge-identical shapes, picked by appendImpl's cost model:
+    //
+    // FULL RECOMPUTE — every adjacent source (old and new) vs the
+    // bucket's full population, exactly what a rebuild ranks. Fewest
+    // stages; candidate volume |srcAff pop| × |bucket pop| grows with
+    // the corpus. Right below the switch ratio (small index / big wave).
+    //
+    // INCREMENTAL MERGE — the stored partition b is (invariant) exactly
+    // the per-src top-k over b's pre-append population, and appends only
+    // ADD candidates — so for an existing (src, b) group,
+    // top-k(stored-k ∪ src×fresh_b) = top-k(old ∪ fresh): any old
+    // candidate outside the stored k is dominated by k stored rows that
+    // are still present. The merge ranks the stored edges (× k,
+    // re-scored from the node vecs — edges don't store distances) plus
+    // only the NEW pairs, so the per-batch job is ∝ the wave, not the
+    // buckets' accumulated population — the difference between
+    // steady-state append cost growing with the corpus and staying
+    // flat. Its three candidate sources are disjoint (old ∩ fresh = ∅
+    // by admission), so the union never double-counts a pair:
+    //   (a) old→old: the stored groups, distances recomputed (same
+    //       kernel, same vecs ⟹ same ranking a rebuild computes);
+    //   (b) old→fresh: every affected old source vs the batch's rows
+    //       in bNew (also creates groups for buckets fresh just
+    //       populated — an unstored group has no old candidates);
+    //   (c) fresh→anything: new sources vs the buckets' full population.
+    val replaced =
+      if (!incremental)
+        topEdges(m,
+          probed(m, prunedNodes(all, srcAff))
+            .filter(col("probe").isin(bNew: _*))
+            .join(dstSide(prunedNodes(all, bNew)),
+              col("probe") === col("d_bucket") && col("src") =!= col("dst")))
+      else {
+        val cols = Seq(col("src"), col("s_vec"), col("dst"), col("d_vec"),
+          col("d_bucket"))
+        val stored = spark.read.parquet(s"$path/$adjRel")
+          .filter(col("d_bucket").isin(bNew: _*)) // partition-pruned read
+          .select(col("src"), col("dst"), col("d_bucket"))
+        val rescored = stored
+          .join(prunedNodes(all, srcAff) // src bucket ∈ bNew⊕masks (symmetry)
+            .select(col("id").as("src"), col("vec").as("s_vec")), "src")
+          .join(prunedNodes(all, bNew)
+            .select(col("id").as("dst"), col("vec").as("d_vec")), "dst")
+          .select(cols: _*)
+        val oldIntoFresh = probed(m, prunedNodes(oldL, srcAff))
+          .filter(col("probe").isin(bNew: _*))
+          .join(dstSide(freshL),
+            col("probe") === col("d_bucket") && col("src") =!= col("dst"))
+          .select(cols: _*)
+        val freshInto = probed(m, freshL).filter(col("probe").isin(bNew: _*))
+          .join(dstSide(prunedNodes(all, bNew)),
+            col("probe") === col("d_bucket") && col("src") =!= col("dst"))
+          .select(cols: _*)
+        topEdges(m, rescored.unionByName(oldIntoFresh).unionByName(freshInto))
+      }
     // purely additive: new sources into untouched buckets (their stored
     // rankings contain no new node, so old rows there are final); the
     // reachable destination buckets are bNew ⊕ masks MINUS bNew
@@ -648,6 +787,10 @@ object GraphAnnIndex {
           graft.tables.Commit.Replace("ids", "ib", vibHit, keptIds))
       graft.tables.Commit.commit(path, ops)
       java.nio.file.Files.delete(intentFile(path))
+      // count-hint decrement (victims is checkpointed — a cheap local
+      // count); see readCountHint for why staleness is harmless
+      readCountHint(path).foreach(p =>
+        writeCountHint(path, math.max(0L, p - victims.count())))
       bumpGen(path)
     }
   }
@@ -666,30 +809,39 @@ object GraphAnnIndex {
       appendImpl(df, idCol, vecCol, path)
     }
 
-  /** Compact the index in place: rewrite every nodes/adjacency partition
-    * into one file (repartition on the partition column routes each
-    * partition's rows to a single task) — the maintenance pass that
-    * keeps file counts flat as streaming appends accumulate small files.
+  /** Compact the index in place: rewrite each FRAGMENTED partition (>1
+    * parquet file — the driver-side readdir names them) into one file;
+    * a 1-file partition is already in compacted form, so rewriting it
+    * would burn a scan + write for zero read-amplification gain — the
+    * r19 full-rewrite compact spent most of its time re-writing the
+    * adjacency partitions the append Replaces had ALREADY left at one
+    * file. Each Replace's rows are the partition-pruned live read, so
+    * the pass's cost is ∝ the fragmentation debt, not the index.
     * Results are invariant (AnnSpec asserts identical edges/nodes and
-    * query output); cost is one rewrite, no re-ranking.
+    * query output); cost is one pruned rewrite, no re-ranking.
     */
   def compact(spark: SparkSession, path: String): Unit =
     graft.tables.WriterLock.withLock(path) {
-      val m = readMeta(path) // validates done marker + no torn maintenance
-      java.nio.file.Files.createFile(intentFile(path))
-      val allB = (0 until (1 << m.numPlanes)).toSeq
-      val allIb = (0 until NumIdBuckets).toSeq
-      graft.tables.Commit.commit(path, Seq(
-        graft.tables.Commit.Replace("nodes", "bucket", allB,
-          spark.read.parquet(s"$path/nodes")),
-        graft.tables.Commit.Replace("coarse_adj", "d_bucket", allB,
-          spark.read.parquet(s"$path/coarse_adj")),
-        graft.tables.Commit.Replace("base_adj", "d_bucket", allB,
-          spark.read.parquet(s"$path/base_adj")),
-        graft.tables.Commit.Replace("ids", "ib", allIb,
-          idsRel(spark, path))))
-      java.nio.file.Files.delete(intentFile(path))
-      bumpGen(path)
+      readMeta(path) // validates done marker + no torn maintenance
+      import graft.tables.Staging.fragmentedPartitions
+      val rels = Seq(("nodes", "bucket"), ("coarse_adj", "d_bucket"),
+        ("base_adj", "d_bucket"), ("ids", "ib"))
+      val ops = rels.flatMap { case (rel, pc) =>
+        val frag = fragmentedPartitions(s"$path/$rel", pc)
+        if (frag.isEmpty) Nil
+        else {
+          val rows =
+            if (rel == "ids") idsRel(spark, path).filter(col(pc).isin(frag: _*))
+            else spark.read.parquet(s"$path/$rel").filter(col(pc).isin(frag: _*))
+          Seq(graft.tables.Commit.Replace(rel, pc, frag, rows))
+        }
+      }
+      if (ops.nonEmpty) {
+        java.nio.file.Files.createFile(intentFile(path))
+        graft.tables.Commit.commit(path, ops)
+        java.nio.file.Files.delete(intentFile(path))
+        bumpGen(path)
+      }
     }
 
   /** The WORST relation's mean parquet files per live partition across

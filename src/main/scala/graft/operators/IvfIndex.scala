@@ -359,6 +359,19 @@ object IvfIndex {
     * cell equi-join itself (dynamic partition pruning on the `cell`
     * partition key; the join was always the routing semantics), keeping
     * the plan constant-size at any batch size, identical rows.
+    *
+    * WHY THE GUARD IS A MEASURED NO-OP AT MODEST NLIST (BENCH_SCALE
+    * serving_ivf, literal_vs_guarded_at_10000 = 0.97): unlike BM25's
+    * literal term list — an OPEN set that grows with the batch's
+    * vocabulary, compounding planning cost (1.54x at 10k queries) —
+    * the probed-cell union is a CLOSED set capped at nlist, so at
+    * nlist ≤ pruneLiteralLimit the literal list saturates (every cell
+    * listed) and its plan is constant-size at ANY batch size: there is
+    * no hazard for the guard to prevent. The default 1024 is therefore
+    * the per-surface threshold that keeps the (marginally faster)
+    * static literal prune on every realistic probe union and engages
+    * the join-pruned path exactly where literal planning would start
+    * to compound — production nlist in the tens of thousands.
     */
   def probeBatch(spark: SparkSession, path: String, queries: DataFrame,
                  k: Int, nprobe: Int,

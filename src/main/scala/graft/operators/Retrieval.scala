@@ -406,7 +406,14 @@ object Retrieval {
       val toksNew = freshPost.select(col("tok")).distinct()
       // touched tokens re-rank over current ∪ fresh (identical ordering
       // to a full rebuild ⇒ identical ranks) and land at generation g —
-      // untouched tokens' rows are never read back or rewritten
+      // untouched tokens' rows are never read back or rewritten. The
+      // append lands in the dir it was read from: stage the write to a
+      // side dir (ONE job — the localCheckpoint this replaces charged a
+      // whole extra job per micro-batch just to guard read-vs-append
+      // re-planning) and promote the part-files with driver renames.
+      // Crash anywhere: promoted rows sit at the uncommitted gen g,
+      // invisible to resolution; recoverPostings GCs them. Same window
+      // the checkpointed append already had.
       val rerank = withImpactRank(
         st.postings.filter(col("pb").isin(touched: _*))
           .join(toksNew, Seq("tok"), "left_semi")
@@ -414,11 +421,14 @@ object Retrieval {
           .unionByName(freshPost.select(col("tok"), col("doc_id"), col("tf"))))
         .withColumn("gen", lit(g))
         .withColumn("pb", pbCol(col("tok")))
-        .localCheckpoint() // the append lands in the dir it was read from
+      val stg = s"$path/_APPEND_STAGE_postings"
+      graft.tables.Staging.deleteRec(stg)
       rerank.select(col("tok"), col("doc_id"), col("tf"), col("rank"),
           col("gen"), col("pb"))
         .repartition(col("pb")) // one new file per touched partition
-        .write.mode("append").partitionBy("pb").parquet(s"$path/postings")
+        .write.mode("overwrite").partitionBy("pb").parquet(stg)
+      graft.tables.Staging.moveInto(stg, s"$path/postings", "pb")
+      ()
     }
     // dfreq: ONE new row per TOUCHED token at generation g (its new
     // authoritative df); untouched tokens' rows — and the touched
@@ -538,11 +548,16 @@ object Retrieval {
           .select(col("tok"), col("doc_id"), col("tf")))
         .withColumn("gen", lit(g))
         .withColumn("pb", pbCol(col("tok")))
-        .localCheckpoint() // the append lands in the dir it was read from
+      // staged-write + promote, cf. appendImpl's writePostings: one job
+      // instead of checkpoint + append, same crash window (uncommitted
+      // gen g rows are invisible; recoverPostings GCs them)
+      val stg = s"$path/_APPEND_STAGE_postings"
+      graft.tables.Staging.deleteRec(stg)
       rerank.select(col("tok"), col("doc_id"), col("tf"), col("rank"),
           col("gen"), col("pb"))
         .repartition(col("pb"))
-        .write.mode("append").partitionBy("pb").parquet(s"$path/postings")
+        .write.mode("overwrite").partitionBy("pb").parquet(stg)
+      graft.tables.Staging.moveInto(stg, s"$path/postings", "pb")
       // dfreq: ONE new row per VICTIM token at generation g with the
       // decremented df — df = 0 is the death marker resolution filters
       val mergedDf = st.dfreq.filter(col("pb").isin(touched: _*))
@@ -686,6 +701,10 @@ object Retrieval {
                       path: String): Unit = {
     graft.tables.WriterLock.clearStale(path)
     graft.tables.Commit.recover(path)
+    // a writer that crashed mid-promote leaves its LSM staging dir (the
+    // unpromoted remainder is pre-visibility garbage; the promoted part
+    // is orphan-gen rows the GC below reclaims)
+    graft.tables.Staging.deleteRec(s"$path/_APPEND_STAGE_postings")
     if (java.nio.file.Files.exists(intentFile(path))) {
       val (gc, _, _) = readCommitted(spark, path)
       val mk = postingsMarker(path)
@@ -1253,18 +1272,32 @@ object Retrieval {
     if (fresh.isEmpty) return
     java.nio.file.Files.createFile(intentFile(path))
     val g = readWinGen(path) + 1
-    val newWins = fresh.select(col("win")).distinct()
-      .join(readWin(spark, path, "wemb").select(col("win")),
-        Seq("win"), "left_anti")
-      .select(col("win"), TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
-      .localCheckpoint() // feeds wemb append AND wtok append
     // the three writes are independent and ALL invisible until the
     // atomic _GEN rename: vocabulary rows without a live dwin row are
     // invisible orphans (candidates are driven by dwin), and the dwin
     // rows sit at the uncommitted generation g — so they run
     // CONCURRENTLY (cf. appendImpl: at micro-batch sizes each job is
     // mostly fixed scheduling cost; a crash anywhere leaves the stage
-    // readable at its pre-append state, recoverWindows GCs gen g)
+    // readable at its pre-append state, recoverWindows GCs gen g).
+    // The newWins derivation (an anti-join against the live wemb
+    // vocabulary, checkpointed because wemb is about to be appended to)
+    // needs only `fresh`, so it ALSO rides the concurrent block —
+    // serialized before the dwin write it charged the drain a whole
+    // extra sequential job per micro-batch.
+    val newWinsDone = {
+      import scala.concurrent.{ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Future(fresh.select(col("win")).distinct()
+        .join(readWin(spark, path, "wemb").select(col("win")),
+          Seq("win"), "left_anti")
+        .select(col("win"),
+          TextFunctions.hashEmbed(col("win"), dim).as("wemb"))
+        .localCheckpoint()) // feeds wemb append AND wtok append
+    }
+    def newWins = {
+      import scala.concurrent.{Await, duration}
+      Await.result(newWinsDone, duration.Duration.Inf)
+    }
     val writeWemb = () => if (!newWins.isEmpty) {
       newWins.withColumn("wb", pbCol(col("win")))
         .repartition(col("wb"))

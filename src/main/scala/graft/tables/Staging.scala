@@ -87,6 +87,55 @@ object Staging {
     * (or have no partitions yet) contribute nothing; an empty stage
     * probes as 0.0 so no policy fires on it.
     */
+  /** Move a staged partitioned write's data files INTO the live relation
+    * dir (the [[Commit]] "add" apply, factored for single-relation LSM
+    * appends): every `pc=v/part-*.parquet` under `stagedDir` moves to
+    * `destDir/pc=v/`. This is how an LSM append lands rows in the
+    * directory it READ without a lineage cut: the staged write never
+    * lists its own output dir, so the localCheckpoint (a whole extra
+    * job per micro-batch) that guarded read-vs-append re-planning is
+    * unnecessary — write to the side dir (one job), then driver-side
+    * renames. Spark part-file names are globally unique (task UUIDs),
+    * so a re-run never collides. Returns the moved file count.
+    */
+  def moveInto(stagedDir: String, destDir: String, pc: String): Int = {
+    import java.nio.file.{Files, Paths}
+    var moved = 0
+    val src = new java.io.File(stagedDir)
+    Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && d.getName.startsWith(s"$pc="))
+      .foreach { pdir =>
+        val dst = Paths.get(destDir, pdir.getName)
+        Files.createDirectories(dst)
+        Option(pdir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .foreach { f =>
+            Files.move(f.toPath, dst.resolve(f.getName))
+            moved += 1
+          }
+      }
+    deleteRec(stagedDir)
+    moved
+  }
+
+  /** The integer partition VALUES of `relDir` holding more than one
+    * parquet file — the exact rewrite set a partition-pruned compaction
+    * needs (a 1-file partition is already in its compacted form, so
+    * rewriting it burns a scan + write for zero read-amplification
+    * gain). Driver-side readdir only, same traversal as
+    * [[filesPerPartition]].
+    */
+  def fragmentedPartitions(relDir: String, partCol: String): Seq[Int] = {
+    val root = new java.io.File(relDir)
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && d.getName.startsWith(s"$partCol="))
+      .filter(pd => Option(pd.listFiles()).getOrElse(Array.empty[java.io.File])
+        .count(f => f.isFile && f.getName.endsWith(".parquet")) > 1)
+      .map(_.getName.stripPrefix(s"$partCol=").toInt)
+      .toSeq.sorted
+  }
+
   def filesPerPartition(relDirs: Seq[String]): Double = {
     var parts = 0L
     var files = 0L

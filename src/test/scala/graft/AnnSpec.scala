@@ -281,6 +281,37 @@ class AnnSpec extends SparkSpec {
       s"pruned scan read files outside buckets $someBuckets: $scanned")
   }
 
+  test("graph-ANN append, FORCED incremental-merge shape ≡ rebuild " +
+      "(the cost-model switch picks between two edge-identical plans)") {
+    import graft.operators.GraphAnnIndex
+    val inc = java.nio.file.Files.createTempDirectory("graft_gann_im").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_gann_imf").toString
+    val oldPart = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val newPart = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    GraphAnnIndex.build(oldPart, col("vec_id"), col("embedding"), inc,
+      sampleMod = 16, edgesPerBucket = 3)
+    // ratio 0 ⟹ any stored count admits the merge — the branch the
+    // default-ratio append ≡ rebuild test never takes at spec scale
+    spark.conf.set("graft.graphann.incrementalMinRatio", "0")
+    try GraphAnnIndex.append(newPart, col("vec_id"), col("embedding"), inc)
+    finally spark.conf.unset("graft.graphann.incrementalMinRatio")
+    GraphAnnIndex.build(emb, col("vec_id"), col("embedding"), full,
+      sampleMod = 16, edgesPerBucket = 3)
+    def edges(path: String, adj: String): Set[(Long, Long, Int)] =
+      spark.read.parquet(s"$path/$adj")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Int]("d_bucket"))).toSet
+    assert(edges(inc, "base_adj") == edges(full, "base_adj"),
+      "forced-incremental append must produce the rebuild's base edges")
+    assert(edges(inc, "coarse_adj") == edges(full, "coarse_adj"),
+      "forced-incremental append must produce the rebuild's coarse edges")
+    val a = GraphAnnIndex.query(spark, inc, QueryVec.values)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = GraphAnnIndex.query(spark, full, QueryVec.values)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b)
+  }
+
   test("graph-ANN admission is id-bucket-pruned via the ids/ sidecar; " +
       "a changed-vector re-append is still refused; backfill heals a " +
       "pre-sidecar index") {

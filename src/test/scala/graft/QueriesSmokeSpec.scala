@@ -81,4 +81,31 @@ class QueriesSmokeSpec extends SparkSpec {
   test("entry() returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("materializeCtes masks literals, quoted identifiers and -- comments") {
+    // plain CTE gets the hint; its self-reference check sees the body
+    val simple = SparkEntry.materializeCtes(
+      "WITH a AS (SELECT 1 AS x) SELECT x FROM a")
+    assert(simple.contains("a AS MATERIALIZED (SELECT 1"), simple)
+    // recursive CTE untouched (MATERIALIZED is invalid on it)
+    val rec = "WITH r AS (SELECT 1 AS n UNION ALL SELECT n + 1 FROM r WHERE n < 3) SELECT * FROM r"
+    assert(SparkEntry.materializeCtes(rec) == rec)
+    // unbalanced paren inside a single-quoted literal must not derail
+    // the brace match for the FOLLOWING member
+    val lit = SparkEntry.materializeCtes(
+      "WITH a AS (SELECT '(' AS x), b AS (SELECT 2 AS y) SELECT * FROM a, b")
+    assert(lit.contains("a AS MATERIALIZED") && lit.contains("b AS MATERIALIZED"), lit)
+    // unbalanced paren inside a double-quoted IDENTIFIER: same guarantee
+    val ident = SparkEntry.materializeCtes(
+      "WITH a AS (SELECT 1 AS \"col(1\") , b AS (SELECT 2 AS y) SELECT * FROM a, b")
+    assert(ident.contains("a AS MATERIALIZED") && ident.contains("b AS MATERIALIZED"), ident)
+    // unbalanced paren inside a -- line comment: same guarantee
+    val cmt = SparkEntry.materializeCtes(
+      "WITH a AS (SELECT 1 AS x -- open ( paren in comment\n), b AS (SELECT 2 AS y) SELECT * FROM a, b")
+    assert(cmt.contains("a AS MATERIALIZED") && cmt.contains("b AS MATERIALIZED"), cmt)
+    // doubled-quote escape stays in-string: the '')'' is text
+    val esc = SparkEntry.materializeCtes(
+      "WITH a AS (SELECT 'it''s )' AS x), b AS (SELECT 2 AS y) SELECT * FROM a, b")
+    assert(esc.contains("a AS MATERIALIZED") && esc.contains("b AS MATERIALIZED"), esc)
+  }
 }

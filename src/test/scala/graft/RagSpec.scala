@@ -143,6 +143,81 @@ class RagSpec extends SparkSpec {
     }
   }
 
+  test("FileWeightsScorer: disk artifact loads once per executor from a " +
+      "distributed path, equals the in-memory scorer; missing/corrupt/" +
+      "truncated/mismatched artifacts fail LOUDLY at the seam") {
+    import graft.operators.BatchedInference
+    import graft.operators.BatchedInference.{FileWeightsScorer, OnnxShapedScorer}
+    val dir = java.nio.file.Files.createTempDirectory("graft_weights")
+    val wp = dir.resolve("encoder_v1.gw").toString
+    FileWeightsScorer.writeWeights(wp, dim = 64, vocabSize = 4096)
+    val docs = graft.tables.Tables.documents(spark, sf0001).repartition(8)
+    FileWeightsScorer.loadCount.set(0)
+    def run(bs: Int) = BatchedInference.embedBatched(docs, "doc_id",
+        "text", new FileWeightsScorer(wp, 64), batchSize = bs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val a = run(7)
+    assert(a.nonEmpty)
+    // 8 partitions × many batches × a fresh scorer per run: the
+    // JVM-level session cache must have read the artifact exactly once
+    assert(FileWeightsScorer.loadCount.get() == 1,
+      s"artifact loaded ${FileWeightsScorer.loadCount.get()}×")
+    assert(run(64) == a, "batch size must be invisible in results")
+    assert(FileWeightsScorer.loadCount.get() == 1)
+    // same weights rows as the synthesized matrix ⟹ same embeddings:
+    // exporting-to-disk must not change a single bit of the model
+    val mem = BatchedInference.embedBatched(docs, "doc_id", "text",
+        new OnnxShapedScorer(64, vocabSize = 4096), batchSize = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(mem == a, "disk-loaded weights must equal the in-memory model")
+    // REPUBLISH at the same path (new bytes, same name): the session
+    // key carries (len, mtime), so the new artifact must be a fresh
+    // load, never a stale cache hit — the gen-token discipline
+    FileWeightsScorer.writeWeights(wp, dim = 64, vocabSize = 2048)
+    new java.io.File(wp).setLastModified(System.currentTimeMillis() + 5000)
+    run(16)
+    assert(FileWeightsScorer.loadCount.get() == 2,
+      "a republished artifact must load fresh, not serve the stale session")
+    // poison case 1: MISSING artifact — names the path and the fix
+    val missing = intercept[org.apache.spark.SparkException] {
+      run0(dir.resolve("nope.gw").toString, 64)
+    }
+    assert(missing.getMessage.contains("MISSING") ||
+      Option(missing.getCause).exists(_.getMessage.contains("MISSING")))
+    // poison case 2: CORRUPT artifact (wrong magic)
+    val bad = dir.resolve("bad.gw").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      Array.fill[Byte](64)(0x5a))
+    val corrupt = intercept[org.apache.spark.SparkException] { run0(bad, 64) }
+    assert(deepMsg(corrupt).contains("CORRUPT"))
+    // poison case 3: TRUNCATED artifact (torn copy)
+    val torn = dir.resolve("torn.gw").toString
+    FileWeightsScorer.writeWeights(torn, dim = 64, vocabSize = 4096)
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(torn),
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(ch.size() / 2) finally ch.close()
+    val trunc = intercept[org.apache.spark.SparkException] { run0(torn, 64) }
+    assert(deepMsg(trunc).contains("TRUNCATED"))
+    // poison case 4: dim MISMATCH (model/tokenizer version skew) — the
+    // artifact says 32, the pipeline declares 64
+    val skew = dir.resolve("skew.gw").toString
+    FileWeightsScorer.writeWeights(skew, dim = 32, vocabSize = 4096)
+    val mism = intercept[org.apache.spark.SparkException] { run0(skew, 64) }
+    assert(deepMsg(mism).contains("mismatch"))
+  }
+
+  private def run0(path: String, dim: Int): Unit =
+    graft.operators.BatchedInference.embedBatched(
+      graft.tables.Tables.documents(spark, sf0001).limit(4),
+      "doc_id", "text",
+      new graft.operators.BatchedInference.FileWeightsScorer(path, dim),
+      batchSize = 4).collect()
+
+  private def deepMsg(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
   test("generateBatched: batch boundaries invisible, dropped-completion " +
       "contract violation dies loudly") {
     import spark.implicits._
