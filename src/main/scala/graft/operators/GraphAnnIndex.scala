@@ -276,7 +276,8 @@ object GraphAnnIndex {
     * each walk used to re-read + re-double both adjacency relations AND
     * re-scan nodes/ once per hop for the vector fetch — per-batch fixed
     * cost that dwarfed the walk's useful work (the top two bench
-    * queries). Invalidation is the one `_GEN` stat: token changed ⟹
+    * queries). Invalidation is the one `_GEN` stat (or, for a legacy
+    * gen-0 index, the [[legacyKey]] listing fingerprint): key changed ⟹
     * drop the entry, rebuild (old checkpoint blocks free via the context
     * cleaner once unreferenced). One entry per index path, and each
     * cache miss sweeps entries whose path no longer exists, so the
@@ -298,23 +299,30 @@ object GraphAnnIndex {
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[String, QueryRels]()
 
+  /** Cache key for a LEGACY (gen-0) index: a fingerprint of the root +
+    * all three walk relations' directory listings (names, lengths,
+    * mtimes — 4 readdirs, no file reads), forced NEGATIVE so it can
+    * never collide with a real nanotime token. `_GEN` is written after
+    * the done marker, so gen 0 aliases "legacy index, stable" with
+    * "rebuild crashed between writeMeta and bumpGen" — and every legacy
+    * layout at a path shares the 0 token, so caching BY the 0 token
+    * could keep serving pre-rebuild bytes (the exact stale-read class
+    * the token exists to prevent). Keying by the listing fingerprint
+    * keeps legacy indexes CACHED (a bench/serve walk against a legacy
+    * stage would otherwise re-read + re-double both adjacencies every
+    * walk, ~1 s each at sf0.1) while any rebuild — completed or torn —
+    * changes the listings and therefore the key.
+    */
+  private def legacyKey(path: String): Long = {
+    import graft.tables.Staging.dirFingerprint
+    val fp = dirFingerprint(path) + dirFingerprint(s"$path/nodes") +
+      dirFingerprint(s"$path/base_adj") + dirFingerprint(s"$path/coarse_adj")
+    -(math.abs(scala.util.hashing.MurmurHash3.stringHash(fp).toLong) + 1L)
+  }
+
   private def queryRels(spark: SparkSession, path: String): QueryRels = {
-    val gen = committedGen(path)
-    if (gen == 0L) {
-      // NEVER cache gen 0. `_GEN` is written AFTER the done marker, so
-      // gen 0 aliases "legacy index, stable" with "rebuild crashed
-      // between writeMeta and bumpGen" — and every legacy layout at
-      // this path shares the token, so a cached gen-0 entry could keep
-      // serving pre-rebuild bytes exactly the token exists to prevent.
-      // Fall through to fresh (un-pinned) reads; the first completed
-      // mutation assigns a real token and pinning resumes.
-      return QueryRels(0L,
-        spark.read.parquet(s"$path/nodes"),
-        Ann.doubledAdj(spark.read.parquet(s"$path/base_adj"))
-          .select(col("src"), col("dst")),
-        Ann.doubledAdj(spark.read.parquet(s"$path/coarse_adj"))
-          .select(col("src"), col("dst")))
-    }
+    val gen0 = committedGen(path)
+    val gen = if (gen0 != 0L) gen0 else legacyKey(path)
     val hit = relCache.get(path)
     if (hit != null && hit.gen == gen &&
         (hit.nodes.sparkSession.sparkContext eq spark.sparkContext)) hit

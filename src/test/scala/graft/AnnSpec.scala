@@ -312,6 +312,39 @@ class AnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("graph-ANN legacy (gen-0) index: walks are CACHED under a listing " +
+      "fingerprint, and a rebuild whose gen bump never landed (the " +
+      "crash that keeps gen at 0) still invalidates — no stale serve") {
+    import graft.operators.GraphAnnIndex
+    val p = java.nio.file.Files.createTempDirectory("graft_gann_leg")
+      .toString + "/idx"
+    def makeLegacy(): Unit = {
+      // strip the token: committedGen reads 0, as a pre-gen layout does
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p, "_GEN"))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p, "_COUNT"))
+    }
+    val oldPart = emb.filter(col("vec_id") < 128)
+    GraphAnnIndex.build(oldPart, col("vec_id"), col("embedding"), p,
+      sampleMod = 16, edgesPerBucket = 3)
+    makeLegacy()
+    assert(GraphAnnIndex.committedGen(p) == 0L)
+    def visitedIds() = GraphAnnIndex.query(spark, p, QueryVec.values,
+      beam = 16, hops = 6).collect().map(_.getLong(0)).toSet
+    val v0 = visitedIds() // populates the fingerprint-keyed cache
+    assert(v0.nonEmpty && v0.forall(_ < 128))
+    assert(visitedIds() == v0) // warm re-walk, same bytes
+    // rebuild at the SAME path on a DIFFERENT corpus, then strip _GEN
+    // again — the "crashed between writeMeta and bumpGen" state every
+    // legacy layout aliases at token 0. The fingerprint key must see
+    // the changed listings and refuse the cached pre-rebuild relations.
+    GraphAnnIndex.build(emb.filter(col("vec_id") >= 128 && col("vec_id") < 256),
+      col("vec_id"), col("embedding"), p, sampleMod = 16, edgesPerBucket = 3)
+    makeLegacy()
+    val v1 = visitedIds()
+    assert(v1.nonEmpty && v1.forall(id => id >= 128 && id < 256),
+      s"stale cache served pre-rebuild ids: ${v1.filter(_ < 128)}")
+  }
+
   test("graph-ANN admission is id-bucket-pruned via the ids/ sidecar; " +
       "a changed-vector re-append is still refused; backfill heals a " +
       "pre-sidecar index") {
