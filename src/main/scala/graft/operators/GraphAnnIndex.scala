@@ -525,6 +525,13 @@ object GraphAnnIndex {
     // never the stored id column
     val batchIbs = batch.select(col("ib")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    // Lineage cut on the admitted set: 6 consumers below (stats collect,
+    // both layers' staged rewrites, the nodes/ids Adds). Dropping it is
+    // SAFE here — every consumer evaluates during Commit staging, before
+    // any live dir is touched, over static inputs — but measured NEUTRAL
+    // -to-negative at sf0.1 (the re-evaluations congest the same task
+    // pool the concurrent staged writes use), so the one sequential cut
+    // job stays.
     val fresh = batch
       .join(idsRel(spark, path).filter(col("ib").isin(batchIbs: _*))
         .select(col("id")), Seq("id"), "left_anti")
