@@ -584,6 +584,40 @@ class RetrievalSpec extends SparkSpec {
     assert(snapResolved(p) == before)
   }
 
+  test("recoverPostings: a writer killed MID-PROMOTE (staged re-rank " +
+      "half-moved into postings/) rolls back whole — promoted orphans " +
+      "GC'd, the unpromoted stage dir discarded") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 60)
+    val p = java.nio.file.Files.createTempDirectory("graft_post_crp").toString
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), p)
+    val before = snapResolved(p)
+    val rawBefore = spark.read.parquet(s"$p/postings").count()
+    // the exact on-disk state of a crash inside Staging.moveInto: SOME
+    // re-ranked gen-1 rows promoted into live partitions, the REST still
+    // sitting in the LSM staging dir, intent present, _GEN not advanced
+    spark.read.parquet(s"$p/postings").filter(col("pb") < 32)
+      .withColumn("gen", lit(1L))
+      .repartition(col("pb"))
+      .write.mode("append").partitionBy("pb").parquet(s"$p/postings")
+    spark.read.parquet(s"$p/postings").filter(col("pb") >= 32)
+      .withColumn("gen", lit(1L))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$p/_APPEND_STAGE_postings")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_APPENDING"))
+    intercept[IllegalStateException](Retrieval.readStage(spark, p))
+    Retrieval.recoverPostings(spark, p)
+    assert(snapResolved(p) == before, "recover-then-query ≡ pre-append")
+    assert(spark.read.parquet(s"$p/postings").count() == rawBefore,
+      "promoted gen-1 orphans must be physically gone")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p, "_APPEND_STAGE_postings")),
+      "the unpromoted staging dir must be discarded")
+    Retrieval.recoverPostings(spark, p) // idempotent
+    assert(snapResolved(p) == before)
+  }
+
   test("recoverPostings: a writer killed AFTER every relation write but " +
       "before the _GEN commit rolls back; retrying the append then heals " +
       "to ≡ rebuild") {
