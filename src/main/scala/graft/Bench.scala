@@ -16,6 +16,17 @@ object Bench {
       // inferred filter is pure recomputation, so the rule is excluded.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // Partition discovery below this path count lists on the driver
+      // thread instead of launching a listing JOB. Every persisted stage
+      // here is a 64-hash-bucket directory tree, and the default
+      // threshold (32) made each staged-relation open pay a ~200 ms
+      // distributed listing of 64 local directories a sequential readdir
+      // does in microseconds — measured 32% of the postings drain chain
+      // (ProfileAppendJobs, OPTIMIZATION_r20.md §listing). Parameterised
+      // because the tradeoff inverts on object stores with thousands of
+      // partitions, where parallel listing is the right call.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LISTING_PAR_THRESHOLD", "128"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
