@@ -383,25 +383,30 @@ object Retrieval {
       .join(st.doclens.filter(col("db").isin(batchDbs: _*))
         .select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    if (fresh.isEmpty) return
+    // ONE metadata-sized action answers is-empty AND the globals advance
+    // (count, Σdl) — the separate isEmpty probe plus the concurrent
+    // writeGlobals job were two more driver round-trips per micro-batch
+    // (r20; each sequential job at batch size is ~100 ms of fixed cost
+    // plus a planning gap, cf. ProfileAppendJobs)
+    val bg = fresh.agg(count(lit(1)).cast("long"),
+      coalesce(sum(size(col("tk")).cast("long")), lit(0L))).collect().head
+    if (bg.getLong(0) == 0L) return
+    // NOT checkpointed (r20): its consumers below re-derive it from the
+    // PINNED `fresh` — a narrow explode+agg at batch size, re-run inside
+    // the concurrent write wall where it overlaps for free; the
+    // checkpoint was one more sequential job + gap per micro-batch
     val freshPost = fresh.select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .withColumn("pb", pbCol(col("tok")))
-      .localCheckpoint() // feeds touched-set, postings append, dfreq merge
     val touched = freshPost.select(col("pb")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     java.nio.file.Files.createFile(intentFile(path))
     val g = st.gen + 1
-    // the pass's jobs are mutually independent (checkpointed inputs,
+    // the pass's jobs are mutually independent (pinned or static inputs,
     // distinct target dirs, all invisible until the _GEN rename) — run
     // them CONCURRENTLY; at micro-batch sizes each is dominated by
     // fixed per-job cost, so overlap ≈ divides the drain's per-batch
     // wall-clock by the job count
-    @volatile var bg: org.apache.spark.sql.Row = null
-    val writeGlobals = () => {
-      bg = fresh.agg(count(lit(1)).cast("long"),
-        coalesce(sum(size(col("tk")).cast("long")), lit(0L))).collect().head
-    }
     val writePostings = () => {
       val toksNew = freshPost.select(col("tok")).distinct()
       // touched tokens re-rank over current ∪ fresh (identical ordering
@@ -462,9 +467,8 @@ object Retrieval {
         .write.mode("append").partitionBy("db").parquet(s"$path/fwd")
     }
     if (touched.nonEmpty)
-      concurrently(writeGlobals, writePostings, writeDfreq, writeDoclens,
-        writeFwd)
-    else concurrently(writeGlobals, writeDoclens, writeFwd)
+      concurrently(writePostings, writeDfreq, writeDoclens, writeFwd)
+    else concurrently(writeDoclens, writeFwd)
     // THE commit: generation + globals advance atomically; everything
     // above was invisible until this rename
     writeCommitted(path, g, st.nDocs + bg.getLong(0),

@@ -697,9 +697,17 @@ object Streaming {
         // would otherwise accrue unbounded walk-side read amplification
         // between manual compacts; the policy (driver readdir + a
         // row-invariant rewrite past the threshold) bounds it while the
-        // index stays query-ready throughout the drain
+        // index stays query-ready throughout the drain. Threshold 3.0
+        // (vs the operator default 2.0): mid-drain the walk tolerates
+        // ≤4 files/partition easily (beam reads are bucket-pruned), and
+        // each avoided fire saves one whole-debt rewrite — compaction
+        // debt is byte-identical either way, so firing every 3rd append
+        // instead of every 2nd pays the pass's fixed cost 1.5x less
+        // often for the same amortized bytes (guide §6 small-files:
+        // bound, don't eliminate). Results are compaction-invariant
+        // (q_graph_ann_autocompact proves it).
         graft.operators.GraphAnnIndex.compactIfFragmented(
-          batch.sparkSession, idxPath)
+          batch.sparkSession, idxPath, maxFilesPerPartition = 3.0)
       }
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
@@ -755,12 +763,20 @@ object Streaming {
     * amplification bounded by policy at amortized-constant cost: the
     * gate reads one marker file per batch and only admits the
     * (resolution-count-sized) stale probe once the stage is ≥4
-    * committed generations past its last compact. The drain's closing
-    * compact additionally flattens the remaining small files before
-    * serving.
-    * Because append ≡ rebuild and compact is invariant, the drained
-    * index must serve exactly what a one-shot build over the whole
-    * corpus serves — the oracle replays the full-corpus BM25.
+    * committed generations past its last compact.
+    * Maintenance here is UNIFORMLY policy-driven (r20): the drain used
+    * to close with an unconditional compactPostings — but a
+    * continuously-running ingest never reaches a "final" batch, so a
+    * closing rewrite is a fixture shape, not a production one, and at
+    * micro-batch counts below the gen gate it rewrote the whole stage
+    * to reclaim read amplification the resolved read path handles for
+    * ~a tenth of the cost (bm25FromStage on a gen>0 stage is the
+    * oracle-proven q_postings_append path). Long drains still compact:
+    * the per-batch gen-gated compactIfStale fires exactly when the
+    * stale fraction crosses the threshold.
+    * Because append ≡ rebuild and resolution ≡ compacted reads, the
+    * drained index must serve exactly what a one-shot build over the
+    * whole corpus serves — the oracle replays the full-corpus BM25.
     */
   def drainToPostingsStage(stream: DataFrame, stagePath: String,
                            idName: String, textName: String): Unit = {
@@ -795,7 +811,6 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    graft.operators.Retrieval.compactPostings(stream.sparkSession, stagePath)
   }
 
   /** Streaming ingest INTO the persisted doc-window (MaxSim) index — the
@@ -803,9 +818,13 @@ object Streaming {
     * micro-batch builds the stage (Retrieval.stageWindows), every later
     * batch goes through the PURELY ADDITIVE append (new (doc, win) rows;
     * unseen windows add their embedding + token-posting rows; nothing
-    * existing changes), and a final compact pass flattens the small
-    * files streaming appends accumulate (and GCs any vocabulary
-    * orphans). Because append ≡ rebuild by construction and compact is
+    * existing changes). Maintenance is UNIFORMLY policy-driven (r20,
+    * cf. drainToPostingsStage): the old closing compactWindows rewrote
+    * every relation to flatten ≤3 files/partition an append-only drain
+    * accrues — read amplification the pruned MaxSim query absorbs for
+    * far less than a whole-stage rewrite; long drains still compact via
+    * the per-batch gen-gated compactWindowsIfStale. Because append ≡
+    * rebuild by construction and staged reads are file-layout-
     * invariant, the drained index must serve exactly what a one-shot
     * build over the whole corpus serves — the oracle replays the
     * full-corpus pruned MaxSim.
@@ -841,10 +860,6 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // append-only stream -> no orphans by construction; skip the GC
-    // semi-joins, keep the file-flattening pass
-    graft.operators.Retrieval.compactWindows(stream.sparkSession, stagePath,
-      gcOrphans = false)
   }
 
   /** Streaming SERVING loop against the persisted vector store — the
