@@ -250,9 +250,20 @@ object Retrieval {
   /** The per-token impact rank: 1 = the token's highest-tf posting
     * (ties by doc_id). Staged at build time so capped retrieval is a
     * FILTER, not a corpus-wide window.
+    *
+    * The window keys on (pb, tok), which is semantically identical to
+    * (tok) — pb is a pure function of tok — but declares pb so that a
+    * pb-partitioned input satisfies the window's clustering requirement:
+    * `repartition(pb) → rank → partitionBy(pb) write` plans ONE exchange
+    * end-to-end (guide §2.4 "two operations keyed the same way share one
+    * exchange") where the r19 shape paid three (groupBy key, window key,
+    * write key). Callers feed it pb-partitioned rows and write WITHOUT a
+    * further repartition; a pb's rows all sit in one task, so the
+    * one-file-per-partition-dir small-files guard still holds.
     */
   private def withImpactRank(postings: DataFrame): DataFrame = {
-    val pw = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pb"), col("tok"))
       .orderBy(col("tf").desc, col("doc_id"))
     postings.withColumn("rank", row_number().over(pw).cast("long"))
   }
@@ -271,17 +282,33 @@ object Retrieval {
     val doclensW = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         lit(0L).as("gen"), lit(false).as("tomb"),
         dbCol(col("doc_id")).as("db"))
+    // ONE exchange for the whole postings side (r20, guide §2.4): the
+    // exploded tokens hash-partition by pb once, and because pb rides
+    // every downstream key — the (pb, tok, doc_id) aggregate, the
+    // (pb, tok) rank window, the (pb, tok) dfreq aggregate, the
+    // (doc_id, pb) fwd distinct, and the partitionBy("pb") writes — the
+    // localCheckpoint's preserved outputPartitioning satisfies every
+    // consumer's clustering with NO further shuffle (the r19 shape paid
+    // a groupBy, a window and a write exchange per relation). The
+    // map-side partial agg this forgoes shuffles raw token occurrences
+    // (~1.5x the (tok, doc) pairs) instead of 3x the pairs — strictly
+    // fewer bytes at any tf distribution.
     val postings = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
-      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds ranked postings, dfreq AND fwd
+      .withColumn("pb", pbCol(col("tok")))
+      .repartition(col("pb"))
+      .groupBy(col("pb"), col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // pb-partitioned: feeds ranked postings, dfreq AND fwd
     val postingsW = withImpactRank(postings)
       .withColumn("gen", lit(0L)) // LSM generation (see layout comment)
-      .withColumn("pb", pbCol(col("tok")))
-    val dfreqW = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("rank"), col("gen"),
+        col("pb"))
+    val dfreqW = postings.groupBy(col("pb"), col("tok"))
+      .agg(count(lit(1)).as("df"))
       .withColumn("gen", lit(0L))
-      .withColumn("pb", pbCol(col("tok")))
+      .select(col("tok"), col("df"), col("gen"), col("pb"))
     val fwdW = postings
-      .select(col("doc_id"), pbCol(col("tok")).as("pb")).distinct()
+      .select(col("doc_id"), col("pb")).distinct()
       .withColumn("db", dbCol(col("doc_id")))
     // the four relation writes + the globals aggregate are independent
     // (checkpointed inputs, distinct dirs, nothing visible before the
@@ -294,11 +321,13 @@ object Retrieval {
         // not one per (task, bucket) pair — the small-files guard every
         // partitioned stage write here applies
         .write.mode("overwrite").partitionBy("db").parquet(s"$path/doclens"),
+      // postings/dfreq write WITHOUT a repartition: the checkpointed
+      // relation is already pb-partitioned (one pb wholly inside one
+      // task), so the write is exchange-free and still lands one file
+      // per partition dir
       () => postingsW
-        .repartition(col("pb"))
         .write.mode("overwrite").partitionBy("pb").parquet(s"$path/postings"),
       () => dfreqW
-        .repartition(col("pb"))
         .write.mode("overwrite").partitionBy("pb").parquet(s"$path/dfreq"),
       () => fwdW
         .repartition(col("db"))
@@ -419,18 +448,21 @@ object Retrieval {
       // Crash anywhere: promoted rows sit at the uncommitted gen g,
       // invisible to resolution; recoverPostings GCs them. Same window
       // the checkpointed append already had.
+      // repartition(pb) BEFORE the rank: the (pb, tok) window and the
+      // partitionBy("pb") write then share that one exchange (see
+      // withImpactRank) — one new file per touched partition as before
       val rerank = withImpactRank(
         st.postings.filter(col("pb").isin(touched: _*))
           .join(toksNew, Seq("tok"), "left_semi")
           .select(col("tok"), col("doc_id"), col("tf"))
-          .unionByName(freshPost.select(col("tok"), col("doc_id"), col("tf"))))
+          .unionByName(freshPost.select(col("tok"), col("doc_id"), col("tf")))
+          .withColumn("pb", pbCol(col("tok")))
+          .repartition(col("pb")))
         .withColumn("gen", lit(g))
-        .withColumn("pb", pbCol(col("tok")))
       val stg = s"$path/_APPEND_STAGE_postings"
       graft.tables.Staging.deleteRec(stg)
       rerank.select(col("tok"), col("doc_id"), col("tf"), col("rank"),
           col("gen"), col("pb"))
-        .repartition(col("pb")) // one new file per touched partition
         .write.mode("overwrite").partitionBy("pb").parquet(stg)
       graft.tables.Staging.moveInto(stg, s"$path/postings", "pb")
       ()
@@ -549,9 +581,11 @@ object Retrieval {
         st.postings.filter(col("pb").isin(touched: _*))
           .join(toksGone, Seq("tok"), "left_semi")
           .join(victims.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .select(col("tok"), col("doc_id"), col("tf")))
+          .select(col("tok"), col("doc_id"), col("tf"))
+          .withColumn("pb", pbCol(col("tok")))
+          .repartition(col("pb"))) // one exchange shared with the rank
+          // window and the partitioned write, cf. withImpactRank
         .withColumn("gen", lit(g))
-        .withColumn("pb", pbCol(col("tok")))
       // staged-write + promote, cf. appendImpl's writePostings: one job
       // instead of checkpoint + append, same crash window (uncommitted
       // gen g rows are invisible; recoverPostings GCs them)
@@ -559,7 +593,6 @@ object Retrieval {
       graft.tables.Staging.deleteRec(stg)
       rerank.select(col("tok"), col("doc_id"), col("tf"), col("rank"),
           col("gen"), col("pb"))
-        .repartition(col("pb"))
         .write.mode("overwrite").partitionBy("pb").parquet(stg)
       graft.tables.Staging.moveInto(stg, s"$path/postings", "pb")
       // dfreq: ONE new row per VICTIM token at generation g with the
