@@ -171,10 +171,19 @@ object Conversation {
 
   /** Per-batch retrieval against a pre-materialized serving side (see
     * [[servingSide]]) — row-identical to [[retrieveForTurnsFromStage]].
+    *
+    * `broadcastTerms = Some(true)` skips the counted broadcast decision:
+    * the decision exists because the BATCH terms side can grow with the
+    * corpus, but a streaming micro-batch is request-sized by the drain's
+    * declaration, so counting it every batch charged two driver
+    * round-trips (localCheckpoint + count) per micro-batch to re-learn a
+    * constant answer. Results are join-strategy-invariant either way.
     */
   def retrieveWithServingSide(resolved: DataFrame, plist: DataFrame,
-                              dfreq: DataFrame, k: Int): DataFrame =
-    scoreTerms(termsOf(resolved), plist, dfreq, k)
+                              dfreq: DataFrame, k: Int,
+                              broadcastTerms: Option[Boolean] = None)
+      : DataFrame =
+    scoreTerms(termsOf(resolved), plist, dfreq, k, broadcastTerms)
 
   /** The retrieval core over an already-materialized postings relation:
     * df-cap + impact-ordered truncation guards, the terms ⋈ postings
@@ -265,12 +274,20 @@ object Conversation {
       .getOrElse(BroadcastTermsMaxRowsDefault)
 
   private def scoreTerms(terms: DataFrame, plist: DataFrame,
-                         dfreq: DataFrame, k: Int): DataFrame = {
-    val t = terms.localCheckpoint() // feeds the row count AND the join
-    val nTerms = t.count()
-    val termsSide =
-      if (nTerms <= broadcastTermsMaxRows(t.sparkSession)) broadcast(t)
-      else t.hint("shuffle_merge")
+                         dfreq: DataFrame, k: Int,
+                         broadcastDecision: Option[Boolean] = None)
+      : DataFrame = {
+    // a caller-declared decision (request-sized micro-batches) skips the
+    // checkpoint + count entirely — terms is then consumed exactly once
+    val (termsSide, nTerms) = broadcastDecision match {
+      case Some(true) => (broadcast(terms), 0L)
+      case Some(false) => (terms.hint("shuffle_merge"), Long.MaxValue)
+      case None =>
+        val t = terms.localCheckpoint() // feeds the row count AND the join
+        val n = t.count()
+        (if (n <= broadcastTermsMaxRows(t.sparkSession)) broadcast(t)
+         else t.hint("shuffle_merge"), n)
+    }
     // the scoring shuffle's width scales with the batch: the join emits
     // up to |terms| × maxPostings candidate rows through this ONE
     // exchange (it serves the aggregation AND the top-k window), and a
@@ -279,8 +296,10 @@ object Conversation {
     // (measured: the ×100 ScaleBench decade at 32 fixed partitions ran
     // 213 s; the width below keeps per-task sorts memory-resident).
     // ~2k terms rows per partition ⇒ a few M joined rows per task.
+    // (nTerms = 0 under a declared-broadcast caller keeps the session
+    // default width — micro-batches never need the widening.)
     val width = math.max(
-      t.sparkSession.sessionState.conf.numShufflePartitions,
+      terms.sparkSession.sessionState.conf.numShufflePartitions,
       math.min(2048L, nTerms / 2000L).toInt)
     val scored = plist.join(broadcast(dfreq), "tok")
       .join(termsSide, "tok")

@@ -456,7 +456,10 @@ object Streaming {
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) =>
         graft.operators.Conversation.retrieveWithServingSide(
-            batch.toDF(), plist, dfreq, k)
+            // a micro-batch's terms side is request-sized by the drain's
+            // declaration — declare the broadcast instead of paying a
+            // checkpoint + count per batch to re-learn it (r20)
+            batch.toDF(), plist, dfreq, k, broadcastTerms = Some(true))
           .write.mode("append").parquet(out)
     val q = resolved.writeStream
       .outputMode(OutputMode.Append())
@@ -599,10 +602,23 @@ object Streaming {
     val s = docs.sparkSession
     // the working copy keeps the stage's id-hash partitioning — the
     // absorb half appends partitionBy(sb) rows, and deleteSignatures'
-    // partition-local rewrite contract holds for the copy too
-    s.read.parquet(refStagePath)
-      .repartition(col("sb"))
-      .write.mode("overwrite").partitionBy("sb").parquet(grow)
+    // partition-local rewrite contract holds for the copy too. The
+    // reference stage is ALREADY in exactly that layout (it was written
+    // partitionBy(sb), one file per bucket), so the copy is a
+    // driver-side byte copy of the directory tree, not a Spark
+    // read-shuffle-write of the whole stage per drain call (r20; the
+    // rewrite was one full-stage job of pure data movement).
+    locally {
+      import java.nio.file.{Files, Paths}
+      val src = Paths.get(refStagePath)
+      val dst = Paths.get(grow)
+      val walk = Files.walk(src)
+      try walk.forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      } finally walk.close()
+    }
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, bid) => {
         val b = batch.select(col("id"), col("text"))
