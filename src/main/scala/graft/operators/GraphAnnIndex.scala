@@ -93,8 +93,7 @@ object GraphAnnIndex {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_GEN_TMP")
     Files.writeString(tmp, System.nanoTime().toString)
-    Files.move(tmp, genFile(path),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.tables.Staging.atomicPublish(tmp, genFile(path))
   }
 
   /** Best-effort stored-node-count HINT — the cost-model input that picks
@@ -121,8 +120,7 @@ object GraphAnnIndex {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_COUNT_TMP")
     Files.writeString(tmp, n.toString)
-    Files.move(tmp, countFile(path),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.tables.Staging.atomicPublish(tmp, countFile(path))
   }
 
   /** True iff a completed build exists at `path` (the done marker is
@@ -136,8 +134,7 @@ object GraphAnnIndex {
     val tmp = Paths.get(path, "_INDEX_META_TMP")
     Files.writeString(tmp,
       s"${m.sampleMod} ${m.edgesPerBucket} ${m.numPlanes} ${m.dim} ${m.probeBits}")
-    Files.move(tmp, metaFile(path),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.tables.Staging.atomicPublish(tmp, metaFile(path))
   }
 
   /** Read the index parameters; refuses an index with unfinished

@@ -47,8 +47,7 @@ object IvfIndex {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_IVF_META_TMP")
     Files.writeString(tmp, s"${m.nlist} ${m.dim} ${m.idName} ${m.vecName}")
-    Files.move(tmp, metaFile(path),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.tables.Staging.atomicPublish(tmp, metaFile(path))
   }
 
   def readMeta(path: String): Meta = {

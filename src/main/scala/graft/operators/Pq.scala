@@ -183,8 +183,7 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/v$next")
     val tmp = Paths.get(path, "_CURRENT_TMP")
     Files.writeString(tmp, next.toString)
-    Files.move(tmp, Paths.get(path, "_CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.tables.Staging.atomicPublish(tmp, Paths.get(path, "_CURRENT"))
     val loaded = loadPublished(spark, path, m)
     bookCache.put(path, loaded)
     loaded
@@ -223,8 +222,7 @@ object Pq {
     if (floor > retentionFloor(path)) {
       val tmp = Paths.get(path, "_FLOOR_TMP")
       Files.writeString(tmp, floor.toString)
-      Files.move(tmp, Paths.get(path, "_FLOOR"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      graft.tables.Staging.atomicPublish(tmp, Paths.get(path, "_FLOOR"))
     }
     for (n <- 1L until retentionFloor(path))
       graft.tables.Staging.deleteRec(s"$path/v$n")

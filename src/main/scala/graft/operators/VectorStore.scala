@@ -66,8 +66,7 @@ object VectorStore {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_VERSION_TMP")
     Files.writeString(tmp, n.toString)
-    Files.move(tmp, Paths.get(path, "_VERSION"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.tables.Staging.atomicPublish(tmp, Paths.get(path, "_VERSION"))
   }
 
   /** Oldest version still reconstructable (0 until [[retain]] first runs). */
@@ -82,8 +81,7 @@ object VectorStore {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_RETAIN_FLOOR_TMP")
     Files.writeString(tmp, n.toString)
-    Files.move(tmp, Paths.get(path, "_RETAIN_FLOOR"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.tables.Staging.atomicPublish(tmp, Paths.get(path, "_RETAIN_FLOOR"))
   }
 
   /** Delete every `_history/<n>` with n ≤ floor. Only called AFTER the
@@ -271,14 +269,14 @@ object VectorStore {
           case Some(h) =>
             val park = Paths.get(h, s"bucket=$b")
             if (!Files.exists(park)) {
-              if (Files.exists(dst)) Files.move(dst, park)
+              if (Files.exists(dst)) graft.tables.Staging.moveFile(dst, park)
               else Files.createDirectories(park)
             }
           case None =>
             if (Files.exists(dst))
-              Files.move(dst, Paths.get(tmp, s"old_bucket=$b"))
+              graft.tables.Staging.moveFile(dst, Paths.get(tmp, s"old_bucket=$b"))
         }
-        Files.move(src, dst)
+        graft.tables.Staging.moveFile(src, dst)
       }
     }
   }
@@ -310,7 +308,7 @@ object VectorStore {
     val vLine = versionOpt.map(n => s"v$n").getOrElse("-")
     val intentTmp = Paths.get(path, "_COMMIT_STAGING")
     Files.write(intentTmp, (sfx +: vLine +: affected.map(_.toString)).asJava)
-    Files.move(intentTmp, intent, StandardCopyOption.ATOMIC_MOVE)
+    graft.tables.Staging.atomicPublishFresh(intentTmp, intent)
     completeSwap(path, tmp, affected,
       versionOpt.map(n => s"$path/_history/$n"))
     versionOpt.foreach(n => writeVersionFile(path, n))

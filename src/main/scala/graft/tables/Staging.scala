@@ -37,6 +37,56 @@ object Staging {
   def stagedPath(tag: String, dir: String): String =
     sys.props("java.io.tmpdir") + s"/graft_${tag}_" + dirFingerprint(dir)
 
+  // ------------------------------------------------------------------
+  // THE LOCAL-FILESYSTEM SEAM (r21). Every raw byte-level file move/copy
+  // in the engine routes through the four helpers below (plus
+  // [[moveInto]] / [[deleteRec]]): the staged layouts' crash-safety
+  // story assumes (a) ATOMIC single-file rename within a directory —
+  // marker/generation/sidecar publishes are write-tmp-then-atomicPublish,
+  // and a reader can never observe a torn marker — and (b) cheap
+  // same-volume renames — LSM appends and staged swaps move data files
+  // instead of rewriting them. Both hold on any POSIX local/cluster FS
+  // (and HDFS); on an object store rename is copy+delete with different
+  // atomicity, so a deployment swap replaces THIS FILE's primitives
+  // (e.g. with a manifest-pointer commit), not thirty call sites.
+  // ------------------------------------------------------------------
+
+  /** Atomically publish `tmp` as `dst` (same directory): the one rename
+    * every marker/sidecar commit uses. Replaces an existing `dst`.
+    */
+  def atomicPublish(tmp: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+    java.nio.file.Files.move(tmp, dst,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+  /** [[atomicPublish]] refusing to replace: intent publishes, where an
+    * already-present `dst` means unfinished maintenance and must fail
+    * loudly rather than be silently overwritten.
+    */
+  def atomicPublishFresh(tmp: java.nio.file.Path,
+                         dst: java.nio.file.Path): Unit =
+    java.nio.file.Files.move(tmp, dst,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+
+  /** Plain same-volume move (file or directory tree): staged-split
+    * publishes, LSM file promotion, bucket swaps. Not atomic across
+    * volumes; callers sequence visibility via markers, not this move.
+    */
+  def moveFile(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+    java.nio.file.Files.move(src, dst)
+
+  /** Byte-copy one file, creating parent dirs; replaces an existing
+    * target when `replace` (the staged-source shim's idempotent re-stage).
+    */
+  def copyFile(src: java.nio.file.Path, dst: java.nio.file.Path,
+               replace: Boolean = false): Unit = {
+    Option(dst.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    if (replace)
+      java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else java.nio.file.Files.copy(src, dst)
+  }
+
   /** Recursive delete of a file/directory tree; no-op when absent. The
     * ONE recursive-deletion implementation for every staged layout
     * (stage rebuilds, streaming drain resets, partition drops) — and the
