@@ -182,8 +182,7 @@ object Retrieval {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_GEN_TMP")
     Files.writeString(tmp, s"$g $nDocs $total")
-    Files.move(tmp, genFile(path),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.tables.Staging.atomicPublish(tmp, genFile(path))
   }
 
   private def requireGenCommitted(path: String, op: String): Unit =
@@ -352,8 +351,7 @@ object Retrieval {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_POSTINGS_DONE_TMP")
     Files.writeString(tmp, props.map { case (k, v) => s"$k=$v" }.mkString("\n"))
-    Files.move(tmp, postingsMarker(path),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.tables.Staging.atomicPublish(tmp, postingsMarker(path))
   }
 
   private def deleteStage(path: String): Unit =
@@ -718,6 +716,53 @@ object Retrieval {
                      path: String, threshold: Double = 0.3): Boolean = {
     val f = staleFraction(spark, path)
     if (f >= threshold && f > 0.0) { compactPostings(spark, path); true }
+    else false
+  }
+
+  private def refuseTornPostings(path: String): Unit = {
+    require(postingsExist(path), s"$path is not a postings stage")
+    if (java.nio.file.Files.exists(intentFile(path)) ||
+        graft.tables.Commit.pending(path))
+      throw new IllegalStateException(
+        s"$path has unfinished maintenance — heal with recoverPostings()")
+  }
+
+  /** The stage's FILE fragmentation — the worst relation's mean parquet
+    * files per live partition (cf. GraphAnnIndex.fragmentation /
+    * IvfIndex.fragmentation): STALENESS is not FRAGMENTATION — a long
+    * append-only drain supersedes nothing (staleFraction stays 0.0) yet
+    * lands one new file per touched partition per batch, growing every
+    * resolved read's file count without bound. Max across relations, not
+    * a blended mean: a resolution pass reads each relation separately,
+    * so the worst one bounds the amplification. Driver-side readdir
+    * only — no Spark job, free per micro-batch; refuses a torn stage.
+    */
+  def postingsFragmentation(path: String): Double = {
+    refuseTornPostings(path)
+    Seq("postings", "dfreq", "doclens", "fwd").map(r =>
+      graft.tables.Staging.filesPerPartition(Seq(s"$path/$r"))).max
+  }
+
+  /** FILE-fragmentation auto-compaction policy — the missing half of
+    * [[compactIfStale]] (which bounds superseded-ROW amplification but
+    * never fires on an append-only stream): compact when the worst
+    * relation's mean files-per-partition exceeds `maxFilesPerPartition`.
+    * Threshold 4.0 (vs graph-ANN's 2.0 operator default): a resolved
+    * postings read is bucket-pruned and tolerates a few files per
+    * partition cheaply, and each avoided fire saves a whole-stage
+    * rewrite — compaction debt is byte-identical either way (guide §6:
+    * bound small files, don't chase them). Streaming ingest calls this
+    * per batch; amortized cost is constant (a fire rewrites the stage
+    * once per `maxFilesPerPartition` appends and resets to 1 file per
+    * partition). Returns whether a compaction ran; results are
+    * compaction-invariant (q_postings_autocompact proves the rewrite).
+    */
+  def compactPostingsIfFragmented(spark: org.apache.spark.sql.SparkSession,
+                                  path: String,
+                                  maxFilesPerPartition: Double = 4.0)
+      : Boolean = {
+    val f = postingsFragmentation(path)
+    if (f > maxFilesPerPartition) { compactPostings(spark, path); true }
     else false
   }
 
@@ -1113,8 +1158,7 @@ object Retrieval {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_GEN_TMP")
     Files.writeString(tmp, g.toString)
-    Files.move(tmp, genFile(path),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.tables.Staging.atomicPublish(tmp, genFile(path))
   }
 
   private def requireWinGenCommitted(path: String, op: String): Unit =
@@ -1250,8 +1294,7 @@ object Retrieval {
       "schema.wemb" -> wembW.schema.json,
       "schema.wtok" -> wtokW.schema.json)
       .map { case (k, v) => s"$k=$v" }.mkString("\n"))
-    Files.move(tmp, windowsMarker(path),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.tables.Staging.atomicPublish(tmp, windowsMarker(path))
   }
 
   /** Incremental doc-window maintenance: admit new documents into an
@@ -1512,14 +1555,46 @@ object Retrieval {
     else false
   }
 
+  /** The window stage's FILE fragmentation — worst relation's mean
+    * parquet files per live partition (the [[postingsFragmentation]]
+    * twin): an append-only windows drain tombstones nothing (stale
+    * fraction pinned at 0.0) yet accrues one file per touched partition
+    * per batch across all three relations. Driver-side readdir only;
+    * refuses a torn stage.
+    */
+  def windowsFragmentation(path: String): Double = {
+    refuseTornWindows(path)
+    Seq("dwin", "wemb", "wtok").map(r =>
+      graft.tables.Staging.filesPerPartition(Seq(s"$path/$r"))).max
+  }
+
+  /** FILE-fragmentation auto-compaction policy for the window stage —
+    * the [[compactPostingsIfFragmented]] twin, same 4.0 default and the
+    * same amortized-constant cost argument. The orphan-vocabulary GC
+    * half of the rewrite runs only when a delete actually happened since
+    * the last compact (live tombstones are exactly that signal);
+    * a purely additive stream gets the cheap flatten-only pass, which is
+    * the correctness-sufficient one for it (appends never orphan a
+    * window — they only add references).
+    */
+  def compactWindowsIfFragmented(spark: org.apache.spark.sql.SparkSession,
+                                 path: String,
+                                 maxFilesPerPartition: Double = 4.0)
+      : Boolean = {
+    val f = windowsFragmentation(path)
+    if (f > maxFilesPerPartition) {
+      compactWindows(spark, path, gcOrphans = hasParquet(s"$path/tombs"))
+      true
+    } else false
+  }
+
   private def writeWindowsMarker(path: String,
                                  props: Seq[(String, String)]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(path, "_WINDOWS_DONE_TMP")
     Files.writeString(tmp,
       props.map { case (k, v) => s"$k=$v" }.mkString("\n"))
-    Files.move(tmp, windowsMarker(path),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.tables.Staging.atomicPublish(tmp, windowsMarker(path))
   }
 
   /** Heal the doc-window stage after a crashed writer — the window twin

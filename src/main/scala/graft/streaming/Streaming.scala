@@ -58,6 +58,27 @@ object Streaming {
                     partitions: Int = 4): org.apache.spark.sql.SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // No trailing no-data micro-batch (r21). Every drain here is
+    // Trigger.AvailableNow over a FINITE staged source, and each batch
+    // costs ~0.6-0.75 s of fixed machinery (measured, ProfileLeftJoin:
+    // addBatch job + state-store commit + offset/commit WAL + planning)
+    // regardless of rows — so a trailing empty batch is pure per-drain
+    // overhead UNLESS the last data batch raised the watermark past
+    // still-buffered state. No drain in this engine depends on that:
+    // flush-dependent queries carry explicit SENTINEL batches
+    // (stageSplitSourceWithFlush) precisely because the trailing
+    // no-data batch is not a reliable flush mechanism (its absence under
+    // AvailableNow was the r18 measured failure that introduced the
+    // sentinels), Complete-mode drains re-emit converged state on the
+    // last DATA batch, and append-mode dedup/join emission is
+    // data-batch-driven (ProfileLeftJoin: the trailing batch measured
+    // updated=0 removed=0, emitted nothing). Proven result-invariant
+    // across all 259 oracle queries (self-gate r21). A continuous
+    // production stream would leave this ON (there the no-data batch is
+    // how idle-period watermark eviction happens); it is a property of
+    // the run-to-completion drain shape, not of the data — and
+    // overridable per session either way.
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s2
   }
 
@@ -75,7 +96,7 @@ object Streaming {
     Files.createDirectories(dir)
     val dst = dir.resolve(src.getFileName)
     if (!Files.exists(dst))
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      graft.tables.Staging.copyFile(src, dst, replace = true)
     dir.toString
   }
 
@@ -120,7 +141,7 @@ object Streaming {
             .find(_.getFileName.toString.endsWith(".parquet"))
             .getOrElse(sys.error(s"no parquet part written for split $i"))
           val dst = outP.resolve(f"split-$i%04d.parquet")
-          Files.move(part, dst)
+          graft.tables.Staging.moveFile(part, dst)
           // strictly increasing mtimes pin the source's replay order
           Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
@@ -153,7 +174,7 @@ object Streaming {
             .find(_.getFileName.toString.endsWith(".parquet"))
             .getOrElse(sys.error(s"no parquet part written for slice $i"))
           val dst = outP.resolve(f"split-$i%04d.parquet")
-          Files.move(part, dst)
+          graft.tables.Staging.moveFile(part, dst)
           Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
         }
@@ -218,7 +239,7 @@ object Streaming {
             .find(_.getFileName.toString.endsWith(".parquet"))
             .getOrElse(sys.error(s"no parquet part written for file $k"))
           val dst = outP.resolve(f"split-$k%04d.parquet")
-          Files.move(f, dst)
+          graft.tables.Staging.moveFile(f, dst)
           Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(base + k * 2000L))
         }
@@ -266,7 +287,7 @@ object Streaming {
             .find(_.getFileName.toString.endsWith(".parquet"))
             .getOrElse(sys.error(s"no parquet part written for split $i"))
           val dst = outP.resolve(f"split-$i%04d.parquet")
-          Files.move(f, dst)
+          graft.tables.Staging.moveFile(f, dst)
           Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
         }
@@ -326,7 +347,7 @@ object Streaming {
             .find(_.getFileName.toString.endsWith(".parquet"))
             .getOrElse(sys.error(s"no parquet part written for split $i"))
           val dst = outP.resolve(f"split-$i%04d.parquet")
-          Files.move(f, dst)
+          graft.tables.Staging.moveFile(f, dst)
           Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
         }
@@ -437,6 +458,21 @@ object Streaming {
                              maxPostings: Long, name: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
+    // THE declared-broadcast seam (r21, mirroring the graph walk's
+    // maxWalkBatch require): this drain is the only caller that passes
+    // `broadcastTerms = Some(true)` into retrieveWithServingSide, and
+    // the declaration is valid precisely because each foreachBatch
+    // micro-batch is admission-bounded by the streaming source
+    // (maxFilesPerTrigger splits of a request stream), never
+    // corpus-sized. The require pins that: a batch DataFrame routed
+    // here would hand an unbounded relation to a declared broadcast
+    // (and silently skip scoreTerms' counted-width widening) — batch
+    // callers must go through retrieveForTurnsFromStage, whose counted
+    // decision is the safe generic shape.
+    require(resolved.isStreaming,
+      "drainRetrieveFromStage serves STREAMING micro-batches (its " +
+        "declared terms broadcast assumes request-sized batches); batch " +
+        "callers must use retrieveForTurnsFromStage's counted decision")
     val out = sys.props("java.io.tmpdir") + "/graft_stream_out_" + name
     graft.tables.Staging.deleteRec(out)
     // the static serving side (capped posting list + idf table) is
@@ -616,7 +652,7 @@ object Streaming {
       try walk.forEach { p =>
         val t = dst.resolve(src.relativize(p))
         if (Files.isDirectory(p)) Files.createDirectories(t)
-        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+        else graft.tables.Staging.copyFile(p, t)
       } finally walk.close()
     }
     val writeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
@@ -817,8 +853,20 @@ object Streaming {
         // instead of every batch past the gate
         val gen = graft.operators.Retrieval.committedGen(
           batch.sparkSession, stagePath)
-        if (gen >= 4 && gen % 4 == 0)
-          graft.operators.Retrieval.compactIfStale(
+        val staleFired =
+          if (gen >= 4 && gen % 4 == 0)
+            graft.operators.Retrieval.compactIfStale(
+              batch.sparkSession, stagePath)
+          else false
+        // FILE-fragmentation policy (r21): staleness never fires on an
+        // append-only stream (nothing superseded), yet every append
+        // lands one new file per touched partition — unbounded resolved-
+        // read file counts on a long drain. The probe is a driver
+        // readdir (free per batch); the 4.0 threshold never fires at
+        // ≤4-batch fixture drains, and bounds a long drain's read
+        // amplification at amortized-constant rewrite cost.
+        if (!staleFired)
+          graft.operators.Retrieval.compactPostingsIfFragmented(
             batch.sparkSession, stagePath)
       }
     val q = stream.writeStream
@@ -866,8 +914,16 @@ object Streaming {
         // long-running drain; the modulo bounds the probe to once per
         // gate-width even when the fraction never crosses the threshold
         val winGen = graft.operators.Retrieval.committedWinGen(stagePath)
-        if (winGen >= 4 && winGen % 4 == 0)
-          graft.operators.Retrieval.compactWindowsIfStale(
+        val staleFired =
+          if (winGen >= 4 && winGen % 4 == 0)
+            graft.operators.Retrieval.compactWindowsIfStale(
+              batch.sparkSession, stagePath)
+          else false
+        // FILE-fragmentation policy (r21), cf. drainToPostingsStage: the
+        // purely additive drain never crosses the stale threshold, so
+        // without this probe its per-batch file debt is unbounded
+        if (!staleFired)
+          graft.operators.Retrieval.compactWindowsIfFragmented(
             batch.sparkSession, stagePath)
       }
     val q = stream.writeStream
@@ -1083,7 +1139,7 @@ object Streaming {
         rmTree(next)
         merged.write.mode("overwrite").parquet(next) // materializes before swap
         rmTree(snapshotPath)
-        Files.move(Paths.get(next), Paths.get(snapshotPath))
+        graft.tables.Staging.moveFile(Paths.get(next), Paths.get(snapshotPath))
       }
     val q = stream.writeStream
       .outputMode(OutputMode.Append())

@@ -888,4 +888,65 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(a.nonEmpty && a.sameElements(b))
   }
+
+  test("compactPostingsIfFragmented: a long append-only drain keeps " +
+      "files/partition bounded by policy; queries invariant (r21)") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val p = java.nio.file.Files.createTempDirectory("graft_post_frag").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_post_fragf").toString
+    Retrieval.stagePostings(docs.filter(col("doc_id") % 7 === 0),
+      col("doc_id"), col("text"), p)
+    // Fragmentation is a FILE property, not a row property: appends land
+    // one new file per touched partition per batch regardless of what
+    // they supersede (a vocabulary-disjoint stream never goes stale yet
+    // fragments identically), and the drain's stale probe is gen-gated —
+    // so only this policy bounds the resolved read's file count per
+    // batch. Exercised here exactly as the drain calls it.
+    var fired = 0
+    var peak = 0.0
+    for (i <- 1 to 6) {
+      Retrieval.appendPostings(docs.filter(col("doc_id") % 7 === i),
+        col("doc_id"), col("text"), p)
+      peak = math.max(peak, Retrieval.postingsFragmentation(p))
+      if (Retrieval.compactPostingsIfFragmented(spark, p)) fired += 1
+      // post-policy invariant: never more than the threshold
+      assert(Retrieval.postingsFragmentation(p) <= 4.0)
+    }
+    assert(fired >= 1, s"policy never fired across 6 appends (peak $peak)")
+    assert(peak > 4.0, "the drain never actually crossed the threshold")
+    Retrieval.stagePostings(docs, col("doc_id"), col("text"), full)
+    val terms = Seq("the", "data", "pipeline")
+    val a = Retrieval.bm25FromStage(spark, p, terms)
+      .collect().map(_.toString).sorted
+    val b = Retrieval.bm25FromStage(spark, full, terms)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("compactWindowsIfFragmented: bounded files/partition on a long " +
+      "additive drain; pruned MaxSim invariant (r21)") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val p = java.nio.file.Files.createTempDirectory("graft_win_frag").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_win_fragf").toString
+    Retrieval.stageWindows(docs.filter(col("doc_id") % 7 === 0),
+      col("doc_id"), col("text"), p)
+    var fired = 0
+    var peak = 0.0
+    for (i <- 1 to 6) {
+      Retrieval.appendWindows(docs.filter(col("doc_id") % 7 === i),
+        col("doc_id"), col("text"), p)
+      peak = math.max(peak, Retrieval.windowsFragmentation(p))
+      if (Retrieval.compactWindowsIfFragmented(spark, p)) fired += 1
+      assert(Retrieval.windowsFragmentation(p) <= 4.0)
+    }
+    assert(fired >= 1, s"policy never fired across 6 appends (peak $peak)")
+    assert(peak > 4.0, "the drain never actually crossed the threshold")
+    Retrieval.stageWindows(docs, col("doc_id"), col("text"), full)
+    val terms = Seq("customer", "order", "for", "table", "part", "data")
+    val a = Retrieval.maxSimPrunedFromStage(spark, p, terms)
+      .collect().map(_.toString).sorted
+    val b = Retrieval.maxSimPrunedFromStage(spark, full, terms)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
 }

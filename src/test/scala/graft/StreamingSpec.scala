@@ -387,4 +387,16 @@ class StreamingSpec extends SparkSpec {
       "the per-batch policy must have compacted — 4 appends without it " +
         "would leave ~4 files/partition")
   }
+
+  test("drainRetrieveFromStage refuses a batch DataFrame: the declared " +
+      "terms broadcast is only valid for request-sized micro-batches (r21)") {
+    import spark.implicits._
+    val batchDf = Seq((1L, 1L, false, "query text"))
+      .toDF("conv_id", "turn_no", "is_followup", "resolved_query")
+    val e = intercept[IllegalArgumentException] {
+      Streaming.drainRetrieveFromStage(batchDf, "/nonexistent_stage",
+        k = 5, maxPostings = 10L, name = "guard_test")
+    }
+    assert(e.getMessage.contains("STREAMING micro-batches"))
+  }
 }
