@@ -179,6 +179,19 @@ object Bench {
     chunks.zipWithIndex.foreach { case (c, i) =>
       println(s"""{"bench_part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
     }
+    // The driver's round artifact keeps only the LAST ~2000 chars of
+    // stdout, so the numbered chunk lines above mostly never reach it and
+    // round-over-round PERF compared 9 of 259 queries (r20). This ONE
+    // compact line — the slowest 40 queries at 2-decimal precision,
+    // ~1.1 KB — fits the retained tail together with the total line, so
+    // the next round's per-query comparison has the queries that matter
+    // (the fast tail is uniformly sub-second and carries no regression
+    // signal the total would miss). Additions-only: chunks and the total
+    // line are unchanged.
+    def r2d(v: Double): Double = math.rint(v * 100) / 100
+    val slow40 = results.toSeq.sortBy(-_._2).take(40)
+      .map { case (n, t) => s"\"$n\":${r2d(t)}" }.mkString("{", ",", "}")
+    println(s"""{"bench_slowest40":true,"queries":$slow40}""")
     val slowest = results.toSeq.sortBy(-_._2).take(12)
       .map { case (n, t) => s"\"$n\":${r3(t)}" }.mkString("{", ",", "}")
     // The round's committed SELF-RUN correctness gate rides the summary
