@@ -215,7 +215,45 @@ object ScaleBench {
         .find(_.getFileName.toString.endsWith(".parquet"))
         .getOrElse(sys.error(s"no parquet part for stream split $i"))
       val dst = outP.resolve(f"split-$i%04d.parquet")
-      Files.move(part, dst)
+      graft.tables.Staging.moveFile(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+    }
+    Files.createFile(outP.resolve("_GRAFT_DONE"))
+  }
+
+  /** [[genStreamDir]] with the CORPUS HELD FIXED and only the file chop
+    * varying: the same `totalRows` rows (identical values, identical
+    * event times — usPerRow matches genStreamDir's density) staged as
+    * `splits` files, so `maxFilesPerTrigger=1` replays the identical
+    * stream as `splits` micro-batches. The input of the batch-count
+    * amortization family (r21): any wall-clock difference between chops
+    * is pure per-micro-batch machinery, never data.
+    */
+  def genStreamDirChopped(s: SparkSession, dir: String, splits: Int,
+                          totalRows: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    require(totalRows % splits == 0, "chop must divide the corpus")
+    val outP = Paths.get(dir)
+    if (Files.exists(outP.resolve("_GRAFT_DONE"))) return
+    Files.createDirectories(outP)
+    val usPerRow = StreamSplitSecs * 1000000L / StreamRowsPerSplit
+    val rowsPerSplit = totalRows / splits
+    val base = System.currentTimeMillis()
+    (0 until splits).foreach { i =>
+      val tmp = Files.createTempDirectory("graft_stream_amort").toString
+      s.range(i * rowsPerSplit, (i + 1) * rowsPerSplit)
+        .select(
+          timestamp_micros(col("id") * usPerRow).as("ts"),
+          pmod(xxhash64(col("id"), lit(5)), lit(1000)).as("user"),
+          pmod(xxhash64(col("id"), lit(7)), lit(100)).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part for amort split $i"))
+      val dst = outP.resolve(f"split-$i%04d.parquet")
+      graft.tables.Staging.moveFile(part, dst)
       Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
     }
@@ -740,6 +778,45 @@ object ScaleBench {
         tRatio > maxRatio(10) || stRatio > 3.0)
     }
 
+    // ---- batch-count amortization family (r21) -----------------------
+    // The ingest drains' declared residual is per-micro-batch FIXED cost
+    // (state-store commit + offset/commit WAL + per-batch planning,
+    // measured ~0.6-0.75 s/batch in ProfileLeftJoin), which production
+    // amortizes with bigger batches. This family proves the claim at the
+    // harness: the SAME corpus — identical rows, identical event times —
+    // chopped into {1, 4, 16} files runs the stream_window query as
+    // {1, 4, 16} micro-batches. Per-row work is constant by construction,
+    // so wall-clock must fit t ≈ fixed·batches + flat, and the emitted
+    // rows must be chop-invariant (batch-boundary invariance, the same
+    // property the declared-query oracles check). Report-only: the ratio
+    // and the marginal per-batch cost land in BENCH_SCALE.json.
+    val amortChops = Seq(1, 4, 16)
+    val amortRows = 20000L
+    val amortOn = onlyFilter.forall(_.contains("stream_amortization"))
+    val amortResults: Seq[(Int, Double, Long, Long)] =
+      if (!amortOn) Nil
+      else amortChops.map { ch =>
+        val d = s"$baseDir/stream_amort_c$ch"
+        genStreamDirChopped(spark, d, ch, amortRows)
+        def once() = runStream(
+          streamFamily(spark, d).toMap.apply("stream_window"),
+          s"$baseDir/ckpt_amort_c$ch")
+        val (ta, ba, _, ra) = once()
+        val (tb, bb, _, rb) = once()
+        if (ra != rb)
+          System.err.println(s"[scale] stream_amortization c$ch " +
+            s"NONDETERMINISTIC rows $ra vs $rb")
+        System.err.println(f"[scale] stream_amortization c$ch: " +
+          f"$ta%.2f / $tb%.2f s, ${math.max(ba, bb)} batches, rows $ra")
+        (ch, math.min(ta, tb), math.max(ba, bb), ra)
+      }
+    amortResults.headOption.foreach { case (_, _, _, r0) =>
+      amortResults.foreach { case (ch, _, _, r) =>
+        if (r != r0) System.err.println(
+          s"[scale] stream_amortization CHOP-VARIANT rows: c$ch=$r vs $r0")
+      }
+    }
+
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val qJson = results.map { case (n, qScales, per, ratios, _, same, unsafe) =>
       val ts = qScales.map(sc => s""""t$sc":${r3(per(sc)._2)}""").mkString(",")
@@ -763,6 +840,20 @@ object ScaleBench {
       }.mkString(",")
       s""""$n":{$fields,"ratio10":${r3(tRatio)},"state_ratio10":${r3(stRatio)}}"""
     }.mkString("{", ",", "}")
+    val amortJson =
+      if (amortResults.isEmpty) "{}"
+      else {
+        val byChop = amortResults.map(r => r._1 -> r._2).toMap
+        val fields = amortResults.map { case (ch, t, b, rows) =>
+          s""""t$ch":${r3(t)},"batches$ch":$b,"rows$ch":$rows"""
+        }.mkString(",")
+        // marginal wall-clock per extra micro-batch at constant rows —
+        // THE per-batch fixed cost, measured; and the 16-vs-1 ratio
+        val marginal = (byChop(16) - byChop(1)) / 15.0
+        s"""{$fields,"rows_total":$amortRows,""" +
+          s""""marginal_sec_per_batch":${r3(marginal)},""" +
+          s""""ratio_16_vs_1":${r3(byChop(16) / math.max(byChop(1), 1e-3))}}"""
+      }
     def stageSecsJ(rs: Seq[(Long, Double, Seq[Double], Seq[Double])]): String =
       rs.map(r => s""""t${r._1}":${r3(r._2)}""").mkString("{", ",", "}")
     val mExtras =
@@ -839,7 +930,8 @@ object ScaleBench {
         s""""scales":[${allScales.mkString(",")}],"queries":$qJson,""" +
         s""""maintenance":$mJson,""" +
         s""""serving":$servJson,""" +
-        s""""streaming":$sJson}"""
+        s""""streaming":$sJson,""" +
+        s""""stream_amortization":$amortJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (json + "\n").getBytes("UTF-8"))
     println(json)

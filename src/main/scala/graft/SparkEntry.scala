@@ -3623,8 +3623,8 @@ object SparkEntry {
           val intentTmp = Paths.get(path, "_COMMIT_STAGING")
           Files.write(intentTmp,
             ("__deleting" +: "-" +: affected.map(_.toString)).asJava)
-          Files.move(intentTmp, Paths.get(path, "_COMMIT"),
-            StandardCopyOption.ATOMIC_MOVE)
+          graft.tables.Staging.atomicPublishFresh(
+            intentTmp, Paths.get(path, "_COMMIT"))
           // the writer dies here: intent logged, nothing swapped yet
           graft.operators.VectorStore.recover(path)
           new java.io.File(path, "_GRAFT_RECOVERED").createNewFile()
@@ -4058,6 +4058,15 @@ object SparkEntry {
           shSide(train, "train"), shSide(test, "test"),
           minShared = 5, maxDf = 50)
         .select(col("train_id").as("id")).distinct()
+      // decon feeds BOTH the scorer and the final cutoff semi-join, so
+      // the decontamination subtree computes twice — a lineage cut here
+      // was built and A/B'd (r21): NEUTRAL at sf0.1 (solo-subset
+      // min-of-2: 9.67/9.69 s pinned vs 9.81/8.31/9.81 unpinned — inside
+      // the noise band), because the AQE-coalesced recompute is a few
+      // hundred ms while the pin adds an eager corpus-sized
+      // materialization. Left unpinned: at 100 TB the right cut is a
+      // durable stage (Stage.Parquet discipline), not an executor-memory
+      // pin of the near-full train corpus (guide §5).
       val decon = train.join(contaminated, Seq("id"), "left_anti")
       // trained weights: four fp3 scalars off the driver — model
       // broadcast, the same budget class as any dimension table
@@ -6897,7 +6906,7 @@ object SparkEntry {
             val part = Files.list(Paths.get(tmp)).iterator().asScala
               .find(_.getFileName.toString.endsWith(".parquet"))
               .getOrElse(sys.error("no parquet part for schema stage"))
-            Files.move(part, Paths.get(stage, name))
+            graft.tables.Staging.moveFile(part, Paths.get(stage, name))
           }
           writeIn(docs.filter(col("doc_id") % 2 === 0)
             .select(col("doc_id"), col("text")), "gen1.parquet")

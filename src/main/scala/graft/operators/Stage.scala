@@ -27,7 +27,31 @@ sealed trait Stage {
 
 object Stage {
 
-  /** Executor-memory cut — local default. */
+  /** Executor-memory cut — local default.
+    *
+    * MEASURED CHOICE (r21): the plain localCheckpoint under AQE scans
+    * back as `ExistingRDD, UnknownPartitioning(0)` — the adaptive plan's
+    * final partitioning does not survive into the LogicalRDD — so every
+    * downstream keyed round RE-EXCHANGES the pre-partitioned relation
+    * (the executed q_pagerank_personalized plan carries one
+    * `Exchange hashpartitioning(id, 32)` per iteration over the
+    * checkpointed node set; ProfileStageCut is the minimal repro, and
+    * plans/r21/q_pagerank_personalized_* show both shapes). Removing
+    * those exchanges by materializing the cut with AQE off was built and
+    * A/B'd — and REGRESSED the whole iterative family ~1.4× at sf0.1
+    * (pagerank 4.25→6.15 s, personalized 4.33→6.40, dangling 3.89→5.38,
+    * dedup_clusters 2.93→3.91, corpus_build 9.8→14.1; same binary,
+    * same-subset back-to-back): the preserved hash(key, 32) pins every
+    * tiny per-round stage to the full session width, while AQE-coalesced
+    * rounds run ~1–4 tasks and pay only a node-sized exchange — per-round
+    * TASK overhead beats per-round exchange bytes until the rank/label
+    * relations are large enough to fill the width. The re-exchange is
+    * therefore kept deliberately: it is AQE sizing each round to the
+    * data. At cluster scale the same tradeoff is governed by
+    * [[Stage.Parquet]], which re-shuffles by declared design (the price
+    * of durability), so preserving executor-memory partitioning buys
+    * nothing on the 100 TB path either.
+    */
   case object Local extends Stage {
     def cut(df: DataFrame, name: String): DataFrame = df.localCheckpoint()
   }
