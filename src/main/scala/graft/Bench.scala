@@ -227,8 +227,23 @@ object Bench {
           // say so in the echo instead of impersonating a green record
           // (round 15 shipped 237 queries under a round-14 echo)
           val stale = if (curRound.exists(_ > rnd)) ""","stale":true""" else ""
-          for (ok <- field("n_ok"); fail <- field("n_fail"))
-            yield s""","self_gate":{"round":$rnd,"n_ok":$ok,"n_fail":$fail$stale}"""
+          // the artifact shipped as summary fields through r19 and as a
+          // per-query map since r20 (n_ok/n_fail live only in the
+          // .detail sidecar), which silently killed this echo for two
+          // rounds — fall back to counting the per-query hash verdicts
+          // directly (r21)
+          val okFail: Option[(Int, Int)] =
+            (for (ok <- field("n_ok"); fail <- field("n_fail"))
+              yield (ok.toInt, fail.toInt))
+            .orElse {
+              val vs = "\"hash_match\":\\s*(true|false)".r
+                .findAllMatchIn(txt).map(_.group(1)).toSeq
+              if (vs.isEmpty) None
+              else Some((vs.count(_ == "true"), vs.count(_ == "false")))
+            }
+          okFail.map { case (ok, fail) =>
+            s""","self_gate":{"round":$rnd,"n_ok":$ok,"n_fail":$fail$stale}"""
+          }
         }.getOrElse("")
     }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"BENCH_FULL.json","slowest":$slowest$selfGate}""")
